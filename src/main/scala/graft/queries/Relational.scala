@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.core.Tables.table
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Generic relational operator surface (SURVEY.md §2.2–§2.8) expressed over
@@ -9,14 +10,21 @@ import org.apache.spark.sql.functions._
   * DuckDB-equivalent oracle in [[Relational.oracles]].
   *
   * Column names are aliased identically in the Spark plan and the oracle SQL
-  * (the driver compare sorts columns by name before hashing).
+  * (the driver compare sorts columns by name before hashing). Double-valued
+  * aggregates are rounded on both sides to absorb accumulation-order
+  * differences between engines.
+  *
+  * Scale notes (100 TB): every query here is a declarative plan — filters
+  * and projections push to the parquet scan, small dimensions are broadcast
+  * explicitly, windows shuffle once on their partition keys, and nothing
+  * collects to the driver.
   */
 object Relational {
 
-  /** TPC-H Q1-style wide aggregation (scan → filter → hash agg).
-    * Doubles are summed exactly: quantities are integral; prices carry two
-    * decimals, so sums are rounded to 2 before compare to absorb
-    * accumulation-order differences between engines.
+  /** TPC-H Q1-style wide aggregation (scan → pushed filter → partial+final
+    * hash agg). Reference analogue: the curated-table rebuild projections
+    * (ProcessDaily.usql:99-129) plus the aggregate surface the reference
+    * lacks but any warehouse user needs.
     */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
@@ -30,8 +38,252 @@ object Relational {
         count(lit(1)).as("count_order")
       )
 
+  /** Predicate family P2–P5/P7: equality, LIKE, IN-list, null checks,
+    * prefix match (ProcessDaily.usql:131,636,893,1751; :291). All six
+    * predicates reach the parquet scan as pushed filters.
+    */
+  def q2FilterPred(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .where(
+        col("p_type").like("%O%") &&
+          col("p_brand").isin("Brand#1", "Brand#2", "Brand#3", "Brand#13", "Brand#19") &&
+          col("p_name").startsWith("s") &&
+          col("p_size").isNotNull &&
+          col("p_retailprice") > lit(905.0)
+      )
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+
+  /** J1 inner equi-join with explicitly broadcast small dims (region,
+    * nation) — the 100 TB-safe shape: fact side never shuffles for a
+    * dimension join.
+    */
+  def q3JoinInner(spark: SparkSession, dir: String): DataFrame = {
+    val customer = table(spark, dir, "customer")
+    val nation = table(spark, dir, "nation")
+    val region = table(spark, dir, "region")
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        round(avg(col("c_acctbal")), 2).as("avg_bal")
+      )
+  }
+
+  /** J2 anti-join: the reference's LEFT JOIN … WHERE key IS NULL idiom
+    * (ProcessDaily.usql:76-80) expressed directly as left_anti —
+    * customers with no order above 300k (non-empty at every sf).
+    */
+  def q4JoinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = table(spark, dir, "customer")
+    val bigOrders = table(spark, dir, "orders")
+      .where(col("o_totalprice") > lit(300000.0))
+    customer
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Semi-join (EXISTS): customers with at least one high-value order.
+    * Dual of J2; Spark plans a shuffled/broadcast semi join with no
+    * fan-out, unlike the inner-join+distinct a naive port would write.
+    */
+  def q5JoinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val customer = table(spark, dir, "customer")
+    val orders = table(spark, dir, "orders")
+      .where(col("o_totalprice") > lit(100000.0))
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_nationkey"))
+  }
+
+  /** J3 multi-join fan-out (GetRepoData-unused.usql:35-105 shape): fact →
+    * fact → dims chain, revenue per nation. Dims broadcast; the two fact
+    * tables shuffle once on the join key (AQE picks the strategy).
+    */
+  def q6JoinFanout(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = table(spark, dir, "lineitem")
+    val orders = table(spark, dir, "orders")
+    val customer = table(spark, dir, "customer")
+    val nation = table(spark, dir, "nation")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .where(col("o_orderdate") >= to_timestamp(lit("1995-01-01")))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
+  /** W1/P8 latest-version-wins: row_number over (partition by key order by
+    * ts desc) → rank-1 filter — the reference's core merge idiom
+    * (ProcessDaily.usql:137-140, 39 uses). Spark ≥3.5 plans this as
+    * WindowGroupLimit: no full sort materialization per group.
+    */
+  def q7WindowLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    table(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+  }
+
+  /** Top-k per group (k=3): generalization of the reference's k=1. */
+  def q8WindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    table(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+  }
+
+  /** Running aggregate frame (rows between unbounded preceding and current):
+    * cumulative quantity per order by line number. (l_orderkey,
+    * l_linenumber) is NOT unique in the test corpus, so the frame order
+    * carries a full deterministic tiebreak — rows tying on every tiebreak
+    * column have equal quantities, leaving the output multiset invariant.
+    */
+  def q9WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("l_orderkey"))
+      .orderBy(
+        col("l_linenumber"),
+        col("l_partkey"),
+        col("l_suppkey"),
+        col("l_quantity"),
+        col("l_extendedprice")
+      )
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        round(sum(col("l_quantity")).over(w), 2).as("running_qty")
+      )
+  }
+
+  /** Analytic lag/lead over the events stream table: previous value and
+    * next event type per user. Ordered by event_id (monotone with ts;
+    * avoids the parquet ns-vs-µs timestamp truncation divergence between
+    * engines documented in .claude/skills/verify/SKILL.md).
+    */
+  def q10WindowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    table(spark, dir, "events")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("event_type"), 1).over(w).as("next_type")
+      )
+  }
+
+  /** A2 DISTINCT dedup aggregate (ProcessDaily.usql:44,60-61; 21 uses). */
+  def q11Distinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"))
+      .distinct()
+
+  /** U1 UNION ALL merge of two branches (33 uses in the reference) —
+    * unionByName, not positional, per SURVEY.md §2.7.
+    */
+  def q12Union(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"), lit("customer").as("side"))
+    val supp = table(spark, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey"), lit("supplier").as("side"))
+    cust
+      .unionByName(supp)
+      .groupBy(col("nationkey"), col("side"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** A1 MAP_AGG re-assembly (ProcessDaily.usql:294-306, 11 uses): group
+    * exploded entries back into one value per parent. Rendered as a
+    * deterministic sorted "k=v" string so the oracle hash is stable across
+    * engines' map orderings.
+    */
+  def q13MapAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(
+          sort_array(collect_list(concat(col("event_type"), lit("="), col("cnt")))),
+          ","
+        ).as("type_counts")
+      )
+
+  /** G1 lateral explode (CROSS APPLY EXPLODE, 18 uses): tokenize documents
+    * and count global token frequencies. split → explode is a narrow op;
+    * the single shuffle is the count aggregation.
+    */
+  def q14Explode(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Scalar function surface F1–F9: date formatting/parsing, zero-padded
+    * string assembly, substring/instr/length, casts, prefix tests, and the
+    * null-safe ternary (P6: null comparison → false branch, matching the
+    * reference's C# `?:` semantics at ProcessDaily.usql:139).
+    */
+  def q15ScalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        format_string("%09d", col("o_orderkey")).as("key_padded"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        (instr(col("o_orderpriority"), "N") > 0).as("has_n"),
+        length(col("o_orderpriority")).as("prio_len"),
+        floor(col("o_totalprice")).cast("long").as("price_int"),
+        when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(lit(0.0))
+          .as("finished_price")
+      )
+
+  /** A3 multi-key GROUP BY with no metric aggregates — key-census shape
+    * (ProcessDaily.usql:306; dedup via grouping alone).
+    */
+  def q16GroupMultikey(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key")
+      )
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> q1Agg
+    "q1_agg" -> q1Agg,
+    "q2_filter_pred" -> q2FilterPred,
+    "q3_join_inner" -> q3JoinInner,
+    "q4_join_anti" -> q4JoinAnti,
+    "q5_join_semi" -> q5JoinSemi,
+    "q6_join_fanout" -> q6JoinFanout,
+    "q7_window_latest" -> q7WindowLatest,
+    "q8_window_topk" -> q8WindowTopk,
+    "q9_window_running" -> q9WindowRunning,
+    "q10_window_lag" -> q10WindowLag,
+    "q11_distinct" -> q11Distinct,
+    "q12_union" -> q12Union,
+    "q13_map_agg" -> q13MapAgg,
+    "q14_explode" -> q14Explode,
+    "q15_scalar_funcs" -> q15ScalarFuncs,
+    "q16_group_multikey" -> q16GroupMultikey
   )
 
   val oracles: Map[String, String] = Map(
@@ -43,6 +295,99 @@ object Relational {
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_pred" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size
+        |FROM part
+        |WHERE p_type LIKE '%O%'
+        |  AND p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#13','Brand#19')
+        |  AND p_name LIKE 's%'
+        |  AND p_size IS NOT NULL
+        |  AND p_retailprice > 905.0""".stripMargin,
+    "q3_join_inner" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q4_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
+    "q5_join_semi" ->
+      """SELECT c_custkey, c_nationkey
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)""".stripMargin,
+    "q6_join_fanout" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q7_window_latest" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "q8_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+    "q9_window_running" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sum(l_quantity) OVER (
+        |    PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM lineitem""".stripMargin,
+    "q10_window_lag" ->
+      """SELECT user_id, event_id, event_type,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+        |FROM events""".stripMargin,
+    "q11_distinct" ->
+      "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    "q12_union" ->
+      """SELECT nationkey, side, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier)
+        |GROUP BY nationkey, side""".stripMargin,
+    "q13_map_agg" ->
+      """SELECT user_id,
+        |  string_agg(event_type || '=' || cnt, ',' ORDER BY event_type || '=' || cnt) AS type_counts
+        |FROM (SELECT user_id, event_type, count(*) AS cnt
+        |      FROM events GROUP BY user_id, event_type)
+        |GROUP BY user_id""".stripMargin,
+    "q14_explode" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token""".stripMargin,
+    "q15_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+        |  printf('%09d', o_orderkey) AS key_padded,
+        |  substr(o_orderpriority, 1, 1) AS prio_code,
+        |  instr(o_orderpriority, 'N') > 0 AS has_n,
+        |  length(o_orderpriority) AS prio_len,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+        |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS finished_price
+        |FROM orders""".stripMargin,
+    "q16_group_multikey" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority""".stripMargin
   )
 }
