@@ -1,0 +1,211 @@
+package graft.entities
+
+import graft.json.Docs._
+import graft.ops.Merges
+import graft.entities.Specs._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructType}
+
+/** The five generic merge executors (SURVEY.md §2.10 a–e) over declarative
+  * [[Specs]]. Each takes one day's staging rows plus the current curated
+  * table and produces the next curated snapshot — the whole of
+  * `ProcessDaily.usql` as five functions.
+  *
+  * Scale shape per executor: one shuffle on the dedup key (the window), a
+  * broadcast anti-join for collections, and narrow projection/explode
+  * everywhere else. Curated tables are overwritten atomically (tmp + rename) —
+  * the TRUNCATE+INSERT contract (/root/reference/USQL/ProcessDaily.usql:142-144)
+  * without the read-overwrite hazard.
+  */
+object Pipelines {
+
+  /** Standard promoted columns every curated row carries: provenance + the
+    * merge-ordering timestamps (ProcessDaily.usql:100-103). */
+  private def metaCols(ingestDate: Column): Seq[Column] = Seq(
+    ingestDate.as("etl_ingest_date"),
+    col("urn").as("etl_source_id"),
+    col("fetched_at"),
+    col("processed_at"),
+    col("deleted_at")
+  )
+
+  private def typed(field: Field): Column = {
+    val c = field.typ match {
+      case "int"  => jint(col("data"), field.path)
+      case "long" => jlong(col("data"), field.path)
+      case "bool" => jbool(col("data"), field.path)
+      case "ts"   => jts(col("data"), field.path)
+      case _      => if (field.pii) jpii(col("data"), field.path) else jstr(col("data"), field.path)
+    }
+    c.as(field.name)
+  }
+
+  /** The latest-wins ordering: effective timestamp desc (P6 ternary,
+    * ProcessDaily.usql:139), ingest date as deterministic tiebreak. */
+  private val mergeOrder: Seq[Column] = Seq(
+    Merges.effectiveTs(col("deleted_at"), col("processed_at")).desc,
+    col("etl_ingest_date").desc
+  )
+
+  /** Wide typed projection (P1): staging row → curated row. */
+  def project(staged: DataFrame, fields: Seq[Field]): DataFrame =
+    staged.select(metaCols(col("ingest_date")) ++ fields.map(typed): _*)
+
+  // -- storage ---------------------------------------------------------------
+
+  def tablePath(curatedDir: String, table: String) = s"$curatedDir/$table"
+
+  /** Read a curated table; absent table → empty with `like`'s schema
+    * (bootstrap day — the CreateAndInitialize* CTAS scripts' role). */
+  def readCurated(spark: SparkSession, curatedDir: String, table: String,
+      like: DataFrame): DataFrame = {
+    val p = new Path(tablePath(curatedDir, table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(like.schema).parquet(p.toString)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+  }
+
+  /** Atomic overwrite: write tmp, swap via rename — TRUNCATE+INSERT parity
+    * that also lets the plan read the table it replaces. */
+  def overwriteCurated(df: DataFrame, curatedDir: String, table: String): Unit = {
+    val spark = df.sparkSession
+    val target = new Path(tablePath(curatedDir, table))
+    val tmp = new Path(s"$curatedDir/.${table}_staging_${System.nanoTime()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+  }
+
+  // -- §2.10(a) snapshot merge ----------------------------------------------
+
+  /** One snapshot entity for one day. Returns the new snapshot (also
+    * persisted). `truncate=false` reproduces the CommitParent append quirk:
+    * rank-1 rows are appended to the untruncated table
+    * (ProcessDaily.usql:409), so duplicates accumulate — faithful mode. */
+  def runSnapshot(spark: SparkSession, stagedDay: DataFrame, curatedDir: String,
+      spec: SnapshotSpec): DataFrame = {
+    val fresh = project(stagedDay.where(spec.entityPred(col("entity_name"))), spec.fields)
+    val prior = readCurated(spark, curatedDir, spec.table, fresh)
+    val merged = Merges.snapshotMerge(prior, fresh, Seq("etl_source_id"), mergeOrder)
+    val result = if (spec.truncate) merged else prior.unionByName(merged)
+    overwriteCurated(result, curatedDir, spec.table)
+    spark.read.parquet(tablePath(curatedDir, spec.table))
+  }
+
+  // -- §2.10(c) array-child normalization -----------------------------------
+
+  /** Array field → child table keyed (parent urn, element index)
+    * (CommitFile exemplar, ProcessDaily.usql:277-351). Struct-first design:
+    * `from_json` to ARRAY<STRUCT> + `posexplode` replaces the reference's
+    * explode→path-split→MAP_AGG machinery (G1+F5+F6+A1) with two codegen'd
+    * built-ins and no extra shuffle. */
+  def runArrayChild(spark: SparkSession, stagedDay: DataFrame, curatedDir: String,
+      spec: ArrayChildSpec): DataFrame = {
+    val elemType = StructType.fromDDL(spec.elementSchema)
+    val parent = stagedDay.where(spec.entityPred(col("entity_name")))
+    val exploded = parent
+      .withColumn("__arr",
+        from_json(jstr(col("data"), spec.arrayPath), ArrayType(elemType)))
+      .select(
+        metaCols(col("ingest_date")) :+
+          posexplode(col("__arr")).as(Seq("element_index", "__elem")): _*)
+    val fresh = exploded.select(
+      (Seq("etl_ingest_date", "etl_source_id", "fetched_at", "processed_at",
+        "deleted_at", "element_index").map(col) ++
+        spec.fields.map(f => col(s"__elem.${f.path}").as(f.name))): _*)
+    val prior = readCurated(spark, curatedDir, spec.table, fresh)
+    val merged = Merges.snapshotMerge(prior, fresh,
+      Seq("etl_source_id", "element_index"), mergeOrder)
+    val result = if (spec.truncate) merged else prior.unionByName(merged)
+    overwriteCurated(result, curatedDir, spec.table)
+    spark.read.parquet(tablePath(curatedDir, spec.table))
+  }
+
+  // -- §2.10(b) collection replacement --------------------------------------
+
+  /** Collection membership for one day (RepoCollaborators exemplar,
+    * ProcessDaily.usql:25-91): latest crawl page-set per origin → explode
+    * `resources.hrefs` → wholesale replacement of re-crawled origins,
+    * carry-forward of the rest. */
+  def runCollection(spark: SparkSession, stagedDay: DataFrame, curatedDir: String,
+      spec: CollectionSpec): DataFrame = {
+    val raw = stagedDay
+      .where(col("entity_name") === spec.entity)
+      .withColumn("__origin", jstr(col("data"), "_metadata.links.origin.href"))
+      .where(col("__origin").isNotNull)
+    // W4: most recent crawl per origin (ProcessDaily.usql:41-44)
+    val latest = Merges.latestByKey(raw, Seq("__origin"),
+      Seq(col("processed_at").desc, col("urn").desc))
+    val extra = spec.extraLinks.map { case (p, n) => jstr(col("data"), p).as(n) }
+    val fresh = latest
+      .select(
+        Seq(col("__origin").as(spec.originCol),
+          explode(from_json(jstr(col("data"), "_metadata.links.resources.hrefs"),
+            ArrayType(org.apache.spark.sql.types.StringType))).as(spec.memberCol))
+          ++ extra: _*)
+      .distinct()
+    val prior = readCurated(spark, curatedDir, spec.table, fresh)
+    val merged = Merges.collectionMerge(prior, fresh, spec.originCol)
+    overwriteCurated(merged, curatedDir, spec.table)
+    spark.read.parquet(tablePath(curatedDir, spec.table))
+  }
+
+  // -- §2.10(d) traffic pivot -----------------------------------------------
+
+  /** Traffic time-series for one day (ProcessDaily.usql:3227-3591).
+    * `faithful=true` reproduces the reference's document-collapse: the
+    * MAP_AGG grouped by document only (:3256-3274) leaves ONE surviving
+    * element per doc (duplicate map keys resolve last-wins) — we take the
+    * last array element. `faithful=false` is the corrected per-element mode.
+    * For Referrers/Paths (`ordered=false`) the reference ranks with NO ORDER
+    * BY (:3387,:3479 — nondeterministic); we substitute a deterministic
+    * tiebreak and document the divergence. */
+  def runTraffic(spark: SparkSession, stagedDay: DataFrame, curatedDir: String,
+      spec: TrafficSpec, faithful: Boolean = true): DataFrame = {
+    val elemType = StructType.fromDDL(spec.elementSchema)
+    val docs = stagedDay
+      .where(col("entity_name") === spec.entity)
+      .withColumn("__arr",
+        from_json(jstr(col("data"), spec.arrayPath), ArrayType(elemType)))
+      .withColumn("repo_urn", jstr(col("data"), "_metadata.links.repo.href"))
+    val elements =
+      if (faithful)
+        docs.withColumn("__elem", element_at(col("__arr"), -1))
+          .where(col("__elem").isNotNull)
+      else
+        docs.select(col("*"),
+            posexplode(col("__arr")).as(Seq("__idx", "__elem")))
+    val fresh = elements.select(
+      metaCols(col("ingest_date")) ++ Seq(col("repo_urn")) ++
+        spec.fields.map(f => col(s"__elem.${f.path}").as(f.name)): _*)
+    val prior = readCurated(spark, curatedDir, spec.table, fresh)
+    val order =
+      if (spec.ordered) Seq(col("processed_at").desc, col("etl_ingest_date").desc)
+      else spec.fields.map(f => col(f.name).desc) :+ col("etl_ingest_date").desc
+    val merged = Merges.snapshotMerge(prior, fresh, spec.dedupKeys, order)
+    overwriteCurated(merged, curatedDir, spec.table)
+    spark.read.parquet(tablePath(curatedDir, spec.table))
+  }
+
+  // -- §2.10(e) snapshot + log ----------------------------------------------
+
+  /** Repo + RepoLog (ProcessDaily.usql:2507-2631): same projection, two
+    * dedup grains — latest per urn, and one row per (urn, updated_at). */
+  def runSnapshotLog(spark: SparkSession, stagedDay: DataFrame, curatedDir: String,
+      spec: SnapshotLogSpec): (DataFrame, DataFrame) = {
+    val fresh = project(stagedDay.where(spec.snapshot.entityPred(col("entity_name"))),
+      spec.snapshot.fields)
+    val priorSnap = readCurated(spark, curatedDir, spec.snapshot.table, fresh)
+    val priorLog = readCurated(spark, curatedDir, spec.logTable, fresh)
+    val (snap, log) = Merges.snapshotPlusLog(priorSnap, priorLog, fresh,
+      Seq("etl_source_id"), spec.versionField, mergeOrder)
+    overwriteCurated(snap, curatedDir, spec.snapshot.table)
+    overwriteCurated(log, curatedDir, spec.logTable)
+    (spark.read.parquet(tablePath(curatedDir, spec.snapshot.table)),
+      spark.read.parquet(tablePath(curatedDir, spec.logTable)))
+  }
+}

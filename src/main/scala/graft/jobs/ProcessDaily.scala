@@ -1,0 +1,52 @@
+package graft.jobs
+
+import graft.entities.{Pipelines, Specs}
+import graft.ingest.Staging
+import org.apache.spark.sql.SparkSession
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** The daily merge job — `ProcessDaily(@Year,@Month,@Day)`
+  * (/root/reference/USQL/ProcessDaily.usql:7-3593) as one function.
+  *
+  * The reference runs its 30+ entity pipelines serially inside one script;
+  * they are mutually independent (SURVEY.md §3.E2), so here they submit as
+  * concurrent Spark jobs — the scheduler interleaves their stages across the
+  * cluster, hiding the long tail of small entities behind the big ones.
+  */
+object ProcessDaily {
+
+  /** Run every entity pipeline for one ingest day. Returns table names. */
+  def run(spark: SparkSession, stagingDir: String, curatedDir: String,
+      ingestDate: String, parallelism: Int = 4): Seq[String] = {
+    val day = Staging.readStaging(spark, stagingDir, ingestDate)
+    day.cache() // one day of staging feeds 20+ pipelines; scan once
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val tasks: Seq[(String, () => Unit)] =
+        Specs.snapshots.map(s =>
+          s.table -> (() => { Pipelines.runSnapshot(spark, day, curatedDir, s); () })) ++
+        Specs.arrayChildren.map(s =>
+          s.table -> (() => { Pipelines.runArrayChild(spark, day, curatedDir, s); () })) ++
+        Specs.collections.map(s =>
+          s.table -> (() => { Pipelines.runCollection(spark, day, curatedDir, s); () })) ++
+        Specs.traffic.map(s =>
+          s.table -> (() => { Pipelines.runTraffic(spark, day, curatedDir, s); () })) ++
+        Seq(
+          Specs.repo.snapshot.table ->
+            (() => { Pipelines.runSnapshotLog(spark, day, curatedDir, Specs.repo); () }))
+      val fs = tasks.map { case (name, f) => Future { f(); name } }
+      Await.result(Future.sequence(fs), Duration.Inf)
+    } finally { pool.shutdown(); day.unpersist(); () }
+  }
+
+  /** Stage + merge: the two reference procedures chained for one date. */
+  def stageAndProcess(spark: SparkSession, rawRoot: String, stagingDir: String,
+      curatedDir: String, date: java.time.LocalDate): Seq[String] = {
+    Staging.stageDay(spark, rawRoot, stagingDir, date)
+    run(spark, stagingDir, curatedDir, date.toString)
+  }
+}
