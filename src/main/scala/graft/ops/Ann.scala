@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, IVF (inverted-file)
+  * partitioned search as the scale path, and threshold-based near-duplicate
+  * pairs for embedding-level dedup.
+  *
+  * Numeric determinism: dot products and norms are unrolled to a fixed
+  * left-associated sum of `dim` double-precision terms (a codegen'd
+  * expression tree, no UDF). The identical term order is replayed by the
+  * DuckDB oracle, so scores hash-match bit-for-bit across engines.
+  *
+  * Scale shape: brute force broadcasts the smaller side and is O(N·M·d) —
+  * correct as a re-ranker or for ≤10^6×10^3 candidate sets; IVF first
+  * assigns every vector to its nearest centroid (broadcast join against K
+  * centroids), then searches only within the probed cluster — the classic
+  * recall/cost trade, entirely as equi-joins that scale out.
+  */
+object Ann {
+
+  /** Left-associated Σ a[i]·b[i] over `dim` components, in doubles. */
+  def dot(a: Column, b: Column, dim: Int): Column =
+    (0 until dim)
+      .map(i => a(i).cast("double") * b(i).cast("double"))
+      .reduce(_ + _)
+
+  /** L2 norm with the same fixed summation order. */
+  def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
+
+  /** Vectors + their precomputed norms (computed once, reused per pair). */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame =
+    df.select(col(idCol).as("__vid"), col(vecCol).as("__vec"),
+      norm(col(vecCol), dim).as("__nrm"))
+
+  /** Exact cosine top-k neighbors for every vector in `queries` against
+    * `corpus` (self-pairs excluded). Ties broken by neighbor id — fully
+    * deterministic output. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int): DataFrame = {
+    val q = withNorm(queries, idCol, vecCol, dim)
+    val c = withNorm(corpus, idCol, vecCol, dim)
+    val pairs = q.select(col("__vid").as("vec_id"), col("__vec").as("__qv"),
+        col("__nrm").as("__qn"))
+      .crossJoin(broadcast(c.select(col("__vid").as("neighbor_id"),
+        col("__vec").as("__cv"), col("__nrm").as("__cn"))))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Assign each vector to its nearest centroid by cosine (broadcast join
+    * against the K centroids; ties → lowest centroid id). */
+  def assignClusters(df: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, dim: Int): DataFrame = {
+    val v = withNorm(df, idCol, vecCol, dim)
+    val c = withNorm(centroids, idCol, vecCol, dim)
+      .select(col("__vid").as("__cid"), col("__vec").as("__cv"), col("__nrm").as("__cn"))
+    val scored = v.crossJoin(broadcast(c))
+      .withColumn("__sim",
+        dot(col("__vec"), col("__cv"), dim) / (col("__nrm") * col("__cn")))
+    val w = Window.partitionBy("__vid").orderBy(col("__sim").desc, col("__cid").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("__vid"), col("__vec"), col("__nrm"), col("__cid"))
+  }
+
+  /** IVF approximate top-k: centroids are the vectors whose id is below
+    * `numCentroids` (deterministic seeding — a production pipeline would
+    * plug k-means centroids in, the query shape is identical). Every vector
+    * searches only its own cluster (nprobe=1): one broadcast assignment
+    * join + one equi-join on cluster id. Neighbors outside the probed
+    * cluster are missed — that is the IVF recall trade, documented not
+    * hidden. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, numCentroids: Int): DataFrame = {
+    val centroids = df.where(col(idCol) < numCentroids)
+    val assigned = assignClusters(df, centroids, idCol, vecCol, dim)
+    val l = assigned.select(col("__vid").as("vec_id"), col("__vec").as("__qv"),
+      col("__nrm").as("__qn"), col("__cid"))
+    val r = assigned.select(col("__vid").as("neighbor_id"), col("__vec").as("__cv"),
+      col("__nrm").as("__cn"), col("__cid"))
+    val pairs = l.join(r, Seq("__cid"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding-level near-duplicate pairs: cosine ≥ `threshold`, blocked
+    * through the same IVF assignment so only same-cluster pairs are
+    * scored (near-identical vectors share a nearest centroid). */
+  def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, numCentroids: Int): DataFrame = {
+    val centroids = df.where(col(idCol) < numCentroids)
+    val assigned = assignClusters(df, centroids, idCol, vecCol, dim)
+    val l = assigned.select(col("__vid").as("vec_a"), col("__vec").as("__va"),
+      col("__nrm").as("__na"), col("__cid"))
+    val r = assigned.select(col("__vid").as("vec_b"), col("__vec").as("__vb"),
+      col("__nrm").as("__nb"), col("__cid"))
+    l.join(r, Seq("__cid"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        dot(col("__va"), col("__vb"), dim) / (col("__na") * col("__nb")))
+      .where(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-document text analysis for training-data curation: language
+  * identification, quality scoring, token counting, and content
+  * fingerprinting. All narrow, codegen'd column expressions — zero
+  * shuffles except the fingerprint's per-doc aggregation; at 100 TB these
+  * run at scan speed as a single projection pass.
+  *
+  * Every function is engine-independent (no JVM-specific hashing, fixed
+  * expression order) so the DuckDB oracle replays it exactly.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic.
+    * Deliberately tiny and fixed: the operator contract is the scoring
+    * machinery, not the lexicon. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "und", "das", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des")
+  )
+
+  private def words(text: Column): Column = split(text, " ")
+
+  private def stopCount(text: Column, list: Seq[String]): Column =
+    size(filter(words(text), t => t.isin(list.map(lit): _*)))
+
+  /** Language ID: score each profile by stopword hits per token, pick the
+    * best (ties resolved in fixed profile order); zero hits → "und".
+    * A fastText-class model would slot in behind the same column contract. */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (l, ws) => l -> stopCount(text, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Confidence of [[langId]]: best-profile hits / token count. */
+  def langScore(text: Column): Column = {
+    val best = stopwords.map { case (_, ws) => stopCount(text, ws) }
+      .reduce((a, b) => greatest(a, b))
+    round(best.cast("double") / size(words(text)), 6)
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish subword proxy count: alpha runs, digit runs, and single
+    * punctuation marks each count as one token — the standard cheap
+    * stand-in for a real tokenizer when budgeting training data. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Mean word length (chars / words, separators excluded). */
+  def avgWordLen(text: Column): Column = {
+    val n = tokenCount(text)
+    round((length(text) - (n - 1)).cast("double") / n, 6)
+  }
+
+  /** Non-alphanumeric (punctuation/symbol) character ratio. */
+  def punctRatio(text: Column): Column =
+    round(size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0))).cast("double")
+      / length(text), 6)
+
+  /** English stopword ratio — the classic fluency proxy. */
+  def stopwordRatio(text: Column): Column =
+    round(stopCount(text, stopwords.head._2).cast("double") / tokenCount(text), 6)
+
+  /** Composite quality score in [0,1]: length band + low punctuation +
+    * stopword presence, equally weighted. The weights are the contract;
+    * callers recalibrate per corpus. */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(100, 5000), lit(1.0)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) <= 0.1, lit(1.0)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(text) > 0, lit(1.0)).otherwise(lit(0.0))
+    round((lenOk + punctOk + stopOk) / 3.0, 6)
+  }
+
+  /** Bottom-k sketch fingerprint: the `k` smallest engine-independent
+    * 60-bit hashes of the document's distinct word `n`-grams, sorted and
+    * comma-joined. Two documents share most of the sketch iff they share
+    * most shingles (it is a MinHash-style content signature with one
+    * identity permutation); equal texts → equal fingerprints. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      k: Int = 8): DataFrame =
+    TextDedup.shingleRows(df, idCol, textCol, n)
+      .select(col("__id"), TextDedup.hash60(col("__sh")).as("__h"))
+      .groupBy("__id")
+      .agg(array_join(
+        slice(sort_array(collect_set(col("__h"))), 1, k).cast("array<string>"),
+        ",").as("fingerprint"))
+
+  /** The full per-document analysis projection. */
+  def analyze(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("pred_lang", langId(t))
+      .withColumn("lang_score", langScore(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_bpe_tokens", bpeTokenCount(t))
+      .withColumn("avg_word_len", avgWordLen(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("quality", qualityScore(t))
+  }
+}

@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines: exact
+  * content-hash dedup, exact n-gram Jaccard, MinHash+LSH near-dup, and
+  * SimHash fingerprints.
+  *
+  * The reference corpus dedups only by business key + latest timestamp
+  * (SURVEY.md §2.10a); a 100 TB text pipeline additionally needs
+  * *content*-level dedup. Everything here is expressed as declarative
+  * DataFrame plans:
+  *
+  *  - no cross join anywhere: exact Jaccard pairs come from an inverted
+  *    index on shingles (only pairs that share ≥1 shingle materialize);
+  *    MinHash candidates come from an equi-join on LSH band keys. Both are
+  *    ordinary shuffle-hash joins that scale out linearly with executors;
+  *  - all hashes are md5-derived and engine-independent (no Scala UDF, no
+  *    JVM hashCode), so results are reproducible across runs and engines —
+  *    and DuckDB can replay the identical computation as the oracle;
+  *  - per-document state is bounded (a shingle array), never a driver-side
+  *    collect.
+  */
+object TextDedup {
+
+  /** Large prime > 2^32 for the MinHash permutation universe. */
+  val MinhashPrime: Long = 4294967311L
+
+  /** Deterministic permutation constants a_i (odd, < 2^30) and b_i,
+    * generated from a fixed LCG seed — identical constants are embedded in
+    * the DuckDB oracle SQL. */
+  def permutations(n: Int): Seq[(Long, Long)] =
+    (1 to n).map { i =>
+      val a = ((2862933555777941757L * i + 3037000493L) >>> 35) | 1L
+      val b = ((6364136223846793005L * i + 1442695040888963407L) >>> 33)
+      (a % (1L << 30) | 1L, b % MinhashPrime)
+    }
+
+  /** Engine-independent 60-bit hash of a string column: first 15 hex chars
+    * of md5, base-16 → long. DuckDB equivalent:
+    * `('0x' || substr(md5(s),1,15))::BIGINT`. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles of a text column, as an array column.
+    * Documents with fewer than `n` words get an empty array (guards
+    * Spark's `sequence`, which would count *down* for a negative span). */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup by content hash: one row per distinct content with the
+    * surviving (minimum) id and the duplicate count. Single shuffle on the
+    * md5 key — the canonical first pass of any dedup cascade. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** One row per (id, shingle), shingles distinct within a document. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), n)).as("__sh"))
+
+  /** Exact n-gram Jaccard similarity pairs at or above `threshold`,
+    * via inverted index: join documents on shared shingles, count shared
+    * shingles per pair, derive |A∪B| = |A|+|B|−|A∩B|. Only pairs sharing
+    * at least one shingle ever exist in the plan — at 100 TB this is the
+    * difference between a linear-ish shuffle and an impossible N² cross
+    * join. Skewed shingles (boilerplate) can be pre-filtered by document
+    * frequency via `maxShingleDf`. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxShingleDf: Option[Long] = None): DataFrame = {
+    val rows = shingleRows(df, idCol, textCol, n)
+    val filtered = maxShingleDf match {
+      case Some(maxDf) =>
+        val hot = rows.groupBy("__sh").agg(count(lit(1)).as("__df"))
+          .where(col("__df") > maxDf).select("__sh")
+        rows.join(hot, Seq("__sh"), "left_anti")
+      case None => rows
+    }
+    val sizes = filtered.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val a = filtered.select(col("__id").as("doc_a"), col("__sh"))
+    val b = filtered.select(col("__id").as("doc_b"), col("__sh"))
+    a.join(b, Seq("__sh"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("__inter"))
+      .join(sizes.select(col("__id").as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
+      .join(sizes.select(col("__id").as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("__inter").cast("double") /
+          (col("__na") + col("__nb") - col("__inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: one row per document with `numHashes` min-hash
+    * columns `m0..m{H-1}`. One shuffle (groupBy id); the permutation family
+    * is h_i(x) = (a_i·(x mod P) + b_i) mod P over the 60-bit shingle hash. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val x = pmod(hash60(col("__sh")), lit(MinhashPrime))
+    val mins = permutations(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * x + lit(b), lit(MinhashPrime))).as(s"m$i")
+    }
+    shingleRows(df, idCol, textCol, n)
+      .groupBy(col("__id"))
+      .agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * `rowsPerBand`, key each band, and equi-join documents whose band keys
+    * collide. Probability a pair with Jaccard s collides:
+    * 1 − (1 − s^r)^b — the standard S-curve. The join is on (band index,
+    * band key): pure shuffle-hash, no cross join, scales out. */
+  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = signatures.select(
+      col("__id") +:
+        (0 until bands).map { bi =>
+          concat_ws(":",
+            (0 until rowsPerBand).map(r => col(s"m${bi * rowsPerBand + r}")): _*)
+            .as(s"band$bi")
+        }: _*)
+    val exploded = banded.select(col("__id"),
+      posexplode(array((0 until bands).map(bi => col(s"band$bi")): _*))
+        .as(Seq("__band_idx", "__band_key")))
+    val l = exploded.select(col("__id").as("doc_a"), col("__band_idx"), col("__band_key"))
+    val r = exploded.select(col("__id").as("doc_b"), col("__band_idx"), col("__band_key"))
+    l.join(r, Seq("__band_idx", "__band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** MinHash+LSH near-duplicate pairs, verified: LSH proposes candidates,
+    * exact shingle Jaccard confirms ≥ `threshold`. Verification joins the
+    * (small) candidate set against per-document shingle arrays — broadcast
+    * when candidates are few, shuffle otherwise; Catalyst/AQE decides. */
+  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val cands = lshCandidates(sigs, bands, numHashes / bands)
+    val sets = df.select(col(idCol).as("__id"),
+      shingles(col(textCol), n).as("__shs"))
+    cands
+      .join(sets.select(col("__id").as("doc_a"), col("__shs").as("__sa")), Seq("doc_a"))
+      .join(sets.select(col("__id").as("doc_b"), col("__shs").as("__sb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Weighted SimHash fingerprint (`bits` ≤ 32): per token, a ±count
+    * contribution to each bit of the token's hash; the fingerprint sets
+    * bit b iff the summed contribution is positive. One narrow explode +
+    * two shuffles (token counts, per-doc sum). */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+        explode(split(col(textCol), " ")).as("__tok"))
+      .where(col("__tok") =!= "")
+      .groupBy("__id", "__tok").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__h", hash60(col("__tok")))
+    val bitSums = (0 until bits).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, col("__cnt"))
+        .otherwise(-col("__cnt"))).as(s"__s$b")
+    }
+    toks.groupBy(col("__id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("__id"),
+        (0 until bits)
+          .map(b => when(col(s"__s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: fingerprints within `maxHamming` bits. The
+    * pair source is a block join on the top `blockBits` bits (near-dups
+    * agree on most bits, so blocking on a prefix keeps recall high while
+    * avoiding N²); hamming via xor + bit_count. */
+  def simhashPairs(fingerprints: DataFrame, maxHamming: Int,
+      blockBits: Int = 8): DataFrame = {
+    val blocked = fingerprints.withColumn("__blk",
+      shiftright(col("simhash"), 32 - blockBits))
+    val a = blocked.select(col("__id").as("doc_a"), col("simhash").as("__fa"), col("__blk"))
+    val b = blocked.select(col("__id").as("doc_b"), col("simhash").as("__fb"), col("__blk"))
+    a.join(b, Seq("__blk"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("__fa").bitwiseXOR(col("__fb"))))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

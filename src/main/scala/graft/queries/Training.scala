@@ -1,0 +1,255 @@
+package graft.queries
+
+import graft.core.Tables.table
+import graft.ops.{Ann, TextAnalysis, TextDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operator surface over the driver corpus's
+  * `documents` and `embeddings` tables: deduplication (exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash), similarity search (exact cosine top-k,
+  * IVF), and text analysis (language ID, quality, token counts,
+  * fingerprints).
+  *
+  * Every query has a full DuckDB oracle: all hashing is md5-derived
+  * (engine-independent) and all floating-point reductions are unrolled to
+  * a fixed left-associated term order, so both engines produce
+  * bit-identical values — the oracles replay the exact algorithm, not an
+  * approximation of it.
+  */
+object Training {
+
+  private val Dim = 64
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+
+  /** Exact content-hash dedup groups. */
+  def q17DedupExact(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.exactDedup(docs(spark, dir), "doc_id", "text")
+
+  /** Exact word-3-gram Jaccard near-dup pairs (inverted-index join, no
+    * cross join) at threshold 0.8. */
+  def q18NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.jaccardPairs(docs(spark, dir), "doc_id", "text", 3, 0.8)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+
+  /** MinHash(16)+LSH(4×4) candidates verified by exact Jaccard ≥ 0.8. */
+  def q19MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashDedupPairs(docs(spark, dir), "doc_id", "text")
+      .withColumn("jaccard", round(col("jaccard"), 6))
+
+  /** 32-bit weighted SimHash fingerprint per document. */
+  def q20Simhash(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.simhash(docs(spark, dir), "doc_id", "text")
+      .select(col("__id").as("doc_id"), col("simhash"))
+
+  /** Exact cosine top-5 neighbors for query vectors vec_id < 1000 (the
+    * re-ranker shape: bounded query set × full corpus, corpus broadcast). */
+  def q21CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Ann.cosineTopK(e.where(col("vec_id") < 1000), e, "vec_id", "embedding", Dim, 5)
+      .withColumn("cosine", round(col("cosine"), 6))
+  }
+
+  /** Language-ID heuristic (stopword profiles) with confidence. */
+  def q22LangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("pred_lang"),
+      TextAnalysis.langScore(col("text")).as("lang_score"))
+
+  /** Quality-scoring projection: length/punct/stopword features and the
+    * composite score. */
+  def q23Quality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.avgWordLen(col("text")).as("avg_word_len"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  /** Token budgeting: whitespace and BPE-ish subword-proxy counts. */
+  def q24TokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+
+  /** Bottom-8 sketch fingerprint over word 3-grams. */
+  def q25Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(docs(spark, dir), "doc_id", "text")
+      .select(col("__id").as("doc_id"), col("fingerprint"))
+
+  /** IVF approximate top-3 (16 deterministic centroids, nprobe=1). */
+  def q26AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    Ann.ivfTopK(embs(spark, dir), "vec_id", "embedding", Dim, 3, 16)
+      .withColumn("cosine", round(col("cosine"), 6))
+
+  /** Multimodal plumbing: opaque binary payload metadata (byte length,
+    * content digest, magic byte) — the schema/partitioning contract decode
+    * UDFs plug into (see graft.ops.Multimodal). */
+  def q27BinaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    val bin = col("text").cast("binary")
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(bin).as("n_bytes"),
+      md5(bin).as("content_md5"),
+      ascii(substring(col("text"), 1, 1)).as("magic_byte"))
+  }
+
+  // --------------------------------------------------------------------
+  // DuckDB oracles. Shared SQL fragments are generated so the constants
+  // and term order match the Spark expressions exactly.
+  // --------------------------------------------------------------------
+
+  /** Word-3-gram shingle CTEs shared by q18/q19/q25. */
+  private val shingleCtes =
+    """w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct([ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2]
+      |                       for g in generate_series(1, len(ws)-2)]) shs
+      |      FROM w)""".stripMargin
+
+  private val jacExpr =
+    """len(list_intersect(x.shs, y.shs))::DOUBLE /
+      |(len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))""".stripMargin
+
+  /** `hash60` in DuckDB. */
+  private def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  private val P = TextDedup.MinhashPrime
+
+  /** Fixed left-associated Σ a[i]·b[i] (1-based DuckDB lists). */
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"$a.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE")
+      .mkString(" + ")
+
+  private val normCte =
+    s"n AS (SELECT vec_id, embedding, sqrt(${dotSql("e", "e")}) nrm FROM embeddings e)"
+
+  private def stopIn(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_dedup_exact" -> q17DedupExact,
+    "q18_ngram_jaccard" -> q18NgramJaccard,
+    "q19_minhash_lsh" -> q19MinhashLsh,
+    "q20_simhash" -> q20Simhash,
+    "q21_cosine_topk" -> q21CosineTopk,
+    "q22_lang_id" -> q22LangId,
+    "q23_quality" -> q23Quality,
+    "q24_token_count" -> q24TokenCount,
+    "q25_fingerprint" -> q25Fingerprint,
+    "q26_ann_ivf" -> q26AnnIvf,
+    "q27_binary_meta" -> q27BinaryMeta
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q17_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q18_ngram_jaccard" ->
+      s"""WITH $shingleCtes,
+         |p AS (SELECT x.doc_id doc_a, y.doc_id doc_b, $jacExpr jac
+         |      FROM s x JOIN s y ON x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.8""".stripMargin,
+    "q19_minhash_lsh" -> {
+      val perms = TextDedup.permutations(16)
+      val mins = perms.zipWithIndex
+        .map { case ((a, b), i) => s"min(($a * x + $b) % $P) m$i" }
+        .mkString(", ")
+      val bandEq = (0 until 4).map { bi =>
+        (0 until 4).map(r => s"a.m${bi * 4 + r} = b.m${bi * 4 + r}").mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      s"""WITH $shingleCtes,
+         |e AS (SELECT doc_id, unnest(shs) sh FROM s),
+         |hx AS (SELECT doc_id, ${h60("sh")} % $P x FROM e),
+         |sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
+         |cand AS (SELECT a.doc_id doc_a, b.doc_id doc_b FROM sig a JOIN sig b
+         |         ON a.doc_id < b.doc_id AND ($bandEq)),
+         |j AS (SELECT doc_a, doc_b, $jacExpr jac
+         |      FROM cand JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b)
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8""".stripMargin
+    },
+    "q20_simhash" -> {
+      val sums = (0 until 32)
+        .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN cnt ELSE -cnt END) s$b")
+        .mkString(", ")
+      val fp = (0 until 32)
+        .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+         |tc AS (SELECT doc_id, tok, count(*) cnt FROM t WHERE tok <> '' GROUP BY doc_id, tok),
+         |th AS (SELECT doc_id, cnt, ${h60("tok")} h FROM tc),
+         |bs AS (SELECT doc_id, $sums FROM th GROUP BY doc_id)
+         |SELECT doc_id, ($fp)::BIGINT AS simhash FROM bs""".stripMargin
+    },
+    "q21_cosine_topk" ->
+      s"""WITH $normCte,
+         |p AS (SELECT a.vec_id vec_id, b.vec_id neighbor_id,
+         |        (${dotSql("a", "b")}) / (a.nrm * b.nrm) cosine
+         |      FROM n a JOIN n b ON a.vec_id <> b.vec_id WHERE a.vec_id < 1000)
+         |SELECT vec_id, neighbor_id, round(cosine, 6) AS cosine, "rank" FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM p) WHERE "rank" <= 5""".stripMargin,
+    "q22_lang_id" -> {
+      val scores = TextAnalysis.stopwords.map { case (l, ws) =>
+        s"len(list_filter(ws, t -> t IN ${stopIn(ws)})) s_$l"
+      }.mkString(", ")
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val pick = langs.map(l => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'").mkString(" ")
+      s"""WITH f AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+         |sc AS (SELECT doc_id, len(ws) n_tok, $scores FROM f),
+         |b AS (SELECT *, $best best FROM sc)
+         |SELECT doc_id, CASE $pick ELSE 'und' END AS pred_lang,
+         |  round(best::DOUBLE / n_tok, 6) AS lang_score FROM b""".stripMargin
+    },
+    "q23_quality" -> {
+      val en = stopIn(TextAnalysis.stopwords.head._2)
+      s"""WITH f AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents),
+         |m AS (SELECT doc_id,
+         |  round((length(text) - (len(ws) - 1))::DOUBLE / len(ws), 6) avg_word_len,
+         |  round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text), 6) punct_ratio,
+         |  round(len(list_filter(ws, t -> t IN $en))::DOUBLE / len(ws), 6) stopword_ratio,
+         |  length(text) n_chars FROM f)
+         |SELECT doc_id, avg_word_len, punct_ratio, stopword_ratio,
+         |  round(((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN stopword_ratio > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+         |FROM m""".stripMargin
+    },
+    "q24_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "q25_fingerprint" ->
+      s"""WITH $shingleCtes,
+         |e AS (SELECT doc_id, unnest(shs) sh FROM s),
+         |h AS (SELECT DISTINCT doc_id, ${h60("sh")} x FROM e)
+         |SELECT doc_id, array_to_string(list_sort(list(x))[1:8], ',') AS fingerprint
+         |FROM h GROUP BY doc_id""".stripMargin,
+    "q26_ann_ivf" ->
+      s"""WITH $normCte,
+         |c AS (SELECT vec_id cid, embedding, nrm FROM n WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, embedding, nrm, cid FROM (
+         |  SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      (${dotSql("v", "c")}) / (v.nrm * c.nrm) DESC, c.cid) rn
+         |  FROM n v CROSS JOIN c) WHERE rn = 1),
+         |p AS (SELECT a.vec_id vec_id, b.vec_id neighbor_id,
+         |        (${dotSql("a", "b")}) / (a.nrm * b.nrm) cosine
+         |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, neighbor_id, round(cosine, 6) AS cosine, "rank" FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM p) WHERE "rank" <= 3""".stripMargin,
+    "q27_binary_meta" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS content_md5,
+        |  ascii(substr(text, 1, 1)) AS magic_byte
+        |FROM documents""".stripMargin
+  )
+}

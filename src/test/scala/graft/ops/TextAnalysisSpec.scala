@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the profile with most stopword hits, und on none") {
+    val out = Seq(
+      "the cat sat on the mat and a dog",  // en
+      "el perro y la casa de que",         // es
+      "qqq www zzz"                        // none
+    ).toDF("t")
+      .select(TextAnalysis.langId(col("t"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val r = Seq("ab c12 d!e").toDF("t").select(
+      TextAnalysis.tokenCount(col("t")),
+      TextAnalysis.bpeTokenCount(col("t"))).head()
+    assert(r.getInt(0) == 3)
+    // ab | c | 12 | d | ! | e
+    assert(r.getInt(1) == 6)
+  }
+
+  test("avgWordLen and punctRatio are exact") {
+    val r = Seq("ab cd!").toDF("t").select(
+      TextAnalysis.avgWordLen(col("t")),
+      TextAnalysis.punctRatio(col("t"))).head()
+    assert(r.getDouble(0) == 2.5)          // (6-1)/2
+    assert(r.getDouble(1) == math.round(1.0 / 6 * 1e6) / 1e6)
+  }
+
+  test("qualityScore combines the three signals") {
+    val good = ("the quick brown fox and the lazy dog " * 5).trim
+    val r = Seq(good, "x!").toDF("t")
+      .select(TextAnalysis.qualityScore(col("t"))).as[Double].collect()
+    assert(r(0) == 1.0)
+    assert(r(1) == 0.0)
+  }
+
+  test("fingerprint: equal texts equal, k bounds sketch size") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l m"),
+      (2L, "a b c d e f g h i j k l m"),
+      (3L, "z y x w v u t s r q p o n")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+    assert(fps(1L).split(",").length == 8)
+  }
+
+  test("analyze attaches the full projection") {
+    val cols = TextAnalysis.analyze(Seq((1L, "the a b")).toDF("id", "text"), "text").columns
+    assert(Seq("pred_lang", "lang_score", "n_tokens", "n_bpe_tokens",
+      "avg_word_len", "punct_ratio", "stopword_ratio", "quality")
+      .forall(cols.contains))
+  }
+}

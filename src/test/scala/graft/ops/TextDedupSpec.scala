@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d e f"),          // base
+    (2L, "a b c d e f"),          // exact duplicate of 1
+    (3L, "a b c d e g"),          // near-dup of 1 (shares 3 of 5+ shingles)
+    (4L, "x y z w v u")           // unrelated
+  ).toDF("doc_id", "text")
+
+  test("shingles produces distinct word n-grams, empty under n words") {
+    val out = Seq(("a b c d", 0), ("a b", 1)).toDF("t", "i")
+      .select(TextDedup.shingles(col("t"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty)
+  }
+
+  test("exactDedup groups identical content, keeps min id") {
+    val groups = TextDedup.exactDedup(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(groups.length == 3)
+    val dup = groups.find(_.getLong(1) == 1L).get
+    assert(dup.getLong(2) == 2L) // docs 1 and 2 collapse
+  }
+
+  test("jaccardPairs finds exact and near duplicates with exact values") {
+    val pairs = TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // doc1 shingles {abc,bcd,cde,def}, doc3 {abc,bcd,cde,deg}: 3/5
+    assert(math.abs(pairs((1L, 3L)) - 0.6) < 1e-12)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("jaccardPairs maxShingleDf drops boilerplate shingles") {
+    val boiler = Seq(
+      (1L, "p q r s"), (2L, "p q r t"), (3L, "p q r u")
+    ).toDF("doc_id", "text")
+    // "p q r" appears in all 3 docs; with maxShingleDf=2 it is ignored and
+    // no pair shares a shingle anymore
+    val out = TextDedup.jaccardPairs(boiler, "doc_id", "text", 3, 0.01,
+      maxShingleDf = Some(2L))
+    assert(out.count() == 0)
+  }
+
+  test("minhash LSH recovers exact and near duplicates, verified") {
+    val pairs = TextDedup.minhashDedupPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1.0)
+    // near-dup 1-3 at jac 0.6: bands of 4 rows collide with prob
+    // 1-(1-0.6^4)^4 ≈ 0.43 — must not assert presence; assert no false
+    // positives against the unrelated doc instead
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash signature equality for identical docs") {
+    val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far") {
+    val fps = TextDedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(3L)) < ham(fps(1L), fps(4L)))
+  }
+
+  test("simhashPairs finds identical pair at hamming 0") {
+    val fps = TextDedup.simhash(docs, "doc_id", "text")
+    val pairs = TextDedup.simhashPairs(fps, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("hash60 is stable across sessions (md5-derived, engine-independent)") {
+    val h = Seq("hello").toDF("s")
+      .select(TextDedup.hash60(col("s"))).head().getLong(0)
+    // first 15 hex chars of md5("hello") = 5d41402abc4b2a7
+    assert(h == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+  }
+}
