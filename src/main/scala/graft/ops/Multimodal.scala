@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * payloads plus typed metadata, with decode / feature-extraction /
+  * frame-sampling as per-partition batch transforms.
+  *
+  * The Spark-side plumbing here is real and tested — schema, partitioning,
+  * batch shape, null/corrupt handling. The codec itself is a clearly-marked
+  * DETERMINISTIC STUB ([[StubCodec]]): this container ships no image/audio
+  * libraries, so the stub synthesizes metadata and features from the
+  * payload bytes. Swapping in a real decoder means replacing ONE function
+  * (`StubCodec.decode`) behind the same contract; every plan shape stays
+  * identical.
+  *
+  * Scale notes (100 TB of media): payloads ride in parquet binary columns —
+  * columnar pruning means metadata-only queries never read the bytes.
+  * Decode runs as `mapPartitions` (one codec init per partition, not per
+  * row). Size-skew (4 KB thumbnails next to 4 GB videos) is the dominant
+  * partitioning hazard: [[repartitionBySize]] packs rows into
+  * roughly-equal-byte partitions instead of equal-row ones.
+  */
+object Multimodal {
+
+  /** Media row schema: the payload plus promoted, prunable metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("source_url", StringType, nullable = true)
+  ))
+
+  /** Decoded metadata produced by the codec. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("ok", BooleanType, nullable = false)
+  ))
+
+  /** ======== DETERMINISTIC STUB CODEC ========
+    * Stands in for libjpeg/ffmpeg/soundfile, which are not in this
+    * container. Synthesizes plausible metadata and features purely from
+    * the payload bytes, so tests are reproducible. Replace `decode` /
+    * `embed` with real codecs to productionize; contracts stay fixed. */
+  object StubCodec {
+    final case class Decoded(format: String, width: Int, height: Int,
+        nFrames: Int, durationMs: Long, ok: Boolean)
+
+    /** Byte-derived fake decode; null/empty payload → ok=false row (the
+      * `silent` skip policy — corrupt media must never kill a 100 TB job). */
+    def decode(kind: String, payload: Array[Byte]): Decoded =
+      if (payload == null || payload.isEmpty)
+        Decoded(null, 0, 0, 0, 0L, ok = false)
+      else {
+        val b0 = payload(0) & 0xff
+        val b1 = payload(payload.length / 2) & 0xff
+        kind match {
+          case "image" => Decoded("stub/png", 16 + b0 % 240, 16 + b1 % 240, 1, 0L, ok = true)
+          case "audio" => Decoded("stub/wav", 0, 0, 0, 1000L * (1 + b0 % 60), ok = true)
+          case _       => Decoded("stub/mp4", 16 + b0 % 240, 16 + b1 % 240,
+            1 + b1 % 32, 1000L * (1 + b0 % 300), ok = true)
+        }
+      }
+
+    /** Byte-derived fake embedding (unit-normalized, `dim` floats). */
+    def embed(payload: Array[Byte], dim: Int): Array[Float] = {
+      val v = new Array[Float](dim)
+      if (payload != null && payload.nonEmpty) {
+        var i = 0
+        while (i < dim) {
+          v(i) = ((payload(i % payload.length) & 0xff) - 128) / 128.0f
+          i += 1
+        }
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+        if (n > 0) { var j = 0; while (j < dim) { v(j) /= n; j += 1 } }
+      }
+      v
+    }
+  }
+
+  /** Decode payloads → metadata struct, one codec per partition (the
+    * mapPartitions batch shape a real decoder needs: amortized init,
+    * streaming iterator, no whole-partition materialization). */
+  def decode(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(media.schema.fields :+
+      StructField("decoded", decodedSchema, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      // real codec: init native handles HERE, once per partition
+      rows.map { r =>
+        val d = StubCodec.decode(r.getString(kindIdx),
+          r.getAs[Array[Byte]](payloadIdx))
+        Row.fromSeq(r.toSeq :+ Row(d.format, d.width, d.height, d.nFrames,
+          d.durationMs, d.ok))
+      }
+    }(enc)
+  }
+
+  /** Feature extraction: payload → `dim`-float embedding column, same
+    * per-partition batch shape. Emits only (media_id, embedding) — the
+    * binary never travels past this projection. */
+  def extractFeatures(media: DataFrame, dim: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(idIdx),
+          StubCodec.embed(r.getAs[Array[Byte]](payloadIdx), dim).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: every `stride`-th chunk of the payload as one frame
+    * row (stub chunking stands in for keyframe extraction). posexplode
+    * keeps it a narrow generator — no shuffle. */
+  def sampleFrames(media: DataFrame, stride: Int, frameBytes: Int): DataFrame = {
+    val chunk: UserDefinedFunction =
+      udf { (payload: Array[Byte]) =>
+        if (payload == null) Array.empty[Array[Byte]]
+        else payload.grouped(frameBytes).zipWithIndex
+          .collect { case (c, i) if i % stride == 0 => c }
+          .toArray
+      }
+    media
+      .where(col("kind") === "video")
+      .select(col("media_id"),
+        posexplode(chunk(col("payload"))).as(Seq("frame_index", "frame")))
+  }
+
+  /** Byte-balanced bucket assignment — the partitioning that matters when
+    * one row holds a 4 GB video and the next a 4 KB thumbnail. Two-level,
+    * fully distributed (no global sort, no driver loop):
+    *  - rows ≥ `targetBytes` each get a dedicated bucket keyed by their id
+    *    (bucket ids ≥ `nSmall`, one row per bucket);
+    *  - smaller rows hash into nSmall = ceil(totalSmallBytes/targetBytes)
+    *    buckets, which concentrates to ~targetBytes per bucket by the law
+    *    of large numbers.
+    * Returns (bucketed frame with `__bucket`, total bucket count). The only
+    * driver-side value is one two-long aggregate. */
+  def sizeBuckets(media: DataFrame, targetBytes: Long): (DataFrame, Int) = {
+    val sized = media.withColumn("__sz",
+      coalesce(length(col("payload")).cast("long"), lit(0L)))
+    val agg = sized.agg(
+      coalesce(sum(when(col("__sz") < targetBytes, col("__sz"))), lit(0L)),
+      coalesce(sum(when(col("__sz") >= targetBytes, 1L)), lit(0L))).head()
+    val (smallBytes, bigRows) = (agg.getLong(0), agg.getLong(1))
+    val nSmall = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes)
+    // one unique bucket per oversized row, with no global sort:
+    // monotonically_increasing_id is unique per row and narrow (its
+    // concrete values vary with input partitioning — irrelevant for
+    // physical placement, which is what buckets feed)
+    val big = sized.where(col("__sz") >= targetBytes)
+      .withColumn("__bucket", lit(nSmall) + monotonically_increasing_id())
+    val small = sized.where(col("__sz") < targetBytes)
+      .withColumn("__bucket", pmod(hash(col("media_id")), lit(nSmall)).cast("long"))
+    (small.unionByName(big).drop("__sz"), (nSmall + bigRows).toInt)
+  }
+
+  /** [[sizeBuckets]] + physical repartition on the bucket key. Hash
+    * repartitioning may co-locate a few buckets in one task (hash of the
+    * bucket id, not identity placement) — the guarantee is byte-bounded
+    * buckets, with expected ~1 bucket per task. */
+  def repartitionBySize(media: DataFrame, targetBytes: Long): DataFrame = {
+    val (bucketed, n) = sizeBuckets(media, targetBytes)
+    bucketed.repartition(math.max(n, 1), col("__bucket")).drop("__bucket")
+  }
+
+  /** Deterministic synthetic media table for tests/demos: payload bytes
+    * derived from the id (no RNG), sizes spread to exercise skew. */
+  def synthetic(spark: SparkSession, n: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until n).map { i =>
+      val kind = Seq("image", "audio", "video")(i % 3)
+      val size = 64 + (i * 37) % 4096
+      val payload = Array.tabulate[Byte](size)(j => ((i * 131 + j * 17) % 256).toByte)
+      Row(i.toLong, kind, payload, s"stub://media/$i")
+    }
+    spark.createDataFrame(rows.asJava, mediaSchema)
+  }
+}

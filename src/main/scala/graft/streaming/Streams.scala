@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.entities.{Pipelines, Specs}
+import graft.ingest.Staging
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming extension: the reference is strictly daily batch
+  * (SURVEY.md §2.12), but its merge semantics are incremental by
+  * construction — latest-effective-timestamp-wins per key self-corrects as
+  * data arrives. These operators feed the SAME merge executors from a file
+  * stream, so batch and streaming share one code path.
+  *
+  * Scale shape: the file source lists incrementally (maxFilesPerTrigger
+  * bounds batch size); `foreachBatch` reuses the batch merge plan per
+  * micro-batch; stateful dedup keeps one small struct per key with
+  * watermark-bounded eviction.
+  */
+object Streams {
+
+  /** Raw crawled-JSON file stream → staged rows (same projection as
+    * [[Staging.stage]]); `ingest_date` derived from each doc's processed
+    * timestamp rather than a path parameter. */
+  def stagedStream(spark: SparkSession, rawRoot: String,
+      maxFilesPerTrigger: Int = 64): DataFrame = {
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(rawRoot)
+      .toDF("data")
+    Staging.stage(raw, ingestDate = "")
+      .withColumn("ingest_date", date_format(col("processed_at"), "yyyy-MM-dd"))
+  }
+
+  /** Incremental snapshot maintenance: every micro-batch merges into the
+    * curated table through the identical batch executor
+    * (`Pipelines.runSnapshot`) — `Trigger.AvailableNow` makes this the
+    * streaming twin of the daily `ProcessDaily` run, exactly-once per
+    * checkpoint. */
+  def incrementalSnapshot(spark: SparkSession, rawRoot: String,
+      curatedDir: String, spec: Specs.SnapshotSpec,
+      checkpoint: String): StreamingQuery =
+    stagedStream(spark, rawRoot)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Pipelines.runSnapshot(spark, batch, curatedDir, spec)
+        ()
+      }
+      .start()
+
+  /** Watermarked sliding-window event counts — the standard streaming
+    * aggregate (late rows beyond the watermark are dropped, state is
+    * evicted). `append` output emits each window once, on close. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowDur: String, slideDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur, slideDur), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol), col("n_events"))
+
+  /** Per-key latest-version state: the snapshot-merge idiom as
+    * flatMapGroupsWithState. Emits a row only when the incoming version is
+    * newer than the stored one (effective-timestamp comparison, the P6
+    * ternary). Pass `stateTtl` to evict state for keys silent longer than
+    * the TTL, bounding state size on unbounded key spaces — note the
+    * processing-time timeout makes Spark schedule periodic no-data
+    * batches, so enable it only on genuinely continuous triggers. */
+  final case class VersionedDoc(key: String, effectiveTs: java.sql.Timestamp,
+      payload: String)
+
+  def latestPerKeyStream(docs: org.apache.spark.sql.Dataset[VersionedDoc],
+      stateTtl: Option[String] = None): org.apache.spark.sql.Dataset[VersionedDoc] = {
+    import docs.sparkSession.implicits._
+    val timeoutConf = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    docs.groupByKey(_.key)
+      .flatMapGroupsWithState[VersionedDoc, VersionedDoc](
+        OutputMode.Append(), timeoutConf) {
+        case (_, rows, state: GroupState[VersionedDoc]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val incoming = rows.toSeq
+            val best = (state.getOption.toSeq ++ incoming)
+              .maxBy(d => Option(d.effectiveTs).fold(Long.MinValue)(_.getTime))
+            val isNew = state.getOption.forall(s =>
+              best.effectiveTs != null && (s.effectiveTs == null ||
+                best.effectiveTs.after(s.effectiveTs)))
+            state.update(best)
+            stateTtl.foreach(state.setTimeoutDuration)
+            if (isNew) Iterator.single(best) else Iterator.empty
+          }
+      }
+  }
+}

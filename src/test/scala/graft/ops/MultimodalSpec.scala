@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.synthetic(spark, 30)
+
+  test("decode attaches metadata struct, per-partition batch shape") {
+    val out = Multimodal.decode(media)
+    assert(out.schema.fieldNames.contains("decoded"))
+    val rows = out.select("kind", "decoded.format", "decoded.ok").collect()
+    assert(rows.length == 30)
+    assert(rows.forall(_.getBoolean(2)))
+    assert(rows.filter(_.getString(0) == "image").forall(_.getString(1) == "stub/png"))
+  }
+
+  test("decode is silent on corrupt/null payloads") {
+    import spark.implicits._
+    val corrupt = Seq((99L, "image", null: Array[Byte], "u"))
+      .toDF("media_id", "kind", "payload", "source_url")
+    val d = Multimodal.decode(corrupt).select("decoded.ok").head()
+    assert(!d.getBoolean(0))
+  }
+
+  test("decode is deterministic (stub codec, no RNG)") {
+    val a = Multimodal.decode(media).select("media_id", "decoded.width")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val b = Multimodal.decode(media).select("media_id", "decoded.width")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a == b)
+  }
+
+  test("extractFeatures emits unit-norm embeddings without the payload") {
+    val f = Multimodal.extractFeatures(media, dim = 16)
+    assert(f.schema.fieldNames.toSeq == Seq("media_id", "embedding"))
+    val vecs = f.collect().map(_.getSeq[Float](1))
+    assert(vecs.forall(_.length == 16))
+    assert(vecs.forall(v => math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-3))
+  }
+
+  test("sampleFrames explodes video payload chunks with indices") {
+    val frames = Multimodal.sampleFrames(media, stride = 2, frameBytes = 256)
+    val byId = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
+      min("frame_index").as("lo")).collect()
+    assert(byId.nonEmpty)
+    assert(byId.forall(_.getInt(2) == 0)) // frame indices start at 0
+    // only video rows explode
+    val videoIds = media.where(col("kind") === "video")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(frames.select("media_id").collect().map(_.getLong(0)).toSet.subsetOf(videoIds))
+  }
+
+  test("sizeBuckets gives big rows dedicated buckets, bounds small buckets") {
+    import spark.implicits._
+    val skewed = Multimodal.synthetic(spark, 20).unionByName(
+      Seq((100L, "video", Array.fill[Byte](50000)(1), "big"))
+        .toDF("media_id", "kind", "payload", "source_url"))
+    val (bucketed, n) = Multimodal.sizeBuckets(skewed, targetBytes = 8192)
+    val rows = bucketed.select("media_id", "__bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 21 && n >= 2)
+    val bigBucket = rows(100L)
+    assert(rows.count(_._2 == bigBucket) == 1) // the 50 KB row rides alone
+    // repartition round-trips without losing rows
+    assert(Multimodal.repartitionBySize(skewed, 8192).count() == 21)
+  }
+}
