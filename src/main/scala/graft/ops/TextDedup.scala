@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines: exact
@@ -44,15 +45,13 @@ object TextDedup {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Distinct word n-gram shingles of a text column, as an array column.
-    * Documents with fewer than `n` words get an empty array (guards
-    * Spark's `sequence`, which would count *down* for a negative span). */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = split(text, " ")
-    when(size(ws) >= n,
-      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => array_join(slice(ws, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * Documents with fewer than `n` words get an empty array. Native
+    * single-pass expression ([[graft.functions.NGramShingles]]) — the
+    * composable transform/slice/array_join/array_distinct spelling costs
+    * ~1 ms per document and similarity plans recompute their shingle
+    * subtree several times. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.NGramShingles.shingles(split(text, " "), n)
 
   /** Exact dedup by content hash: one row per distinct content with the
     * surviving (minimum) id and the duplicate count. Single shuffle on the
@@ -66,35 +65,93 @@ object TextDedup {
     df.select(col(idCol).as("__id"),
         explode(shingles(col(textCol), n)).as("__sh"))
 
-  /** Exact n-gram Jaccard similarity pairs at or above `threshold`,
-    * via inverted index: join documents on shared shingles, count shared
-    * shingles per pair, derive |A∪B| = |A|+|B|−|A∩B|. Only pairs sharing
-    * at least one shingle ever exist in the plan — at 100 TB this is the
-    * difference between a linear-ish shuffle and an impossible N² cross
-    * join. Skewed shingles (boilerplate) can be pre-filtered by document
-    * frequency via `maxShingleDf`. */
+  /** Exact n-gram Jaccard similarity pairs at or above `threshold`, via
+    * prefix filtering (the AllPairs/PPJoin family): order every document's
+    * shingles by a global (document-frequency asc, shingle) total order and
+    * index only the first |A| − ⌈t·|A|⌉ + 1 of them — if J(A,B) ≥ t the two
+    * prefixes provably intersect, so joining prefixes instead of full
+    * shingle sets is LOSSLESS for the threshold while shrinking the
+    * inverted index by ~t and steering the join through *rare* shingles
+    * (tiny buckets) instead of boilerplate (huge buckets). Candidates then
+    * verify with exact set intersection. At 100 TB this is the difference
+    * between a join keyed on the corpus's most common phrases and one keyed
+    * on its rarest — the former is quadratic in practice, the latter
+    * near-linear. A size filter (|B| ≥ ⌈t·|A|⌉) prunes further.
+    * `maxShingleDf` optionally drops boilerplate shingles entirely
+    * (changes the measure to Jaccard over the filtered sets). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxShingleDf: Option[Long] = None): DataFrame = {
+    val rows = filteredShingleRows(df, idCol, textCol, n, maxShingleDf)
+    val dfreq = rows.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    // one per-doc frame carrying the df-ordered shingle array: prefix,
+    // sizes, and the verification sets all derive from it — three window/
+    // groupBy shuffles collapse into one, and downstream exchanges move
+    // 1 row per doc instead of 1 per shingle
+    val docs = rows.join(dfreq, Seq("__sh"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__sh")))).as("__arr"))
+      .select(col("__id"),
+        transform(col("__arr"), e => e("__sh")).as("__shs"),
+        size(col("__arr")).as("__n"))
+    val prefix = docs.select(col("__id"), col("__n"),
+      explode(slice(col("__shs"), lit(1),
+        (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")))
+        .as("__sh"))
+    val a = prefix.select(col("__id").as("doc_a"), col("__sh"), col("__n").as("__na"))
+    val b = prefix.select(col("__id").as("doc_b"), col("__sh"), col("__n").as("__nb"))
+    val cands = a.join(b, Seq("__sh"))
+      .where(col("doc_a") < col("doc_b") &&
+        col("__nb") >= ceil(lit(threshold) * col("__na")) &&
+        col("__na") >= ceil(lit(threshold) * col("__nb")))
+      .select("doc_a", "doc_b").distinct()
+    cands
+      .join(docs.select(col("__id").as("doc_a"), col("__shs").as("__sa"),
+        col("__n").as("__na")), Seq("doc_a"))
+      .join(docs.select(col("__id").as("doc_b"), col("__shs").as("__sb"),
+        col("__n").as("__nb")), Seq("doc_b"))
+      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("__na") + col("__nb") - col("__inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Reference quadratic-candidate implementation (inverted index over ALL
+    * shingles): same output as [[jaccardPairs]]; kept for differential
+    * testing of the prefix filter. */
+  private[ops] def jaccardPairsNaive(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val rows = filteredShingleRows(df, idCol, textCol, n, maxShingleDf)
+    val cands = rows.select(col("__id").as("doc_a"), col("__sh"))
+      .join(rows.select(col("__id").as("doc_b"), col("__sh")), Seq("__sh"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cands, rows, threshold)
+  }
+
+  private def filteredShingleRows(df: DataFrame, idCol: String,
+      textCol: String, n: Int, maxShingleDf: Option[Long]): DataFrame = {
     val rows = shingleRows(df, idCol, textCol, n)
-    val filtered = maxShingleDf match {
+    maxShingleDf match {
       case Some(maxDf) =>
         val hot = rows.groupBy("__sh").agg(count(lit(1)).as("__df"))
           .where(col("__df") > maxDf).select("__sh")
         rows.join(hot, Seq("__sh"), "left_anti")
       case None => rows
     }
-    val sizes = filtered.groupBy("__id").agg(count(lit(1)).as("__n"))
-    val a = filtered.select(col("__id").as("doc_a"), col("__sh"))
-    val b = filtered.select(col("__id").as("doc_b"), col("__sh"))
-    a.join(b, Seq("__sh"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("__inter"))
-      .join(sizes.select(col("__id").as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
-      .join(sizes.select(col("__id").as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
+  }
+
+  /** Exact Jaccard over candidate pairs from per-doc shingle sets. */
+  private def verifyJaccard(cands: DataFrame, rows: DataFrame,
+      threshold: Double): DataFrame = {
+    val sets = rows.groupBy("__id").agg(collect_list(col("__sh")).as("__shs"))
+    cands
+      .join(sets.select(col("__id").as("doc_a"), col("__shs").as("__sa")), Seq("doc_a"))
+      .join(sets.select(col("__id").as("doc_b"), col("__shs").as("__sb")), Seq("doc_b"))
       .withColumn("jaccard",
-        col("__inter").cast("double") /
-          (col("__na") + col("__nb") - col("__inter")))
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb"))))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

@@ -49,6 +49,19 @@ class TextDedupSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("prefix-filtered jaccardPairs ≡ naive inverted index (differential)") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.4, 0.8)) {
+      def norm(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+      val fast = norm(TextDedup.jaccardPairs(corpus, "doc_id", "text", 3, t))
+      val slow = norm(TextDedup.jaccardPairsNaive(corpus, "doc_id", "text", 3, t))
+      assert(fast == slow, s"threshold $t")
+      assert(slow.nonEmpty || t > 0.4) // sanity: low threshold finds pairs
+    }
+  }
+
   test("minhash LSH recovers exact and near duplicates, verified") {
     val pairs = TextDedup.minhashDedupPairs(docs, "doc_id", "text",
         threshold = 0.5)
