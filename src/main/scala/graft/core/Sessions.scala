@@ -16,6 +16,7 @@ object Sessions {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

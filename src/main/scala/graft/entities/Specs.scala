@@ -383,6 +383,184 @@ object Specs {
     )
   )
 
+  /** dbo.CommitComment (ProcessDaily.usql:180-212). */
+  val commitComment: SnapshotSpec = SnapshotSpec(
+    table = "commit_comment",
+    entityPred = eq("commit_comment"),
+    fields = Seq(
+      Field("_metadata.links.commit.href", "commit_urn"),
+      Field("commit_id", "commit_sha"),
+      Field("id", "commit_comment_id", "long"),
+      Field("body", "body"),
+      Field("created_at", "created_at", "ts"),
+      Field("line", "line", "int"),
+      Field("path", "path"),
+      Field("position", "position", "int"),
+      Field("updated_at", "updated_at", "ts"),
+      Field("user.id", "user_id", "long"),
+      Field("user.login", "user_login"),
+      Field("user.site_admin", "user_site_admin", "bool"),
+      Field("_metadata.links.user.href", "user_urn"),
+      Field("_metadata.version", "schema_version", "int")
+    )
+  )
+
+  /** dbo.PullRequestCommit (ProcessDaily.usql:2268-2312). */
+  val pullRequestCommit: SnapshotSpec = SnapshotSpec(
+    table = "pull_request_commit",
+    entityPred = eq("pull_request_commit"),
+    fields = Seq(
+      Field("_metadata.links.repo.href", "repo_urn"),
+      Field("_metadata.links.pull_request.href", "pull_request_urn"),
+      Field("sha", "commit_sha"),
+      Field("url", "url"),
+      Field("author.id", "author_id", "long"),
+      Field("author.login", "author_login"),
+      Field("commit.author.date", "commit_author_date", "ts"),
+      Field("commit.author.email", "commit_author_email", pii = true),
+      Field("commit.author.name", "commit_author_name", pii = true),
+      Field("commit.message", "commit_message"),
+      Field("commit.tree.sha", "commit_tree_sha"),
+      Field("committer.id", "committer_id", "long"),
+      Field("committer.login", "committer_login"),
+      Field("stats.additions", "stats_additions", "int"),
+      Field("stats.deletions", "stats_deletions", "int"),
+      Field("stats.total", "stats_total", "int"),
+      Field("_metadata.links.author.href", "author_urn"),
+      Field("_metadata.version", "schema_version", "int")
+    )
+  )
+
+  /** dbo.PullRequestCommitComment (ProcessDaily.usql:2360-2390). */
+  val pullRequestCommitComment: SnapshotSpec = SnapshotSpec(
+    table = "pull_request_commit_comment",
+    entityPred = eq("pull_request_commit_comment"),
+    fields = Seq(
+      Field("_metadata.links.pull_request_commit.href", "commit_urn"),
+      Field("commit_id", "commit_sha"),
+      Field("id", "commit_comment_id", "long"),
+      Field("body", "body"),
+      Field("created_at", "created_at", "ts"),
+      Field("line", "line", "int"),
+      Field("path", "path"),
+      Field("position", "position", "int"),
+      Field("updated_at", "updated_at", "ts"),
+      Field("user.id", "user_id", "long"),
+      Field("user.login", "user_login"),
+      Field("_metadata.links.user.href", "user_urn"),
+      Field("_metadata.version", "schema_version", "int")
+    )
+  )
+
+  /** dbo.PullRequestReviewComment (ProcessDaily.usql:2425-2462,
+    * entity "review_comment"). */
+  val pullRequestReviewComment: SnapshotSpec = SnapshotSpec(
+    table = "pull_request_review_comment",
+    entityPred = eq("review_comment"),
+    fields = Seq(
+      Field("pull_request_review_id", "pull_request_review_id", "long"),
+      Field("body", "body"),
+      Field("commit_id", "commit_id"),
+      Field("created_at", "created_at", "ts"),
+      Field("diff_hunk", "diff_hunk"),
+      Field("original_commit_id", "original_commit_id"),
+      Field("original_position", "original_position", "int"),
+      Field("path", "path"),
+      Field("position", "position", "int"),
+      Field("updated_at", "updated_at", "ts"),
+      Field("user.id", "user_id", "long"),
+      Field("user.login", "user_login"),
+      Field("_metadata.links.pull_request.href", "pull_request_urn"),
+      Field("_metadata.links.user.href", "user_urn"),
+      Field("_metadata.version", "schema_version", "int")
+    )
+  )
+
+  /** dbo.EventPayloadPullRequest (ProcessDaily.usql:1080-1208,
+    * representative subset of the ≈119-column projection; P3 LIKE
+    * "PullRequest%Event" at :1204). */
+  val eventPayloadPullRequest: SnapshotSpec = SnapshotSpec(
+    table = "event_payload_pull_request",
+    entityPred = _.like("PullRequest%Event"),
+    fields = Seq(
+      Field("payload.pull_request.id", "event_payload_pull_request_id", "long"),
+      Field("payload.action", "action"),
+      Field("payload.pull_request.additions", "additions", "int"),
+      Field("payload.pull_request.deletions", "deletions", "int"),
+      Field("payload.pull_request.changed_files", "changed_files", "int"),
+      Field("payload.pull_request.base.label", "base_label"),
+      Field("payload.pull_request.base.ref", "base_ref"),
+      Field("payload.pull_request.base.repo.id", "base_repo_id", "long"),
+      Field("payload.pull_request.base.repo.full_name", "base_repo_full_name"),
+      Field("payload.pull_request.base.repo.language", "base_repo_language"),
+      Field("payload.pull_request.head.ref", "head_ref"),
+      Field("payload.pull_request.head.sha", "head_sha"),
+      Field("payload.pull_request.merged", "merged", "bool"),
+      Field("payload.pull_request.state", "state"),
+      Field("payload.pull_request.title", "title"),
+      Field("payload.pull_request.user.id", "user_id", "long"),
+      Field("payload.pull_request.user.login", "user_login"),
+      Field("payload.pull_request.created_at", "created_at", "ts"),
+      Field("payload.pull_request.updated_at", "updated_at", "ts"),
+      Field("payload.pull_request.merged_at", "merged_at", "ts"),
+      Field("_metadata.links.repo.href", "repo_urn"),
+      Field("_metadata.version", "schema_version", "int")
+    )
+  )
+
+  /** dbo.EventPayloadIssueLabel (payload.issue.labels[],
+    * ProcessDaily.usql:896-945; entity filter P4 at :893). */
+  val eventPayloadIssueLabel: ArrayChildSpec = ArrayChildSpec(
+    table = "event_payload_issue_label",
+    entityPred = c => c === "IssueEvent" || c === "IssueCommentEvent",
+    arrayPath = "payload.issue.labels",
+    elementSchema = "id BIGINT, name STRING, color STRING, url STRING",
+    fields = Seq(
+      Field("color", "color"),
+      Field("name", "name")
+    )
+  )
+
+  /** dbo.EventPayloadPage (payload.pages[], ProcessDaily.usql:985-1032). */
+  val eventPayloadPage: ArrayChildSpec = ArrayChildSpec(
+    table = "event_payload_page",
+    entityPred = eq("GollumEvent"),
+    arrayPath = "payload.pages",
+    elementSchema =
+      "sha STRING, action STRING, page_name STRING, summary STRING, title STRING",
+    fields = Seq(
+      Field("sha", "event_payload_page_sha"),
+      Field("action", "action"),
+      Field("page_name", "page_name"),
+      Field("summary", "summary"),
+      Field("title", "title")
+    )
+  )
+
+  /** dbo.EventPayloadReleaseAsset (payload.release.assets[],
+    * ProcessDaily.usql:1364-1418). */
+  val eventPayloadReleaseAsset: ArrayChildSpec = ArrayChildSpec(
+    table = "event_payload_release_asset",
+    entityPred = eq("ReleaseEvent"),
+    arrayPath = "payload.release.assets",
+    elementSchema = "id BIGINT, content_type STRING, created_at TIMESTAMP, " +
+      "download_count INT, name STRING, size INT, state STRING, " +
+      "updated_at TIMESTAMP, uploader STRUCT<id: BIGINT, login: STRING, " +
+      "site_admin: BOOLEAN, `type`: STRING>",
+    fields = Seq(
+      Field("id", "event_payload_release_asset_id", "long"),
+      Field("content_type", "content_type"),
+      Field("created_at", "created_at", "ts"),
+      Field("download_count", "download_count", "int"),
+      Field("name", "name"),
+      Field("size", "size", "int"),
+      Field("state", "state"),
+      Field("updated_at", "updated_at", "ts"),
+      Field("uploader.id", "uploader_id", "long"),
+      Field("uploader.login", "uploader_login")
+    )
+  )
+
   /** Collections (§2.10b): RepoCollaborators (ProcessDaily.usql:25-91),
     * RepoContributors (:428-494), RepoTeams (:2865-2932), RepoStargazers
     * (:2939-3006), RepoSubscribers (:3013-3080), Org/TeamMembers
@@ -442,8 +620,11 @@ object Specs {
     ordered = false)
 
   val snapshots: Seq[SnapshotSpec] =
-    Seq(commit, user, orgEntity, team, issue, issueComment, pullRequest, event)
+    Seq(commit, user, orgEntity, team, issue, issueComment, pullRequest, event,
+      commitComment, pullRequestCommit, pullRequestCommitComment,
+      pullRequestReviewComment, eventPayloadPullRequest)
   val arrayChildren: Seq[ArrayChildSpec] =
-    Seq(commitFile, commitParent, issueLabel, eventPayloadCommit)
+    Seq(commitFile, commitParent, issueLabel, eventPayloadCommit,
+      eventPayloadIssueLabel, eventPayloadPage, eventPayloadReleaseAsset)
   val traffic: Seq[TrafficSpec] = Seq(clones, views, referrers, paths)
 }

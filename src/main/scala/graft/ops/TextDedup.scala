@@ -93,22 +93,25 @@ object TextDedup {
       .select(col("__id"),
         transform(col("__arr"), e => e("__sh")).as("__shs"),
         size(col("__arr")).as("__n"))
-    val prefix = docs.select(col("__id"), col("__n"),
+    // prefix rows carry their doc's full shingle array: the candidate join
+    // then verifies in place (one first() aggregation dedups candidate
+    // pairs AND delivers the sets — no separate distinct + two lookup
+    // joins, no extra recomputation of the doc frame)
+    val prefix = docs.select(col("__id"), col("__n"), col("__shs"),
       explode(slice(col("__shs"), lit(1),
         (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")))
         .as("__sh"))
-    val a = prefix.select(col("__id").as("doc_a"), col("__sh"), col("__n").as("__na"))
-    val b = prefix.select(col("__id").as("doc_b"), col("__sh"), col("__n").as("__nb"))
-    val cands = a.join(b, Seq("__sh"))
+    val a = prefix.select(col("__id").as("doc_a"), col("__sh"),
+      col("__n").as("__na"), col("__shs").as("__sa"))
+    val b = prefix.select(col("__id").as("doc_b"), col("__sh"),
+      col("__n").as("__nb"), col("__shs").as("__sb"))
+    a.join(b, Seq("__sh"))
       .where(col("doc_a") < col("doc_b") &&
         col("__nb") >= ceil(lit(threshold) * col("__na")) &&
         col("__na") >= ceil(lit(threshold) * col("__nb")))
-      .select("doc_a", "doc_b").distinct()
-    cands
-      .join(docs.select(col("__id").as("doc_a"), col("__shs").as("__sa"),
-        col("__n").as("__na")), Seq("doc_a"))
-      .join(docs.select(col("__id").as("doc_b"), col("__shs").as("__sb"),
-        col("__n").as("__nb")), Seq("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(first(col("__sa")).as("__sa"), first(col("__sb")).as("__sb"),
+        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
       .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
       .withColumn("jaccard", col("__inter").cast("double") /
         (col("__na") + col("__nb") - col("__inter")))

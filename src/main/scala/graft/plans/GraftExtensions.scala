@@ -1,0 +1,59 @@
+package graft.plans
+
+import graft.functions.{FloatVecDot, NGramShingles}
+import org.apache.spark.sql.{GraftSqlShim, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point (`spark.sql.extensions=graft.plans.GraftExtensions`):
+  * registers graft's native expressions with the Catalyst function registry
+  * so they are first-class in SQL text as well as the Column API —
+  *
+  * {{{
+  *   SELECT vec_dot(a.embedding, b.embedding) FROM ...
+  *   SELECT ngram_shingles(split(text, ' '), 3) FROM documents
+  * }}}
+  *
+  * This is the same mechanism a custom Rule[LogicalPlan] or SparkStrategy
+  * would plug into; the engine currently needs only function injection
+  * (SURVEY.md §4: every rewrite the reference relies on is stock Catalyst).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e.eval(null) match {
+    case n: Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, info, builder) for every engine function. */
+  val functions: Seq[(String, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("vec_dot",
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "vec_dot(a, b) takes two array<float> args")
+        FloatVecDot(es.head, es(1))
+      }),
+    ("ngram_shingles",
+      new ExpressionInfo(classOf[NGramShingles].getName, "ngram_shingles"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "ngram_shingles(words, n) takes two args")
+        NGramShingles(es.head, intArg(es(1), "ngram_shingles n"))
+      })
+  )
+
+  /** Same registrations applied to an already-running session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      GraftSqlShim.registerFunction(spark, name, builder)
+    }
+}

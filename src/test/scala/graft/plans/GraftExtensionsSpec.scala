@@ -1,0 +1,33 @@
+package graft.plans
+
+import graft.SparkSpec
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("register exposes native expressions to SQL text") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+    val shingles = spark.sql(
+      "SELECT ngram_shingles(split('a b c d', ' '), 3) AS s")
+      .head().getSeq[String](0)
+    assert(shingles == Seq("a b c", "b c d"))
+  }
+
+  test("ngram_shingles rejects a non-literal n") {
+    GraftExtensions.register(spark)
+    intercept[Exception] {
+      spark.sql("SELECT ngram_shingles(split('a b', ' '), 'x')").collect()
+    }
+  }
+
+  test("extension class applies to a freshly built session") {
+    val ext = new GraftExtensions
+    // applying the extension function directly exercises the injection path
+    val extensions = new org.apache.spark.sql.SparkSessionExtensions
+    ext(extensions) // must not throw; functions are injected lazily per session
+    succeed
+  }
+}
