@@ -150,35 +150,116 @@ object Specs {
     truncate = false
   )
 
-  /** dbo.Repo (ProcessDaily.usql:2507-2614, subset) + dbo.RepoLog keyed
+  /** dbo.Repo (ProcessDaily.usql:2507-2614, full 102-column projection) +
+    * dbo.RepoLog keyed
     * (EtlSourceId, UpdatedAt) (:2619-2631). */
   val repo: SnapshotLogSpec = SnapshotLogSpec(
     snapshot = SnapshotSpec(
       table = "repo",
       entityPred = eq("repo"),
       fields = Seq(
-        Field("id", "repo_id", "long"),
+        Field("_metadata.links.owner.href", "owner_urn"),
+        Field("_metadata.links.siblings.href", "siblings_urn"),
         Field("name", "name"),
-        Field("full_name", "full_name"),
-        Field("owner.id", "owner_id", "long"),
+        Field("id", "repo_id", "int"),
         Field("owner.login", "owner_login"),
-        Field("owner.type", "owner_type"),
-        Field("private", "is_private", "bool"),
-        Field("fork", "is_fork", "bool"),
-        Field("default_branch", "default_branch"),
-        Field("language", "language"),
-        Field("forks_count", "forks_count", "int"),
-        Field("stargazers_count", "stargazers_count", "int"),
-        Field("watchers_count", "watchers_count", "int"),
-        Field("subscribers_count", "subscribers_count", "int"),
-        Field("size", "size", "int"),
-        Field("open_issues_count", "open_issues_count", "int"),
-        Field("has_issues", "has_issues", "bool"),
         Field("created_at", "created_at", "ts"),
-        Field("updated_at", "updated_at", "ts"),
-        Field("pushed_at", "pushed_at", "ts"),
+        Field("default_branch", "default_branch"),
+        Field("description", "description"),
+        Field("fork", "fork", "bool"),
+        Field("forks", "forks", "int"),
+        Field("forks_count", "forks_count", "int"),
+        Field("full_name", "full_name"),
+        Field("has_downloads", "has_downloads", "bool"),
+        Field("has_issues", "has_issues", "bool"),
+        Field("has_pages", "has_pages", "bool"),
+        Field("has_wiki", "has_wiki", "bool"),
         Field("homepage", "homepage"),
-        Field("description", "description")
+        Field("language", "language"),
+        Field("network_count", "network_count", "int"),
+        Field("open_issues", "open_issues", "int"),
+        Field("open_issues_count", "open_issues_count", "int"),
+        Field("organization.id", "organization_id", "int"),
+        Field("organization.login", "organization_login"),
+        Field("organization.site_admin", "organization_site_admin", "bool"),
+        Field("organization.type", "organization_type"),
+        Field("owner.id", "owner_id", "int"),
+        Field("owner.site_admin", "owner_site_admin", "bool"),
+        Field("owner.type", "owner_type"),
+        Field("parent.created_at", "parent_created_at", "ts"),
+        Field("parent.default_branch", "parent_default_branch"),
+        Field("parent.description", "parent_description"),
+        Field("parent.fork", "parent_fork", "bool"),
+        Field("parent.forks", "parent_forks", "int"),
+        Field("parent.forks_count", "parent_forks_count", "int"),
+        Field("parent.full_name", "parent_full_name"),
+        Field("parent.has_downloads", "parent_has_downloads", "bool"),
+        Field("parent.has_issues", "parent_has_issues", "bool"),
+        Field("parent.has_pages", "parent_has_pages", "bool"),
+        Field("parent.has_wiki", "parent_has_wiki", "bool"),
+        Field("parent.homepage", "parent_homepage"),
+        Field("parent.id", "parent_id", "int"),
+        Field("parent.language", "parent_language"),
+        Field("parent.name", "parent_name"),
+        Field("parent.open_issues", "parent_open_issues", "int"),
+        Field("parent.open_issues_count", "parent_open_issues_count", "int"),
+        Field("parent.owner.id", "parent_owner_id", "int"),
+        Field("parent.owner.login", "parent_owner_login"),
+        Field("parent.owner.site_admin", "parent_owner_site_admin", "bool"),
+        Field("parent.owner.type", "parent_owner_type"),
+        Field("parent.private", "parent_private", "bool"),
+        Field("parent.pushed_at", "parent_pushed_at", "ts"),
+        Field("parent.size", "parent_size", "int"),
+        Field("parent.stargazers_count", "parent_stargazers_count", "int"),
+        Field("parent.updated_at", "parent_updated_at", "ts"),
+        Field("parent.watchers", "parent_watchers", "int"),
+        Field("parent.watchers_count", "parent_watchers_count", "int"),
+        Field("permissions.admin", "permissions_admin", "bool"),
+        Field("permissions.pull", "permissions_pull", "bool"),
+        Field("permissions.push", "permissions_push", "bool"),
+        Field("private", "is_private", "bool"),
+        Field("pushed_at", "pushed_at", "ts"),
+        Field("size", "size", "int"),
+        Field("source.created_at", "source_created_at", "ts"),
+        Field("source.default_branch", "source_default_branch"),
+        Field("source.description", "source_description"),
+        Field("source.fork", "source_fork", "bool"),
+        Field("source.forks", "source_forks", "int"),
+        Field("source.forks_count", "source_forks_count", "int"),
+        Field("source.full_name", "source_full_name"),
+        Field("source.has_downloads", "source_has_downloads", "bool"),
+        Field("source.has_issues", "source_has_issues", "bool"),
+        Field("source.has_pages", "source_has_pages", "bool"),
+        Field("source.has_wiki", "source_has_wiki", "bool"),
+        Field("source.homepage", "source_homepage"),
+        Field("source.id", "source_id", "int"),
+        Field("source.language", "source_language"),
+        Field("source.name", "source_name"),
+        Field("source.open_issues", "source_open_issues", "int"),
+        Field("source.open_issues_count", "source_open_issues_count", "int"),
+        Field("source.owner.id", "source_owner_id", "int"),
+        Field("source.owner.login", "source_owner_login"),
+        Field("source.owner.site_admin", "source_owner_site_admin", "bool"),
+        Field("source.owner.type", "source_owner_type"),
+        Field("source.private", "source_private", "bool"),
+        Field("source.pushed_at", "source_pushed_at", "ts"),
+        Field("source.size", "source_size", "int"),
+        Field("source.stargazers_count", "source_stargazers_count", "int"),
+        Field("source.updated_at", "source_updated_at", "ts"),
+        Field("source.watchers", "source_watchers", "int"),
+        Field("source.watchers_count", "source_watchers_count", "int"),
+        Field("stargazers_count", "stargazers_count", "int"),
+        Field("subscribers_count", "subscribers_count", "int"),
+        Field("updated_at", "updated_at", "ts"),
+        Field("watchers", "watchers", "int"),
+        Field("watchers_count", "watchers_count", "int"),
+        Field("_metadata.links.teams.href", "teams_page_urn"),
+        Field("_metadata.links.collaborators.href", "collaborators_page_urn"),
+        Field("_metadata.links.contributors.href", "contributors_page_urn"),
+        Field("_metadata.links.subscribers.href", "subscribers_page_urn"),
+        Field("_metadata.links.issues.href", "issues_urn"),
+        Field("_metadata.links.commits.href", "commits_urn"),
+        Field("_metadata.version", "schema_version", "int")
       )
     ),
     logTable = "repo_log",
@@ -303,67 +384,283 @@ object Specs {
     )
   )
 
-  /** dbo.PullRequest (ProcessDaily.usql:1964-2106, representative subset of
-    * the ≈140-column projection). */
+  /** dbo.PullRequest (ProcessDaily.usql:1964-2106, full 138-column projection). */
   val pullRequest: SnapshotSpec = SnapshotSpec(
     table = "pull_request",
     entityPred = eq("pull_request"),
     fields = Seq(
-      Field("id", "pr_id", "long"),
+      Field("_metadata.links.repo.href", "repo_urn"),
+      Field("_metadata.links.siblings.href", "siblings_urn"),
       Field("number", "number", "int"),
+      Field("id", "pull_request_id", "int"),
+      Field("_links.comments.href", "links_comments_href"),
+      Field("_links.commits.href", "links_commits_href"),
+      Field("_links.html.href", "links_html_href"),
+      Field("_links.issue.href", "links_issue_href"),
+      Field("_links.review_comment.href", "links_review_comment_href"),
+      Field("_links.review_comments.href", "links_review_comments_href"),
+      Field("_links.self.href", "links_self_href"),
+      Field("_links.statuses.href", "links_statuses_href"),
+      Field("additions", "additions", "int"),
+      Field("assignee.id", "assignee_id", "int"),
+      Field("assignee.login", "assignee_login"),
+      Field("assignee.site_admin", "assignee_site_admin", "bool"),
+      Field("assignee.type", "assignee_type"),
+      Field("base.label", "base_label"),
+      Field("base.ref", "base_ref"),
+      Field("base.repo.created_at", "base_repo_created_at", "ts"),
+      Field("base.repo.default_branch", "base_repo_default_branch"),
+      Field("base.repo.description", "base_repo_description"),
+      Field("base.repo.fork", "base_repo_fork", "bool"),
+      Field("base.repo.forks", "base_repo_forks", "int"),
+      Field("base.repo.forks_count", "base_repo_forks_count", "int"),
+      Field("base.repo.full_name", "base_repo_full_name"),
+      Field("base.repo.has_downloads", "base_repo_has_downloads", "bool"),
+      Field("base.repo.has_issues", "base_repo_has_issues", "bool"),
+      Field("base.repo.has_pages", "base_repo_has_pages", "bool"),
+      Field("base.repo.has_wiki", "base_repo_has_wiki", "bool"),
+      Field("base.repo.homepage", "base_repo_homepage"),
+      Field("base.repo.id", "base_repo_id", "int"),
+      Field("base.repo.language", "base_repo_language"),
+      Field("base.repo.name", "base_repo_name"),
+      Field("base.repo.open_issues", "base_repo_open_issues", "int"),
+      Field("base.repo.open_issues_count", "base_repo_open_issues_count", "int"),
+      Field("base.repo.owner.id", "base_repo_owner_id", "int"),
+      Field("base.repo.owner.login", "base_repo_owner_login"),
+      Field("base.repo.owner.site_admin", "base_repo_owner_site_admin", "bool"),
+      Field("base.repo.owner.type", "base_repo_owner_type"),
+      Field("base.repo.private", "base_repo_private", "bool"),
+      Field("base.repo.pushed_at", "base_repo_pushed_at", "ts"),
+      Field("base.repo.size", "base_repo_size", "int"),
+      Field("base.repo.stargazers_count", "base_repo_stargazers_count", "int"),
+      Field("base.repo.updated_at", "base_repo_updated_at", "ts"),
+      Field("base.repo.watchers", "base_repo_watchers", "int"),
+      Field("base.repo.watchers_count", "base_repo_watchers_count", "int"),
+      Field("base.sha", "base_sha"),
+      Field("base.user.id", "base_user_id", "int"),
+      Field("base.user.login", "base_user_login"),
+      Field("base.user.site_admin", "base_user_site_admin", "bool"),
+      Field("base.user.type", "base_user_type"),
+      Field("body", "body"),
+      Field("changed_files", "changed_files", "int"),
+      Field("closed_at", "closed_at", "ts"),
+      Field("comments", "comments", "int"),
+      Field("commits", "commits", "int"),
+      Field("created_at", "created_at", "ts"),
+      Field("deletions", "deletions", "int"),
+      Field("head.label", "head_label"),
+      Field("head.ref", "head_ref"),
+      Field("head.repo.created_at", "head_repo_created_at", "ts"),
+      Field("head.repo.default_branch", "head_repo_default_branch"),
+      Field("head.repo.description", "head_repo_description"),
+      Field("head.repo.fork", "head_repo_fork", "bool"),
+      Field("head.repo.forks", "head_repo_forks", "int"),
+      Field("head.repo.forks_count", "head_repo_forks_count", "int"),
+      Field("head.repo.full_name", "head_repo_full_name"),
+      Field("head.repo.has_downloads", "head_repo_has_downloads", "bool"),
+      Field("head.repo.has_issues", "head_repo_has_issues", "bool"),
+      Field("head.repo.has_pages", "head_repo_has_pages", "bool"),
+      Field("head.repo.has_wiki", "head_repo_has_wiki", "bool"),
+      Field("head.repo.homepage", "head_repo_homepage"),
+      Field("head.repo.id", "head_repo_id", "int"),
+      Field("head.repo.language", "head_repo_language"),
+      Field("head.repo.name", "head_repo_name"),
+      Field("head.repo.open_issues", "head_repo_open_issues", "int"),
+      Field("head.repo.open_issues_count", "head_repo_open_issues_count", "int"),
+      Field("head.repo.owner.id", "head_repo_owner_id", "int"),
+      Field("head.repo.owner.login", "head_repo_owner_login"),
+      Field("head.repo.owner.site_admin", "head_repo_owner_site_admin", "bool"),
+      Field("head.repo.owner.type", "head_repo_owner_type"),
+      Field("head.repo.private", "head_repo_private", "bool"),
+      Field("head.repo.pushed_at", "head_repo_pushed_at", "ts"),
+      Field("head.repo.size", "head_repo_size", "int"),
+      Field("head.repo.stargazers_count", "head_repo_stargazers_count", "int"),
+      Field("head.repo.updated_at", "head_repo_updated_at", "ts"),
+      Field("head.repo.watchers", "head_repo_watchers", "int"),
+      Field("head.repo.watchers_count", "head_repo_watchers_count", "int"),
+      Field("head.sha", "head_sha"),
+      Field("head.user.id", "head_user_id", "int"),
+      Field("head.user.login", "head_user_login"),
+      Field("head.user.site_admin", "head_user_site_admin", "bool"),
+      Field("head.user.type", "head_user_type"),
+      Field("locked", "locked", "bool"),
+      Field("merge_commit_sha", "merge_commit_sha"),
+      Field("mergeable", "mergeable", "bool"),
+      Field("mergeable_state", "mergeable_state"),
+      Field("merged", "merged", "bool"),
+      Field("merged_at", "merged_at", "ts"),
+      Field("merged_by.id", "merged_by_id", "int"),
+      Field("merged_by.login", "merged_by_login"),
+      Field("merged_by.site_admin", "merged_by_site_admin", "bool"),
+      Field("merged_by.type", "merged_by_type"),
+      Field("milestone.closed_at", "milestone_closed_at", "ts"),
+      Field("milestone.closed_issues", "milestone_closed_issues", "int"),
+      Field("milestone.created_at", "milestone_created_at", "ts"),
+      Field("milestone.creator.id", "milestone_creator_id", "int"),
+      Field("milestone.creator.login", "milestone_creator_login"),
+      Field("milestone.creator.site_admin", "milestone_creator_site_admin", "bool"),
+      Field("milestone.creator.type", "milestone_creator_type"),
+      Field("milestone.description", "milestone_description"),
+      Field("milestone.due_on", "milestone_due_on", "ts"),
+      Field("milestone.id", "milestone_id", "int"),
+      Field("milestone.number", "milestone_number", "int"),
+      Field("milestone.open_issues", "milestone_open_issues", "int"),
+      Field("milestone.state", "milestone_state"),
+      Field("milestone.title", "milestone_title"),
+      Field("milestone.updated_at", "milestone_updated_at", "ts"),
+      Field("review_comments", "review_comments", "int"),
       Field("state", "state"),
       Field("title", "title"),
-      Field("body", "body"),
-      Field("user.id", "user_id", "long"),
-      Field("user.login", "user_login"),
-      Field("merged", "merged", "bool"),
-      Field("merged_by.id", "merged_by_id", "long"),
-      Field("merge_commit_sha", "merge_commit_sha"),
-      Field("comments", "comments", "int"),
-      Field("review_comments", "review_comments", "int"),
-      Field("commits", "commits", "int"),
-      Field("additions", "additions", "int"),
-      Field("deletions", "deletions", "int"),
-      Field("changed_files", "changed_files", "int"),
-      Field("base.ref", "base_ref"),
-      Field("base.sha", "base_sha"),
-      Field("base.repo.id", "base_repo_id", "long"),
-      Field("head.ref", "head_ref"),
-      Field("head.sha", "head_sha"),
-      Field("head.repo.id", "head_repo_id", "long"),
-      Field("created_at", "created_at", "ts"),
       Field("updated_at", "updated_at", "ts"),
-      Field("closed_at", "closed_at", "ts"),
-      Field("merged_at", "merged_at", "ts"),
-      Field("_metadata.links.repo.href", "repo_urn")
+      Field("user.id", "user_id", "int"),
+      Field("user.login", "user_login"),
+      Field("user.site_admin", "user_site_admin", "bool"),
+      Field("user.type", "user_type"),
+      Field("_metadata.links.user.href", "user_urn"),
+      Field("_metadata.links.merged_by.href", "merged_by_urn"),
+      Field("_metadata.links.assignee.href", "assignee_urn"),
+      Field("_metadata.links.head.href", "head_urn"),
+      Field("_metadata.links.base.href", "base_urn"),
+      Field("_metadata.links.statuses.href", "statuses_urn"),
+      Field("_metadata.links.commits.href", "commits_urn"),
+      Field("_metadata.links.issue.href", "issue_urn"),
+      Field("_metadata.links.issue_comments.href", "issue_comments_urn"),
+      Field("_metadata.version", "schema_version", "int"),
     )
   )
 
-  /** dbo.Event (ProcessDaily.usql:503-634 wide projection, representative
-    * subset; entity filter is the P3 LIKE "%Event" at :636). */
+  /** dbo.Event (ProcessDaily.usql:503-634, full 126-column projection; entity
+    * filter is the P3 LIKE "%Event" at :636). */
   val event: SnapshotSpec = SnapshotSpec(
     table = "event",
     entityPred = _.like("%Event"),
     fields = Seq(
-      Field("id", "event_id", "long"),
-      Field("type", "type"),
-      Field("public", "public", "bool"),
-      Field("created_at", "created_at", "ts"),
-      Field("actor.id", "actor_id", "long"),
+      Field("_metadata.links.actor.href", "actor_urn"),
+      Field("_metadata.links.siblings.href", "siblings_urn"),
+      Field("actor.id", "actor_id", "int"),
       Field("actor.login", "actor_login"),
-      Field("repo.id", "repo_id", "long"),
-      Field("repo.name", "repo_name"),
-      Field("org.id", "org_id", "long"),
+      Field("created_at", "created_at", "ts"),
+      Field("org.id", "org_id", "int"),
       Field("org.login", "org_login"),
       Field("payload.action", "payload_action"),
-      Field("payload.push_id", "payload_push_id", "long"),
-      Field("payload.size", "payload_size", "int"),
+      Field("payload.before", "payload_before"),
+      Field("payload.comment._links.html.href", "payload_comment_links_html_href"),
+      Field("payload.comment._links.pull_request.href", "payload_comment_links_pull_request_href"),
+      Field("payload.comment._links.self.href", "payload_comment_links_self_href"),
+      Field("payload.comment.body", "payload_comment_body"),
+      Field("payload.comment.commit_id", "payload_comment_commit_id"),
+      Field("payload.comment.created_at", "payload_comment_created_at", "ts"),
+      Field("payload.comment.diff_hunk", "payload_comment_diff_hunk"),
+      Field("payload.comment.id", "payload_comment_id", "int"),
+      Field("payload.comment.line", "payload_comment_line", "int"),
+      Field("payload.comment.original_commit_id", "payload_comment_original_commit_id"),
+      Field("payload.comment.original_position", "payload_comment_original_position", "int"),
+      Field("payload.comment.path", "payload_comment_path"),
+      Field("payload.comment.position", "payload_comment_position", "int"),
+      Field("payload.comment.updated_at", "payload_comment_updated_at", "ts"),
+      Field("payload.comment.user.id", "payload_comment_user_id", "int"),
+      Field("payload.comment.user.login", "payload_comment_user_login"),
+      Field("payload.comment.user.site_admin", "payload_comment_user_site_admin", "bool"),
+      Field("payload.comment.user.type", "payload_comment_user_type"),
+      Field("payload.description", "payload_description"),
       Field("payload.distinct_size", "payload_distinct_size", "int"),
+      Field("payload.forkee.created_at", "payload_forkee_created_at", "ts"),
+      Field("payload.forkee.default_branch", "payload_forkee_default_branch"),
+      Field("payload.forkee.description", "payload_forkee_description"),
+      Field("payload.forkee.fork", "payload_forkee_fork", "bool"),
+      Field("payload.forkee.forks", "payload_forkee_forks", "int"),
+      Field("payload.forkee.forks_count", "payload_forkee_forks_count", "int"),
+      Field("payload.forkee.full_name", "payload_forkee_full_name"),
+      Field("payload.forkee.has_downloads", "payload_forkee_has_downloads", "bool"),
+      Field("payload.forkee.has_issues", "payload_forkee_has_issues", "bool"),
+      Field("payload.forkee.has_pages", "payload_forkee_has_pages", "bool"),
+      Field("payload.forkee.has_wiki", "payload_forkee_has_wiki", "bool"),
+      Field("payload.forkee.homepage", "payload_forkee_homepage"),
+      Field("payload.forkee.id", "payload_forkee_id", "int"),
+      Field("payload.forkee.language", "payload_forkee_language"),
+      Field("payload.forkee.name", "payload_forkee_name"),
+      Field("payload.forkee.open_issues", "payload_forkee_open_issues", "int"),
+      Field("payload.forkee.open_issues_count", "payload_forkee_open_issues_count", "int"),
+      Field("payload.forkee.owner.id", "payload_forkee_owner_id", "int"),
+      Field("payload.forkee.owner.login", "payload_forkee_owner_login"),
+      Field("payload.forkee.owner.site_admin", "payload_forkee_owner_site_admin", "bool"),
+      Field("payload.forkee.owner.type", "payload_forkee_owner_type"),
+      Field("payload.forkee.private", "payload_forkee_private", "bool"),
+      Field("payload.forkee.public", "payload_forkee_public", "bool"),
+      Field("payload.forkee.pushed_at", "payload_forkee_pushed_at", "ts"),
+      Field("payload.forkee.size", "payload_forkee_size", "int"),
+      Field("payload.forkee.stargazers_count", "payload_forkee_stargazers_count", "int"),
+      Field("payload.forkee.updated_at", "payload_forkee_updated_at", "ts"),
+      Field("payload.forkee.watchers", "payload_forkee_watchers", "int"),
+      Field("payload.forkee.watchers_count", "payload_forkee_watchers_count", "int"),
+      Field("payload.head", "payload_head"),
+      Field("payload.issue.assignee.id", "payload_issue_assignee_id", "int"),
+      Field("payload.issue.assignee.login", "payload_issue_assignee_login"),
+      Field("payload.issue.assignee.site_admin", "payload_issue_assignee_site_admin", "bool"),
+      Field("payload.issue.assignee.type", "payload_issue_assignee_type"),
+      Field("payload.issue.body", "payload_issue_body"),
+      Field("payload.issue.closed_at", "payload_issue_closed_at", "ts"),
+      Field("payload.issue.comments", "payload_issue_comments", "int"),
+      Field("payload.issue.created_at", "payload_issue_created_at", "ts"),
+      Field("payload.issue.id", "payload_issue_id", "int"),
+      Field("payload.issue.locked", "payload_issue_locked", "bool"),
+      Field("payload.issue.milestone.closed_at", "payload_issue_milestone_closed_at", "ts"),
+      Field("payload.issue.milestone.closed_issues", "payload_issue_milestone_closed_issues", "int"),
+      Field("payload.issue.milestone.created_at", "payload_issue_milestone_created_at", "ts"),
+      Field("payload.issue.milestone.creator.id", "payload_issue_milestone_creator_id", "int"),
+      Field("payload.issue.milestone.creator.login", "payload_issue_milestone_creator_login"),
+      Field("payload.issue.milestone.creator.site_admin", "payload_issue_milestone_creator_site_admin", "bool"),
+      Field("payload.issue.milestone.creator.type", "payload_issue_milestone_creator_type"),
+      Field("payload.issue.milestone.description", "payload_issue_milestone_description"),
+      Field("payload.issue.milestone.due_on", "payload_issue_milestone_due_on", "ts"),
+      Field("payload.issue.milestone.id", "payload_issue_milestone_id", "int"),
+      Field("payload.issue.milestone.number", "payload_issue_milestone_number", "int"),
+      Field("payload.issue.milestone.open_issues", "payload_issue_milestone_open_issues", "int"),
+      Field("payload.issue.milestone.state", "payload_issue_milestone_state"),
+      Field("payload.issue.milestone.title", "payload_issue_milestone_title"),
+      Field("payload.issue.milestone.updated_at", "payload_issue_milestone_updated_at", "ts"),
+      Field("payload.issue.number", "payload_issue_number", "int"),
+      Field("payload.issue.state", "payload_issue_state"),
+      Field("payload.issue.title", "payload_issue_title"),
+      Field("payload.issue.updated_at", "payload_issue_updated_at", "ts"),
+      Field("payload.issue.user.id", "payload_issue_user_id", "int"),
+      Field("payload.issue.user.login", "payload_issue_user_login"),
+      Field("payload.issue.user.site_admin", "payload_issue_user_site_admin", "bool"),
+      Field("payload.issue.user.type", "payload_issue_user_type"),
+      Field("payload.master_branch", "payload_master_branch"),
+      Field("payload.member.id", "payload_member_id", "int"),
+      Field("payload.member.login", "payload_member_login"),
+      Field("payload.member.site_admin", "payload_member_site_admin", "bool"),
+      Field("payload.member.type", "payload_member_type"),
+      Field("payload.number", "payload_number", "int"),
+      Field("payload.push_id", "payload_push_id", "int"),
+      Field("payload.pusher_type", "payload_pusher_type"),
       Field("payload.ref", "payload_ref"),
       Field("payload.ref_type", "payload_ref_type"),
-      Field("payload.number", "payload_number", "int"),
+      Field("payload.release.author.id", "payload_release_author_id", "int"),
+      Field("payload.release.author.login", "payload_release_author_login"),
+      Field("payload.release.author.site_admin", "payload_release_author_site_admin", "bool"),
+      Field("payload.release.author.type", "payload_release_author_type"),
+      Field("payload.release.body", "payload_release_body"),
+      Field("payload.release.created_at", "payload_release_created_at", "ts"),
+      Field("payload.release.draft", "payload_release_draft", "bool"),
+      Field("payload.release.id", "payload_release_id", "int"),
+      Field("payload.release.name", "payload_release_name"),
+      Field("payload.release.prerelease", "payload_release_prerelease", "bool"),
+      Field("payload.release.published_at", "payload_release_published_at", "ts"),
+      Field("payload.release.tag_name", "payload_release_tag_name"),
+      Field("payload.release.target_commitish", "payload_release_target_commitish"),
+      Field("payload.size", "payload_size", "int"),
+      Field("public", "is_public", "bool"),
+      Field("repo.id", "repo_id", "int"),
+      Field("repo.name", "repo_name"),
+      Field("type", "type"),
       Field("_metadata.links.repo.href", "repo_urn"),
-      Field("_metadata.links.actor.href", "actor_urn")
+      Field("_metadata.links.org.href", "org_urn"),
+      Field("_metadata.links.issue.href", "issue_urn"),
+      Field("_metadata.links.pull_request.href", "pull_request_urn"),
+      Field("_metadata.links.comment.href", "comment_urn"),
+      Field("_metadata.version", "schema_version", "int")
     )
   )
 
