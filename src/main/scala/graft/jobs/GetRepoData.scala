@@ -41,10 +41,16 @@ object GetRepoData {
         col("etl_source_id") === col("__issue_urn"))
       .drop("__issue_urn")
 
+    // :17-110 — the reference's nine active outputs: repo, event, the five
+    // event-payload children, issue, issue label
     val outputs = Map(
       "repo" -> repo,
       "event" -> event,
       "event_payload_commit" -> childOfEvent("event_payload_commit"),
+      "event_payload_issue_label" -> childOfEvent("event_payload_issue_label"),
+      "event_payload_page" -> childOfEvent("event_payload_page"),
+      "event_payload_pull_request" -> childOfEvent("event_payload_pull_request"),
+      "event_payload_release_asset" -> childOfEvent("event_payload_release_asset"),
       "issue" -> issue,
       "issue_label" -> issueLabel
     )

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions: correctness tests prove WHAT each query
+  * computes; these prove HOW — the properties that decide whether the same
+  * plan survives a 100 TB cluster (filters reaching the scan, dimensions
+  * broadcast, rank-1 windows using group limits, no accidental cartesian
+  * products, codegen'd stages).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = graft.SparkEntry.queries(q)(spark, dir)
+    df.collect() // materialize THIS plan so AQE reports its final form
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and projections push down to the parquet scan") {
+    val p = plan("q2_filter_pred")
+    assert(p.contains("PushedFilters:") && p.contains("IsNotNull"),
+      s"no pushed filters in:\n$p")
+    // projection pruning: only the 5 selected + filter columns are read
+    assert(p.contains("ReadSchema") && !p.contains("p_comment"),
+      "scan reads columns the query never uses")
+  }
+
+  test("dimension joins broadcast; no shuffle of the fact side for dims") {
+    val p = plan("q3_join_inner")
+    assert(p.contains("BroadcastHashJoin"), s"dim join did not broadcast:\n$p")
+  }
+
+  test("anti and semi joins plan as joins, not filters over subqueries") {
+    assert(plan("q4_join_anti").contains("LeftAnti"))
+    assert(plan("q5_join_semi").contains("LeftSemi"))
+  }
+
+  test("rank-1 and top-k windows use WindowGroupLimit (no full sort output)") {
+    assert(plan("q7_window_latest").contains("WindowGroupLimit"))
+    assert(plan("q8_window_topk").contains("WindowGroupLimit"))
+  }
+
+  test("whole-stage codegen covers the aggregation hot path") {
+    // codegen'd operators print with a "*(stageId)" marker
+    val p = plan("q1_agg")
+    assert(p.contains("*(1) HashAggregate") || p.contains("*(1) ColumnarToRow")
+      || p.contains("*("), s"no codegen stage in:\n$p")
+  }
+
+  test("similarity join has no cartesian product and keys through shingles") {
+    val p = plan("q18_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), "similarity join went quadratic")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
+  test("cosine top-k broadcasts the corpus; window exchange is skinny") {
+    val p = plan("q21_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    // the exchange feeding the window must not carry embedding arrays
+    val exchange = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchange.nonEmpty && !exchange.exists(_.contains("embedding")),
+      s"embeddings ride the window shuffle:\n${exchange.mkString("\n")}")
+  }
+
+  test("staging scans prune by partition columns") {
+    val root = scratch("plan-staging")
+    import spark.implicits._
+    val day = Seq(
+      ("""{"_metadata":{"type":"commit","processedAt":"2024-01-01T00:00:00Z","links":{"self":{"href":"u1"}}},"sha":"s"}""")
+    ).toDF("data")
+    graft.ingest.Staging.writeStaging(
+      graft.ingest.Staging.stage(day, "2024-01-01"), root)
+    val scan = graft.ingest.Staging.readEntity(spark, root, "2024-01-01", "commit")
+    val p = scan.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      (p.contains("ingest_date") || p.contains("entity_name")),
+      s"partition pruning missing:\n$p")
+  }
+}
