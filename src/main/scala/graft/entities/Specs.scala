@@ -271,22 +271,25 @@ object Specs {
     table = "user",
     entityPred = eq("user"),
     fields = Seq(
-      Field("id", "user_id", "long"),
+      Field("_metadata.links.siblings.href", "siblings_urn"),
       Field("login", "login"),
-      Field("type", "type"),
-      Field("site_admin", "site_admin", "bool"),
-      Field("name", "name", pii = true),
-      Field("email", "email", pii = true),
-      Field("company", "company"),
-      Field("location", "location", pii = true),
-      Field("blog", "blog"),
-      Field("hireable", "hireable", "bool"),
-      Field("public_repos", "public_repos", "int"),
-      Field("public_gists", "public_gists", "int"),
+      Field("id", "user_id", "int"),
+      Field("bio", "bio"),
+      Field("blog", "blog", "string", pii = true),
+      Field("company", "company", "string", pii = true),
+      Field("created_at", "created_at", "ts"),
+      Field("email", "email", "string", pii = true),
       Field("followers", "followers", "int"),
       Field("following", "following", "int"),
-      Field("created_at", "created_at", "ts"),
-      Field("updated_at", "updated_at", "ts")
+      Field("hireable", "hireable", "bool"),
+      Field("location", "location"),
+      Field("name", "name", "string", pii = true),
+      Field("public_gists", "public_gists", "int"),
+      Field("public_repos", "public_repos", "int"),
+      Field("site_admin", "site_admin", "bool"),
+      Field("type", "type"),
+      Field("updated_at", "updated_at", "ts"),
+      Field("_metadata.version", "schema_version", "int")
     )
   )
 
@@ -295,20 +298,37 @@ object Specs {
     table = "org",
     entityPred = eq("org"),
     fields = Seq(
-      Field("id", "org_id", "long"),
+      Field("_metadata.links.siblings.href", "siblings_urn"),
       Field("login", "login"),
+      Field("url", "url"),
+      Field("id", "org_id", "int"),
+      Field("description", "description"),
       Field("name", "name"),
       Field("company", "company"),
       Field("blog", "blog"),
-      Field("location", "location"),
-      Field("email", "email", pii = true),
+      Field("email", "email", "string", pii = true),
       Field("public_repos", "public_repos", "int"),
       Field("public_gists", "public_gists", "int"),
       Field("followers", "followers", "int"),
       Field("following", "following", "int"),
+      Field("html_url", "html_url"),
       Field("created_at", "created_at", "ts"),
       Field("updated_at", "updated_at", "ts"),
-      Field("type", "type")
+      Field("type", "type"),
+      Field("total_private_repos", "total_private_repos", "int"),
+      Field("owned_private_repos", "owned_private_repos", "int"),
+      Field("private_gists", "private_gists", "int"),
+      Field("disk_usage", "disk_usage", "int"),
+      Field("collaborators", "collaborators", "int"),
+      Field("billing_email", "billing_email", "string", pii = true),
+      Field("plan.name", "plan_name"),
+      Field("plan.space", "plan_space", "int"),
+      Field("plan.filled_seats", "plan_filled_seats", "int"),
+      Field("plan.seats", "plan_seats", "int"),
+      Field("_metadata.links.repos.href", "repos_urn"),
+      Field("_metadata.links.members.href", "members_urn"),
+      Field("_metadata.links.user.href", "user_urn"),
+      Field("_metadata.version", "schema_version", "int")
     )
   )
 
@@ -317,15 +337,22 @@ object Specs {
     table = "team",
     entityPred = eq("team"),
     fields = Seq(
-      Field("id", "team_id", "long"),
+      Field("_metadata.links.org.href", "organization_urn"),
+      Field("_metadata.links.siblings.href", "siblings_urn"),
+      Field("id", "team_id", "int"),
       Field("name", "name"),
       Field("slug", "slug"),
       Field("description", "description"),
       Field("privacy", "privacy"),
+      Field("url", "url"),
       Field("permission", "permission"),
+      Field("created_at", "created_at", "ts"),
+      Field("updated_at", "updated_at", "ts"),
       Field("members_count", "members_count", "int"),
       Field("repos_count", "repos_count", "int"),
-      Field("_metadata.links.org.href", "org_urn")
+      Field("_metadata.links.members.href", "members_urn"),
+      Field("_metadata.links.repos.href", "repos_urn"),
+      Field("_metadata.version", "schema_version", "int")
     )
   )
 
@@ -334,23 +361,49 @@ object Specs {
     table = "issue",
     entityPred = eq("issue"),
     fields = Seq(
-      Field("id", "issue_id", "long"),
+      Field("_metadata.links.repo.href", "repo_urn"),
+      Field("_metadata.links.siblings.href", "siblings_urn"),
       Field("number", "number", "int"),
+      Field("id", "issue_id", "int"),
+      Field("assignee.id", "assignee_id", "int"),
+      Field("assignee.login", "assignee_login"),
+      Field("assignee.site_admin", "assignee_site_admin", "bool"),
+      Field("assignee.type", "assignee_type"),
+      Field("body", "body"),
+      Field("closed_at", "closed_at", "ts"),
+      Field("closed_by.id", "closed_by_id", "int"),
+      Field("closed_by.login", "closed_by_login"),
+      Field("closed_by.site_admin", "closed_by_site_admin", "bool"),
+      Field("closed_by.type", "closed_by_type"),
+      Field("comments", "comments", "int"),
+      Field("created_at", "created_at", "ts"),
+      Field("locked", "locked", "bool"),
+      Field("milestone.closed_at", "milestone_closed_at", "ts"),
+      Field("milestone.closed_issues", "milestone_closed_issues", "int"),
+      Field("milestone.created_at", "milestone_created_at", "ts"),
+      Field("milestone.creator.id", "milestone_creator_id", "int"),
+      Field("milestone.creator.login", "milestone_creator_login"),
+      Field("milestone.creator.site_admin", "milestone_creator_site_admin", "bool"),
+      Field("milestone.creator.type", "milestone_creator_type"),
+      Field("milestone.description", "milestone_description"),
+      Field("milestone.due_on", "milestone_due_on", "ts"),
+      Field("milestone.id", "milestone_id", "int"),
+      Field("milestone.number", "milestone_number", "int"),
+      Field("milestone.open_issues", "milestone_open_issues", "int"),
+      Field("milestone.state", "milestone_state"),
+      Field("milestone.title", "milestone_title"),
+      Field("milestone.updated_at", "milestone_updated_at", "ts"),
+      Field("pull_request.url", "pull_request_url"),
       Field("state", "state"),
       Field("title", "title"),
-      Field("body", "body"),
-      Field("user.id", "user_id", "long"),
-      Field("user.login", "user_login"),
-      Field("assignee.id", "assignee_id", "long"),
-      Field("assignee.login", "assignee_login"),
-      Field("milestone.id", "milestone_id", "long"),
-      Field("milestone.title", "milestone_title"),
-      Field("comments", "comments", "int"),
-      Field("locked", "locked", "bool"),
-      Field("created_at", "created_at", "ts"),
       Field("updated_at", "updated_at", "ts"),
-      Field("closed_at", "closed_at", "ts"),
-      Field("_metadata.links.repo.href", "repo_urn")
+      Field("user.id", "user_id", "int"),
+      Field("user.login", "user_login"),
+      Field("user.site_admin", "user_site_admin", "bool"),
+      Field("user.type", "user_type"),
+      Field("_metadata.links.user.href", "user_urn"),
+      Field("_metadata.links.closed_by.href", "closed_by_urn"),
+      Field("_metadata.version", "schema_version", "int")
     )
   )
 
@@ -373,14 +426,18 @@ object Specs {
     table = "issue_comment",
     entityPred = eq("issue_comment"),
     fields = Seq(
-      Field("id", "comment_id", "long"),
+      Field("_metadata.links.issue.href", "issue_urn"),
+      Field("_metadata.links.siblings.href", "siblings_urn"),
+      Field("id", "issue_comment_id", "int"),
       Field("body", "body"),
-      Field("user.id", "user_id", "long"),
-      Field("user.login", "user_login"),
       Field("created_at", "created_at", "ts"),
       Field("updated_at", "updated_at", "ts"),
-      Field("_metadata.links.issue.href", "issue_urn"),
-      Field("_metadata.links.repo.href", "repo_urn")
+      Field("user.id", "user_id", "int"),
+      Field("user.login", "user_login"),
+      Field("user.site_admin", "user_site_admin", "bool"),
+      Field("user.type", "user_type"),
+      Field("_metadata.links.user.href", "user_urn"),
+      Field("_metadata.version", "schema_version", "int")
     )
   )
 
@@ -711,19 +768,29 @@ object Specs {
       Field("_metadata.links.pull_request.href", "pull_request_urn"),
       Field("sha", "commit_sha"),
       Field("url", "url"),
-      Field("author.id", "author_id", "long"),
+      Field("author.id", "author_id", "int"),
       Field("author.login", "author_login"),
+      Field("author.site_admin", "author_site_admin", "bool"),
+      Field("author.type", "author_type"),
       Field("commit.author.date", "commit_author_date", "ts"),
-      Field("commit.author.email", "commit_author_email", pii = true),
-      Field("commit.author.name", "commit_author_name", pii = true),
+      Field("commit.author.email", "commit_author_email", "string", pii = true),
+      Field("commit.author.name", "commit_author_name", "string", pii = true),
+      Field("commit.comment_count", "commit_comment_count", "int"),
+      Field("commit.committer.date", "commit_committer_date", "ts"),
+      Field("commit.committer.email", "commit_committer_email", "string", pii = true),
+      Field("commit.committer.name", "commit_committer_name", "string", pii = true),
       Field("commit.message", "commit_message"),
       Field("commit.tree.sha", "commit_tree_sha"),
-      Field("committer.id", "committer_id", "long"),
+      Field("committer.id", "committer_id", "int"),
       Field("committer.login", "committer_login"),
+      Field("committer.site_admin", "committer_site_admin", "bool"),
+      Field("committer.type", "committer_type"),
       Field("stats.additions", "stats_additions", "int"),
       Field("stats.deletions", "stats_deletions", "int"),
       Field("stats.total", "stats_total", "int"),
+      Field("_metadata.links.pull_request_commit_comments.href", "commit_comments_urn"),
       Field("_metadata.links.author.href", "author_urn"),
+      Field("_metadata.links.committer.href", "committer_urn"),
       Field("_metadata.version", "schema_version", "int")
     )
   )
@@ -780,27 +847,123 @@ object Specs {
     table = "event_payload_pull_request",
     entityPred = _.like("PullRequest%Event"),
     fields = Seq(
-      Field("payload.pull_request.id", "event_payload_pull_request_id", "long"),
-      Field("payload.action", "action"),
+      Field("payload.pull_request.id", "event_payload_pull_request_id", "int"),
       Field("payload.pull_request.additions", "additions", "int"),
-      Field("payload.pull_request.deletions", "deletions", "int"),
-      Field("payload.pull_request.changed_files", "changed_files", "int"),
+      Field("payload.pull_request.assignee.id", "assignee_id", "int"),
+      Field("payload.pull_request.assignee.login", "assignee_login"),
+      Field("payload.pull_request.assignee.site_admin", "assignee_site_admin", "bool"),
+      Field("payload.pull_request.assignee.type", "assignee_type"),
       Field("payload.pull_request.base.label", "base_label"),
       Field("payload.pull_request.base.ref", "base_ref"),
-      Field("payload.pull_request.base.repo.id", "base_repo_id", "long"),
+      Field("payload.pull_request.base.repo.created_at", "base_repo_created_at", "ts"),
+      Field("payload.pull_request.base.repo.default_branch", "base_repo_default_branch"),
+      Field("payload.pull_request.base.repo.description", "base_repo_description"),
+      Field("payload.pull_request.base.repo.fork", "base_repo_fork", "bool"),
+      Field("payload.pull_request.base.repo.forks", "base_repo_forks", "int"),
+      Field("payload.pull_request.base.repo.forks_count", "base_repo_forks_count", "int"),
       Field("payload.pull_request.base.repo.full_name", "base_repo_full_name"),
+      Field("payload.pull_request.base.repo.has_downloads", "base_repo_has_downloads", "bool"),
+      Field("payload.pull_request.base.repo.has_issues", "base_repo_has_issues", "bool"),
+      Field("payload.pull_request.base.repo.has_pages", "base_repo_has_pages", "bool"),
+      Field("payload.pull_request.base.repo.has_wiki", "base_repo_has_wiki", "bool"),
+      Field("payload.pull_request.base.repo.homepage", "base_repo_homepage"),
+      Field("payload.pull_request.base.repo.id", "base_repo_id", "int"),
       Field("payload.pull_request.base.repo.language", "base_repo_language"),
+      Field("payload.pull_request.base.repo.name", "base_repo_name"),
+      Field("payload.pull_request.base.repo.open_issues", "base_repo_open_issues", "int"),
+      Field("payload.pull_request.base.repo.open_issues_count", "base_repo_open_issues_count", "int"),
+      Field("payload.pull_request.base.repo.owner.id", "base_repo_owner_id", "int"),
+      Field("payload.pull_request.base.repo.owner.login", "base_repo_owner_login"),
+      Field("payload.pull_request.base.repo.owner.site_admin", "base_repo_owner_site_admin", "bool"),
+      Field("payload.pull_request.base.repo.owner.type", "base_repo_owner_type"),
+      Field("payload.pull_request.base.repo.private", "base_repo_private", "bool"),
+      Field("payload.pull_request.base.repo.pushed_at", "base_repo_pushed_at", "ts"),
+      Field("payload.pull_request.base.repo.size", "base_repo_size", "int"),
+      Field("payload.pull_request.base.repo.stargazers_count", "base_repo_stargazers_count", "int"),
+      Field("payload.pull_request.base.repo.updated_at", "base_repo_updated_at", "ts"),
+      Field("payload.pull_request.base.repo.watchers", "base_repo_watchers", "int"),
+      Field("payload.pull_request.base.repo.watchers_count", "base_repo_watchers_count", "int"),
+      Field("payload.pull_request.base.sha", "base_sha"),
+      Field("payload.pull_request.base.user.id", "base_user_id", "int"),
+      Field("payload.pull_request.base.user.login", "base_user_login"),
+      Field("payload.pull_request.base.user.site_admin", "base_user_site_admin", "bool"),
+      Field("payload.pull_request.base.user.type", "base_user_type"),
+      Field("payload.pull_request.body", "body"),
+      Field("payload.pull_request.changed_files", "changed_files", "int"),
+      Field("payload.pull_request.closed_at", "closed_at", "ts"),
+      Field("payload.pull_request.comments", "comments", "int"),
+      Field("payload.pull_request.commits", "commits", "int"),
+      Field("payload.pull_request.created_at", "created_at", "ts"),
+      Field("payload.pull_request.deletions", "deletions", "int"),
+      Field("payload.pull_request.head.label", "head_label"),
       Field("payload.pull_request.head.ref", "head_ref"),
+      Field("payload.pull_request.head.repo.created_at", "head_repo_created_at", "ts"),
+      Field("payload.pull_request.head.repo.default_branch", "head_repo_default_branch"),
+      Field("payload.pull_request.head.repo.description", "head_repo_description"),
+      Field("payload.pull_request.head.repo.fork", "head_repo_fork", "bool"),
+      Field("payload.pull_request.head.repo.forks", "head_repo_forks", "int"),
+      Field("payload.pull_request.head.repo.forks_count", "head_repo_forks_count", "int"),
+      Field("payload.pull_request.head.repo.full_name", "head_repo_full_name"),
+      Field("payload.pull_request.head.repo.has_downloads", "head_repo_has_downloads", "bool"),
+      Field("payload.pull_request.head.repo.has_issues", "head_repo_has_issues", "bool"),
+      Field("payload.pull_request.head.repo.has_pages", "head_repo_has_pages", "bool"),
+      Field("payload.pull_request.head.repo.has_wiki", "head_repo_has_wiki", "bool"),
+      Field("payload.pull_request.head.repo.homepage", "head_repo_homepage"),
+      Field("payload.pull_request.head.repo.id", "head_repo_id", "int"),
+      Field("payload.pull_request.head.repo.language", "head_repo_language"),
+      Field("payload.pull_request.head.repo.name", "head_repo_name"),
+      Field("payload.pull_request.head.repo.open_issues", "head_repo_open_issues", "int"),
+      Field("payload.pull_request.head.repo.open_issues_count", "head_repo_open_issues_count", "int"),
+      Field("payload.pull_request.head.repo.owner.id", "head_repo_owner_id", "int"),
+      Field("payload.pull_request.head.repo.owner.login", "head_repo_owner_login"),
+      Field("payload.pull_request.head.repo.owner.site_admin", "head_repo_owner_site_admin", "bool"),
+      Field("payload.pull_request.head.repo.owner.type", "head_repo_owner_type"),
+      Field("payload.pull_request.head.repo.private", "head_repo_private", "bool"),
+      Field("payload.pull_request.head.repo.pushed_at", "head_repo_pushed_at", "ts"),
+      Field("payload.pull_request.head.repo.size", "head_repo_size", "int"),
+      Field("payload.pull_request.head.repo.stargazers_count", "head_repo_stargazers_count", "int"),
+      Field("payload.pull_request.head.repo.updated_at", "head_repo_updated_at", "ts"),
+      Field("payload.pull_request.head.repo.watchers", "head_repo_watchers", "int"),
+      Field("payload.pull_request.head.repo.watchers_count", "head_repo_watchers_count", "int"),
       Field("payload.pull_request.head.sha", "head_sha"),
+      Field("payload.pull_request.head.user.id", "head_user_id", "int"),
+      Field("payload.pull_request.head.user.login", "head_user_login"),
+      Field("payload.pull_request.head.user.site_admin", "head_user_site_admin", "bool"),
+      Field("payload.pull_request.head.user.type", "head_user_type"),
+      Field("payload.pull_request.locked", "locked", "bool"),
+      Field("payload.pull_request.merge_commit_sha", "merge_commit_sha"),
+      Field("payload.pull_request.mergeable", "mergeable", "bool"),
+      Field("payload.pull_request.mergeable_state", "mergeable_state"),
       Field("payload.pull_request.merged", "merged", "bool"),
+      Field("payload.pull_request.merged_at", "merged_at", "ts"),
+      Field("payload.pull_request.merged_by.id", "merged_by_id", "int"),
+      Field("payload.pull_request.merged_by.login", "merged_by_login"),
+      Field("payload.pull_request.merged_by.site_admin", "merged_by_site_admin", "bool"),
+      Field("payload.pull_request.merged_by.type", "merged_by_type"),
+      Field("payload.pull_request.milestone.closed_at", "milestone_closed_at", "ts"),
+      Field("payload.pull_request.milestone.closed_issues", "milestone_closed_issues", "int"),
+      Field("payload.pull_request.milestone.created_at", "milestone_created_at", "ts"),
+      Field("payload.pull_request.milestone.creator.id", "milestone_creator_id", "int"),
+      Field("payload.pull_request.milestone.creator.login", "milestone_creator_login"),
+      Field("payload.pull_request.milestone.creator.site_admin", "milestone_creator_site_admin", "bool"),
+      Field("payload.pull_request.milestone.creator.type", "milestone_creator_type"),
+      Field("payload.pull_request.milestone.description", "milestone_description"),
+      Field("payload.pull_request.milestone.due_on", "milestone_due_on", "ts"),
+      Field("payload.pull_request.milestone.id", "milestone_id", "int"),
+      Field("payload.pull_request.milestone.number", "milestone_number", "int"),
+      Field("payload.pull_request.milestone.open_issues", "milestone_open_issues", "int"),
+      Field("payload.pull_request.milestone.state", "milestone_state"),
+      Field("payload.pull_request.milestone.title", "milestone_title"),
+      Field("payload.pull_request.milestone.updated_at", "milestone_updated_at", "ts"),
+      Field("payload.pull_request.number", "number", "int"),
+      Field("payload.pull_request.review_comments", "review_comments", "int"),
       Field("payload.pull_request.state", "state"),
       Field("payload.pull_request.title", "title"),
-      Field("payload.pull_request.user.id", "user_id", "long"),
-      Field("payload.pull_request.user.login", "user_login"),
-      Field("payload.pull_request.created_at", "created_at", "ts"),
       Field("payload.pull_request.updated_at", "updated_at", "ts"),
-      Field("payload.pull_request.merged_at", "merged_at", "ts"),
-      Field("_metadata.links.repo.href", "repo_urn"),
+      Field("payload.pull_request.user.id", "user_id", "int"),
+      Field("payload.pull_request.user.login", "user_login"),
+      Field("payload.pull_request.user.site_admin", "user_site_admin", "bool"),
+      Field("payload.pull_request.user.type", "user_type"),
       Field("_metadata.version", "schema_version", "int")
     )
   )

@@ -267,7 +267,28 @@ object Relational {
         max(col("o_orderkey")).as("max_key")
       )
 
+  /** F8 / §1.2 document-model surface: typed null-lenient JSON path
+    * extraction (the `Utility.Get*` UDF family re-expressed as
+    * `get_json_object` + cast). The JSON is assembled in-query from table
+    * columns — identically in the oracle — so extraction semantics
+    * (nested paths, array indexing, null-on-absent) are what's compared.
+    */
+  def q28JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val j = concat(
+      lit("""{"order":{"id":"""), col("o_orderkey").cast("string"),
+      lit(""","status":""""), col("o_orderstatus"),
+      lit("""","tags":["a","b"]}}"""))
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        get_json_object(j, "$.order.id").cast("long").as("id_ext"),
+        get_json_object(j, "$.order.status").as("status_ext"),
+        get_json_object(j, "$.order.tags[1]").as("tag1_ext"),
+        get_json_object(j, "$.order.missing").as("missing_ext"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_json_extract" -> q28JsonExtract,
     "q1_agg" -> q1Agg,
     "q2_filter_pred" -> q2FilterPred,
     "q3_join_inner" -> q3JoinInner,
@@ -287,6 +308,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q28_json_extract" ->
+      """SELECT o_orderkey,
+        |  CAST(json_extract_string(j, '$.order.id') AS BIGINT) AS id_ext,
+        |  json_extract_string(j, '$.order.status') AS status_ext,
+        |  json_extract_string(j, '$.order.tags[1]') AS tag1_ext,
+        |  json_extract_string(j, '$.order.missing') AS missing_ext
+        |FROM (SELECT o_orderkey,
+        |        '{"order":{"id":' || o_orderkey || ',"status":"' || o_orderstatus
+        |          || '","tags":["a","b"]}}' AS j
+        |      FROM orders)""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
