@@ -31,11 +31,15 @@ object Staging {
     "entity_name", "ingest_date", "fetched_at", "processed_at", "deleted_at",
     "urn", "data")
 
-  /** File-set scan for one ingest day (StageData.usql:17-22). `file_name` is
-    * the path-bound virtual column. */
+  /** File-set scan for one ingest day (StageData.usql:17-22). `file_name`
+    * is the path-bound virtual column (the reference's `{FileName}`
+    * template binding), derived from `input_file_name()` — metadata-only,
+    * no extra read. */
   def readRawDay(spark: SparkSession, rawRoot: String, date: java.time.LocalDate): DataFrame = {
     val path = f"$rawRoot/${date.getYear}%04d/${date.getMonthValue}%02d/${date.getDayOfMonth}%02d/*.json"
     spark.read.textFile(path).toDF("data")
+      .withColumn("file_name",
+        regexp_extract(input_file_name(), "([^/]+)\\.json$", 1))
   }
 
   /** Promote the `_metadata` envelope to typed columns; silent-skip rows

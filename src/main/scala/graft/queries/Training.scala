@@ -100,6 +100,16 @@ object Training {
       ascii(substring(col("text"), 1, 1)).as("magic_byte"))
   }
 
+  /** LLM sequence packing: concatenate-and-chunk coordinates per doc
+    * (8 deterministic shards, 2048-token sequences, whitespace tokens). */
+  def q29SeqPacking(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packSequences(
+      docs(spark, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      "doc_id", col("n_tokens"), seqLen = 2048, numShards = 8)
+      .select(col("doc_id"), col("shard"), col("cum_before"),
+        col("pack_id"), col("offset"))
+
   // --------------------------------------------------------------------
   // DuckDB oracles. Shared SQL fragments are generated so the constants
   // and term order match the Spark expressions exactly.
@@ -143,7 +153,8 @@ object Training {
     "q24_token_count" -> q24TokenCount,
     "q25_fingerprint" -> q25Fingerprint,
     "q26_ann_ivf" -> q26AnnIvf,
-    "q27_binary_meta" -> q27BinaryMeta
+    "q27_binary_meta" -> q27BinaryMeta,
+    "q29_seq_packing" -> q29SeqPacking
   )
 
   val oracles: Map[String, String] = Map(
@@ -250,6 +261,17 @@ object Training {
     "q27_binary_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS content_md5,
         |  ascii(substr(text, 1, 1)) AS magic_byte
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q29_seq_packing" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |             len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, shard,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM t)
+        |SELECT doc_id, shard, cum_before,
+        |  CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
+        |  cum_before % 2048 AS "offset"
+        |FROM c""".stripMargin
   )
 }

@@ -35,6 +35,13 @@ class PipelineSpec extends SparkSpec {
     assert(c1.getAs[java.sql.Timestamp]("deleted_at") == null)
   }
 
+  test("raw scan binds the file_name virtual column from the path") {
+    ran
+    val names = Staging.readRawDay(spark, raw, Fixtures.day1)
+      .select("file_name").distinct().collect().map(_.getString(0)).toSet
+    assert(names == Set("docs"))
+  }
+
   test("staging day re-run is idempotent (partition replace)") {
     ran
     Staging.stageDay(spark, raw, staging, Fixtures.day1)
