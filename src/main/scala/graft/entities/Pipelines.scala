@@ -135,6 +135,7 @@ object Pipelines {
       spec: CollectionSpec): DataFrame = {
     val raw = stagedDay
       .where(col("entity_name") === spec.entity)
+      .where(spec.requiredLink.fold(lit(true))(l => jstr(col("data"), l).isNotNull))
       .withColumn("__origin", jstr(col("data"), "_metadata.links.origin.href"))
       .where(col("__origin").isNotNull)
     // W4: most recent crawl per origin (ProcessDaily.usql:41-44)

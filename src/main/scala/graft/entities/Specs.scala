@@ -55,7 +55,11 @@ object Specs {
       entity: String,
       originCol: String = "origin_urn",
       memberCol: String = "member_urn",
-      extraLinks: Seq[(String, String)] = Nil // (json link name, column name)
+      extraLinks: Seq[(String, String)] = Nil, // (json link name, column name)
+      /** Docs lacking this link are excluded — the Org/TeamMember split of
+        * the shared "members" entity (`WHERE OrgUrn IS NOT NULL`,
+        * ProcessDaily.usql:1751, and TeamUrn at :1783). */
+      requiredLink: Option[String] = None
   )
 
   /** §2.10(d) traffic time-series (4 instances, ProcessDaily.usql:3227-3591).
@@ -1032,9 +1036,11 @@ object Specs {
     CollectionSpec("repo_stargazers", "stargazers"),
     CollectionSpec("repo_subscribers", "subscribers"),
     CollectionSpec("org_members", "members",
-      extraLinks = Seq(("_metadata.links.org.href", "org_urn"))),
+      extraLinks = Seq(("_metadata.links.org.href", "org_urn")),
+      requiredLink = Some("_metadata.links.org.href")),
     CollectionSpec("team_members", "members",
-      extraLinks = Seq(("_metadata.links.team.href", "team_urn")))
+      extraLinks = Seq(("_metadata.links.team.href", "team_urn")),
+      requiredLink = Some("_metadata.links.team.href"))
   )
 
   private val trafficCountSchema = "timestamp TIMESTAMP, count INT, uniques INT"

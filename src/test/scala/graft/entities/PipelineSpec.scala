@@ -172,6 +172,25 @@ class PipelineSpec extends SparkSpec {
     assert(labels.map(_.getAs[String]("label_name")).toSeq == Seq("bug", "help wanted"))
   }
 
+  test("shared members entity routes by required org/team link") {
+    import spark.implicits._
+    def membersDoc(self: String, origin: String, link: String, member: String) =
+      s"""{"_metadata":{"type":"members","processedAt":"2017-03-01T10:00:00Z",""" +
+        s""""links":{"self":{"href":"$self"},"origin":{"href":"$origin"},$link,""" +
+        s""""resources":{"hrefs":["$member"]}}}}"""
+    val day = graft.ingest.Staging.stage(Seq(
+      membersDoc("urn:m:1", "urn:org:1:members", """"org":{"href":"urn:org:1"}""", "urn:user:1"),
+      membersDoc("urn:m:2", "urn:team:7:members", """"team":{"href":"urn:team:7"}""", "urn:user:2")
+    ).toDF("data"), "2017-03-01")
+    val dir = scratch("graft-members")
+    val org = Pipelines.runCollection(spark, day, dir,
+      Specs.collections.find(_.table == "org_members").get)
+    val team = Pipelines.runCollection(spark, day, dir,
+      Specs.collections.find(_.table == "team_members").get)
+    assert(org.select("member_urn").collect().map(_.getString(0)).toSeq == Seq("urn:user:1"))
+    assert(team.select("member_urn").collect().map(_.getString(0)).toSeq == Seq("urn:user:2"))
+  }
+
   test("per-repo export emits joined TSVs") {
     ran
     val out = scratch("graft-export")
