@@ -1,0 +1,32 @@
+package graft.jobs
+
+import graft.entities.{Pipelines, Specs}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Curated-layer bootstrap — the `CreateAndInitialize*.usql` scripts' role
+  * (31 scripts, e.g. CreateAndInitializeCommit.usql:49-90): build every
+  * curated table from the FULL staging history in one pass, instead of
+  * replaying days.
+  *
+  * Semantics are identical to folding ProcessDaily over all days in order:
+  * the merge is latest-effective-timestamp-wins per key, which is
+  * associative and order-insensitive over the same row multiset (proven by
+  * PropertiesSpec permutation invariance) — so one global dedup over all
+  * history ≡ day-by-day incremental merges, at a fraction of the IO
+  * (each table is written once, not once per day).
+  */
+object Bootstrap {
+
+  /** Build all curated tables from every staged day. Partition pruning is
+    * deliberately NOT applied — this is the full-history scan. */
+  def run(spark: SparkSession, stagingDir: String, curatedDir: String,
+      parallelism: Int = 4): Seq[String] = {
+    val all = spark.read.parquet(stagingDir)
+      .withColumn("ingest_date", col("ingest_date").cast("string"))
+      .withColumn("entity_name", col("entity_name").cast("string"))
+    all.cache()
+    try ProcessDaily.runOn(spark, all, curatedDir, parallelism)
+    finally { all.unpersist(); () }
+  }
+}

@@ -22,7 +22,14 @@ object ProcessDaily {
       ingestDate: String, parallelism: Int = 4): Seq[String] = {
     val day = Staging.readStaging(spark, stagingDir, ingestDate)
     day.cache() // one day of staging feeds 20+ pipelines; scan once
+    try runOn(spark, day, curatedDir, parallelism)
+    finally { day.unpersist(); () }
+  }
 
+  /** Run every entity pipeline over an arbitrary staged frame (one day for
+    * the daily merge; the whole history for [[Bootstrap]]). */
+  def runOn(spark: SparkSession, day: org.apache.spark.sql.DataFrame,
+      curatedDir: String, parallelism: Int = 4): Seq[String] = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
@@ -40,7 +47,7 @@ object ProcessDaily {
             (() => { Pipelines.runSnapshotLog(spark, day, curatedDir, Specs.repo); () }))
       val fs = tasks.map { case (name, f) => Future { f(); name } }
       Await.result(Future.sequence(fs), Duration.Inf)
-    } finally { pool.shutdown(); day.unpersist(); () }
+    } finally { pool.shutdown(); () }
   }
 
   /** Stage + merge: the two reference procedures chained for one date. */

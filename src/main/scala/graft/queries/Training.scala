@@ -110,6 +110,15 @@ object Training {
       .select(col("doc_id"), col("shard"), col("cum_before"),
         col("pack_id"), col("offset"))
 
+  /** Embedding-level near-dup pairs: cosine ≥ 0.4 within IVF clusters
+    * (same 16 deterministic centroids as q26 — the blocking that makes
+    * this near-linear at scale; cross-cluster pairs are the documented
+    * recall trade). */
+  def q30EmbedDups(spark: SparkSession, dir: String): DataFrame =
+    Ann.cosineDupPairs(embs(spark, dir), "vec_id", "embedding", Dim,
+      threshold = 0.4, numCentroids = 16)
+      .withColumn("cosine", round(col("cosine"), 6))
+
   // --------------------------------------------------------------------
   // DuckDB oracles. Shared SQL fragments are generated so the constants
   // and term order match the Spark expressions exactly.
@@ -154,7 +163,8 @@ object Training {
     "q25_fingerprint" -> q25Fingerprint,
     "q26_ann_ivf" -> q26AnnIvf,
     "q27_binary_meta" -> q27BinaryMeta,
-    "q29_seq_packing" -> q29SeqPacking
+    "q29_seq_packing" -> q29SeqPacking,
+    "q30_embed_dups" -> q30EmbedDups
   )
 
   val oracles: Map[String, String] = Map(
@@ -262,6 +272,19 @@ object Training {
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS content_md5,
         |  ascii(substr(text, 1, 1)) AS magic_byte
         |FROM documents""".stripMargin,
+    "q30_embed_dups" ->
+      s"""WITH $normCte,
+         |c AS (SELECT vec_id cid, embedding, nrm FROM n WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, embedding, nrm, cid FROM (
+         |  SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      (${dotSql("v", "c")}) / (v.nrm * c.nrm) DESC, c.cid) rn
+         |  FROM n v CROSS JOIN c) WHERE rn = 1),
+         |p AS (SELECT a.vec_id vec_a, b.vec_id vec_b,
+         |        (${dotSql("a", "b")}) / (a.nrm * b.nrm) cosine
+         |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM p
+         |WHERE cosine >= 0.4""".stripMargin,
     "q29_seq_packing" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
         |             len(string_split(text, ' ')) AS n_tokens FROM documents),
