@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling and quota capping for training-data curation.
+  *
+  * Random sampling is useless at 100 TB if a re-run (or another engine)
+  * draws a different sample: everything here is HASH-based — membership is
+  * a pure function of (row key, salt), so samples are stable across runs,
+  * partitionings, and engines, and the DuckDB oracle reproduces them
+  * exactly. This is the industry-standard trick for reproducible holdouts
+  * (hash-mod bucketing), expressed as codegen'd column expressions.
+  */
+object Sampling {
+
+  /** Deterministic keep-decision: true for ~`fraction` of distinct keys.
+    * h(key ++ salt) mod 1e6 < fraction·1e6, with the engine-independent
+    * md5-derived hash — same keys survive everywhere, forever. */
+  def hashSample(key: Column, fraction: Double, salt: String = "s0"): Column =
+    pmod(TextDedup.hash60(concat(key.cast("string"), lit(":" + salt))),
+      lit(1000000L)) < (fraction * 1e6).toLong
+
+  /** Per-stratum deterministic sampling: keep ~`fractions(stratum)` of
+    * rows in each stratum (e.g. downsample over-represented languages).
+    * Strata absent from the map keep `defaultFraction`. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      salt: String = "s0"): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(f)).otherwise(acc)
+    }
+    df.where(
+      pmod(TextDedup.hash60(concat(col(keyCol).cast("string"), lit(":" + salt))),
+        lit(1000000L)).cast("double") < frac * 1e6)
+  }
+
+  /** Per-group quota: keep the top `quota` rows of each group by `order`
+    * (e.g. best-quality documents per source). The standard data-mixing
+    * primitive; plans as WindowGroupLimit — no full per-group sort
+    * materialization. */
+  def quotaPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+      quota: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= quota)
+      .drop("__rn")
+  }
+}

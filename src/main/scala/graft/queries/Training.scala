@@ -119,6 +119,26 @@ object Training {
       threshold = 0.4, numCentroids = 16)
       .withColumn("cosine", round(col("cosine"), 6))
 
+  /** Reproducible stratified sampling: downsample over-represented
+    * languages by deterministic hash-mod membership (en 30%, others
+    * 100%) — the hash-bucket holdout trick, engine-independent. */
+  def q31SampleStratified(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedSample(docs(spark, dir), "doc_id", "lang",
+      Map("en" -> 0.3), defaultFraction = 1.0)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** Per-source quality quota: the 10 best documents per source by
+    * (quality desc, n_chars desc, doc_id) — the canonical data-mixing
+    * cap, planned as WindowGroupLimit. */
+  def q32QuotaPerSource(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.quotaPerGroup(
+      docs(spark, dir)
+        .withColumn("quality", TextAnalysis.qualityScore(col("text"))),
+      Seq("source"),
+      Seq(col("quality").desc, col("n_chars").desc, col("doc_id").asc),
+      quota = 10)
+      .select(col("doc_id"), col("source"), col("quality"))
+
   // --------------------------------------------------------------------
   // DuckDB oracles. Shared SQL fragments are generated so the constants
   // and term order match the Spark expressions exactly.
@@ -164,7 +184,9 @@ object Training {
     "q26_ann_ivf" -> q26AnnIvf,
     "q27_binary_meta" -> q27BinaryMeta,
     "q29_seq_packing" -> q29SeqPacking,
-    "q30_embed_dups" -> q30EmbedDups
+    "q30_embed_dups" -> q30EmbedDups,
+    "q31_sample_stratified" -> q31SampleStratified,
+    "q32_quota_per_source" -> q32QuotaPerSource
   )
 
   val oracles: Map[String, String] = Map(
@@ -285,6 +307,26 @@ object Training {
          |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM p
          |WHERE cosine >= 0.4""".stripMargin,
+    "q31_sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${h60("doc_id || ':s0'")} % 1000000
+         |      < (CASE WHEN lang = 'en' THEN 0.3 ELSE 1.0 END) * 1e6""".stripMargin,
+    "q32_quota_per_source" -> {
+      val en = stopIn(TextAnalysis.stopwords.head._2)
+      s"""WITH f AS (SELECT doc_id, source, n_chars, text,
+         |             string_split(text, ' ') ws FROM documents),
+         |q AS (SELECT doc_id, source, n_chars,
+         |  round(((CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+         |                        / length(text), 6) <= 0.1 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN round(len(list_filter(ws, t -> t IN $en))::DOUBLE
+         |                        / len(ws), 6) > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+         |  FROM f)
+         |SELECT doc_id, source, quality FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY source ORDER BY quality DESC, n_chars DESC, doc_id) rn
+         |  FROM q) WHERE rn <= 10""".stripMargin
+    },
     "q29_seq_packing" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
         |             len(string_split(text, ' ')) AS n_tokens FROM documents),
