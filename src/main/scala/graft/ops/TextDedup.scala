@@ -78,21 +78,30 @@ object TextDedup {
     * on its rarest — the former is quadratic in practice, the latter
     * near-linear. A size filter (|B| ≥ ⌈t·|A|⌉) prunes further.
     * `maxShingleDf` optionally drops boilerplate shingles entirely
-    * (changes the measure to Jaccard over the filtered sets). */
+    * (changes the measure to Jaccard over the filtered sets).
+    * `materialize` (default true) localCheckpoints the per-doc frame —
+    * the plan self-joins it, and without materialization Catalyst
+    * recomputes the scan→shingle→df-join→aggregate subtree up to 6×
+    * (~2× wall-clock). Trade-off: localCheckpoint blocks are executor-
+    * local, so on a cluster an executor loss fails the job instead of
+    * recomputing — pass `materialize = false` (pure lineage) or
+    * checkpoint reliably upstream if that matters more than speed. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double, maxShingleDf: Option[Long] = None): DataFrame = {
+      threshold: Double, maxShingleDf: Option[Long] = None,
+      materialize: Boolean = true): DataFrame = {
     val rows = filteredShingleRows(df, idCol, textCol, n, maxShingleDf)
     val dfreq = rows.groupBy("__sh").agg(count(lit(1)).as("__df"))
     // one per-doc frame carrying the df-ordered shingle array: prefix,
     // sizes, and the verification sets all derive from it — three window/
     // groupBy shuffles collapse into one, and downstream exchanges move
     // 1 row per doc instead of 1 per shingle
-    val docs = rows.join(dfreq, Seq("__sh"))
+    val docsPlan = rows.join(dfreq, Seq("__sh"))
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("__df"), col("__sh")))).as("__arr"))
       .select(col("__id"),
         transform(col("__arr"), e => e("__sh")).as("__shs"),
         size(col("__arr")).as("__n"))
+    val docs = if (materialize) docsPlan.localCheckpoint() else docsPlan
     // prefix rows carry their doc's full shingle array: the candidate join
     // then verifies in place (one first() aggregation dedups candidate
     // pairs AND delivers the sets — no separate distinct + two lookup
