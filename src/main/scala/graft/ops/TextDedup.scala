@@ -212,11 +212,20 @@ object TextDedup {
     * when candidates are few, shuffle otherwise; Catalyst/AQE decides. */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
-    val cands = lshCandidates(sigs, bands, numHashes / bands)
-    val sets = df.select(col(idCol).as("__id"),
+      threshold: Double = 0.8, materialize: Boolean = true): DataFrame = {
+    // one materialized shingle-array frame feeds BOTH the signature
+    // explode and the two verification joins (same trade-off as
+    // jaccardPairs' `materialize` — see its scaladoc)
+    val setsPlan = df.select(col(idCol).as("__id"),
       shingles(col(textCol), n).as("__shs"))
+    val sets = if (materialize) setsPlan.localCheckpoint() else setsPlan
+    val rows = sets.select(col("__id"), explode(col("__shs")).as("__sh"))
+    val x = pmod(hash60(col("__sh")), lit(MinhashPrime))
+    val mins = permutations(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * x + lit(b), lit(MinhashPrime))).as(s"m$i")
+    }
+    val sigs = rows.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
+    val cands = lshCandidates(sigs, bands, numHashes / bands)
     cands
       .join(sets.select(col("__id").as("doc_a"), col("__shs").as("__sa")), Seq("doc_a"))
       .join(sets.select(col("__id").as("doc_b"), col("__shs").as("__sb")), Seq("doc_b"))
