@@ -191,6 +191,32 @@ class PipelineSpec extends SparkSpec {
     assert(team.select("member_urn").collect().map(_.getString(0)).toSeq == Seq("urn:user:2"))
   }
 
+  test("full-width projection extracts deep nested paths (PullRequest sample)") {
+    import spark.implicits._
+    val doc =
+      """{"_metadata":{"type":"pull_request","processedAt":"2017-03-01T10:00:00Z",""" +
+        """"version":9,"links":{"self":{"href":"urn:pr:1"},"repo":{"href":"urn:repo:1"}}},""" +
+        """"id":42,"number":7,"state":"open","title":"T","merged":false,""" +
+        """"base":{"label":"o:main","ref":"main","sha":"bsha",""" +
+        """"repo":{"id":11,"full_name":"o/r","language":"Scala","fork":false,""" +
+        """"owner":{"id":5,"login":"o"}}},""" +
+        """"head":{"ref":"fix","sha":"hsha","repo":{"id":12}},""" +
+        """"user":{"id":9,"login":"u9","site_admin":true},""" +
+        """"created_at":"2017-02-01T00:00:00Z"}"""
+    val day = graft.ingest.Staging.stage(Seq(doc).toDF("data"), "2017-03-01")
+    val dir = scratch("graft-prwide")
+    val pr = Pipelines.runSnapshot(spark, day, dir, Specs.pullRequest).head()
+    assert(pr.getAs[String]("base_label") == "o:main")
+    assert(pr.getAs[Int]("base_repo_id") == 11)
+    assert(pr.getAs[String]("base_repo_language") == "Scala")
+    assert(pr.getAs[String]("base_repo_owner_login") == "o")
+    assert(pr.getAs[Int]("head_repo_id") == 12)
+    assert(pr.getAs[Boolean]("user_site_admin"))
+    assert(pr.getAs[Int]("schema_version") == 9)
+    // absent optional paths surface as null, never fail
+    assert(pr.getAs[Any]("merged_by_id") == null)
+  }
+
   test("per-repo export emits joined TSVs") {
     ran
     val out = scratch("graft-export")
