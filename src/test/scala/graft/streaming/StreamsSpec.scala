@@ -53,6 +53,31 @@ class StreamsSpec extends SparkSpec {
       ("2024-01-01 00:01:00.0", "b", 1L)))
   }
 
+  test("windowedCounts on a real stream: windows emit on watermark passage") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streams.windowedCounts(
+        input.toDS().toDF("ts", "k"), "ts", "k", "1 minute", "1 minute", "10 seconds")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((ts("2024-01-01 00:00:10"), "a"), (ts("2024-01-01 00:00:50"), "a"))
+    q.processAllAvailable()
+    // window [00:00,00:01) is still open — nothing emitted yet
+    assert(spark.table("win_out").count() == 0)
+    // event at 00:02:00 advances the watermark past 00:01 → first window closes
+    input.addData((ts("2024-01-01 00:02:00"), "b"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 00:05:00"), "b")) // push watermark further
+    q.processAllAvailable()
+    val rows = spark.table("win_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3)))
+    q.stop()
+    assert(rows.contains(("2024-01-01 00:00:00.0", "a", 2L)))
+  }
+
   test("latestPerKeyStream state logic emits only newer versions") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
