@@ -79,16 +79,15 @@ object TextDedup {
     * near-linear. A size filter (|B| ≥ ⌈t·|A|⌉) prunes further.
     * `maxShingleDf` optionally drops boilerplate shingles entirely
     * (changes the measure to Jaccard over the filtered sets).
-    * `materialize` (default true) localCheckpoints the per-doc frame —
-    * the plan self-joins it, and without materialization Catalyst
-    * recomputes the scan→shingle→df-join→aggregate subtree up to 6×
-    * (~2× wall-clock). Trade-off: localCheckpoint blocks are executor-
-    * local, so on a cluster an executor loss fails the job instead of
-    * recomputing — pass `materialize = false` (pure lineage) or
-    * checkpoint reliably upstream if that matters more than speed. */
+    * `materialize` localCheckpoints the per-doc frame the plan
+    * self-joins: ~2× faster on REPEATED runs (the subtree otherwise
+    * recomputes up to 6×), but the eager materialization costs ~1 s on a
+    * cold single run and its executor-local blocks are not recomputable
+    * after executor loss — so the default is false (pure lineage);
+    * enable it for iterative/interactive use. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxShingleDf: Option[Long] = None,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = false): DataFrame = {
     val rows = filteredShingleRows(df, idCol, textCol, n, maxShingleDf)
     val dfreq = rows.groupBy("__sh").agg(count(lit(1)).as("__df"))
     // one per-doc frame carrying the df-ordered shingle array: prefix,
@@ -212,7 +211,7 @@ object TextDedup {
     * when candidates are few, shuffle otherwise; Catalyst/AQE decides. */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.8, materialize: Boolean = true): DataFrame = {
+      threshold: Double = 0.8, materialize: Boolean = false): DataFrame = {
     // one materialized shingle-array frame feeds BOTH the signature
     // explode and the two verification joins (same trade-off as
     // jaccardPairs' `materialize` — see its scaladoc)
