@@ -287,8 +287,29 @@ object Relational {
         get_json_object(j, "$.order.missing").as("missing_ext"))
   }
 
+  /** ROLLUP grouping sets: subtotals per (returnflag), (returnflag,
+    * linestatus), and grand total — the hierarchical-report aggregate
+    * surface. NULL marks the rolled-up level in both engines. */
+  def q33Rollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  /** PIVOT: one column per order status, conditional-sum semantics.
+    * Spark's native `pivot` with a fixed value list (no extra pass to
+    * discover values — required at scale); the oracle spells the identical
+    * conditional aggregation. */
+  def q34Pivot(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_json_extract" -> q28JsonExtract,
+    "q33_rollup" -> q33Rollup,
+    "q34_pivot" -> q34Pivot,
     "q1_agg" -> q1Agg,
     "q2_filter_pred" -> q2FilterPred,
     "q3_join_inner" -> q3JoinInner,
@@ -308,6 +329,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q33_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q34_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q28_json_extract" ->
       """SELECT o_orderkey,
         |  CAST(json_extract_string(j, '$.order.id') AS BIGINT) AS id_ext,
