@@ -306,10 +306,36 @@ object Relational {
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(round(sum(col("o_totalprice")), 2))
 
+  /** Exact interpolated percentiles per group (median, p90) — the
+    * reporting surface; at 100 TB swap `percentile` for
+    * `percentile_approx` (t-digest sketch, one pass, mergeable) when
+    * exactness isn't required — approx results are engine-specific so
+    * the oracle pins the exact variant. */
+  def q35Percentile(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+
+  /** Statistical moments + correlation per group (sample stddev/variance,
+    * Pearson corr) — rounded to absorb accumulation-order float drift
+    * between engines. */
+  def q36Stats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_json_extract" -> q28JsonExtract,
     "q33_rollup" -> q33Rollup,
     "q34_pivot" -> q34Pivot,
+    "q35_percentile" -> q35Percentile,
+    "q36_stats" -> q36Stats,
     "q1_agg" -> q1Agg,
     "q2_filter_pred" -> q2FilterPred,
     "q3_join_inner" -> q3JoinInner,
@@ -329,6 +355,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q35_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q36_stats" ->
+      """SELECT l_returnflag,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q33_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
