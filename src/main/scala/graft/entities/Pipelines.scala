@@ -67,17 +67,30 @@ object Pipelines {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
   }
 
-  /** Atomic overwrite: write tmp, swap via rename — TRUNCATE+INSERT parity
-    * that also lets the plan read the table it replaces. */
+  /** Overwrite via write-tmp + rename-swap — TRUNCATE+INSERT parity that
+    * also lets the plan read the table it replaces. The old table is
+    * renamed aside (not deleted) before the new one moves in, so a failure
+    * at any single step leaves a complete copy on disk: if the final
+    * rename fails the old table is restored. The only non-atomic window is
+    * between the two renames (the table path is briefly absent); true
+    * multi-writer atomicity needs a transactional table format, which is
+    * out of scope here. */
   def overwriteCurated(df: DataFrame, curatedDir: String, table: String): Unit = {
     val spark = df.sparkSession
     val target = new Path(tablePath(curatedDir, table))
-    val tmp = new Path(s"$curatedDir/.${table}_staging_${System.nanoTime()}")
+    val stamp = System.nanoTime()
+    val tmp = new Path(s"$curatedDir/.${table}_staging_$stamp")
     df.write.mode("overwrite").parquet(tmp.toString)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(target)) fs.delete(target, true)
-    if (!fs.rename(tmp, target))
+    val old = new Path(s"$curatedDir/.${table}_old_$stamp")
+    val hadPrior = fs.exists(target)
+    if (hadPrior && !fs.rename(target, old))
+      throw new java.io.IOException(s"rename $target -> $old failed")
+    if (!fs.rename(tmp, target)) {
+      if (hadPrior) fs.rename(old, target) // restore the prior table
       throw new java.io.IOException(s"rename $tmp -> $target failed")
+    }
+    if (hadPrior) fs.delete(old, true)
   }
 
   // -- §2.10(a) snapshot merge ----------------------------------------------
@@ -175,7 +188,11 @@ object Pipelines {
       .withColumn("repo_urn", jstr(col("data"), "_metadata.links.repo.href"))
     val elements =
       if (faithful)
-        docs.withColumn("__elem", element_at(col("__arr"), -1))
+        // try_element_at: null (then filtered) on an empty traffic array —
+        // plain element_at throws under ANSI mode, crashing the whole job
+        // on one inactive-repo doc like {"views":[]}, violating the
+        // silent-skip corrupt-data policy used at ingest
+        docs.withColumn("__elem", try_element_at(col("__arr"), lit(-1)))
           .where(col("__elem").isNotNull)
       else
         docs.select(col("*"),

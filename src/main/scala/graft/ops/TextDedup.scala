@@ -79,15 +79,15 @@ object TextDedup {
     * near-linear. A size filter (|B| ≥ ⌈t·|A|⌉) prunes further.
     * `maxShingleDf` optionally drops boilerplate shingles entirely
     * (changes the measure to Jaccard over the filtered sets).
-    * `materialize` localCheckpoints the per-doc frame the plan
-    * self-joins: ~2× faster on REPEATED runs (the subtree otherwise
-    * recomputes up to 6×), but the eager materialization costs ~1 s on a
-    * cold single run and its executor-local blocks are not recomputable
-    * after executor loss — so the default is false (pure lineage);
-    * enable it for iterative/interactive use. */
+    * `materialize` persists (MEMORY_AND_DISK, lazy, lineage kept — blocks
+    * recompute after executor loss) the per-doc frame the plan self-joins,
+    * so the shingle subtree computes once instead of up to 6×. Unlike an
+    * eager localCheckpoint there is no up-front cost and no
+    * fault-tolerance loss, so the default is on; blocks are evicted LRU
+    * when executors need the memory. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxShingleDf: Option[Long] = None,
-      materialize: Boolean = false): DataFrame = {
+      materialize: Boolean = true): DataFrame = {
     val rows = filteredShingleRows(df, idCol, textCol, n, maxShingleDf)
     val dfreq = rows.groupBy("__sh").agg(count(lit(1)).as("__df"))
     // one per-doc frame carrying the df-ordered shingle array: prefix,
@@ -100,7 +100,10 @@ object TextDedup {
       .select(col("__id"),
         transform(col("__arr"), e => e("__sh")).as("__shs"),
         size(col("__arr")).as("__n"))
-    val docs = if (materialize) docsPlan.localCheckpoint() else docsPlan
+    val docs =
+      if (materialize)
+        docsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docsPlan
     // prefix rows carry their doc's full shingle array: the candidate join
     // then verifies in place (one first() aggregation dedups candidate
     // pairs AND delivers the sets — no separate distinct + two lookup
@@ -187,6 +190,8 @@ object TextDedup {
     * 1 − (1 − s^r)^b — the standard S-curve. The join is on (band index,
     * band key): pure shuffle-hash, no cross join, scales out. */
   def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands/rowsPerBand must be >= 1, got $bands/$rowsPerBand")
     val banded = signatures.select(
       col("__id") +:
         (0 until bands).map { bi =>
@@ -211,13 +216,20 @@ object TextDedup {
     * when candidates are few, shuffle otherwise; Catalyst/AQE decides. */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.8, materialize: Boolean = false): DataFrame = {
-    // one materialized shingle-array frame feeds BOTH the signature
-    // explode and the two verification joins (same trade-off as
+      threshold: Double = 0.8, materialize: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands): " +
+        "integer division would silently drop the trailing signature " +
+        "columns and change the LSH S-curve from 1-(1-s^r)^b")
+    // one persisted shingle-array frame feeds BOTH the signature explode
+    // and the two verification joins (same lazy MEMORY_AND_DISK persist as
     // jaccardPairs' `materialize` — see its scaladoc)
     val setsPlan = df.select(col(idCol).as("__id"),
       shingles(col(textCol), n).as("__shs"))
-    val sets = if (materialize) setsPlan.localCheckpoint() else setsPlan
+    val sets =
+      if (materialize)
+        setsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else setsPlan
     val rows = sets.select(col("__id"), explode(col("__shs")).as("__sh"))
     val x = pmod(hash60(col("__sh")), lit(MinhashPrime))
     val mins = permutations(numHashes).zipWithIndex.map { case ((a, b), i) =>
@@ -261,11 +273,16 @@ object TextDedup {
   /** SimHash near-dup pairs: fingerprints within `maxHamming` bits. The
     * pair source is a block join on the top `blockBits` bits (near-dups
     * agree on most bits, so blocking on a prefix keeps recall high while
-    * avoiding N²); hamming via xor + bit_count. */
+    * avoiding N²); hamming via xor + bit_count. `bits` must match the
+    * fingerprint width used in [[simhash]] — blocking shifts by
+    * `bits - blockBits`, so a mismatched width would silently collapse
+    * the blocks into one bucket (quadratic join). */
   def simhashPairs(fingerprints: DataFrame, maxHamming: Int,
-      blockBits: Int = 8): DataFrame = {
+      blockBits: Int = 8, bits: Int = 32): DataFrame = {
+    require(blockBits > 0 && blockBits <= bits,
+      s"blockBits must be in (0, $bits], got $blockBits")
     val blocked = fingerprints.withColumn("__blk",
-      shiftright(col("simhash"), 32 - blockBits))
+      shiftright(col("simhash"), bits - blockBits))
     val a = blocked.select(col("__id").as("doc_a"), col("simhash").as("__fa"), col("__blk"))
     val b = blocked.select(col("__id").as("doc_b"), col("simhash").as("__fb"), col("__blk"))
     a.join(b, Seq("__blk"))

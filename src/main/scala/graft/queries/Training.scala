@@ -196,7 +196,8 @@ object Training {
     "q18_ngram_jaccard" ->
       s"""WITH $shingleCtes,
          |p AS (SELECT x.doc_id doc_a, y.doc_id doc_b, $jacExpr jac
-         |      FROM s x JOIN s y ON x.doc_id < y.doc_id)
+         |      FROM s x JOIN s y ON x.doc_id < y.doc_id
+         |      WHERE len(x.shs) > 0 AND len(y.shs) > 0)
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.8""".stripMargin,
     "q19_minhash_lsh" -> {
       val perms = TextDedup.permutations(16)
@@ -328,15 +329,19 @@ object Training {
          |  FROM q) WHERE rn <= 10""".stripMargin
     },
     "q29_seq_packing" ->
+      // the ::BIGINT on the window sum is load-bearing: DuckDB's windowed
+      // sum(BIGINT) yields HUGEINT, which arrives driver-side as float64
+      // (0.0 vs Spark's 0) and breaks the value hash even though the
+      // numbers are equal
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
         |             len(string_split(text, ' ')) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, shard,
         |        coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
         |      FROM t)
         |SELECT doc_id, shard, cum_before,
         |  CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
-        |  cum_before % 2048 AS "offset"
+        |  (cum_before % 2048)::BIGINT AS "offset"
         |FROM c""".stripMargin
   )
 }

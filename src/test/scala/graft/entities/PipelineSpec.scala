@@ -148,6 +148,19 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/curated/repo_clones").count() == 2)
   }
 
+  test("traffic faithful mode silently skips a doc with an empty array") {
+    import spark.implicits._
+    // inactive repos crawl as {"clones":[]} — under ANSI mode a plain
+    // element_at(arr, -1) would throw and kill the whole daily run
+    val day = Staging.stage(Seq(
+      Fixtures.clonesDoc("urn:repo:9:clones:20170301", "urn:repo:9",
+        "2017-03-01T04:00:00Z", Seq.empty)
+    ).toDF("data"), "2017-03-01")
+    val dir = scratch("graft-traffic-empty")
+    val out = Pipelines.runTraffic(spark, day, dir, Specs.clones)
+    assert(out.count() == 0)
+  }
+
   test("referrers (unordered rank) produce deterministic rows") {
     ran
     val refs = t("repo_referrers").orderBy("referrer").collect()
