@@ -10,6 +10,14 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle/spill scratch on tmpfs: the build VM's virtio disk
+      // intermittently stalls writes for seconds at a time, which shows up
+      // as multi-x wall-clock noise on shuffle-heavy queries; shuffle data
+      // at bench scale is tiny, so RAM-backed scratch removes the stall
+      // without memory risk (a real cluster would use local NVMe here)
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-scratch"
+        else System.getProperty("java.io.tmpdir"))
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
       // type for; read as Long (epoch nanos) — oracle side uses epoch_ns().

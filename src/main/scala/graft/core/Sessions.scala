@@ -18,6 +18,12 @@ object Sessions {
       .appName("graft")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // shuffle/spill scratch on tmpfs when available: the build VM's
+      // virtio disk intermittently stalls writes, multiplying wall-clock
+      // on shuffle-heavy stages (a real cluster uses local NVMe here)
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-scratch"
+        else System.getProperty("java.io.tmpdir"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -53,6 +53,13 @@ object TextDedup {
   def shingles(text: Column, n: Int): Column =
     graft.functions.NGramShingles.shingles(split(text, " "), n)
 
+  /** 60-bit md5-prefix hashes of the distinct shingles, hashed inside the
+    * same native single pass ([[graft.functions.NGramShingles]]) — the
+    * composable `transform(..., s => hash60(s))` spelling runs interpreted
+    * (HOF lambdas are outside whole-stage codegen) and was ~10× slower. */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.NGramShingles.shingleHashes(split(text, " "), n)
+
   /** Exact dedup by content hash: one row per distinct content with the
     * surviving (minimum) id and the duplicate count. Single shuffle on the
     * md5 key — the canonical first pass of any dedup cascade. */
@@ -64,6 +71,19 @@ object TextDedup {
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("__id"),
         explode(shingles(col(textCol), n)).as("__sh"))
+
+  /** One row per (id, 60-bit shingle hash). Similarity plans join, sort,
+    * cache, and intersect HASHES, not shingle strings: 8-byte fixed-width
+    * keys instead of ~30-byte UTF8 move proportionally fewer bytes through
+    * every exchange and compare with single instructions. Jaccard over the
+    * hash sets equals Jaccard over the string sets absent 60-bit
+    * collisions (~N²·2^-60 — negligible at any realistic corpus);
+    * [[jaccardPairsNaive]] keeps the string path as the differential
+    * witness. */
+  def hashedShingleRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+      explode(shingleHashes(col(textCol), n)).as("__sh"))
 
   /** Exact n-gram Jaccard similarity pairs at or above `threshold`, via
     * prefix filtering (the AllPairs/PPJoin family): order every document's
@@ -88,7 +108,7 @@ object TextDedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxShingleDf: Option[Long] = None,
       materialize: Boolean = true): DataFrame = {
-    val rows = filteredShingleRows(df, idCol, textCol, n, maxShingleDf)
+    val rows = filteredRows(hashedShingleRows(df, idCol, textCol, n), maxShingleDf)
     val dfreq = rows.groupBy("__sh").agg(count(lit(1)).as("__df"))
     // one per-doc frame carrying the df-ordered shingle array: prefix,
     // sizes, and the verification sets all derive from it — three window/
@@ -104,25 +124,38 @@ object TextDedup {
       if (materialize)
         docsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else docsPlan
-    // prefix rows carry their doc's full shingle array: the candidate join
-    // then verifies in place (one first() aggregation dedups candidate
-    // pairs AND delivers the sets — no separate distinct + two lookup
-    // joins, no extra recomputation of the doc frame)
-    val prefix = docs.select(col("__id"), col("__n"), col("__shs"),
+    // prefix rows are SKINNY — (id, size, shingle), no array payload: the
+    // candidate join and the pair dedup move 16-byte pairs, not documents.
+    // Pair dedup is then a plain HashAggregate on two longs; the shingle
+    // arrays join back from the persisted doc frame only for the (few)
+    // surviving candidates. Carrying the arrays through the join instead
+    // would force the dedup into a SortAggregate that sorts every
+    // candidate row with two full shingle arrays attached — measured 2×
+    // slower on the bench corpus and strictly worse at scale.
+    val prefix = docs.select(col("__id"), col("__n"),
       explode(slice(col("__shs"), lit(1),
         (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")))
         .as("__sh"))
     val a = prefix.select(col("__id").as("doc_a"), col("__sh"),
-      col("__n").as("__na"), col("__shs").as("__sa"))
+      col("__n").as("__na"))
     val b = prefix.select(col("__id").as("doc_b"), col("__sh"),
-      col("__n").as("__nb"), col("__shs").as("__sb"))
-    a.join(b, Seq("__sh"))
+      col("__n").as("__nb"))
+    val cands = a.join(b, Seq("__sh"))
       .where(col("doc_a") < col("doc_b") &&
         col("__nb") >= ceil(lit(threshold) * col("__na")) &&
         col("__na") >= ceil(lit(threshold) * col("__nb")))
-      .groupBy("doc_a", "doc_b")
-      .agg(first(col("__sa")).as("__sa"), first(col("__sb")).as("__sb"),
-        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
+      .select("doc_a", "doc_b").distinct()
+    // lookup joins broadcast the SMALL side (surviving pairs), streaming
+    // the persisted doc frame — never the reverse: broadcasting the array
+    // frame would collect every document's shingles to the driver
+    val withA = docs
+      .select(col("__id").as("doc_a"), col("__shs").as("__sa"),
+        col("__n").as("__na"))
+      .join(broadcast(cands), Seq("doc_a"))
+    docs
+      .select(col("__id").as("doc_b"), col("__shs").as("__sb"),
+        col("__n").as("__nb"))
+      .join(broadcast(withA), Seq("doc_b"))
       .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
       .withColumn("jaccard", col("__inter").cast("double") /
         (col("__na") + col("__nb") - col("__inter")))
@@ -136,7 +169,7 @@ object TextDedup {
   private[ops] def jaccardPairsNaive(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
       maxShingleDf: Option[Long] = None): DataFrame = {
-    val rows = filteredShingleRows(df, idCol, textCol, n, maxShingleDf)
+    val rows = filteredRows(shingleRows(df, idCol, textCol, n), maxShingleDf)
     val cands = rows.select(col("__id").as("doc_a"), col("__sh"))
       .join(rows.select(col("__id").as("doc_b"), col("__sh")), Seq("__sh"))
       .where(col("doc_a") < col("doc_b"))
@@ -144,9 +177,7 @@ object TextDedup {
     verifyJaccard(cands, rows, threshold)
   }
 
-  private def filteredShingleRows(df: DataFrame, idCol: String,
-      textCol: String, n: Int, maxShingleDf: Option[Long]): DataFrame = {
-    val rows = shingleRows(df, idCol, textCol, n)
+  private def filteredRows(rows: DataFrame, maxShingleDf: Option[Long]): DataFrame = {
     maxShingleDf match {
       case Some(maxDf) =>
         val hot = rows.groupBy("__sh").agg(count(lit(1)).as("__df"))
@@ -221,25 +252,31 @@ object TextDedup {
       s"numHashes ($numHashes) must be divisible by bands ($bands): " +
         "integer division would silently drop the trailing signature " +
         "columns and change the LSH S-curve from 1-(1-s^r)^b")
-    // one persisted shingle-array frame feeds BOTH the signature explode
-    // and the two verification joins (same lazy MEMORY_AND_DISK persist as
+    // one persisted HASHED-shingle-array frame (8-byte elements — see
+    // [[hashedShingleRows]]) feeds BOTH the signature explode and the two
+    // verification joins (same lazy MEMORY_AND_DISK persist as
     // jaccardPairs' `materialize` — see its scaladoc)
     val setsPlan = df.select(col(idCol).as("__id"),
-      shingles(col(textCol), n).as("__shs"))
+      shingleHashes(col(textCol), n).as("__shs"))
     val sets =
       if (materialize)
         setsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else setsPlan
     val rows = sets.select(col("__id"), explode(col("__shs")).as("__sh"))
-    val x = pmod(hash60(col("__sh")), lit(MinhashPrime))
+    val x = pmod(col("__sh"), lit(MinhashPrime))
     val mins = permutations(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * x + lit(b), lit(MinhashPrime))).as(s"m$i")
     }
     val sigs = rows.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
     val cands = lshCandidates(sigs, bands, numHashes / bands)
-    cands
-      .join(sets.select(col("__id").as("doc_a"), col("__shs").as("__sa")), Seq("doc_a"))
-      .join(sets.select(col("__id").as("doc_b"), col("__shs").as("__sb")), Seq("doc_b"))
+    // broadcast the SMALL side (candidate pairs), stream the persisted doc
+    // frame — never broadcast the array frame itself (see jaccardPairs)
+    val withA = sets
+      .select(col("__id").as("doc_a"), col("__shs").as("__sa"))
+      .join(broadcast(cands), Seq("doc_a"))
+    sets
+      .select(col("__id").as("doc_b"), col("__shs").as("__sb"))
+      .join(broadcast(withA), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
           size(array_union(col("__sa"), col("__sb"))))

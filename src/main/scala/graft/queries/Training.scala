@@ -144,12 +144,23 @@ object Training {
   // and term order match the Spark expressions exactly.
   // --------------------------------------------------------------------
 
-  /** Word-3-gram shingle CTEs shared by q18/q19/q25. */
+  /** Word-3-gram shingle CTEs (string form, used by q25). */
   private val shingleCtes =
     """w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
       |s AS (SELECT doc_id,
       |        list_distinct([ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2]
       |                       for g in generate_series(1, len(ws)-2)]) shs
+      |      FROM w)""".stripMargin
+
+  /** 60-bit-hashed shingle CTEs (used by q18/q19 — the Spark side joins
+    * and intersects hashes, not strings; see TextDedup.hashedShingleRows). */
+  private val hashedShingleCtes =
+    """w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_transform(
+      |          list_distinct([ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2]
+      |                         for g in generate_series(1, len(ws)-2)]),
+      |          g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) shs
       |      FROM w)""".stripMargin
 
   private val jacExpr =
@@ -194,7 +205,7 @@ object Training {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "q18_ngram_jaccard" ->
-      s"""WITH $shingleCtes,
+      s"""WITH $hashedShingleCtes,
          |p AS (SELECT x.doc_id doc_a, y.doc_id doc_b, $jacExpr jac
          |      FROM s x JOIN s y ON x.doc_id < y.doc_id
          |      WHERE len(x.shs) > 0 AND len(y.shs) > 0)
@@ -207,9 +218,9 @@ object Training {
       val bandEq = (0 until 4).map { bi =>
         (0 until 4).map(r => s"a.m${bi * 4 + r} = b.m${bi * 4 + r}").mkString("(", " AND ", ")")
       }.mkString(" OR ")
-      s"""WITH $shingleCtes,
+      s"""WITH $hashedShingleCtes,
          |e AS (SELECT doc_id, unnest(shs) sh FROM s),
-         |hx AS (SELECT doc_id, ${h60("sh")} % $P x FROM e),
+         |hx AS (SELECT doc_id, sh % $P x FROM e),
          |sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
          |cand AS (SELECT a.doc_id doc_a, b.doc_id doc_b FROM sig a JOIN sig b
          |         ON a.doc_id < b.doc_id AND ($bandEq)),

@@ -95,6 +95,20 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("native shingleHashes ≡ hash60 over string shingles (differential)") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val viaStrings = corpus
+      .select(col("doc_id"), explode(TextDedup.shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), TextDedup.hash60(col("sh")).as("h"))
+    val native = corpus
+      .select(col("doc_id"), explode(TextDedup.shingleHashes(col("text"), 3)).as("h"))
+    def s(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (a, b) = (s(viaStrings), s(native))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("hash60 is stable across sessions (md5-derived, engine-independent)") {
     val h = Seq("hello").toDF("s")
       .select(TextDedup.hash60(col("s"))).head().getLong(0)
