@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming query surface with DuckDB oracles: the streaming
+  * plans run to completion (`Trigger.AvailableNow`) over the driver's
+  * `events` table, land in a memory sink, and the finished result is
+  * compared against SQL replaying the same watermark-emission rule — so
+  * the streaming path gets the same hash-match correctness gate as the
+  * batch operators, not just spec coverage.
+  *
+  * The reference corpus has no streams (SURVEY.md §2.12); this is the
+  * engine-surface extension that feeds the same merge semantics from a
+  * stream. Scale shape: the file source lists incrementally, the windowed
+  * aggregate keeps one row of state per (window, key) bounded by the
+  * watermark, and the sink is append-only — nothing here is local-mode
+  * specific.
+  */
+object StreamingQueries {
+
+  /** Six-hour tumbling-window event counts per type, append mode with a
+    * zero-delay watermark, run to completion over the events table.
+    *
+    * Append emission rule this replays (and the oracle encodes): a window
+    * is emitted once the watermark — max event time seen at the end of
+    * the PREVIOUS micro-batch, minus the delay — passes its end; with
+    * `AvailableNow` the engine runs a final no-data batch after the last
+    * file, so every window whose end <= max(ts) flushes, and the
+    * still-open tail window (containing max(ts)) stays in state,
+    * unemitted. Window starts/ends are epoch-aligned (Spark `window()`
+    * and DuckDB `time_bucket` agree for midnight-phase intervals) and
+    * formatted as strings to sidestep the parquet ns-vs-µs divergence. */
+  def q37StreamWindow(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // ts arrives as epoch NANOS (long) under nanosAsLong; integer DIV
+    // truncates to micros exactly like DuckDB's ns->us read does
+    // file streaming sources list a DIRECTORY; the glob pins the one table
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val counts = Streams.windowedCounts(events, "event_ts", "event_type",
+      windowDur = "6 hours", slideDur = "6 hours", watermarkDelay = "0 seconds")
+    val sink = s"q37_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = counts.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-$sink")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).select(
+      date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+      date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+      col("event_type"),
+      col("n_events"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_stream_window" -> q37StreamWindow
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q37_stream_window" ->
+      """WITH b AS (SELECT time_bucket(INTERVAL '6 hours', ts) ws, event_type,
+        |             count(*) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(ts) mx FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(ws + INTERVAL '6 hours', '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  event_type, n_events
+        |FROM b, m WHERE ws + INTERVAL '6 hours' <= mx""".stripMargin
+  )
+}
