@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.entities.{Fixtures, Pipelines, Specs}
+import graft.ingest.Staging
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read ≡ full-rewrite equivalence: the O(delta)-per-day path
+  * must be row-identical to the faithful TRUNCATE+INSERT executor at
+  * every point, before and after compaction. */
+class MergeOnReadSpec extends SparkSpec {
+
+  private val order = Seq(
+    Merges.effectiveTs(col("deleted_at"), col("processed_at")).desc,
+    col("etl_ingest_date").desc)
+
+  private def rows(df: DataFrame): Set[String] =
+    df.orderBy("etl_source_id").collect()
+      .map(_.mkString("|")).toSet
+
+  private def freshFor(staging: String, date: String): DataFrame = {
+    val day = Staging.readStaging(spark, staging, date)
+    Pipelines.project(day.where(Specs.commit.entityPred(col("entity_name"))),
+      Specs.commit.fields)
+  }
+
+  test("merge-on-read view ≡ full-rewrite snapshot across two days, compaction invariant") {
+    val dir = scratch("graft-mor")
+    Fixtures.writeStandardFixture(s"$dir/raw/v1")
+    for (d <- Seq(Fixtures.day1, Fixtures.day2))
+      Staging.stageDay(spark, s"$dir/raw/v1", s"$dir/staging", d)
+
+    val f1 = freshFor(s"$dir/staging", "2017-03-01")
+    val f2 = freshFor(s"$dir/staging", "2017-03-02")
+
+    // full-rewrite executor (the reference-faithful path)
+    val day1 = Staging.readStaging(spark, s"$dir/staging", "2017-03-01")
+    val day2 = Staging.readStaging(spark, s"$dir/staging", "2017-03-02")
+    Pipelines.runSnapshot(spark, day1, s"$dir/curated", Specs.commit)
+    val fullDay1 = rows(spark.read.parquet(s"$dir/curated/commit"))
+    Pipelines.runSnapshot(spark, day2, s"$dir/curated", Specs.commit)
+    val fullDay2 = rows(spark.read.parquet(s"$dir/curated/commit"))
+
+    // merge-on-read path: append deltas only
+    MergeOnRead.appendDelta(f1, s"$dir/mor", "commit")
+    val morDay1 = rows(MergeOnRead.readSnapshot(spark, s"$dir/mor", "commit",
+      f1, Seq("etl_source_id"), order))
+    assert(morDay1 == fullDay1)
+
+    MergeOnRead.appendDelta(f2, s"$dir/mor", "commit")
+    val morDay2 = rows(MergeOnRead.readSnapshot(spark, s"$dir/mor", "commit",
+      f2, Seq("etl_source_id"), order))
+    assert(morDay2 == fullDay2)
+    assert(MergeOnRead.pendingDeltaDays(spark, s"$dir/mor", "commit")
+      == Seq("2017-03-01", "2017-03-02"))
+
+    // compaction folds deltas into base without changing the view
+    MergeOnRead.compact(spark, s"$dir/mor", "commit", f2,
+      Seq("etl_source_id"), order)
+    assert(MergeOnRead.pendingDeltaDays(spark, s"$dir/mor", "commit").isEmpty)
+    val afterCompact = rows(MergeOnRead.readSnapshot(spark, s"$dir/mor", "commit",
+      f2, Seq("etl_source_id"), order))
+    assert(afterCompact == fullDay2)
+  }
+
+  test("re-appending the same day replaces its delta partition (idempotent)") {
+    val dir = scratch("graft-mor-idem")
+    Fixtures.writeStandardFixture(s"$dir/raw/v1")
+    Staging.stageDay(spark, s"$dir/raw/v1", s"$dir/staging", Fixtures.day1)
+    val f1 = freshFor(s"$dir/staging", "2017-03-01")
+    MergeOnRead.appendDelta(f1, s"$dir/mor", "commit")
+    val once = rows(MergeOnRead.readSnapshot(spark, s"$dir/mor", "commit",
+      f1, Seq("etl_source_id"), order))
+    MergeOnRead.appendDelta(f1, s"$dir/mor", "commit")
+    val twice = rows(MergeOnRead.readSnapshot(spark, s"$dir/mor", "commit",
+      f1, Seq("etl_source_id"), order))
+    assert(once == twice)
+    assert(spark.read.parquet(s"$dir/mor/commit/delta").count() == f1.count())
+  }
+}
