@@ -95,6 +95,43 @@ object TextAnalysis {
         slice(sort_array(collect_set(col("__h"))), 1, k).cast("array<string>"),
         ",").as("fingerprint"))
 
+  /** Duplicate word-n-gram fraction: 1 − distinct/total n-grams — the
+    * within-document repetition signal the standard quality-rule sets
+    * threshold on (heavily repeated boilerplate scores high). Pure
+    * projection over the native shingle pass: total n-grams = tokens−n+1,
+    * distinct from [[TextDedup.shingles]]; docs shorter than n words
+    * score 0. */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    val total = size(words(text)) - (n - 1)
+    val distinctN = size(TextDedup.shingles(text, n))
+    round(when(total > 0,
+      lit(1.0) - distinctN.cast("double") / total.cast("double"))
+      .otherwise(lit(0.0)), 6)
+  }
+
+  /** Benchmark-contamination scan: the fraction of each corpus document's
+    * distinct word-n-gram shingles that also occur anywhere in `evalSet` —
+    * the decontamination primitive (drop or flag training docs that leak
+    * eval data). The eval shingle set is orders of magnitude smaller than
+    * the corpus, so the membership probe is a broadcast left-semi join and
+    * the whole scan is one pass + one per-doc aggregation; hashed 60-bit
+    * shingles keep the probe key 8 bytes. Docs with fewer than `n` words
+    * have no shingles and are absent from the output (nothing to test). */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val rows = TextDedup.hashedShingleRows(corpus, idCol, textCol, n)
+    val evalShingles = TextDedup.hashedShingleRows(evalSet, idCol, textCol, n)
+      .select("__sh").distinct()
+    rows
+      .join(broadcast(evalShingles).withColumn("__hit", lit(1)),
+        Seq("__sh"), "left_outer")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+  }
+
   /** The full per-document analysis projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

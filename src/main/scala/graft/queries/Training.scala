@@ -139,6 +139,25 @@ object Training {
       quota = 10)
       .select(col("doc_id"), col("source"), col("quality"))
 
+  /** Benchmark-contamination scan: fraction of each corpus doc's 3-gram
+    * shingles leaking from the eval slice (doc_id < 20 as the
+    * deterministic stand-in eval set); eval shingles broadcast. */
+  def q38Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextAnalysis.contamination(
+      d.where(col("doc_id") >= 20), d.where(col("doc_id") < 20),
+      "doc_id", "text")
+      .select(col("__id").as("doc_id"), col("n_shingles"),
+        col("n_contaminated"), col("contamination"))
+  }
+
+  /** Within-document repetition: duplicate word-bigram fraction (the
+    * Gopher-style quality rule). */
+  def q39Repetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.repetitionRatio(col("text"), 2).as("repetition"))
+
   // --------------------------------------------------------------------
   // DuckDB oracles. Shared SQL fragments are generated so the constants
   // and term order match the Spark expressions exactly.
@@ -197,7 +216,9 @@ object Training {
     "q29_seq_packing" -> q29SeqPacking,
     "q30_embed_dups" -> q30EmbedDups,
     "q31_sample_stratified" -> q31SampleStratified,
-    "q32_quota_per_source" -> q32QuotaPerSource
+    "q32_quota_per_source" -> q32QuotaPerSource,
+    "q38_contamination" -> q38Contamination,
+    "q39_repetition" -> q39Repetition
   )
 
   val oracles: Map[String, String] = Map(
@@ -339,6 +360,26 @@ object Training {
          |    PARTITION BY source ORDER BY quality DESC, n_chars DESC, doc_id) rn
          |  FROM q) WHERE rn <= 10""".stripMargin
     },
+    "q38_contamination" ->
+      s"""WITH $hashedShingleCtes,
+         |ev AS (SELECT DISTINCT unnest(shs) sh FROM s WHERE doc_id < 20),
+         |c AS (SELECT doc_id, unnest(shs) sh FROM s WHERE doc_id >= 20),
+         |t AS (SELECT doc_id, count(*)::BIGINT n_shingles,
+         |        (count(*) FILTER (WHERE sh IN (SELECT sh FROM ev)))::BIGINT n_contaminated
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_shingles, n_contaminated,
+         |  round(n_contaminated::DOUBLE / n_shingles, 6) AS contamination
+         |FROM t""".stripMargin,
+    "q39_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |r AS (SELECT doc_id, len(ws) - 1 AS total,
+        |        len(list_distinct([ws[g] || ' ' || ws[g+1]
+        |                           for g in generate_series(1, len(ws)-1)])) AS dist
+        |      FROM w)
+        |SELECT doc_id,
+        |  round(CASE WHEN total > 0 THEN 1.0::DOUBLE - dist::DOUBLE / total
+        |             ELSE 0.0 END, 6) AS repetition
+        |FROM r""".stripMargin,
     "q29_seq_packing" ->
       // the ::BIGINT on the window sum is load-bearing: DuckDB's windowed
       // sum(BIGINT) yields HUGEINT, which arrives driver-side as float64

@@ -54,6 +54,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L).split(",").length == 8)
   }
 
+  test("repetitionRatio: duplicate-bigram fraction, 0 below n words") {
+    val out = Seq(
+      (1L, "a b a b a b"),   // bigrams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "a b c d"),       // all distinct → 0
+      (3L, "word")           // shorter than n → 0
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.repetitionRatio(col("text"), 2).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.6) // 1 - 2/5
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 0.0)
+  }
+
+  test("contamination: fraction of shingles present in the eval set") {
+    val evalSet = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox runs"), // shingles: tqb qbf bfr — 2 of 3 in eval
+      (2L, "totally unrelated text here") // 0 of 2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(corpus, evalSet, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 2L, 0.666667)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+  }
+
   test("analyze attaches the full projection") {
     val cols = TextAnalysis.analyze(Seq((1L, "the a b")).toDF("id", "text"), "text").columns
     assert(Seq("pred_lang", "lang_score", "n_tokens", "n_bpe_tokens",
