@@ -57,6 +57,31 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"))
   }
 
+  test("similarity join: one cached doc frame, pair dedup is a hash agg on bare ids") {
+    val p = plan("q18_ngram_jaccard")
+    // the shingle subtree computes once (persisted), not per self-join arm
+    assert(p.contains("InMemoryTableScan"), s"doc frame not cached:\n$p")
+    // candidate-pair dedup must aggregate bare (doc_a, doc_b) — a
+    // SortAggregate here means full shingle arrays are riding the dedup
+    val agg = p.split("\n").filter(l =>
+      l.contains("Aggregate") && l.contains("doc_a") && l.contains("doc_b"))
+    assert(agg.nonEmpty && agg.forall(l => !l.contains("SortAggregate")),
+      s"pair dedup sorts array payloads:\n${agg.mkString("\n")}")
+    // joins key on the 60-bit hash (long), not shingle strings
+    assert(p.contains("ngram_shingle_hashes"), s"string shingles in join:\n$p")
+  }
+
+  test("contamination probe broadcasts the eval shingle set") {
+    val p = plan("q38_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"eval probe not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("repetition ratio is a pure projection — no exchange at all") {
+    val p = plan("q39_repetition")
+    assert(!p.contains("Exchange"), s"repetition ratio shuffles:\n$p")
+  }
+
   test("cosine top-k broadcasts the corpus; window exchange is skinny") {
     val p = plan("q21_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
