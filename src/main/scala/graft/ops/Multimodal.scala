@@ -124,6 +124,38 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize images/video frames to fit a `maxW`×`maxH` box preserving
+    * aspect ratio (never upscaling) — same per-partition batch shape as
+    * [[decode]]. The pixel transcode is the stub (payload passes through);
+    * the geometry, null/corrupt skip, and batch plumbing are real. Output
+    * adds `out_width`/`out_height` and `resized` (binary). */
+  def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0)
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("out_width", IntegerType, nullable = true),
+      StructField("out_height", IntegerType, nullable = true),
+      StructField("resized", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      // real codec: init scaler HERE, once per partition
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val d = StubCodec.decode(r.getString(kindIdx), payload)
+        if (!d.ok || d.width <= 0 || d.height <= 0)
+          Row.fromSeq(r.toSeq ++ Seq(null, null, null)) // silent corrupt skip
+        else {
+          val scale = math.min(1.0,
+            math.min(maxW.toDouble / d.width, maxH.toDouble / d.height))
+          val (w, h) = (math.max(1, (d.width * scale).toInt),
+            math.max(1, (d.height * scale).toInt))
+          Row.fromSeq(r.toSeq ++ Seq(w, h, payload)) // stub transcode
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling: every `stride`-th chunk of the payload as one frame
     * row (stub chunking stands in for keyframe extraction). posexplode
     * keeps it a narrow generator — no shuffle. */

@@ -40,6 +40,28 @@ class MultimodalSpec extends SparkSpec {
     assert(vecs.forall(v => math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-3))
   }
 
+  test("resize fits the box preserving aspect, never upscales, skips corrupt") {
+    import spark.implicits._
+    val out = Multimodal.resize(media, 64, 64)
+      .select("media_id", "kind", "out_width", "out_height").collect()
+    val decoded = Multimodal.decode(media)
+      .select("media_id", "decoded.width", "decoded.height")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    out.filter(_.getString(1) != "audio").foreach { r =>
+      val (w0, h0) = decoded(r.getLong(0))
+      val (w, h) = (r.getInt(2), r.getInt(3))
+      assert(w <= 64 && h <= 64)
+      assert(w <= w0 && h <= h0) // never upscale
+      val scale = math.min(1.0, math.min(64.0 / w0, 64.0 / h0))
+      assert(w == math.max(1, (w0 * scale).toInt))
+      assert(h == math.max(1, (h0 * scale).toInt))
+    }
+    val corrupt = Seq((99L, "image", null: Array[Byte], "u"))
+      .toDF("media_id", "kind", "payload", "source_url")
+    val c = Multimodal.resize(corrupt, 64, 64).select("out_width").head()
+    assert(c.isNullAt(0)) // silent skip, no exception
+  }
+
   test("sampleFrames explodes video payload chunks with indices") {
     val frames = Multimodal.sampleFrames(media, stride = 2, frameBytes = 256)
     val byId = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
