@@ -39,6 +39,24 @@ object Ann {
     df.select(col(idCol).as("__vid"), col(vecCol).as("__vec"),
       norm(col(vecCol), dim).as("__nrm"))
 
+  /** (vec_id, neighbor_id, cosine) pairs → top-k per vec_id with the
+    * row_number tie order (cosine DESC, neighbor ASC), via the bounded-
+    * heap aggregate ([[graft.functions.TopKByScore]]). Map-side partial
+    * heaps mean the one exchange moves ≤ k·keys·tasks pre-combined
+    * entries instead of the full candidate grid, and nothing sorts — the
+    * window+rank spelling shuffles and sorts every scored pair, which is
+    * the part that would not survive a 100× corpus. */
+  private def topKPerKey(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKByScore.topK(
+        col("cosine"), col("neighbor_id"), k).as("__top"))
+      .select(col("vec_id"),
+        posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("vec_id"), col("__e.id").as("neighbor_id"),
+        col("__e.score").as("cosine"),
+        (col("__i") + 1).cast("int").as("rank"))
+
   /** Exact cosine top-k neighbors for every vector in `queries` against
     * `corpus` (self-pairs excluded). Ties broken by neighbor id — fully
     * deterministic output. */
@@ -46,9 +64,8 @@ object Ann {
       vecCol: String, dim: Int, k: Int): DataFrame = {
     val q = withNorm(queries, idCol, vecCol, dim)
     val c = withNorm(corpus, idCol, vecCol, dim)
-    // project the vectors away BEFORE the top-k window: the only shuffle
-    // in this plan is the window exchange, and it must move 3 scalar
-    // columns, not two 64-float arrays per pair
+    // project the vectors away BEFORE the top-k aggregation: its exchange
+    // moves 3 scalar columns, not two 64-float arrays per pair
     val pairs = q.select(col("__vid").as("vec_id"), col("__vec").as("__qv"),
         col("__nrm").as("__qn"))
       .crossJoin(broadcast(c.select(col("__vid").as("neighbor_id"),
@@ -57,10 +74,7 @@ object Ann {
       .select(col("vec_id"), col("neighbor_id"),
         (dot(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
           .as("cosine"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topKPerKey(pairs, k)
   }
 
   /** Assign each vector to its nearest centroid by cosine (broadcast join
@@ -98,11 +112,8 @@ object Ann {
       .where(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
         (dot(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
-          .as("cosine")) // skinny rows into the window shuffle (see cosineTopK)
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+          .as("cosine")) // skinny rows into the top-k exchange (see cosineTopK)
+    topKPerKey(pairs, k)
   }
 
   /** Embedding-level near-duplicate pairs: cosine ≥ `threshold`, blocked

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FloatVecDot, NGramShingles}
+import graft.functions.{FloatVecDot, NGramShingles, TopKByScore}
 import org.apache.spark.sql.{GraftSqlShim, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -48,6 +48,20 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         require(es.length == 2, "ngram_shingles(words, n) takes two args")
         NGramShingles(es.head, intArg(es(1), "ngram_shingles n"))
+      }),
+    ("ngram_shingle_hashes",
+      new ExpressionInfo(classOf[NGramShingles].getName, "ngram_shingle_hashes"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "ngram_shingle_hashes(words, n) takes two args")
+        NGramShingles(es.head, intArg(es(1), "ngram_shingle_hashes n"),
+          hashed = true)
+      }),
+    ("topk_by_score",
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3,
+          "topk_by_score(score, id, k) takes three args")
+        TopKByScore(es.head, es(1), intArg(es(2), "topk_by_score k"))
       })
   )
 
