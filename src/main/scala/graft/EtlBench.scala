@@ -90,13 +90,19 @@ object EtlBench {
     val tProc1 = timed(graft.jobs.ProcessDaily.run(spark, staging, curated, d1.toString))
     val tStage2 = timed(graft.ingest.Staging.stageDay(spark, raw, staging, d2))
     val tProc2 = timed(graft.jobs.ProcessDaily.run(spark, staging, curated, d2.toString))
+    // merge-on-read daily cost over the same staged days: the append-only
+    // path whose advantage GROWS with table size (here tables are small,
+    // so this is the floor of the win, not its ceiling)
+    val tMor1 = timed(graft.jobs.ProcessDaily.runMor(spark, staging, s"$root/mor", d1.toString))
+    val tMor2 = timed(graft.jobs.ProcessDaily.runMor(spark, staging, s"$root/mor", d2.toString))
     val total = tStage1 + tProc1 + tStage2 + tProc2
     val nTables = spark.read.parquet(s"$curated/commit").count() +
       spark.read.parquet(s"$curated/event").count()
     println(f"""{"metric":"etl_docs_per_sec","value":${2.0 * docsPerDay / total}%.0f,""" +
       f""""docs":${2 * docsPerDay},"total_sec":$total%.2f,""" +
       f""""stage_day1":$tStage1%.2f,"process_day1":$tProc1%.2f,""" +
-      f""""stage_day2":$tStage2%.2f,"process_day2":$tProc2%.2f,"sanity_rows":$nTables}""")
+      f""""stage_day2":$tStage2%.2f,"process_day2":$tProc2%.2f,""" +
+      f""""mor_day1":$tMor1%.2f,"mor_day2":$tMor2%.2f,"sanity_rows":$nTables}""")
     spark.stop()
   }
 }

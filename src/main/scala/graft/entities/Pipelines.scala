@@ -43,8 +43,9 @@ object Pipelines {
   }
 
   /** The latest-wins ordering: effective timestamp desc (P6 ternary,
-    * ProcessDaily.usql:139), ingest date as deterministic tiebreak. */
-  private val mergeOrder: Seq[Column] = Seq(
+    * ProcessDaily.usql:139), ingest date as deterministic tiebreak.
+    * Public: the merge-on-read view resolver applies the same order. */
+  val mergeOrder: Seq[Column] = Seq(
     Merges.effectiveTs(col("deleted_at"), col("processed_at")).desc,
     col("etl_ingest_date").desc
   )
@@ -99,9 +100,14 @@ object Pipelines {
     * persisted). `truncate=false` reproduces the CommitParent append quirk:
     * rank-1 rows are appended to the untruncated table
     * (ProcessDaily.usql:409), so duplicates accumulate — faithful mode. */
+  /** One day's typed rows for a snapshot entity (shared by the full
+    * rewrite and merge-on-read paths). */
+  def freshSnapshot(stagedDay: DataFrame, spec: SnapshotSpec): DataFrame =
+    project(stagedDay.where(spec.entityPred(col("entity_name"))), spec.fields)
+
   def runSnapshot(spark: SparkSession, stagedDay: DataFrame, curatedDir: String,
       spec: SnapshotSpec): DataFrame = {
-    val fresh = project(stagedDay.where(spec.entityPred(col("entity_name"))), spec.fields)
+    val fresh = freshSnapshot(stagedDay, spec)
     val prior = readCurated(spark, curatedDir, spec.table, fresh)
     val merged = Merges.snapshotMerge(prior, fresh, Seq("etl_source_id"), mergeOrder)
     val result = if (spec.truncate) merged else prior.unionByName(merged)
@@ -116,8 +122,9 @@ object Pipelines {
     * `from_json` to ARRAY<STRUCT> + `posexplode` replaces the reference's
     * explode→path-split→MAP_AGG machinery (G1+F5+F6+A1) with two codegen'd
     * built-ins and no extra shuffle. */
-  def runArrayChild(spark: SparkSession, stagedDay: DataFrame, curatedDir: String,
-      spec: ArrayChildSpec): DataFrame = {
+  /** One day's exploded child rows for an array entity (shared by the
+    * full rewrite and merge-on-read paths). */
+  def freshArrayChild(stagedDay: DataFrame, spec: ArrayChildSpec): DataFrame = {
     val elemType = StructType.fromDDL(spec.elementSchema)
     val parent = stagedDay.where(spec.entityPred(col("entity_name")))
     val exploded = parent
@@ -126,10 +133,15 @@ object Pipelines {
       .select(
         metaCols(col("ingest_date")) :+
           posexplode(col("__arr")).as(Seq("element_index", "__elem")): _*)
-    val fresh = exploded.select(
+    exploded.select(
       (Seq("etl_ingest_date", "etl_source_id", "fetched_at", "processed_at",
         "deleted_at", "element_index").map(col) ++
         spec.fields.map(f => col(s"__elem.${f.path}").as(f.name))): _*)
+  }
+
+  def runArrayChild(spark: SparkSession, stagedDay: DataFrame, curatedDir: String,
+      spec: ArrayChildSpec): DataFrame = {
+    val fresh = freshArrayChild(stagedDay, spec)
     val prior = readCurated(spark, curatedDir, spec.table, fresh)
     val merged = Merges.snapshotMerge(prior, fresh,
       Seq("etl_source_id", "element_index"), mergeOrder)
@@ -178,8 +190,10 @@ object Pipelines {
     * For Referrers/Paths (`ordered=false`) the reference ranks with NO ORDER
     * BY (:3387,:3479 — nondeterministic); we substitute a deterministic
     * tiebreak and document the divergence. */
-  def runTraffic(spark: SparkSession, stagedDay: DataFrame, curatedDir: String,
-      spec: TrafficSpec, faithful: Boolean = true): DataFrame = {
+  /** One day's pivoted traffic rows (shared by the full rewrite and
+    * merge-on-read paths). */
+  def freshTraffic(stagedDay: DataFrame, spec: TrafficSpec,
+      faithful: Boolean = true): DataFrame = {
     val elemType = StructType.fromDDL(spec.elementSchema)
     val docs = stagedDay
       .where(col("entity_name") === spec.entity)
@@ -197,14 +211,22 @@ object Pipelines {
       else
         docs.select(col("*"),
             posexplode(col("__arr")).as(Seq("__idx", "__elem")))
-    val fresh = elements.select(
+    elements.select(
       metaCols(col("ingest_date")) ++ Seq(col("repo_urn")) ++
         spec.fields.map(f => col(s"__elem.${f.path}").as(f.name)): _*)
+  }
+
+  /** The traffic dedup order (W3/W5): processed_at for ordered entities, a
+    * deterministic value tiebreak where the reference ranks unordered. */
+  def trafficOrder(spec: TrafficSpec): Seq[Column] =
+    if (spec.ordered) Seq(col("processed_at").desc, col("etl_ingest_date").desc)
+    else spec.fields.map(f => col(f.name).desc) :+ col("etl_ingest_date").desc
+
+  def runTraffic(spark: SparkSession, stagedDay: DataFrame, curatedDir: String,
+      spec: TrafficSpec, faithful: Boolean = true): DataFrame = {
+    val fresh = freshTraffic(stagedDay, spec, faithful)
     val prior = readCurated(spark, curatedDir, spec.table, fresh)
-    val order =
-      if (spec.ordered) Seq(col("processed_at").desc, col("etl_ingest_date").desc)
-      else spec.fields.map(f => col(f.name).desc) :+ col("etl_ingest_date").desc
-    val merged = Merges.snapshotMerge(prior, fresh, spec.dedupKeys, order)
+    val merged = Merges.snapshotMerge(prior, fresh, spec.dedupKeys, trafficOrder(spec))
     overwriteCurated(merged, curatedDir, spec.table)
     spark.read.parquet(tablePath(curatedDir, spec.table))
   }

@@ -50,6 +50,58 @@ object ProcessDaily {
     } finally { pool.shutdown(); () }
   }
 
+  /** The daily merge in merge-on-read mode: every latest-wins entity
+    * (snapshots, array children, traffic — 24 of the 33 tables) appends
+    * its day as an O(delta) delta partition instead of rewriting the
+    * table; [[morView]] resolves the identical snapshot at read time, and
+    * `MergeOnRead.compact` amortizes the full rewrite across runs.
+    * Collections keep the rewrite executor (their semantics are wholesale
+    * origin replacement + carry-forward, not latest-wins per key), as
+    * does the dual-grain Repo/RepoLog pair. CommitParent's faithful
+    * append-only quirk (duplicates accumulating run over run,
+    * ProcessDaily.usql:409) is NOT reproduced here — the MOR view gives
+    * the corrected latest-wins semantics for it. */
+  def runMor(spark: SparkSession, stagingDir: String, morDir: String,
+      ingestDate: String, parallelism: Int = 4): Seq[String] = {
+    val day = Staging.readStaging(spark, stagingDir, ingestDate)
+    day.cache()
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val tasks: Seq[(String, () => Unit)] =
+          Specs.snapshots.map(s => s.table -> (() =>
+            graft.ops.MergeOnRead.appendDelta(
+              Pipelines.freshSnapshot(day, s), morDir, s.table))) ++
+          Specs.arrayChildren.map(s => s.table -> (() =>
+            graft.ops.MergeOnRead.appendDelta(
+              Pipelines.freshArrayChild(day, s), morDir, s.table))) ++
+          Specs.traffic.map(s => s.table -> (() =>
+            graft.ops.MergeOnRead.appendDelta(
+              Pipelines.freshTraffic(day, s), morDir, s.table)))
+        val fs = tasks.map { case (name, f) => Future { f(); name } }
+        Await.result(Future.sequence(fs), Duration.Inf)
+      } finally { pool.shutdown(); () }
+    } finally { day.unpersist(); () }
+  }
+
+  /** The merge-on-read snapshot view for a table maintained by [[runMor]]
+    * — row-identical to the full-rewrite executor's parquet table. */
+  def morView(spark: SparkSession, morDir: String, table: String): org.apache.spark.sql.DataFrame = {
+    import graft.ops.MergeOnRead
+    Specs.snapshots.find(_.table == table).map(_ =>
+      MergeOnRead.readSnapshot(spark, morDir, table,
+        Seq("etl_source_id"), Pipelines.mergeOrder))
+      .orElse(Specs.arrayChildren.find(_.table == table).map(_ =>
+        MergeOnRead.readSnapshot(spark, morDir, table,
+          Seq("etl_source_id", "element_index"), Pipelines.mergeOrder)))
+      .orElse(Specs.traffic.find(_.table == table).map(s =>
+        MergeOnRead.readSnapshot(spark, morDir, table,
+          s.dedupKeys, Pipelines.trafficOrder(s))))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not a merge-on-read entity"))
+  }
+
   /** Stage + merge: the two reference procedures chained for one date. */
   def stageAndProcess(spark: SparkSession, rawRoot: String, stagingDir: String,
       curatedDir: String, date: java.time.LocalDate): Seq[String] = {

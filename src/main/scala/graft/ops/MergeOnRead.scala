@@ -45,12 +45,8 @@ object MergeOnRead {
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
 
-  private def readIf(spark: SparkSession, p: String, like: DataFrame): DataFrame =
-    if (exists(spark, p))
-      spark.read.schema(like.schema).parquet(p)
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        like.schema)
+  private def readOpt(spark: SparkSession, p: String): Option[DataFrame] =
+    if (exists(spark, p)) Some(spark.read.parquet(p)) else None
 
   /** Append one day's projected rows as the `ingest_date=day` delta
     * partition. O(delta) write; re-running the day replaces its partition
@@ -72,22 +68,28 @@ object MergeOnRead {
 
   /** The current snapshot view: base ∪ deltas, latest version per key —
     * row-identical to what the full-rewrite executor's table would hold.
-    * `like` supplies the schema on a not-yet-compacted (or empty) table. */
+    * Schema comes from whichever layer exists on disk (base wins); `like`
+    * is the template for a table with no data yet. */
   def readSnapshot(spark: SparkSession, dir: String, table: String,
-      like: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val base = readIf(spark, basePath(dir, table), like)
-    val deltas = readIf(spark, deltaPath(dir, table), like)
-      .drop("ingest_date")
-      .select(like.columns.map(col): _*)
-    Merges.snapshotMerge(base, deltas, keys, order)
+      keys: Seq[String], order: Seq[Column],
+      like: Option[DataFrame] = None): DataFrame = {
+    val base = readOpt(spark, basePath(dir, table))
+    val deltas = readOpt(spark, deltaPath(dir, table)).map(_.drop("ingest_date"))
+    val schema = base.orElse(deltas).map(_.schema).orElse(like.map(_.schema))
+      .getOrElse(throw new IllegalStateException(
+        s"$table has no base, no deltas, and no schema template"))
+    def orEmpty(d: Option[DataFrame]) = d.getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    Merges.snapshotMerge(orEmpty(base), orEmpty(deltas), keys, order)
   }
 
   /** Fold all deltas into a new base and clear them: one full-table
     * rewrite amortized over however many daily runs accumulated. Uses the
     * same tmp+rename swap discipline as the curated overwrite. */
   def compact(spark: SparkSession, dir: String, table: String,
-      like: DataFrame, keys: Seq[String], order: Seq[Column]): Unit = {
-    val snap = readSnapshot(spark, dir, table, like, keys, order)
+      keys: Seq[String], order: Seq[Column]): Unit = {
+    val snap = readSnapshot(spark, dir, table, keys, order)
     val target = new Path(basePath(dir, table))
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stamp = System.nanoTime()

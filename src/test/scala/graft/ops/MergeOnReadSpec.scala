@@ -3,6 +3,7 @@ package graft.ops
 import graft.SparkSpec
 import graft.entities.{Fixtures, Pipelines, Specs}
 import graft.ingest.Staging
+import graft.jobs.ProcessDaily
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -11,19 +12,15 @@ import org.apache.spark.sql.functions._
   * every point, before and after compaction. */
 class MergeOnReadSpec extends SparkSpec {
 
-  private val order = Seq(
-    Merges.effectiveTs(col("deleted_at"), col("processed_at")).desc,
-    col("etl_ingest_date").desc)
+  private val order = Pipelines.mergeOrder
 
   private def rows(df: DataFrame): Set[String] =
     df.orderBy("etl_source_id").collect()
       .map(_.mkString("|")).toSet
 
-  private def freshFor(staging: String, date: String): DataFrame = {
-    val day = Staging.readStaging(spark, staging, date)
-    Pipelines.project(day.where(Specs.commit.entityPred(col("entity_name"))),
-      Specs.commit.fields)
-  }
+  private def freshFor(staging: String, date: String): DataFrame =
+    Pipelines.freshSnapshot(
+      Staging.readStaging(spark, staging, date), Specs.commit)
 
   test("merge-on-read view ≡ full-rewrite snapshot across two days, compaction invariant") {
     val dir = scratch("graft-mor")
@@ -45,22 +42,21 @@ class MergeOnReadSpec extends SparkSpec {
     // merge-on-read path: append deltas only
     MergeOnRead.appendDelta(f1, s"$dir/mor", "commit")
     val morDay1 = rows(MergeOnRead.readSnapshot(spark, s"$dir/mor", "commit",
-      f1, Seq("etl_source_id"), order))
+      Seq("etl_source_id"), order))
     assert(morDay1 == fullDay1)
 
     MergeOnRead.appendDelta(f2, s"$dir/mor", "commit")
     val morDay2 = rows(MergeOnRead.readSnapshot(spark, s"$dir/mor", "commit",
-      f2, Seq("etl_source_id"), order))
+      Seq("etl_source_id"), order))
     assert(morDay2 == fullDay2)
     assert(MergeOnRead.pendingDeltaDays(spark, s"$dir/mor", "commit")
       == Seq("2017-03-01", "2017-03-02"))
 
     // compaction folds deltas into base without changing the view
-    MergeOnRead.compact(spark, s"$dir/mor", "commit", f2,
-      Seq("etl_source_id"), order)
+    MergeOnRead.compact(spark, s"$dir/mor", "commit", Seq("etl_source_id"), order)
     assert(MergeOnRead.pendingDeltaDays(spark, s"$dir/mor", "commit").isEmpty)
     val afterCompact = rows(MergeOnRead.readSnapshot(spark, s"$dir/mor", "commit",
-      f2, Seq("etl_source_id"), order))
+      Seq("etl_source_id"), order))
     assert(afterCompact == fullDay2)
   }
 
@@ -71,11 +67,28 @@ class MergeOnReadSpec extends SparkSpec {
     val f1 = freshFor(s"$dir/staging", "2017-03-01")
     MergeOnRead.appendDelta(f1, s"$dir/mor", "commit")
     val once = rows(MergeOnRead.readSnapshot(spark, s"$dir/mor", "commit",
-      f1, Seq("etl_source_id"), order))
+      Seq("etl_source_id"), order))
     MergeOnRead.appendDelta(f1, s"$dir/mor", "commit")
     val twice = rows(MergeOnRead.readSnapshot(spark, s"$dir/mor", "commit",
-      f1, Seq("etl_source_id"), order))
+      Seq("etl_source_id"), order))
     assert(once == twice)
     assert(spark.read.parquet(s"$dir/mor/commit/delta").count() == f1.count())
+  }
+
+  test("job-level runMor ≡ classic ProcessDaily for snapshot/array/traffic tables") {
+    val dir = scratch("graft-mor-job")
+    Fixtures.writeStandardFixture(s"$dir/raw/v1")
+    for (d <- Seq(Fixtures.day1, Fixtures.day2)) {
+      Staging.stageDay(spark, s"$dir/raw/v1", s"$dir/staging", d)
+      ProcessDaily.run(spark, s"$dir/staging", s"$dir/curated", d.toString)
+      ProcessDaily.runMor(spark, s"$dir/staging", s"$dir/mor", d.toString)
+    }
+    for (table <- Seq("commit", "commit_file", "issue_label", "repo_clones",
+        "repo_referrers", "event", "user")) {
+      val classic = spark.read.parquet(s"$dir/curated/$table")
+      val mor = ProcessDaily.morView(spark, s"$dir/mor", table)
+        .select(classic.columns.map(col): _*)
+      assert(rows(mor) == rows(classic), s"table $table diverged")
+    }
   }
 }
