@@ -14,4 +14,44 @@ object Tables {
   /** Load one test table, e.g. table(spark, "/root/testdata/sf0.01", "lineitem"). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every curated table under `curatedDir` as a temp view, so
+    * the warehouse is queryable as plain SQL — the surface the
+    * reference's U-SQL users actually write:
+    *
+    * {{{
+    *   Tables.registerCurated(spark, curatedDir)
+    *   spark.sql("SELECT r.name, count(*) FROM commit c JOIN repo r ...")
+    * }}}
+    *
+    * Views are lazy plans over the parquet directories (partition pruning
+    * and pushdown intact); re-registering after a daily run picks up the
+    * overwritten tables. Returns the registered names. */
+  def registerCurated(spark: SparkSession, curatedDir: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(curatedDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    val tables = fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).sorted
+    tables.foreach { t =>
+      spark.read.parquet(s"$curatedDir/$t").createOrReplaceTempView(t)
+    }
+    tables
+  }
+
+  /** Register the driver test corpus as temp views (documents, lineitem,
+    * …) for SQL-first exploration. */
+  def registerTestTables(spark: SparkSession, sfDir: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(sfDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    val tables = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet")).sorted
+    tables.foreach { t =>
+      table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    tables
+  }
 }
