@@ -42,6 +42,26 @@ object Pipelines {
     c.as(field.name)
   }
 
+  /** Typed column from the parse-once struct: nested field access +
+    * `try_cast` — per-field null-on-mistype, identical to the
+    * get_json_object spelling. */
+  private def typedParsed(parsed: Column, field: Field): Column = {
+    val leaf = field.path.split('.').foldLeft(parsed)(_.getField(_))
+    val c = field.typ match {
+      case "int"  => leaf.try_cast("int")
+      case "long" => leaf.try_cast("long")
+      case "bool" => leaf.try_cast("boolean")
+      case "ts"   => leaf.try_cast("timestamp")
+      case _ =>
+        if (field.pii) {
+          val meta = new org.apache.spark.sql.types.MetadataBuilder()
+            .putBoolean("pii", true).build()
+          leaf.as(field.name, meta)
+        } else leaf
+    }
+    c.as(field.name)
+  }
+
   /** The latest-wins ordering: effective timestamp desc (P6 ternary,
     * ProcessDaily.usql:139), ingest date as deterministic tiebreak.
     * Public: the merge-on-read view resolver applies the same order. */
@@ -50,9 +70,24 @@ object Pipelines {
     col("etl_ingest_date").desc
   )
 
-  /** Wide typed projection (P1): staging row → curated row. */
-  def project(staged: DataFrame, fields: Seq[Field]): DataFrame =
-    staged.select(metaCols(col("ingest_date")) ++ fields.map(typed): _*)
+  /** Wide typed projection (P1): staging row → curated row.
+    *
+    * Parse-once: the field paths assemble into one pruned string-leaf
+    * schema ([[graft.json.PathSchema]]) and the document parses with a
+    * single `from_json` — the per-field `get_json_object` spelling costs
+    * one full JSON parse PER FIELD per row, which for the widest entities
+    * (Event 126, PullRequest 138 columns) dominates the whole ETL. Paths
+    * shadowed by a longer path (leaf+branch conflicts — none in the
+    * current specs) fall back to `get_json_object`. */
+  def project(staged: DataFrame, fields: Seq[Field]): DataFrame = {
+    val schema = graft.json.PathSchema.forPaths(fields.map(_.path))
+    val parsed = from_json(col("data"), schema)
+    val cols = fields.map { f =>
+      if (graft.json.PathSchema.isLeaf(schema, f.path)) typedParsed(parsed, f)
+      else typed(f)
+    }
+    staged.select(metaCols(col("ingest_date")) ++ cols: _*)
+  }
 
   // -- storage ---------------------------------------------------------------
 
