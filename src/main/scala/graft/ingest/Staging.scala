@@ -43,19 +43,27 @@ object Staging {
   }
 
   /** Promote the `_metadata` envelope to typed columns; silent-skip rows
-    * whose envelope is absent/malformed (StageData.usql:22,29-34). */
-  def stage(raw: DataFrame, ingestDate: String): DataFrame =
+    * whose envelope is absent/malformed (StageData.usql:22,29-34).
+    * Parse-once: one pruned `from_json` of the envelope per row instead
+    * of five independent `get_json_object` parses (same try_cast typing —
+    * see Pipelines.project). */
+  def stage(raw: DataFrame, ingestDate: String): DataFrame = {
+    val metaSchema = graft.json.PathSchema.forPaths(Seq(
+      "_metadata.type", "_metadata.fetchedAt", "_metadata.processedAt",
+      "_metadata.deletedAt", "_metadata.links.self.href"))
+    val m = from_json(col("data"), metaSchema).getField("_metadata")
     raw
       .select(
-        jstr(col("data"), "_metadata.type").as("entity_name"),
+        m.getField("type").as("entity_name"),
         lit(ingestDate).as("ingest_date"),
-        jts(col("data"), "_metadata.fetchedAt").as("fetched_at"),
-        jts(col("data"), "_metadata.processedAt").as("processed_at"),
-        jts(col("data"), "_metadata.deletedAt").as("deleted_at"),
-        jstr(col("data"), "_metadata.links.self.href").as("urn"),
+        m.getField("fetchedAt").try_cast("timestamp").as("fetched_at"),
+        m.getField("processedAt").try_cast("timestamp").as("processed_at"),
+        m.getField("deletedAt").try_cast("timestamp").as("deleted_at"),
+        m.getField("links").getField("self").getField("href").as("urn"),
         col("data")
       )
       .where(col("entity_name").isNotNull && col("urn").isNotNull)
+  }
 
   /** Idempotent daily partition replace (StageData.usql:24-28): dynamic
     * partition overwrite touches only the partitions present in `df`. */
