@@ -162,9 +162,13 @@ object Pipelines {
   def freshArrayChild(stagedDay: DataFrame, spec: ArrayChildSpec): DataFrame = {
     val elemType = StructType.fromDDL(spec.elementSchema)
     val parent = stagedDay.where(spec.entityPred(col("entity_name")))
+    // parse-once: the array subtree parses typed in a single from_json of
+    // the document — not extract-array-text-then-reparse (two full parses)
+    val schema = graft.json.PathSchema.forTypedPaths(
+      Seq(spec.arrayPath -> ArrayType(elemType)))
     val exploded = parent
       .withColumn("__arr",
-        from_json(jstr(col("data"), spec.arrayPath), ArrayType(elemType)))
+        graft.json.PathSchema.at(from_json(col("data"), schema), spec.arrayPath))
       .select(
         metaCols(col("ingest_date")) :+
           posexplode(col("__arr")).as(Seq("element_index", "__elem")): _*)
@@ -193,20 +197,33 @@ object Pipelines {
     * carry-forward of the rest. */
   def runCollection(spark: SparkSession, stagedDay: DataFrame, curatedDir: String,
       spec: CollectionSpec): DataFrame = {
+    // parse-once: every link path (origin, member hrefs array, org/team
+    // extras) in one typed from_json of the document
+    val linksSchema = graft.json.PathSchema.forTypedPaths(
+      Seq("_metadata.links.origin.href" ->
+          (org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType),
+        "_metadata.links.resources.hrefs" ->
+          ArrayType(org.apache.spark.sql.types.StringType)) ++
+        (spec.extraLinks.map(_._1) ++ spec.requiredLink.toSeq).distinct
+          .map(_ -> (org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType)))
+    val parsed = from_json(col("data"), linksSchema)
     val raw = stagedDay
       .where(col("entity_name") === spec.entity)
-      .where(spec.requiredLink.fold(lit(true))(l => jstr(col("data"), l).isNotNull))
-      .withColumn("__origin", jstr(col("data"), "_metadata.links.origin.href"))
+      .where(spec.requiredLink.fold(lit(true))(l =>
+        graft.json.PathSchema.at(parsed, l).isNotNull))
+      .withColumn("__origin",
+        graft.json.PathSchema.at(parsed, "_metadata.links.origin.href"))
       .where(col("__origin").isNotNull)
     // W4: most recent crawl per origin (ProcessDaily.usql:41-44)
     val latest = Merges.latestByKey(raw, Seq("__origin"),
       Seq(col("processed_at").desc, col("urn").desc))
-    val extra = spec.extraLinks.map { case (p, n) => jstr(col("data"), p).as(n) }
+    val extra = spec.extraLinks.map { case (p, n) =>
+      graft.json.PathSchema.at(parsed, p).as(n) }
     val fresh = latest
       .select(
         Seq(col("__origin").as(spec.originCol),
-          explode(from_json(jstr(col("data"), "_metadata.links.resources.hrefs"),
-            ArrayType(org.apache.spark.sql.types.StringType))).as(spec.memberCol))
+          explode(graft.json.PathSchema.at(parsed, "_metadata.links.resources.hrefs"))
+            .as(spec.memberCol))
           ++ extra: _*)
       .distinct()
     val prior = readCurated(spark, curatedDir, spec.table, fresh)
@@ -230,11 +247,16 @@ object Pipelines {
   def freshTraffic(stagedDay: DataFrame, spec: TrafficSpec,
       faithful: Boolean = true): DataFrame = {
     val elemType = StructType.fromDDL(spec.elementSchema)
+    // parse-once: typed array subtree + repo link in one from_json
+    val schema = graft.json.PathSchema.forTypedPaths(Seq(
+      spec.arrayPath -> ArrayType(elemType),
+      "_metadata.links.repo.href" -> org.apache.spark.sql.types.StringType))
+    val parsed = from_json(col("data"), schema)
     val docs = stagedDay
       .where(col("entity_name") === spec.entity)
-      .withColumn("__arr",
-        from_json(jstr(col("data"), spec.arrayPath), ArrayType(elemType)))
-      .withColumn("repo_urn", jstr(col("data"), "_metadata.links.repo.href"))
+      .withColumn("__arr", graft.json.PathSchema.at(parsed, spec.arrayPath))
+      .withColumn("repo_urn",
+        graft.json.PathSchema.at(parsed, "_metadata.links.repo.href"))
     val elements =
       if (faithful)
         // try_element_at: null (then filtered) on an empty traffic array —

@@ -21,16 +21,23 @@ object PathSchema {
 
   private sealed trait Node
   private final case class Branch(children: scala.collection.mutable.LinkedHashMap[String, Node]) extends Node
-  private case object Leaf extends Node
+  private final case class Leaf(dt: DataType) extends Node
 
   /** Nested StructType covering exactly `paths` (dotted), string leaves.
     * A path that is both a leaf and a prefix of a longer path (rare;
     * e.g. "repo" and "repo.id") keeps only the branch — extracting the
     * shorter path then yields null, which callers relying on whole-object
     * text should not do through this API (use jstr). */
-  def forPaths(paths: Seq[String]): StructType = {
+  def forPaths(paths: Seq[String]): StructType =
+    forTypedPaths(paths.map(_ -> StringType))
+
+  /** [[forPaths]] with an explicit leaf type per path — lets an array
+    * subtree (e.g. "payload.commits" → array<struct<…>>) parse in the
+    * same single pass as its sibling scalar paths, instead of the
+    * extract-text-then-reparse double parse. */
+  def forTypedPaths(paths: Seq[(String, DataType)]): StructType = {
     val root = Branch(scala.collection.mutable.LinkedHashMap.empty)
-    paths.foreach { p =>
+    paths.foreach { case (p, dt) =>
       var cur = root
       val segs = p.split('.')
       segs.zipWithIndex.foreach { case (s, i) =>
@@ -38,12 +45,12 @@ object PathSchema {
         cur.children.get(s) match {
           case Some(b: Branch) if !last => cur = b
           case Some(_: Branch) => // longer path exists; keep branch
-          case Some(Leaf) if !last =>
+          case Some(_: Leaf) if !last =>
             val b = Branch(scala.collection.mutable.LinkedHashMap.empty)
             cur.children(s) = b; cur = b
-          case Some(Leaf) => // duplicate leaf
+          case Some(_: Leaf) => // duplicate leaf
           case None =>
-            if (last) cur.children(s) = Leaf
+            if (last) cur.children(s) = Leaf(dt)
             else {
               val b = Branch(scala.collection.mutable.LinkedHashMap.empty)
               cur.children(s) = b; cur = b
@@ -53,11 +60,15 @@ object PathSchema {
     }
     def toStruct(b: Branch): StructType =
       StructType(b.children.toSeq.map {
-        case (name, Leaf) => StructField(name, StringType, nullable = true)
+        case (name, Leaf(dt)) => StructField(name, dt, nullable = true)
         case (name, br: Branch) => StructField(name, toStruct(br), nullable = true)
       })
     toStruct(root)
   }
+
+  /** Nested field access for a dotted path over a parsed struct column. */
+  def at(parsed: org.apache.spark.sql.Column, path: String): org.apache.spark.sql.Column =
+    path.split('.').foldLeft(parsed)(_.getField(_))
 
   /** True when `path` survives as a string leaf in [[forPaths]] (i.e. it
     * is not shadowed by a longer path sharing it as a prefix). */
