@@ -116,6 +116,45 @@ object Ann {
     topKPerKey(pairs, k)
   }
 
+  /** Multi-probe IVF top-k: vectors live in their single nearest-centroid
+    * cluster (the index layout), but each QUERY probes its `nprobe`
+    * closest clusters — the standard IVF recall dial (nprobe=1 degrades
+    * to [[ivfTopK]]'s shape, nprobe=numCentroids to brute force). Probe
+    * assignment itself is the bounded-heap aggregate
+    * ([[graft.functions.TopKByScore]]) — no window over the vector ×
+    * centroid grid. Each candidate pair still materializes at most once:
+    * a neighbor's home cluster is unique, so (query, neighbor) matches
+    * only where that home appears among the query's probes. */
+  def ivfTopKProbed(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, numCentroids: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= numCentroids)
+    val centroids = df.where(col(idCol) < numCentroids)
+    val v = withNorm(df, idCol, vecCol, dim)
+    val c = withNorm(centroids, idCol, vecCol, dim)
+      .select(col("__vid").as("__cid"), col("__vec").as("__cv"), col("__nrm").as("__cn"))
+    val probesRaw = v.crossJoin(broadcast(c))
+      .withColumn("__sim",
+        dot(col("__vec"), col("__cv"), dim) / (col("__nrm") * col("__cn")))
+      .groupBy("__vid")
+      .agg(graft.functions.TopKByScore.topK(col("__sim"), col("__cid"), nprobe)
+        .as("__top"))
+      .select(col("__vid"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("__vid"), col("__e.id").as("__cid"),
+        (col("__p") + 1).as("__probe"))
+    val l = probesRaw.join(v, Seq("__vid"))
+      .select(col("__vid").as("vec_id"), col("__vec").as("__qv"),
+        col("__nrm").as("__qn"), col("__cid"))
+    val r = probesRaw.where(col("__probe") === 1).join(v, Seq("__vid"))
+      .select(col("__vid").as("neighbor_id"), col("__vec").as("__cv"),
+        col("__nrm").as("__cn"), col("__cid"))
+    val pairs = l.join(r, Seq("__cid"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        (dot(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
+          .as("cosine"))
+    topKPerKey(pairs, k)
+  }
+
   /** Embedding-level near-duplicate pairs: cosine ≥ `threshold`, blocked
     * through the same IVF assignment so only same-cluster pairs are
     * scored (near-identical vectors share a nearest centroid). */

@@ -48,4 +48,20 @@ object Sampling {
       .where(col("__rn") <= quota)
       .drop("__rn")
   }
+
+  /** Token-budget dataset mixing: greedily fill each group (ordered by
+    * `order` — typically quality-first) until `budget` tokens, keeping
+    * the document that crosses the boundary. The token-based complement
+    * of [[quotaPerGroup]]'s row quota — mixture weights in a training
+    * recipe are token budgets, not document counts. One window shuffle on
+    * the group key; `cum_before` (tokens ahead of the doc in its group's
+    * fill order) is emitted for downstream packing. */
+  def tokenBudgetPerGroup(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 1)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum_before", coalesce(sum(tokens).over(w), lit(0L)))
+      .where(col("cum_before") < budget)
+  }
 }

@@ -158,6 +158,25 @@ object Training {
       col("doc_id"),
       TextAnalysis.repetitionRatio(col("text"), 2).as("repetition"))
 
+  /** Token-budget dataset mixing: fill each source quality-first until
+    * 600 tokens, keeping the boundary-crossing doc (the budget is sized to actually prune at sf0.01). */
+  def q40TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.tokenBudgetPerGroup(
+      docs(spark, dir)
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text"))),
+      Seq("source"),
+      Seq(col("quality").desc, col("doc_id").asc),
+      col("n_tokens"), budget = 600)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
+
+  /** Multi-probe IVF: nprobe=2 over the same 16 deterministic centroids
+    * as q26 — the recall dial between single-probe IVF and brute force. */
+  def q41AnnNprobe(spark: SparkSession, dir: String): DataFrame =
+    Ann.ivfTopKProbed(embs(spark, dir), "vec_id", "embedding", Dim,
+      k = 3, numCentroids = 16, nprobe = 2)
+      .withColumn("cosine", round(col("cosine"), 6))
+
   // --------------------------------------------------------------------
   // DuckDB oracles. Shared SQL fragments are generated so the constants
   // and term order match the Spark expressions exactly.
@@ -218,7 +237,9 @@ object Training {
     "q31_sample_stratified" -> q31SampleStratified,
     "q32_quota_per_source" -> q32QuotaPerSource,
     "q38_contamination" -> q38Contamination,
-    "q39_repetition" -> q39Repetition
+    "q39_repetition" -> q39Repetition,
+    "q40_token_budget" -> q40TokenBudget,
+    "q41_ann_nprobe" -> q41AnnNprobe
   )
 
   val oracles: Map[String, String] = Map(
@@ -360,6 +381,41 @@ object Training {
          |    PARTITION BY source ORDER BY quality DESC, n_chars DESC, doc_id) rn
          |  FROM q) WHERE rn <= 10""".stripMargin
     },
+    "q40_token_budget" -> {
+      val en = stopIn(TextAnalysis.stopwords.head._2)
+      s"""WITH f AS (SELECT doc_id, source, text,
+         |             string_split(text, ' ') ws FROM documents),
+         |q AS (SELECT doc_id, source, len(ws)::INT n_tokens,
+         |  round(((CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+         |                        / length(text), 6) <= 0.1 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN round(len(list_filter(ws, t -> t IN $en))::DOUBLE
+         |                        / len(ws), 6) > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+         |  FROM f),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY quality DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+         |      FROM q)
+         |SELECT doc_id, source, n_tokens, cum_before FROM c
+         |WHERE cum_before < 600""".stripMargin
+    },
+    "q41_ann_nprobe" ->
+      s"""WITH $normCte,
+         |c AS (SELECT vec_id cid, embedding, nrm FROM n WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, embedding, nrm, cid, rn probe FROM (
+         |  SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      (${dotSql("v", "c")}) / (v.nrm * c.nrm) DESC, c.cid) rn
+         |  FROM n v CROSS JOIN c) WHERE rn <= 2),
+         |home AS (SELECT vec_id, embedding, nrm, cid FROM asg WHERE probe = 1),
+         |p AS (SELECT a.vec_id vec_id, b.vec_id neighbor_id,
+         |        (${dotSql("a", "b")}) / (a.nrm * b.nrm) cosine
+         |      FROM asg a JOIN home b ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, neighbor_id, round(cosine, 6) AS cosine, "rank" FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM p) WHERE "rank" <= 3""".stripMargin,
     "q38_contamination" ->
       s"""WITH $hashedShingleCtes,
          |ev AS (SELECT DISTINCT unnest(shs) sh FROM s WHERE doc_id < 20),

@@ -44,6 +44,32 @@ class AnnSpec extends SparkSpec {
     assert(out == Set((0L, 2L), (2L, 0L), (1L, 3L), (3L, 1L)))
   }
 
+  test("multi-probe IVF recovers cross-cluster neighbors nprobe=1 misses") {
+    // centroids = ids < 2 (x-axis, y-axis); 2 lives in cluster 0 but its
+    // second-closest cluster is 1 — with nprobe=2 it also sees 3 and 1
+    val clustered = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0.1f, 0.9f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val single = Ann.ivfTopK(clustered, "vec_id", "embedding", 4, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Ann.ivfTopKProbed(clustered, "vec_id", "embedding", 4,
+        k = 3, numCentroids = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(multi))      // more probes never lose neighbors
+    assert(multi.contains((2L, 3L)))    // cross-cluster pair nprobe=1 missed
+    assert(!single.contains((2L, 3L)))
+    // nprobe = numCentroids degrades to brute force
+    val brute = Ann.cosineTopK(clustered, clustered, "vec_id", "embedding", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Ann.ivfTopKProbed(clustered, "vec_id", "embedding", 4,
+        k = 3, numCentroids = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+  }
+
   test("cosineDupPairs finds near-identical vectors above threshold") {
     val pairs = Ann.cosineDupPairs(vecs, "vec_id", "embedding", 4,
         threshold = 0.99, numCentroids = 2)

@@ -46,4 +46,18 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(out == Set(1L, 2L, 4L))
   }
+
+  test("tokenBudgetPerGroup fills greedily, keeps the boundary doc, per group") {
+    val df = Seq(
+      // s1 ordered by quality desc: 1 (60 toks), 2 (50), 3 (10)
+      ("s1", 1L, 0.9, 60), ("s1", 2L, 0.8, 50), ("s1", 3L, 0.7, 10),
+      ("s2", 4L, 0.5, 500)
+    ).toDF("source", "doc_id", "q", "n_tokens")
+    val out = Sampling.tokenBudgetPerGroup(df, Seq("source"),
+      Seq(col("q").desc, col("doc_id").asc), col("n_tokens"), budget = 100)
+      .collect().map(r => r.getLong(1) -> r.getAs[Long]("cum_before")).toMap
+    // doc 1: 0 before (kept); doc 2: 60 before < 100 (kept, crosses the
+    // boundary); doc 3: 110 before (dropped); doc 4: 0 before (kept)
+    assert(out == Map(1L -> 0L, 2L -> 60L, 4L -> 0L))
+  }
 }
