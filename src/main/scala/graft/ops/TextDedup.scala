@@ -284,6 +284,53 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Duplicate-pair lists → duplicate GROUPS: connected components over
+    * the pair graph, labeling every member with the minimum doc id of its
+    * component (the canonical survivor; `keep = doc_id == component`).
+    * This is the step that turns any pairwise dedup (Jaccard, MinHash,
+    * SimHash, embedding) into an actionable drop list.
+    *
+    * Algorithm: distributed min-label propagation — each round joins
+    * labels across edges and takes the per-node min; labels only
+    * decrease, so Σlabels is a convergence certificate (one cheap
+    * aggregate per round, no row-wise diff). Rounds = component diameter;
+    * near-dup components are dense and tiny (diameter ≲ 4 in practice),
+    * so this converges in a handful of rounds — for adversarially long
+    * chains the alternating large-star/small-star variant (O(log n)
+    * rounds) is the drop-in upgrade. Every round is one equi-join + one
+    * groupBy, fully distributed; `localCheckpoint` truncates the loop's
+    * otherwise-exponential lineage. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val a = col(aCol)
+    val edges = pairs.select(a.as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), a.as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
+    var lastSum = labelSum(labels)
+    var round = 0
+    var converged = labels.isEmpty
+    while (!converged && round < maxRounds) {
+      labels = labels
+        .join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), col("component"))
+        .unionByName(labels)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      val s = labelSum(labels)
+      converged = s == lastSum // labels only decrease: equal sum = fixpoint
+      lastSum = s
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("component"))
+  }
+
   /** Weighted SimHash fingerprint (`bits` ≤ 32): per token, a ±count
     * contribution to each bit of the token's hash; the fingerprint sets
     * bit b iff the summed contribution is positive. One narrow explode +

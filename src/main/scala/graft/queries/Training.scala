@@ -170,6 +170,15 @@ object Training {
       col("n_tokens"), budget = 600)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
 
+  /** Duplicate groups: connected components over the MinHash+LSH pair
+    * graph (q19's pairs), labeling every doc with its component's min id
+    * — the survivor/drop list a dedup cascade actually emits. */
+  def q42DedupGroups(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.connectedComponents(
+      TextDedup.minhashDedupPairs(docs(spark, dir), "doc_id", "text"),
+      "doc_a", "doc_b")
+      .withColumn("keep", col("doc_id") === col("component"))
+
   /** Multi-probe IVF: nprobe=2 over the same 16 deterministic centroids
     * as q26 — the recall dial between single-probe IVF and brute force. */
   def q41AnnNprobe(spark: SparkSession, dir: String): DataFrame =
@@ -210,6 +219,26 @@ object Training {
 
   private val P = TextDedup.MinhashPrime
 
+  /** Shared MinHash(16)+LSH(4×4)+verify CTE chain (q19, q42): ends at
+    * `j(doc_a, doc_b, jac)`. */
+  private lazy val minhashCtes: String = {
+    val perms = TextDedup.permutations(16)
+    val mins = perms.zipWithIndex
+      .map { case ((a, b), i) => s"min(($a * x + $b) % $P) m$i" }
+      .mkString(", ")
+    val bandEq = (0 until 4).map { bi =>
+      (0 until 4).map(r => s"a.m${bi * 4 + r} = b.m${bi * 4 + r}").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""$hashedShingleCtes,
+       |e AS (SELECT doc_id, unnest(shs) sh FROM s),
+       |hx AS (SELECT doc_id, sh % $P x FROM e),
+       |sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
+       |cand AS (SELECT a.doc_id doc_a, b.doc_id doc_b FROM sig a JOIN sig b
+       |         ON a.doc_id < b.doc_id AND ($bandEq)),
+       |j AS (SELECT doc_a, doc_b, $jacExpr jac
+       |      FROM cand JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b)""".stripMargin
+  }
+
   /** Fixed left-associated Σ a[i]·b[i] (1-based DuckDB lists). */
   private def dotSql(a: String, b: String): String =
     (1 to Dim).map(i => s"$a.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE")
@@ -239,7 +268,8 @@ object Training {
     "q38_contamination" -> q38Contamination,
     "q39_repetition" -> q39Repetition,
     "q40_token_budget" -> q40TokenBudget,
-    "q41_ann_nprobe" -> q41AnnNprobe
+    "q41_ann_nprobe" -> q41AnnNprobe,
+    "q42_dedup_groups" -> q42DedupGroups
   )
 
   val oracles: Map[String, String] = Map(
@@ -252,24 +282,24 @@ object Training {
          |      FROM s x JOIN s y ON x.doc_id < y.doc_id
          |      WHERE len(x.shs) > 0 AND len(y.shs) > 0)
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.8""".stripMargin,
-    "q19_minhash_lsh" -> {
-      val perms = TextDedup.permutations(16)
-      val mins = perms.zipWithIndex
-        .map { case ((a, b), i) => s"min(($a * x + $b) % $P) m$i" }
-        .mkString(", ")
-      val bandEq = (0 until 4).map { bi =>
-        (0 until 4).map(r => s"a.m${bi * 4 + r} = b.m${bi * 4 + r}").mkString("(", " AND ", ")")
-      }.mkString(" OR ")
-      s"""WITH $hashedShingleCtes,
-         |e AS (SELECT doc_id, unnest(shs) sh FROM s),
-         |hx AS (SELECT doc_id, sh % $P x FROM e),
-         |sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
-         |cand AS (SELECT a.doc_id doc_a, b.doc_id doc_b FROM sig a JOIN sig b
-         |         ON a.doc_id < b.doc_id AND ($bandEq)),
-         |j AS (SELECT doc_a, doc_b, $jacExpr jac
-         |      FROM cand JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b)
-         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8""".stripMargin
-    },
+    "q19_minhash_lsh" ->
+      s"""WITH $minhashCtes
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8""".stripMargin,
+    "q42_dedup_groups" ->
+      // undirected transitive closure over the verified pair graph, then
+      // min reachable id per node = the component label (closure includes
+      // self via the base term)
+      s"""WITH RECURSIVE $minhashCtes,
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.8),
+         |und AS (SELECT doc_a u, doc_b v FROM p
+         |        UNION SELECT doc_b, doc_a FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+         |SELECT u AS doc_id, min(v) AS component,
+         |  (u = min(v)) AS keep
+         |FROM reach GROUP BY u""".stripMargin,
     "q20_simhash" -> {
       val sums = (0 until 32)
         .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN cnt ELSE -cnt END) s$b")

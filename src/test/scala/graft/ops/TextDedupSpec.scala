@@ -95,6 +95,21 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("connectedComponents labels chains, separate components, handles empty") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // a 4-chain — needs propagation rounds
+      (10L, 11L),                   // separate component
+      (20L, 21L), (21L, 20L)        // duplicate/reversed edges
+    ).toDF("doc_a", "doc_b")
+    val out = TextDedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    val empty = TextDedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+    assert(empty.count() == 0)
+  }
+
   test("native shingleHashes ≡ hash60 over string shingles (differential)") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(200)
