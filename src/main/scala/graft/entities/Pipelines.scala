@@ -195,8 +195,14 @@ object Pipelines {
     * ProcessDaily.usql:25-91): latest crawl page-set per origin → explode
     * `resources.hrefs` → wholesale replacement of re-crawled origins,
     * carry-forward of the rest. */
-  def runCollection(spark: SparkSession, stagedDay: DataFrame, curatedDir: String,
-      spec: CollectionSpec): DataFrame = {
+  /** One day's resolved membership rows for a collection entity, carrying
+    * `etl_ingest_date` (shared by the full rewrite and merge-on-read
+    * paths — MOR's latest-day-wins resolution keys on the date). */
+  def freshCollection(stagedDay: DataFrame, spec: CollectionSpec): DataFrame =
+    freshCollectionImpl(stagedDay, spec, keepDate = true)
+
+  private def freshCollectionImpl(stagedDay: DataFrame, spec: CollectionSpec,
+      keepDate: Boolean): DataFrame = {
     // parse-once: every link path (origin, member hrefs array, org/team
     // extras) in one typed from_json of the document
     val linksSchema = graft.json.PathSchema.forTypedPaths(
@@ -219,13 +225,19 @@ object Pipelines {
       Seq(col("processed_at").desc, col("urn").desc))
     val extra = spec.extraLinks.map { case (p, n) =>
       graft.json.PathSchema.at(parsed, p).as(n) }
-    val fresh = latest
+    val dateCol = if (keepDate) Seq(col("ingest_date").as("etl_ingest_date")) else Seq.empty
+    latest
       .select(
-        Seq(col("__origin").as(spec.originCol),
-          explode(graft.json.PathSchema.at(parsed, "_metadata.links.resources.hrefs"))
+        (dateCol :+ col("__origin").as(spec.originCol)) ++
+          Seq(explode(graft.json.PathSchema.at(parsed, "_metadata.links.resources.hrefs"))
             .as(spec.memberCol))
           ++ extra: _*)
       .distinct()
+  }
+
+  def runCollection(spark: SparkSession, stagedDay: DataFrame, curatedDir: String,
+      spec: CollectionSpec): DataFrame = {
+    val fresh = freshCollectionImpl(stagedDay, spec, keepDate = false)
     val prior = readCurated(spark, curatedDir, spec.table, fresh)
     val merged = Merges.collectionMerge(prior, fresh, spec.originCol)
     overwriteCurated(merged, curatedDir, spec.table)

@@ -50,17 +50,17 @@ object ProcessDaily {
     } finally { pool.shutdown(); () }
   }
 
-  /** The daily merge in merge-on-read mode: every latest-wins entity
-    * (snapshots, array children, traffic — 24 of the 33 tables) appends
-    * its day as an O(delta) delta partition instead of rewriting the
-    * table; [[morView]] resolves the identical snapshot at read time, and
+  /** The daily merge in merge-on-read mode: EVERY entity appends its day
+    * as an O(delta) delta partition instead of rewriting the table;
+    * [[morView]] resolves the identical table at read time, and
     * `MergeOnRead.compact` amortizes the full rewrite across runs.
-    * Collections keep the rewrite executor (their semantics are wholesale
-    * origin replacement + carry-forward, not latest-wins per key), as
-    * does the dual-grain Repo/RepoLog pair. CommitParent's faithful
-    * append-only quirk (duplicates accumulating run over run,
-    * ProcessDaily.usql:409) is NOT reproduced here — the MOR view gives
-    * the corrected latest-wins semantics for it. */
+    * Latest-wins entities (snapshots, array children, traffic, Repo —
+    * whose RepoLog is a second view over the SAME deltas at version
+    * grain) resolve per key; collections resolve latest-day-wins per
+    * origin (wholesale replacement + carry-forward). CommitParent's
+    * faithful append-only quirk (duplicates accumulating run over run,
+    * ProcessDaily.usql:409) is NOT reproduced — the MOR view gives the
+    * corrected latest-wins semantics for it. */
   def runMor(spark: SparkSession, stagingDir: String, morDir: String,
       ingestDate: String, parallelism: Int = 4): Seq[String] = {
     val day = Staging.readStaging(spark, stagingDir, ingestDate)
@@ -70,7 +70,7 @@ object ProcessDaily {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try {
         val tasks: Seq[(String, () => Unit)] =
-          Specs.snapshots.map(s => s.table -> (() =>
+          (Specs.snapshots :+ Specs.repo.snapshot).map(s => s.table -> (() =>
             graft.ops.MergeOnRead.appendDelta(
               Pipelines.freshSnapshot(day, s), morDir, s.table))) ++
           Specs.arrayChildren.map(s => s.table -> (() =>
@@ -78,26 +78,38 @@ object ProcessDaily {
               Pipelines.freshArrayChild(day, s), morDir, s.table))) ++
           Specs.traffic.map(s => s.table -> (() =>
             graft.ops.MergeOnRead.appendDelta(
-              Pipelines.freshTraffic(day, s), morDir, s.table)))
+              Pipelines.freshTraffic(day, s), morDir, s.table))) ++
+          Specs.collections.map(s => s.table -> (() =>
+            graft.ops.MergeOnRead.appendDelta(
+              Pipelines.freshCollection(day, s), morDir, s.table)))
         val fs = tasks.map { case (name, f) => Future { f(); name } }
         Await.result(Future.sequence(fs), Duration.Inf)
       } finally { pool.shutdown(); () }
     } finally { day.unpersist(); () }
   }
 
-  /** The merge-on-read snapshot view for a table maintained by [[runMor]]
-    * — row-identical to the full-rewrite executor's parquet table. */
+  /** The merge-on-read view for any table maintained by [[runMor]] —
+    * row-identical to the full-rewrite executor's parquet table (modulo
+    * the documented CommitParent quirk and the collection views' extra
+    * `etl_ingest_date` provenance column). */
   def morView(spark: SparkSession, morDir: String, table: String): org.apache.spark.sql.DataFrame = {
     import graft.ops.MergeOnRead
-    Specs.snapshots.find(_.table == table).map(_ =>
+    (Specs.snapshots :+ Specs.repo.snapshot).find(_.table == table).map(_ =>
       MergeOnRead.readSnapshot(spark, morDir, table,
         Seq("etl_source_id"), Pipelines.mergeOrder))
+      .orElse(if (table == Specs.repo.logTable)
+        // RepoLog: the same repo deltas resolved at (key, version) grain
+        Some(MergeOnRead.readSnapshot(spark, morDir, Specs.repo.snapshot.table,
+          Seq("etl_source_id", Specs.repo.versionField), Pipelines.mergeOrder))
+      else None)
       .orElse(Specs.arrayChildren.find(_.table == table).map(_ =>
         MergeOnRead.readSnapshot(spark, morDir, table,
           Seq("etl_source_id", "element_index"), Pipelines.mergeOrder)))
       .orElse(Specs.traffic.find(_.table == table).map(s =>
         MergeOnRead.readSnapshot(spark, morDir, table,
           s.dedupKeys, Pipelines.trafficOrder(s))))
+      .orElse(Specs.collections.find(_.table == table).map(s =>
+        MergeOnRead.readCollectionSnapshot(spark, morDir, table, s.originCol)))
       .getOrElse(throw new IllegalArgumentException(
         s"$table is not a merge-on-read entity"))
   }

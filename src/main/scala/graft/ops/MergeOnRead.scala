@@ -84,6 +84,35 @@ object MergeOnRead {
     Merges.snapshotMerge(orEmpty(base), orEmpty(deltas), keys, order)
   }
 
+  /** The merge-on-read view for a COLLECTION entity (§2.10b semantics:
+    * a re-crawled origin's membership is replaced wholesale by its most
+    * recent crawl; everything else carries forward). Resolution is
+    * latest-DAY-wins per origin: among base ∪ deltas, an origin keeps
+    * exactly the rows of its maximum `etl_ingest_date` — one aggregate +
+    * one equi-join on the origin key, both distributed. Row-identical to
+    * the full-rewrite `collectionMerge` chain because each day's delta is
+    * already that day's resolved membership (latest crawl, exploded,
+    * distinct), so replaying "newest day wholesale" reproduces the
+    * replacement-then-carry-forward recurrence. */
+  def readCollectionSnapshot(spark: SparkSession, dir: String, table: String,
+      originCol: String, like: Option[DataFrame] = None): DataFrame = {
+    val base = readOpt(spark, basePath(dir, table))
+    val deltas = readOpt(spark, deltaPath(dir, table)).map(_.drop("ingest_date"))
+    val schema = base.orElse(deltas).map(_.schema).orElse(like.map(_.schema))
+      .getOrElse(throw new IllegalStateException(
+        s"$table has no base, no deltas, and no schema template"))
+    def orEmpty(d: Option[DataFrame]) = d.getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    val all = orEmpty(base).unionByName(orEmpty(deltas))
+    val winning = all.groupBy(originCol)
+      .agg(max(col("etl_ingest_date")).as("__wd"))
+    all.join(winning, Seq(originCol))
+      .where(col("etl_ingest_date") === col("__wd"))
+      .drop("__wd")
+      .distinct()
+  }
+
   /** Fold all deltas into a new base and clear them: one full-table
     * rewrite amortized over however many daily runs accumulated. Uses the
     * same tmp+rename swap discipline as the curated overwrite. */

@@ -15,8 +15,7 @@ class MergeOnReadSpec extends SparkSpec {
   private val order = Pipelines.mergeOrder
 
   private def rows(df: DataFrame): Set[String] =
-    df.orderBy("etl_source_id").collect()
-      .map(_.mkString("|")).toSet
+    df.collect().map(_.mkString("|")).toSet
 
   private def freshFor(staging: String, date: String): DataFrame =
     Pipelines.freshSnapshot(
@@ -75,7 +74,7 @@ class MergeOnReadSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/mor/commit/delta").count() == f1.count())
   }
 
-  test("job-level runMor ≡ classic ProcessDaily for snapshot/array/traffic tables") {
+  test("job-level runMor ≡ classic ProcessDaily across every merge kind") {
     val dir = scratch("graft-mor-job")
     Fixtures.writeStandardFixture(s"$dir/raw/v1")
     for (d <- Seq(Fixtures.day1, Fixtures.day2)) {
@@ -84,7 +83,8 @@ class MergeOnReadSpec extends SparkSpec {
       ProcessDaily.runMor(spark, s"$dir/staging", s"$dir/mor", d.toString)
     }
     for (table <- Seq("commit", "commit_file", "issue_label", "repo_clones",
-        "repo_referrers", "event", "user")) {
+        "repo_referrers", "event", "user",
+        "repo", "repo_log", "repo_collaborators")) {
       val classic = spark.read.parquet(s"$dir/curated/$table")
       val mor = ProcessDaily.morView(spark, s"$dir/mor", table)
         .select(classic.columns.map(col): _*)
