@@ -91,6 +91,28 @@ class PlanShapeSpec extends SparkSpec {
       s"embeddings ride the window shuffle:\n${exchange.mkString("\n")}")
   }
 
+  test("ANN top-k plans as the bounded-heap aggregate with a map-side partial") {
+    // (q26/q41 still use a rank-1 window for CLUSTER ASSIGNMENT — only the
+    // neighbor top-k must go through the heap aggregate)
+    for (q <- Seq("q21_cosine_topk", "q26_ann_ivf", "q41_ann_nprobe")) {
+      val p = plan(q)
+      assert(p.contains("partial_topk_by_score"),
+        s"$q lost the map-side heap partial:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+    // the pure top-k query must not window at all
+    assert(!plan("q21_cosine_topk").contains("WindowGroupLimit"))
+  }
+
+  test("token budget is one window shuffle, no join") {
+    // executedPlan.toString prints Final + Initial AQE plans — count the
+    // final section only
+    val p = plan("q40_token_budget").split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"token budget joins:\n$p")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"extra exchanges:\n$p")
+  }
+
   test("staging scans prune by partition columns") {
     val root = scratch("plan-staging")
     import spark.implicits._
