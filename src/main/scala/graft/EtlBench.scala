@@ -95,6 +95,12 @@ object EtlBench {
     // so this is the floor of the win, not its ceiling)
     val tMor1 = timed(graft.jobs.ProcessDaily.runMor(spark, staging, s"$root/mor", d1.toString))
     val tMor2 = timed(graft.jobs.ProcessDaily.runMor(spark, staging, s"$root/mor", d2.toString))
+    // the third leg of the merge-on-read story: one compaction amortizes
+    // the full rewrite over however many O(delta) days accumulated
+    val tCompact = timed(
+      graft.entities.Specs.snapshots.foreach(s =>
+        graft.ops.MergeOnRead.compact(spark, s"$root/mor", s.table,
+          Seq("etl_source_id"), graft.entities.Pipelines.mergeOrder)))
     val total = tStage1 + tProc1 + tStage2 + tProc2
     val nTables = spark.read.parquet(s"$curated/commit").count() +
       spark.read.parquet(s"$curated/event").count()
@@ -102,7 +108,8 @@ object EtlBench {
       f""""docs":${2 * docsPerDay},"total_sec":$total%.2f,""" +
       f""""stage_day1":$tStage1%.2f,"process_day1":$tProc1%.2f,""" +
       f""""stage_day2":$tStage2%.2f,"process_day2":$tProc2%.2f,""" +
-      f""""mor_day1":$tMor1%.2f,"mor_day2":$tMor2%.2f,"sanity_rows":$nTables}""")
+      f""""mor_day1":$tMor1%.2f,"mor_day2":$tMor2%.2f,""" +
+      f""""mor_compact_snapshots":$tCompact%.2f,"sanity_rows":$nTables}""")
     spark.stop()
   }
 }

@@ -46,7 +46,13 @@ object MergeOnRead {
   }
 
   private def readOpt(spark: SparkSession, p: String): Option[DataFrame] =
-    if (exists(spark, p)) Some(spark.read.parquet(p)) else None
+    if (!exists(spark, p)) None
+    else
+      // an entity with no rows for any staged day writes an empty delta
+      // dir (_SUCCESS, no part files, no partition dirs) — schema
+      // inference fails there; treat it as absent
+      try Some(spark.read.parquet(p))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Append one day's projected rows as the `ingest_date=day` delta
     * partition. O(delta) write; re-running the day replaces its partition
@@ -118,6 +124,9 @@ object MergeOnRead {
     * same tmp+rename swap discipline as the curated overwrite. */
   def compact(spark: SparkSession, dir: String, table: String,
       keys: Seq[String], order: Seq[Column]): Unit = {
+    if (readOpt(spark, basePath(dir, table)).isEmpty &&
+        readOpt(spark, deltaPath(dir, table)).isEmpty)
+      return // nothing staged for this table yet — no-op
     val snap = readSnapshot(spark, dir, table, keys, order)
     val target = new Path(basePath(dir, table))
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -331,6 +331,39 @@ object TextDedup {
     labels.select(col("id").as("doc_id"), col("component"))
   }
 
+  /** The canonical dedup cascade, composed end to end: exact content
+    * dedup collapses byte-identical copies first (cheap, one shuffle),
+    * then MinHash+LSH near-dup pairs over the distinct-content survivors,
+    * then connected components turn pairs into groups. Returns the input
+    * keyed rows with `component` (the group's canonical id) and
+    * `keep` — exactly one survivor per duplicate group, lowest id wins;
+    * docs untouched by any duplicate keep themselves. This is the
+    * operator a 100 TB curation pipeline actually runs: every stage is
+    * the already-verified primitive, composed without a collect. */
+  def dedupCascade(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("doc_id"))
+    // exact duplicates: every id maps to its content-group min
+    val exact = df.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as("__keep"))
+    val exactEdges = df.select(col(idCol).as("doc_a"), md5(col(textCol)).as("__h"))
+      .join(exact, Seq("__h"))
+      .where(col("doc_a") =!= col("__keep"))
+      .select(col("doc_a"), col("__keep").as("doc_b"))
+    // near-dups among distinct-content representatives only
+    val reps = df.join(exact.select(col("__keep").as(idCol)), Seq(idCol))
+    val nearEdges = minhashDedupPairs(reps, idCol, textCol, n, numHashes,
+      bands, threshold).select("doc_a", "doc_b")
+    val comps = connectedComponents(
+      exactEdges.unionByName(nearEdges), "doc_a", "doc_b")
+    ids
+      .join(comps, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("keep", col("doc_id") === col("component"))
+  }
+
   /** Weighted SimHash fingerprint (`bits` ≤ 32): per token, a ±count
     * contribution to each bit of the token's hash; the fingerprint sets
     * bit b iff the summed contribution is positive. One narrow explode +

@@ -95,6 +95,26 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("dedupCascade: exact + near dups collapse transitively, one survivor per group") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),          // base
+      (2L, "a b c d e f"),          // exact dup of 1
+      (3L, "a b c d e f g"),        // near-dup of 1 (jac 4/5 = 0.8)
+      (4L, "x y z w v u"),          // unrelated
+      (5L, "x y z w v u")           // exact dup of 4
+    ).toDF("doc_id", "text")
+    val out = TextDedup.dedupCascade(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((1L, false))) // exact edge
+    assert(out(4L) == ((4L, true)))
+    assert(out(5L) == ((4L, false)))
+    // near-dup of 1 joins 1's component IF its LSH bands collide —
+    // banding is probabilistic, so only assert it never lands elsewhere
+    assert(out(3L) == ((1L, false)) || out(3L) == ((3L, true)))
+    assert(out.values.count(_._2) <= 3)
+  }
+
   test("connectedComponents labels chains, separate components, handles empty") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), // a 4-chain — needs propagation rounds
