@@ -328,6 +328,11 @@ object TextDedup {
       round += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — a " +
+          "component's diameter exceeds the round budget; raise maxRounds " +
+          "or use connectedComponentsStar (O(log n) rounds)")
     labels.select(col("id").as("doc_id"), col("component"))
   }
 
@@ -355,13 +360,78 @@ object TextDedup {
     val reps = df.join(exact.select(col("__keep").as(idCol)), Seq(idCol))
     val nearEdges = minhashDedupPairs(reps, idCol, textCol, n, numHashes,
       bands, threshold).select("doc_a", "doc_b")
-    val comps = connectedComponents(
+    val comps = connectedComponentsStar(
       exactEdges.unionByName(nearEdges), "doc_a", "doc_b")
     ids
       .join(comps, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
       .withColumn("keep", col("doc_id") === col("component"))
+  }
+
+  /** [[connectedComponents]] via alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — O(log n) rounds regardless of component DIAMETER, where
+    * plain min-label propagation needs diameter rounds. Each round is two
+    * groupBy-min + join passes over the edge list; convergence when the
+    * edge list reaches a fixpoint (certified by count + order-invariant
+    * hash checksum, two cheap aggregates). At the fixpoint every
+    * component is a star centered on its minimum id, so the label read
+    * is one more groupBy-min. Same output contract as
+    * [[connectedComponents]] (differentially tested); prefer this
+    * variant when components can be long chains. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // large-star: every u links its LARGER neighbors to m = min(N(u)∪{u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = und.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      und.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+    }
+    // small-star: orient each edge large→small; every u links its
+    // not-larger neighbors (and itself) to their collective min
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+      val joined = dir.join(mins, Seq("u"))
+      joined.select(col("v").as("a"), col("m").as("b"))
+        .unionByName(joined.select(col("u").as("a"), col("m").as("b")))
+        .where(col("a") =!= col("b"))
+        .distinct()
+    }
+    def checksum(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-invariant and overflow-free (a sum would overflow
+      // the ANSI long on large edge lists)
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = pairs.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    var sig = checksum(edges)
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val s = checksum(edges)
+      converged = s == sig
+      sig = s
+      round += 1
+    }
+    // stars: every member has an edge to the component min
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    und.groupBy("u").agg(least(min(col("v")), col("u")).as("component"))
+      .select(col("u").as("doc_id"), col("component"))
   }
 
   /** Weighted SimHash fingerprint (`bits` ≤ 32): per token, a ±count

@@ -170,11 +170,12 @@ object Training {
       col("n_tokens"), budget = 600)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
 
-  /** Duplicate groups: connected components over the MinHash+LSH pair
-    * graph (q19's pairs), labeling every doc with its component's min id
-    * — the survivor/drop list a dedup cascade actually emits. */
+  /** Duplicate groups: connected components (large-star/small-star,
+    * O(log n) rounds) over the MinHash+LSH pair graph (q19's pairs),
+    * labeling every doc with its component's min id — the survivor/drop
+    * list a dedup cascade actually emits. */
   def q42DedupGroups(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.connectedComponents(
+    TextDedup.connectedComponentsStar(
       TextDedup.minhashDedupPairs(docs(spark, dir), "doc_id", "text"),
       "doc_a", "doc_b")
       .withColumn("keep", col("doc_id") === col("component"))

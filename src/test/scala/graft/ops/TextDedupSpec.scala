@@ -130,6 +130,40 @@ class TextDedupSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("large-star/small-star CC ≡ propagation CC on adversarial graphs (differential)") {
+    import org.scalacheck.{Gen, rng}
+    def edgesOf(g: Gen[List[(Long, Long)]], seed: Long) =
+      g.apply(Gen.Parameters.default, rng.Seed(seed)).getOrElse(Nil)
+    val chainG = Gen.choose(5, 15).map(n =>
+      (0L until n).sliding(2).map(s => (s(1), s(0))).toList) // chain (within
+    // propagation's round budget; the long-chain case is tested below)
+    val randomG = Gen.listOfN(60, for {
+      a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L) if a != b
+    } yield (a, b))
+    val graphs = Seq(
+      edgesOf(chainG, 1), edgesOf(randomG, 2), edgesOf(randomG, 3),
+      (0L until 20L).map(i => (i, i + 100L)).toList, // star-ish pairs
+      Nil)
+    for ((es, i) <- graphs.zipWithIndex) {
+      val pairs = es.toDF("doc_a", "doc_b")
+      def m(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = m(TextDedup.connectedComponents(pairs, "doc_a", "doc_b"))
+      val star = m(TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b"))
+      assert(star == prop, s"graph #$i diverged")
+    }
+    // a 200-node chain: diameter >> propagation's default round budget —
+    // propagation must REFUSE (not silently mislabel), star must solve it
+    val chain = (0L until 200L).sliding(2).map(s => (s(1), s(0))).toList
+      .toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      TextDedup.connectedComponents(chain, "doc_a", "doc_b").collect()
+    }
+    val solved = TextDedup.connectedComponentsStar(chain, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(solved.length == 200 && solved.forall(_._2 == 0L))
+  }
+
   test("native shingleHashes ≡ hash60 over string shingles (differential)") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(200)
