@@ -24,9 +24,12 @@ def norm(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
+        # the "f:" tag makes float-vs-int mismatches FAIL here like they
+        # fail the driver's value hash (e.g. DuckDB windowed sum(BIGINT)
+        # surfacing as HUGEINT→float64 while Spark emits int64)
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
+            return "f:NaN"
+        return f"f:{v:.9g}"
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, (list, tuple)):
