@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins and sessionization — the event-stream operator surface a
+  * warehouse over the reference's `events`-style data needs
+  * (ghcrawler-datalake-etl is daily batch; these generalize its
+  * latest-version-wins window idiom, ProcessDaily.usql:137-140, to
+  * event-time semantics).
+  *
+  * All three operators are single-shuffle at scale:
+  *
+  *  - [[asofJoin]] avoids the O(rows × versions) join-then-rank plan a
+  *    naive as-of spelling produces. It unions both sides tagged, sorts
+  *    once within the key partition, and carries the most recent right-row
+  *    forward with a running `last(ignoreNulls)` — one exchange on the key,
+  *    linear scan per partition, no pair blow-up. This is the only as-of
+  *    shape that survives 100 TB (the join-based spelling materializes
+  *    every (probe, candidate) pair before ranking them away).
+  *  - [[rangeJoin]] turns an inequality-only interval join (which Spark
+  *    plans as a broadcast nested loop — quadratic) into an equi-join on
+  *    overlapping time bins + an exact residual filter. Cost is
+  *    O(intervals × bins-per-interval + matches); bin width tunes the
+  *    candidate fan-out.
+  *  - [[sessionize]] is the classic gap-based session assignment: one
+  *    window shuffle on the entity key, `lag` to detect gaps, running sum
+  *    to number sessions.
+  */
+object Temporal {
+
+  /** Left as-of join: for every left row, attach the single most recent
+    * right row with `right.tsCol <= left.tsCol` and the same key (null
+    * payload when no right row precedes the left row).
+    *
+    * Ties on the right timestamp resolve to the greatest `tiebreak` value
+    * (deterministic; pass e.g. the right row id). Implementation: tagged
+    * union → one window partitioned by key ordered by (ts, tag, tiebreak)
+    * with right rows (tag 0) sorting before left rows (tag 1) at equal ts
+    * — so an exactly-simultaneous right row is visible — then a running
+    * `last(payload, ignoreNulls)` carries the latest right payload onto
+    * each left row.
+    *
+    * @param rightPayload right columns to attach (renamed as given)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[(String, String)],
+      tiebreak: String): DataFrame = {
+    require(rightPayload.nonEmpty, "rightPayload must name at least one column")
+    val payloadStruct = struct(
+      (rightPayload.map { case (c, as) => col(c).as(as) } :+
+        col(tiebreak).as("__tb")): _*)
+    val rNorm = right.select(
+      col(keyCol).as("__k"), col(rightTs).as("__t"), lit(0).as("__tag"),
+      payloadStruct.as("__r"))
+    val leftStruct = struct(left.columns.map(col): _*)
+    val payloadType = rNorm.schema("__r").dataType
+    val lTyped = left.select(
+      col(keyCol).as("__k"), col(leftTs).as("__t"), lit(1).as("__tag"),
+      lit(null).cast(payloadType).as("__r"), leftStruct.as("__lrow"))
+    val rTyped = rNorm.withColumn("__lrow",
+      lit(null).cast(lTyped.schema("__lrow").dataType))
+    val unioned = lTyped.unionByName(rTyped)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__tag").asc, col("__r.__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+    matched.select(
+      left.columns.map(c => col(s"__lrow.$c").as(c)) ++
+        rightPayload.map { case (_, as) => col(s"__asof.$as").as(as) }: _*)
+  }
+
+  /** Interval–point range join: every (interval, point) pair with
+    * `point ∈ [startCol, endCol)`. Timestamps are numeric (any consistent
+    * unit — the engine reads parquet nanos timestamps as epoch-nanos longs
+    * under `nanosAsLong`); `binWidth` is in the same unit. No equi-key
+    * required — candidate pairs come from an equi-join on overlapping
+    * `binWidth`-wide time bins (intervals explode to the bins they span;
+    * points hash to one bin), then the exact range predicate filters
+    * residuals. Point columns keep their names; interval columns are
+    * prefixed `p_` where they collide.
+    *
+    * Bin width trades per-interval fan-out (span/binWidth bins) against
+    * candidate precision — set it near the typical interval length.
+    */
+  def rangeJoin(intervals: DataFrame, points: DataFrame,
+      startCol: String, endCol: String, pointTs: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // integral `div`, not floor(a / b): epoch-nanos exceed 2^53, so the
+    // double division behind `/` is inexact and can mis-bin boundary rows
+    val iBinned = intervals
+      .withColumn("__s", col(startCol).cast("long"))
+      .withColumn("__e", col(endCol).cast("long"))
+      .withColumn("__bin",
+        explode(sequence(expr(s"__s div ${binWidth}L"),
+          expr(s"(__e - 1) div ${binWidth}L"))))
+    val collide = intervals.columns.toSet.intersect(points.columns.toSet)
+    val pRenamed = collide.foldLeft(points) { (df, c) =>
+      df.withColumnRenamed(c, s"p_$c")
+    }
+    val pTsName = if (collide(pointTs)) s"p_$pointTs" else pointTs
+    val pBinned = pRenamed
+      .withColumn("__pt", col(pTsName).cast("long"))
+      .withColumn("__bin", expr(s"__pt div ${binWidth}L"))
+    iBinned.join(pBinned, Seq("__bin"))
+      .where(col("__pt") >= col("__s") && col("__pt") < col("__e"))
+      .drop("__bin", "__s", "__e", "__pt")
+  }
+
+  /** Gap-based sessionization: assigns `session_id` (1-based per key) that
+    * increments whenever the gap to the previous row (ordered by
+    * `orderCol` within `keyCol`) exceeds `gap` (same numeric unit as
+    * `tsCol`). One window shuffle; `orderCol` must be a deterministic
+    * total order per key (an event id monotone with time — ordering by a
+    * raw timestamp risks ties). */
+  def sessionize(df: DataFrame, keyCol: String, orderCol: String,
+      tsCol: String, gap: Long): DataFrame = {
+    require(gap > 0, s"gap must be positive, got $gap")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val ts = col(tsCol).cast("long")
+    val prev = lag(ts, 1).over(w)
+    val isBreak = when(prev.isNull || ts - prev > gap, 1L).otherwise(0L)
+    df.withColumn("session_id",
+      sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+  }
+}

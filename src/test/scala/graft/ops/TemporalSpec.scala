@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, ts, id) event streams with deliberate edge cases: simultaneous
+  // rows, duplicate right timestamps, keys with no right rows, huge
+  // epoch-nanos magnitudes (beyond double's exact integer range).
+  private val base = 1700000000000000000L // ~2023 in epoch nanos
+  private def lhs: DataFrame = Seq(
+    (1L, base + 100L, 10L), (1L, base + 200L, 11L), (1L, base + 300L, 12L),
+    (2L, base + 150L, 20L), (3L, base + 50L, 30L)
+  ).toDF("k", "t", "lid")
+  private def rhs: DataFrame = Seq(
+    (1L, base + 100L, 100L, 1.0), (1L, base + 100L, 101L, 2.0),
+    (1L, base + 250L, 102L, 3.0), (2L, base + 160L, 200L, 4.0)
+  ).toDF("k", "t", "rid", "v")
+
+  /** Reference as-of: join-all-then-rank (the quadratic spelling). */
+  private def naiveAsof: DataFrame = {
+    val l = lhs.select(col("k"), col("t").as("lt"), col("lid"))
+    val r = rhs.select(col("k").as("rk"), col("t").as("rt"), col("rid"), col("v"))
+    val w = Window.partitionBy(col("lid"))
+      .orderBy(col("rt").desc_nulls_last, col("rid").desc_nulls_last)
+    l.join(r, col("k") === col("rk") && col("rt") <= col("lt"), "left_outer")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("k"), col("lt").as("t"), col("lid"),
+        col("rid").as("m_rid"), col("v").as("m_v"))
+  }
+
+  test("asofJoin matches the join-then-rank reference on ties, no-match keys, and simultaneous rows") {
+    val got = Temporal.asofJoin(lhs, rhs, "k", "t", "t",
+      Seq("rid" -> "m_rid", "v" -> "m_v"), tiebreak = "rid")
+    assert(got.columns.toSeq === Seq("k", "t", "lid", "m_rid", "m_v"))
+    assert(got.collect().toSet === naiveAsof.collect().toSet)
+    // spot-check semantics: simultaneous right row IS visible (<=), ties
+    // on right ts resolve to the max tiebreak
+    val byL = got.collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(byL(10L) === Some(101L)) // t=+100 sees both +100 rows, picks rid 101
+    assert(byL(12L) === Some(102L)) // t=+300 sees +250
+    assert(byL(20L) === None)       // right row at +160 is AFTER +150
+    assert(byL(30L) === None)       // key with no right rows
+  }
+
+  test("asofJoin plans a single exchange (union+window), not a join") {
+    val got = Temporal.asofJoin(lhs, rhs, "k", "t", "t",
+      Seq("rid" -> "m_rid"), tiebreak = "rid")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected join-free plan, got:\n$plan")
+  }
+
+  test("rangeJoin matches the naive cross-filter reference across bin boundaries") {
+    val intervals = Seq(
+      (1L, base + 100L, base + 300L),  // spans multiple 100ns bins
+      (2L, base + 250L, base + 251L),  // width 1
+      (3L, base + 400L, base + 400L)   // empty [x, x)
+    ).toDF("iid", "s", "e")
+    val points = Seq(
+      (50L, base + 99L), (51L, base + 100L), (52L, base + 250L),
+      (53L, base + 299L), (54L, base + 300L), (55L, base + 400L)
+    ).toDF("pid", "pt")
+    val got = Temporal.rangeJoin(intervals, points, "s", "e", "pt", binWidth = 100L)
+      .select("iid", "pid")
+    val want = intervals.crossJoin(points)
+      .where(col("pt") >= col("s") && col("pt") < col("e"))
+      .select("iid", "pid")
+    assert(got.collect().toSet === want.collect().toSet)
+    // half-open semantics: start inclusive, end exclusive
+    val hits = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits === Set((1L, 51L), (1L, 52L), (1L, 53L), (2L, 52L)))
+  }
+
+  test("rangeJoin prefixes colliding point columns") {
+    val intervals = Seq((1L, 0L, 10L)).toDF("id", "s", "t")
+    val points = Seq((2L, 5L)).toDF("id", "t")
+    val got = Temporal.rangeJoin(intervals, points, "s", "t", "t", binWidth = 4L)
+    assert(got.columns.toSeq === Seq("id", "s", "t", "p_id", "p_t"))
+    assert(got.count() === 1)
+  }
+
+  test("sessionize splits on gap and numbers sessions 1..n per key") {
+    val ev = Seq(
+      (1L, 1L, 1000L), (1L, 2L, 1500L), (1L, 3L, 5000L), (1L, 4L, 5100L),
+      (2L, 5L, 9000L)
+    ).toDF("k", "id", "t")
+    val got = Temporal.sessionize(ev, "k", "id", "t", gap = 1000L)
+      .select("k", "id", "session_id").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 5L, 1L)))
+  }
+
+  test("sessionize boundary: gap exactly equal to threshold does NOT split") {
+    val ev = Seq((1L, 1L, 0L), (1L, 2L, 1000L), (1L, 3L, 2001L)).toDF("k", "id", "t")
+    val got = Temporal.sessionize(ev, "k", "id", "t", gap = 1000L)
+      .select("id", "session_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+}
