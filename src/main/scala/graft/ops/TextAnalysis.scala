@@ -132,6 +132,58 @@ object TextAnalysis {
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
   }
 
+  /** PII patterns in scrub order (email before URL: an address inside a
+    * query string should redact as email, not vanish into `<URL>`). All
+    * patterns are RE2-compatible (no lookaround/backrefs) so the DuckDB
+    * oracle and any RE2-based engine replay them byte-identically. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b|\\b555-[0-9]{4}\\b",
+      "<PHONE>"))
+
+  /** Redact emails, URLs, IPv4s, and phone numbers — the standard
+    * pre-training PII scrub. Pure projection (codegen'd regexes), runs at
+    * scan speed; swap/extend [[piiPatterns]] per policy. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
+  /** Per-kind PII match counts on the raw text (audit metric alongside
+    * [[scrubPii]]). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (kind, pat, _) =>
+      s"n_$kind" -> size(regexp_extract_all(text, lit(pat), lit(0)))
+    }
+
+  /** Top-`k` TF-IDF terms per document: tf = in-doc term count, idf =
+    * ln((N+1)/(df+1)) with add-one smoothing, ranked (score desc, term
+    * asc). Two hash aggregations + one broadcast of the (token, df)
+    * side? No — df joins back on the token key (dictionary-sized, usually
+    * broadcast by AQE); the corpus size N is a 1-row broadcast. Ranking is
+    * a WindowGroupLimit — no full per-doc sort at scale. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = df.select(col(idCol).as("__id"),
+      explode(words(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val tf = tokens.groupBy(col("__id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("__id"), col("token"), col("tfidf"), col("rnk"))
+  }
+
   /** The full per-document analysis projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

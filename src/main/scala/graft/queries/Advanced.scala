@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.core.Tables.table
-import graft.ops.Temporal
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{Temporal, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Event-time operator surface (as-of join, interval range join,
@@ -68,13 +68,85 @@ object Advanced {
         max(col("event_id")).as("last_event"),
         (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
 
+  /** PII-bearing text synthesized deterministically from doc_id (the
+    * corpus itself is PII-free word salad): one email, URL, IPv4, and
+    * phone per doc, prepended to the real text. Both engines build the
+    * identical string, so the scrub compares end-to-end. */
+  private def piiRaw: Column = concat(
+    lit("contact user"), col("doc_id").cast("string"),
+    lit("@mail"), pmod(col("doc_id"), lit(7)).cast("string"),
+    lit(".example via https://ex"), pmod(col("doc_id"), lit(5)).cast("string"),
+    lit(".org/a?b=1 at 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+    lit("."), pmod(col("doc_id"), lit(100)).cast("string"),
+    lit(" call 555-"),
+    lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+    lit(" :: "), col("text"))
+
+  /** PII scrub: redact emails/URLs/IPs/phones and count each kind —
+    * projection-only, scan-speed. */
+  def q46PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val withRaw = table(spark, dir, "documents").withColumn("raw", piiRaw)
+    val counts = TextAnalysis.piiCounts(col("raw"))
+      .map { case (name, c) => c.as(name) }
+    withRaw.select(
+      Seq(col("doc_id"), TextAnalysis.scrubPii(col("raw")).as("scrubbed"))
+        ++ counts: _*)
+  }
+
+  /** Top-3 TF-IDF terms per document (smoothed idf, deterministic
+    * tiebreak) — the classic relevance/keyword-extraction surface. */
+  def q47Tfidf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidf(table(spark, dir, "documents"), "doc_id", "text", k = 3)
+      .select(col("__id").as("doc_id"), col("token"), col("tfidf"), col("rnk"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_asof_join" -> q43AsofJoin,
     "q44_range_join" -> q44RangeJoin,
-    "q45_sessionize" -> q45Sessionize
+    "q45_sessionize" -> q45Sessionize,
+    "q46_pii_scrub" -> q46PiiScrub,
+    "q47_tfidf" -> q47Tfidf
   )
 
+  /** The synthesized PII text in DuckDB (|| casts ints itself). */
+  private val piiRawSql =
+    "'contact user' || doc_id || '@mail' || (doc_id % 7) || " +
+      "'.example via https://ex' || (doc_id % 5) || " +
+      "'.org/a?b=1 at 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) || " +
+      "' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+      "' :: ' || text"
+
+  /** Scrub chain + per-kind counts generated from the SAME pattern list
+    * the Spark side uses — the regexes cannot drift apart. */
+  private def scrubSql: String = {
+    val scrubbed = TextAnalysis.piiPatterns.foldLeft("raw") {
+      case (acc, (_, pat, rep)) =>
+        s"regexp_replace($acc, '$pat', '$rep', 'g')"
+    }
+    val counts = TextAnalysis.piiPatterns.map { case (kind, pat, _) =>
+      s"len(regexp_extract_all(raw, '$pat')) AS n_$kind"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id, $scrubbed AS scrubbed,
+       |  $counts
+       |FROM (SELECT doc_id, $piiRawSql AS raw FROM documents)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q46_pii_scrub" -> scrubSql,
+    "q47_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |       FROM t WHERE token <> '' GROUP BY doc_id, token),
+        |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, token, tfidf, rnk FROM (
+        |  SELECT tf.doc_id, tf.token,
+        |    round(tf.tf * ln((n.n + 1.0) / (dfr.df + 1.0)), 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY round(tf.tf * ln((n.n + 1.0) / (dfr.df + 1.0)), 6) DESC,
+        |               tf.token ASC) AS rnk
+        |  FROM tf JOIN dfr USING (token) CROSS JOIN n
+        |) WHERE rnk <= 3""".stripMargin,
     "q43_asof_join" ->
       """SELECT click_id, user_id, purchase_id, purchase_value FROM (
         |  SELECT c.event_id AS click_id, c.user_id,

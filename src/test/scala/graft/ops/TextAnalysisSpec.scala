@@ -80,6 +80,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L, 0.0)))
   }
 
+  test("scrubPii redacts emails, urls, ips, and phones; counts match") {
+    val txt = "mail a.b+c@sub.example.org see https://x.io/p?q=1 " +
+      "host 192.168.0.1 dial 415-555-1234 or 555-0042 done"
+    val df = Seq((1L, txt)).toDF("id", "text")
+    val scrubbed = df.select(TextAnalysis.scrubPii(col("text"))).head.getString(0)
+    assert(scrubbed ===
+      "mail <EMAIL> see <URL> host <IP> dial <PHONE> or <PHONE> done")
+    val counts = df.select(TextAnalysis.piiCounts(col("text"))
+      .map { case (n, c) => c.as(n) }: _*).head()
+    assert(counts.getInt(0) === 1) // email
+    assert(counts.getInt(1) === 1) // url
+    assert(counts.getInt(2) === 1) // ip
+    assert(counts.getInt(3) === 2) // phones
+  }
+
+  test("scrubPii leaves clean text untouched") {
+    val txt = "no pii here just words 123 and a-b"
+    val out = Seq((1L, txt)).toDF("id", "text")
+      .select(TextAnalysis.scrubPii(col("text"))).head.getString(0)
+    assert(out === txt)
+  }
+
+  test("tfidf ranks distinctive terms above ubiquitous ones") {
+    val df = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "common cherry cherry")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    // doc 1: apple (tf=2, df=1) is the clear top term
+    assert(out.collect { case (1L, t, 1) => t }.head === "apple")
+    // 'common' (df=3 of N=3, idf=0) never outranks a distinctive term
+    val commonRanks = out.collect { case (_, "common", rnk) => rnk }
+    assert(commonRanks.forall(_ == 2))
+    // every doc emits exactly k=2 rows
+    assert(out.groupBy(_._1).values.forall(_.length == 2))
+  }
+
   test("analyze attaches the full projection") {
     val cols = TextAnalysis.analyze(Seq((1L, "the a b")).toDF("id", "text"), "text").columns
     assert(Seq("pred_lang", "lang_score", "n_tokens", "n_bpe_tokens",
