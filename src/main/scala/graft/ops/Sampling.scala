@@ -49,6 +49,28 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Weighted sampling without replacement, k per group
+    * (Efraimidis–Spiridakis A-Res): each row draws a deterministic uniform
+    * u = hash60(key⊕salt)/2^60 and gets priority ln(u)/w — the k largest
+    * priorities per group are an exact weighted sample without
+    * replacement. Fully distributed (one window shuffle on the group key,
+    * WindowGroupLimit plan) and reproducible across runs, partitionings,
+    * and engines — the same md5-derived uniform everywhere. Priorities are
+    * rounded to 9 decimals before ranking (with a key tiebreak) so the
+    * order is well-defined under float noise; weights must be > 0. */
+  def weightedSample(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      weight: Column, k: Int, salt: String = "w0"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = TextDedup.hash60(concat(col(keyCol).cast("string"), lit(":" + salt)))
+      .cast("double") / lit(1.152921504606846976e18) // 2^60, exact in double
+    val priority = round(log(u) / weight, 9)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(priority.desc, col(keyCol).asc)
+    df.withColumn("priority", priority)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+  }
+
   /** Token-budget dataset mixing: greedily fill each group (ordered by
     * `order` — typically quality-first) until `budget` tokens, keeping
     * the document that crosses the boundary. The token-based complement

@@ -99,12 +99,36 @@ object Advanced {
     TextAnalysis.tfidf(table(spark, dir, "documents"), "doc_id", "text", k = 3)
       .select(col("__id").as("doc_id"), col("token"), col("tfidf"), col("rnk"))
 
+  /** Weighted sampling without replacement: 20 docs per language, chance
+    * proportional to n_chars — reproducible (hash-derived uniforms) and
+    * fully distributed; the oracle replays the identical draw. */
+  def q48WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.weightedSample(table(spark, dir, "documents"),
+      Seq("lang"), "doc_id", col("n_chars"), k = 20)
+      .select(col("doc_id"), col("lang"), col("priority"), col("rnk"))
+
+  /** Bloom-accelerated exact semi join: lineitem rows whose supplier has
+    * positive account balance; result ≡ the plain semi join the oracle
+    * spells (no false negatives + exact verification of false
+    * positives). */
+  def q49BloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    val rich = table(spark, dir, "supplier").where(col("s_acctbal") > 5000.0)
+    graft.ops.BloomJoin.semiJoinExact(
+      table(spark, dir, "lineitem"), rich, "l_suppkey", "s_suppkey",
+      expectedItems = 1000L)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_asof_join" -> q43AsofJoin,
     "q44_range_join" -> q44RangeJoin,
     "q45_sessionize" -> q45Sessionize,
     "q46_pii_scrub" -> q46PiiScrub,
-    "q47_tfidf" -> q47Tfidf
+    "q47_tfidf" -> q47Tfidf,
+    "q48_weighted_sample" -> q48WeightedSample,
+    "q49_bloom_semi" -> q49BloomSemi
   )
 
   /** The synthesized PII text in DuckDB (|| casts ints itself). */
@@ -131,6 +155,22 @@ object Advanced {
   }
 
   val oracles: Map[String, String] = Map(
+    "q48_weighted_sample" -> {
+      val pri = "round(ln((('0x' || substr(md5(doc_id || ':w0'), 1, 15))::BIGINT)" +
+        " / 1152921504606846976.0) / n_chars, 9)"
+      s"""SELECT doc_id, lang, priority, rnk FROM (
+         |  SELECT doc_id, lang, $pri AS priority,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY $pri DESC, doc_id ASC) AS rnk
+         |  FROM documents) WHERE rnk <= 20""".stripMargin
+    },
+    "q49_bloom_semi" ->
+      """SELECT l_suppkey, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM supplier
+        |              WHERE s_suppkey = l_suppkey AND s_acctbal > 5000.0)
+        |GROUP BY l_suppkey""".stripMargin,
     "q46_pii_scrub" -> scrubSql,
     "q47_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -47,6 +47,37 @@ class SamplingSpec extends SparkSpec {
     assert(out == Set(1L, 2L, 4L))
   }
 
+  test("weightedSample: exactly k per group, reproducible, partition-invariant") {
+    val df = spark.range(200).toDF("id")
+      .withColumn("g", (col("id") % 2).cast("string"))
+      .withColumn("w", col("id") + lit(1L))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(d, Seq("g"), "id", col("w"), k = 10)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val a = run(df)
+    assert(a.size == 20) // 10 per group × 2 groups, disjoint ids
+    assert(run(df.repartition(7)) == a)   // partitioning-independent
+    assert(run(df.orderBy(col("id").desc)) == a) // order-independent
+  }
+
+  test("weightedSample matches a driver-side Efraimidis-Spiridakis replay") {
+    val df = spark.range(50).toDF("id").withColumn("g", lit("x"))
+      .withColumn("w", col("id") * col("id") + lit(1L))
+    val got = Sampling.weightedSample(df, Seq("g"), "id", col("w"), k = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // replay: u = hash60(md5("<id>:w0"))/2^60, priority = ln(u)/w, top-5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = (0L until 50L).map { id =>
+      val hex = md.digest(s"$id:w0".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 60)
+      val pri = BigDecimal(math.log(u) / (id * id + 1L))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      (pri, id)
+    }.sortBy { case (p, id) => (-p, id) }.take(5).map(_._2).toSet
+    assert(got == want)
+  }
+
   test("tokenBudgetPerGroup fills greedily, keeps the boundary doc, per group") {
     val df = Seq(
       // s1 ordered by quality desc: 1 (60 toks), 2 (50), 3 (10)
