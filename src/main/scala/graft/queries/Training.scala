@@ -180,6 +180,14 @@ object Training {
       "doc_a", "doc_b")
       .withColumn("keep", col("doc_id") === col("component"))
 
+  /** The full dedup cascade a curation pipeline runs as ONE operator:
+    * exact content-hash dedup → MinHash+LSH near-dup pairs among the
+    * surviving representatives → connected components over exact∪near
+    * edges → per-doc (component, keep). Every stage is the verified
+    * primitive (q17/q19/q42) composed without a collect. */
+  def q50DedupCascade(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.dedupCascade(docs(spark, dir), "doc_id", "text")
+
   /** Multi-probe IVF: nprobe=2 over the same 16 deterministic centroids
     * as q26 — the recall dial between single-probe IVF and brute force. */
   def q41AnnNprobe(spark: SparkSession, dir: String): DataFrame =
@@ -201,15 +209,18 @@ object Training {
       |      FROM w)""".stripMargin
 
   /** 60-bit-hashed shingle CTEs (used by q18/q19 — the Spark side joins
-    * and intersects hashes, not strings; see TextDedup.hashedShingleRows). */
-  private val hashedShingleCtes =
-    """w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
-      |s AS (SELECT doc_id,
-      |        list_transform(
-      |          list_distinct([ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2]
-      |                         for g in generate_series(1, len(ws)-2)]),
-      |          g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) shs
-      |      FROM w)""".stripMargin
+    * and intersects hashes, not strings; see TextDedup.hashedShingleRows).
+    * Parameterized by the source relation (q50 runs them over the
+    * exact-dedup representatives instead of all documents). */
+  private def hashedShingleCtesOver(src: String) =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') ws FROM $src),
+       |s AS (SELECT doc_id,
+       |        list_transform(
+       |          list_distinct([ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2]
+       |                         for g in generate_series(1, len(ws)-2)]),
+       |          g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) shs
+       |      FROM w)""".stripMargin
+  private val hashedShingleCtes = hashedShingleCtesOver("documents")
 
   private val jacExpr =
     """len(list_intersect(x.shs, y.shs))::DOUBLE /
@@ -220,9 +231,9 @@ object Training {
 
   private val P = TextDedup.MinhashPrime
 
-  /** Shared MinHash(16)+LSH(4×4)+verify CTE chain (q19, q42): ends at
-    * `j(doc_a, doc_b, jac)`. */
-  private lazy val minhashCtes: String = {
+  /** Shared MinHash(16)+LSH(4×4)+verify CTE chain (q19, q42, q50): ends
+    * at `j(doc_a, doc_b, jac)`; parameterized by the source relation. */
+  private def minhashCtesOver(src: String): String = {
     val perms = TextDedup.permutations(16)
     val mins = perms.zipWithIndex
       .map { case ((a, b), i) => s"min(($a * x + $b) % $P) m$i" }
@@ -230,7 +241,7 @@ object Training {
     val bandEq = (0 until 4).map { bi =>
       (0 until 4).map(r => s"a.m${bi * 4 + r} = b.m${bi * 4 + r}").mkString("(", " AND ", ")")
     }.mkString(" OR ")
-    s"""$hashedShingleCtes,
+    s"""${hashedShingleCtesOver(src)},
        |e AS (SELECT doc_id, unnest(shs) sh FROM s),
        |hx AS (SELECT doc_id, sh % $P x FROM e),
        |sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
@@ -239,6 +250,7 @@ object Training {
        |j AS (SELECT doc_a, doc_b, $jacExpr jac
        |      FROM cand JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b)""".stripMargin
   }
+  private lazy val minhashCtes: String = minhashCtesOver("documents")
 
   /** Fixed left-associated Σ a[i]·b[i] (1-based DuckDB lists). */
   private def dotSql(a: String, b: String): String =
@@ -270,7 +282,8 @@ object Training {
     "q39_repetition" -> q39Repetition,
     "q40_token_budget" -> q40TokenBudget,
     "q41_ann_nprobe" -> q41AnnNprobe,
-    "q42_dedup_groups" -> q42DedupGroups
+    "q42_dedup_groups" -> q42DedupGroups,
+    "q50_dedup_cascade" -> q50DedupCascade
   )
 
   val oracles: Map[String, String] = Map(
@@ -301,6 +314,31 @@ object Training {
          |SELECT u AS doc_id, min(v) AS component,
          |  (u = min(v)) AS keep
          |FROM reach GROUP BY u""".stripMargin,
+    "q50_dedup_cascade" ->
+      // replay the cascade: exact groups → edges to the content-min,
+      // minhash chain over representatives only, transitive closure over
+      // exact∪near edges, label = min reachable id, untouched docs keep
+      s"""WITH RECURSIVE
+         |k AS (SELECT md5(text) h, min(doc_id) keep
+         |      FROM documents GROUP BY md5(text)),
+         |exact_edges AS (SELECT d.doc_id doc_a, k.keep doc_b
+         |                FROM documents d JOIN k ON md5(d.text) = k.h
+         |                WHERE d.doc_id <> k.keep),
+         |repdocs AS (SELECT d.* FROM documents d JOIN k ON d.doc_id = k.keep),
+         |${minhashCtesOver("repdocs")},
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.8
+         |      UNION ALL SELECT doc_a, doc_b FROM exact_edges),
+         |und AS (SELECT doc_a u, doc_b v FROM p
+         |        UNION SELECT doc_b, doc_a FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u doc_id, min(v) component FROM reach GROUP BY u)
+         |SELECT d.doc_id,
+         |  coalesce(c.component, d.doc_id) AS component,
+         |  (d.doc_id = coalesce(c.component, d.doc_id)) AS keep
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin,
     "q20_simhash" -> {
       val sums = (0 until 32)
         .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN cnt ELSE -cnt END) s$b")
