@@ -15,6 +15,25 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** S7 physical-layout fidelity: the reference's CTAS
+    * `DISTRIBUTE HASH(keys) INTO n` + clustered index
+    * (CreateAndInitializeCommit.usql:49-90 — 200 buckets for Commit/Org/
+    * Team, 60 for the Event family, 20 default) maps to Spark bucketing:
+    * `bucketBy(n, keys) [+ sortBy]` into the session catalog. Two tables
+    * bucketed identically on their join key then join with NO shuffle on
+    * either side (and sorted buckets skip the sort in a sort-merge join)
+    * — at 100 TB this is the difference between an O(table) exchange per
+    * daily merge and none. */
+  def saveBucketed(df: DataFrame, tableName: String, buckets: Int,
+      keys: Seq[String], sortKeys: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "bucketing needs at least one key")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    val ws = if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*)
+    else w
+    ws.saveAsTable(tableName)
+  }
+
   /** Register every curated table under `curatedDir` as a temp view, so
     * the warehouse is queryable as plain SQL — the surface the
     * reference's U-SQL users actually write:

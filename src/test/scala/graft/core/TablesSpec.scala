@@ -25,6 +25,34 @@ class TablesSpec extends SparkSpec {
     assert(joined.count() >= 2)
   }
 
+  test("saveBucketed: co-bucketed join plans with zero shuffle exchanges (S7 fidelity)") {
+    import spark.implicits._
+    val left = (0L until 1000L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (0L until 1000L by 3).map(i => (i, s"r$i")).toDF("k", "rv")
+    Tables.saveBucketed(left, "bkt_left", buckets = 8, keys = Seq("k"),
+      sortKeys = Seq("k"))
+    Tables.saveBucketed(right, "bkt_right", buckets = 8, keys = Seq("k"),
+      sortKeys = Seq("k"))
+    try {
+      // forbid broadcast so the test can't pass vacuously
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        assert(joined.count() === 334)
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"co-bucketed join must not shuffle:\n$plan")
+        // differential: same rows as the unbucketed join
+        val want = left.join(right, "k").count()
+        assert(joined.count() === want)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
+
   test("registerTestTables + engine SQL functions work end to end") {
     graft.plans.GraftExtensions.register(spark)
     val tables = Tables.registerTestTables(spark, "/root/testdata/sf0.001")
