@@ -113,6 +113,35 @@ class PlanShapeSpec extends SparkSpec {
       s"extra exchanges:\n$p")
   }
 
+  test("as-of join is union+window — no join operator, one key exchange") {
+    val p = plan("q43_asof_join").split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"as-of fell back to a pair join:\n$p")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"as-of shuffles more than once:\n$p")
+  }
+
+  test("range join is a binned equi-join, not a nested-loop product") {
+    val p = plan("q44_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join went quadratic:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join on bins:\n$p")
+  }
+
+  test("tfidf corpus size joins as a 1-row broadcast, ranking group-limits") {
+    val p = plan("q47_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus-size cross join not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"tfidf top-k fully sorts:\n$p")
+  }
+
+  test("weighted sample plans as WindowGroupLimit over a projection — no extra pass") {
+    val p = plan("q48_weighted_sample").split("== Initial Plan ==").head
+    assert(p.contains("WindowGroupLimit"), s"weighted sample fully sorts:\n$p")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"extra exchanges:\n$p")
+  }
+
   test("staging scans prune by partition columns") {
     val root = scratch("plan-staging")
     import spark.implicits._
