@@ -61,8 +61,42 @@ object StreamingQueries {
       col("n_events"))
   }
 
+  /** Streaming session windows per user (12h gap), append mode, run to
+    * completion. Emission rule: a session closes when the final watermark
+    * (= max(ts), zero delay) passes its end = last event + gap — the
+    * still-open tail session per user stays in state, unemitted. Session
+    * boundaries use the native `session_window` split rule (only a
+    * strictly-larger-than-gap silence splits; an event exactly on the
+    * session end merges); the oracle replays exactly that on
+    * epoch-micros. */
+  def q51StreamSession(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val sessions = Streams.sessionWindows(events, "event_ts", "user_id",
+      gap = "12 hours", watermarkDelay = "0 seconds")
+    val sink = s"q51_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = sessions.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-$sink")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).select(
+      col("user_id"),
+      date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+      date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+      col("n_events"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q37_stream_window" -> q37StreamWindow
+    "q37_stream_window" -> q37StreamWindow,
+    "q51_stream_session" -> q51StreamSession
   )
 
   val oracles: Map[String, String] = Map(
@@ -74,6 +108,28 @@ object StreamingQueries {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
         |  strftime(ws + INTERVAL '6 hours', '%Y-%m-%d %H:%M:%S') AS window_end,
         |  event_type, n_events
-        |FROM b, m WHERE ws + INTERVAL '6 hours' <= mx""".stripMargin
+        |FROM b, m WHERE ws + INTERVAL '6 hours' <= mx""".stripMargin,
+    "q51_stream_session" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM x),
+        |s AS (SELECT user_id, sid, count(*) AS n_events,
+        |        min(ts) AS first_ts, max(ts) AS last_ts
+        |      FROM y GROUP BY user_id, sid),
+        |m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT user_id,
+        |  strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(last_ts + INTERVAL 12 HOUR, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  n_events
+        |FROM s, m WHERE last_ts + INTERVAL 12 HOUR <= mx""".stripMargin
   )
 }

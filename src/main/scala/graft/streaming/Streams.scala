@@ -62,6 +62,24 @@ object Streams {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col(keyCol), col("n_events"))
 
+  /** Watermarked session windows: events within `gap` of each other merge
+    * into one session per key (native `session_window` state — sessions
+    * merge across micro-batches, state evicts once the watermark passes a
+    * session's end = last event + gap). The streaming dual of
+    * [[graft.ops.Temporal.sessionize]], with identical gap semantics: an
+    * event landing exactly on a session's end still merges — only a
+    * strictly larger gap splits. */
+  def sessionWindows(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Per-key latest-version state: the snapshot-merge idiom as
     * flatMapGroupsWithState. Emits a row only when the incoming version is
     * newer than the stored one (effective-timestamp comparison, the P6

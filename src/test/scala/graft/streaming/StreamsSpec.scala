@@ -78,6 +78,39 @@ class StreamsSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 00:00:00.0", "a", 2L)))
   }
 
+  test("sessionWindows: gap merge/split semantics and watermark emission") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streams.sessionWindows(
+        input.toDS().toDF("ts", "k"), "ts", "k", gap = "1 minute",
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two events 30s apart merge; an event landing EXACTLY on the session
+    // end (60s after the previous) still merges — only a strictly larger
+    // gap splits; the fourth event at +61s starts a new session
+    input.addData((ts("2024-01-01 00:00:00"), "a"),
+      (ts("2024-01-01 00:00:30"), "a"), (ts("2024-01-01 00:01:30"), "a"),
+      (ts("2024-01-01 00:02:31"), "a"))
+    q.processAllAvailable()
+    // advance the watermark far past both session ends
+    input.addData((ts("2024-01-01 01:00:00"), "b"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 02:00:00"), "b"))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSet
+    q.stop()
+    assert(rows.contains(("a", "2024-01-01 00:00:00.0", "2024-01-01 00:02:30.0", 3L)),
+      s"first session wrong: $rows")
+    assert(rows.contains(("a", "2024-01-01 00:02:31.0", "2024-01-01 00:03:31.0", 1L)),
+      s"second session wrong: $rows")
+  }
+
   test("latestPerKeyStream state logic emits only newer versions") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
