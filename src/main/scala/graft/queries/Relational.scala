@@ -330,7 +330,32 @@ object Relational {
         round(var_samp(col("l_quantity")), 4).as("var_qty"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
 
+  /** CUBE grouping sets: all 2^2 subtotal combinations over (status,
+    * priority) — completes the grouping-sets surface next to q33's
+    * ROLLUP. */
+  def q52Cube(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+
+  /** INTERSECT / EXCEPT set operations (distinct semantics): nations that
+    * have both customers and suppliers vs customer-only, tagged and
+    * unioned — the set-op surface the reference never uses (§2.7) but an
+    * engine must expose. */
+  def q53SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = table(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val suppNations = table(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    val both = custNations.intersect(suppNations)
+      .withColumn("side", lit("both"))
+    val custOnly = custNations.except(suppNations)
+      .withColumn("side", lit("customer_only"))
+    both.unionByName(custOnly)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_cube" -> q52Cube,
+    "q53_set_ops" -> q53SetOps,
     "q28_json_extract" -> q28JsonExtract,
     "q33_rollup" -> q33Rollup,
     "q34_pivot" -> q34Pivot,
@@ -355,6 +380,21 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q52_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q53_set_ops" ->
+      """SELECT nationkey, 'both' AS side FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' AS side FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey FROM supplier)""".stripMargin,
     "q35_percentile" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
