@@ -10,12 +10,14 @@ import org.apache.spark.sql.types._
   * frame-sampling as per-partition batch transforms.
   *
   * The Spark-side plumbing here is real and tested — schema, partitioning,
-  * batch shape, null/corrupt handling. The codec itself is a clearly-marked
-  * DETERMINISTIC STUB ([[StubCodec]]): this container ships no image/audio
-  * libraries, so the stub synthesizes metadata and features from the
-  * payload bytes. Swapping in a real decoder means replacing ONE function
-  * (`StubCodec.decode`) behind the same contract; every plan shape stays
-  * identical.
+  * batch shape, null/corrupt handling — and the codec is pluggable behind
+  * [[MediaCodec]]. Two implementations ship: [[JdkImageCodec]], a REAL
+  * image path on the JDK's built-in `javax.imageio` (PNG/JPEG/BMP/GIF
+  * header decode, raster pooling features, bilinear transcode — no
+  * external libraries), and [[StubCodec]], a clearly-marked DETERMINISTIC
+  * STUB for the audio/video kinds whose codecs (ffmpeg etc.) this
+  * container does not ship. Swapping in a production decoder means one
+  * implementation of the trait; every plan shape stays identical.
   *
   * Scale notes (100 TB of media): payloads ride in parquet binary columns —
   * columnar pruning means metadata-only queries never read the bytes.
@@ -44,14 +46,28 @@ object Multimodal {
     StructField("ok", BooleanType, nullable = false)
   ))
 
+  final case class Decoded(format: String, width: Int, height: Int,
+      nFrames: Int, durationMs: Long, ok: Boolean)
+
+  /** The codec contract every transform runs behind: decode metadata,
+    * extract features, transcode to a bounded size. Implementations must
+    * be Serializable (they ship to executors) and must NEVER throw on
+    * corrupt payloads — return ok=false / empty instead (a 100 TB job
+    * cannot die on one truncated file). */
+  trait MediaCodec extends Serializable {
+    def decode(kind: String, payload: Array[Byte]): Decoded
+    def embed(payload: Array[Byte], dim: Int): Array[Float]
+    /** Re-encode the payload scaled to exactly (w, h); passthrough when
+      * the implementation cannot transcode. */
+    def transcode(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
+
   /** ======== DETERMINISTIC STUB CODEC ========
-    * Stands in for libjpeg/ffmpeg/soundfile, which are not in this
-    * container. Synthesizes plausible metadata and features purely from
-    * the payload bytes, so tests are reproducible. Replace `decode` /
-    * `embed` with real codecs to productionize; contracts stay fixed. */
-  object StubCodec {
-    final case class Decoded(format: String, width: Int, height: Int,
-        nFrames: Int, durationMs: Long, ok: Boolean)
+    * Stands in for ffmpeg/soundfile, which are not in this container.
+    * Synthesizes plausible metadata and features purely from the payload
+    * bytes, so tests are reproducible. [[JdkImageCodec]] is the real
+    * image implementation; contracts stay fixed. */
+  object StubCodec extends MediaCodec {
 
     /** Byte-derived fake decode; null/empty payload → ok=false row (the
       * `silent` skip policy — corrupt media must never kill a 100 TB job). */
@@ -83,12 +99,105 @@ object Multimodal {
       }
       v
     }
+
+    def transcode(payload: Array[Byte], w: Int, h: Int): Array[Byte] = payload
+  }
+
+  /** ======== REAL IMAGE CODEC (pure JDK) ========
+    * `javax.imageio` ships PNG/JPEG/BMP/GIF/WBMP readers in every JDK —
+    * no external libraries — so the image path is fully real:
+    *  - [[decode]] reads width/height/format from the stream HEADER
+    *    (`reader.getWidth(0)` — no raster allocation for metadata-only
+    *    scans);
+    *  - [[embed]] decodes, average-pools the raster onto a g×g RGB grid
+    *    (g² ·3 ≥ dim), and unit-normalizes — a real, deterministic visual
+    *    feature;
+    *  - [[transcode]] rescales with bilinear Graphics2D and re-encodes as
+    *    PNG.
+    * Non-image kinds and undecodable payloads fall back to the stub /
+    * ok=false (silent-skip policy). */
+  object JdkImageCodec extends MediaCodec {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+
+    private def withReader[A](payload: Array[Byte])(
+        f: (javax.imageio.ImageReader, javax.imageio.stream.ImageInputStream) => A): Option[A] =
+      if (payload == null || payload.isEmpty) None
+      else {
+        val in = new java.io.ByteArrayInputStream(payload)
+        val iis = ImageIO.createImageInputStream(in)
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try { r.setInput(iis); Some(f(r, iis)) }
+            catch { case scala.util.control.NonFatal(_) => None }
+            finally r.dispose()
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally if (iis != null) iis.close()
+      }
+
+    def decode(kind: String, payload: Array[Byte]): Decoded =
+      if (kind != "image") StubCodec.decode(kind, payload)
+      else withReader(payload) { (r, _) =>
+        Decoded(s"image/${r.getFormatName.toLowerCase}",
+          r.getWidth(0), r.getHeight(0), r.getNumImages(false) max 1, 0L,
+          ok = true)
+      }.getOrElse(Decoded(null, 0, 0, 0, 0L, ok = false))
+
+    private def readImage(payload: Array[Byte]): Option[BufferedImage] =
+      if (payload == null || payload.isEmpty) None
+      else
+        try Option(ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        catch { case scala.util.control.NonFatal(_) => None }
+
+    def embed(payload: Array[Byte], dim: Int): Array[Float] =
+      readImage(payload) match {
+        case None => new Array[Float](dim) // undecodable → zero vector
+        case Some(img) =>
+          val g = math.ceil(math.sqrt(dim / 3.0)).toInt max 1
+          val pooled = scaled(img, g, g)
+          val v = new Array[Float](dim)
+          var i = 0
+          while (i < dim) {
+            val cell = i / 3
+            val rgb = pooled.getRGB(cell % g, (cell / g) % g)
+            val chan = (rgb >> (16 - 8 * (i % 3))) & 0xff
+            v(i) = (chan - 128) / 128.0f
+            i += 1
+          }
+          val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+          if (n > 0) { var j = 0; while (j < dim) { v(j) /= n; j += 1 } }
+          v
+      }
+
+    private def scaled(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val gfx = out.createGraphics()
+      try {
+        gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        gfx.drawImage(img, 0, 0, w, h, null)
+      } finally gfx.dispose()
+      out
+    }
+
+    def transcode(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      readImage(payload) match {
+        case None => payload
+        case Some(img) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          ImageIO.write(scaled(img, w, h), "png", bos)
+          bos.toByteArray
+      }
   }
 
   /** Decode payloads → metadata struct, one codec per partition (the
     * mapPartitions batch shape a real decoder needs: amortized init,
     * streaming iterator, no whole-partition materialization). */
-  def decode(media: DataFrame): DataFrame = {
+  def decode(media: DataFrame, codec: MediaCodec = StubCodec): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(media.schema.fields :+
       StructField("decoded", decodedSchema, nullable = false))
@@ -98,7 +207,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       // real codec: init native handles HERE, once per partition
       rows.map { r =>
-        val d = StubCodec.decode(r.getString(kindIdx),
+        val d = codec.decode(r.getString(kindIdx),
           r.getAs[Array[Byte]](payloadIdx))
         Row.fromSeq(r.toSeq :+ Row(d.format, d.width, d.height, d.nFrames,
           d.durationMs, d.ok))
@@ -109,7 +218,8 @@ object Multimodal {
   /** Feature extraction: payload → `dim`-float embedding column, same
     * per-partition batch shape. Emits only (media_id, embedding) — the
     * binary never travels past this projection. */
-  def extractFeatures(media: DataFrame, dim: Int): DataFrame = {
+  def extractFeatures(media: DataFrame, dim: Int,
+      codec: MediaCodec = StubCodec): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("embedding", ArrayType(FloatType, containsNull = false))))
@@ -119,7 +229,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         Row(r.getLong(idIdx),
-          StubCodec.embed(r.getAs[Array[Byte]](payloadIdx), dim).toSeq)
+          codec.embed(r.getAs[Array[Byte]](payloadIdx), dim).toSeq)
       }
     }(enc)
   }
@@ -129,7 +239,8 @@ object Multimodal {
     * [[decode]]. The pixel transcode is the stub (payload passes through);
     * the geometry, null/corrupt skip, and batch plumbing are real. Output
     * adds `out_width`/`out_height` and `resized` (binary). */
-  def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+  def resize(media: DataFrame, maxW: Int, maxH: Int,
+      codec: MediaCodec = StubCodec): DataFrame = {
     require(maxW > 0 && maxH > 0)
     val outSchema = StructType(media.schema.fields ++ Seq(
       StructField("out_width", IntegerType, nullable = true),
@@ -142,7 +253,7 @@ object Multimodal {
       // real codec: init scaler HERE, once per partition
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val d = StubCodec.decode(r.getString(kindIdx), payload)
+        val d = codec.decode(r.getString(kindIdx), payload)
         if (!d.ok || d.width <= 0 || d.height <= 0)
           Row.fromSeq(r.toSeq ++ Seq(null, null, null)) // silent corrupt skip
         else {
@@ -150,7 +261,7 @@ object Multimodal {
             math.min(maxW.toDouble / d.width, maxH.toDouble / d.height))
           val (w, h) = (math.max(1, (d.width * scale).toInt),
             math.max(1, (d.height * scale).toInt))
-          Row.fromSeq(r.toSeq ++ Seq(w, h, payload)) // stub transcode
+          Row.fromSeq(r.toSeq ++ Seq(w, h, codec.transcode(payload, w, h)))
         }
       }
     }(enc)

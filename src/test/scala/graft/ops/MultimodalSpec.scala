@@ -87,6 +87,56 @@ class MultimodalSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("JdkImageCodec decodes, embeds, and transcodes REAL PNGs (pure-JDK path)") {
+    import spark.implicits._
+    // build genuine PNG payloads with javax.imageio itself
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 17 + seed) * 2654435761L.toInt)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, "image", png(64, 48, 1), "s1"),
+      (2L, "image", png(300, 100, 2), "s2"),
+      (3L, "image", Array[Byte](1, 2, 3), "corrupt"),   // not an image
+      (4L, "audio", Array[Byte](9, 9), "a")             // falls to stub
+    ).toDF("media_id", "kind", "payload", "source_url")
+
+    val dec = Multimodal.decode(media, Multimodal.JdkImageCodec)
+      .select("media_id", "decoded.format", "decoded.width",
+        "decoded.height", "decoded.ok")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getBoolean(4))).toMap
+    assert(dec(1L) == (("image/png", 64, 48, true)))
+    assert(dec(2L) == (("image/png", 300, 100, true)))
+    assert(dec(3L)._4 == false) // corrupt: silent skip, no throw
+    assert(dec(4L) == (("stub/wav", 0, 0, true)))
+
+    // resize: aspect preserved, never upscaled, output decodes to (w, h)
+    val rs = Multimodal.resize(media.where(col("kind") === "image"),
+        maxW = 100, maxH = 100, codec = Multimodal.JdkImageCodec)
+      .select("media_id", "out_width", "out_height", "resized")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getAs[Array[Byte]](3))).toMap
+    assert(rs(1L)._1.contains(64) && rs(1L)._2.contains(48)) // fits: untouched
+    assert(rs(2L)._1.contains(100) && rs(2L)._2.contains(33)) // 300x100 → 100x33
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rs(2L)._3))
+    assert(back.getWidth == 100 && back.getHeight == 33) // REALLY transcoded
+    assert(rs(3L)._1.isEmpty && rs(3L)._3 == null) // corrupt → null row
+
+    // embed: unit-norm real feature, deterministic
+    val e = Multimodal.extractFeatures(media.where(col("media_id") === 1L),
+      dim = 27, codec = Multimodal.JdkImageCodec)
+      .head.getSeq[Float](1)
+    assert(e.length == 27)
+    assert(math.abs(e.map(x => x * x).sum - 1.0f) < 1e-3)
+  }
+
   test("sizeBuckets gives big rows dedicated buckets, bounds small buckets") {
     import spark.implicits._
     val skewed = Multimodal.synthetic(spark, 20).unionByName(
