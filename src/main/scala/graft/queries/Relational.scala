@@ -353,9 +353,62 @@ object Relational {
     both.unionByName(custOnly)
   }
 
+  /** Calendar/date function surface: trunc, parts, arithmetic, end-of-
+    * month — the reporting-dimension toolkit (F1/F2 generalized). Week
+    * fields are avoided: ISO-week conventions differ across engines;
+    * day-of-week is normalized to ISO (Mon=1..Sun=7) on both sides. */
+  def q54DateFuncs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        // Spark dayofweek: Sun=1..Sat=7 → ISO Mon=1..Sun=7
+        pmod(dayofweek(col("o_orderdate")) + lit(5), lit(7)).plus(1).as("iso_dow"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd")
+          .as("plus_3m"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+          .as("days_since_95"))
+
+  /** Array higher-order functions (transform / filter / aggregate) over
+    * the tokenized document — the HOF surface. (Engine note: Spark
+    * evaluates HOF lambdas interpreted, outside codegen — fine for
+    * structural transforms like these, but hash/crypto per element
+    * belongs in a native expression, see NGramShingles.) */
+  def q55ArrayHof(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => length(t) > 4)).as("n_long"),
+        array_join(slice(transform(toks, t => upper(t)), 1, 3), " ")
+          .as("head_upper"),
+        aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("total_chars"))
+  }
+
+  /** Argmax/argmin aggregates (max_by / min_by ≡ DuckDB arg_max/arg_min):
+    * per market segment, the customer holding the extreme unique key —
+    * single-pass, no window. */
+  def q56Argmax(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        max_by(col("c_name"), col("c_custkey")).as("latest_customer"),
+        min_by(col("c_name"), col("c_custkey")).as("first_customer"),
+        round(max(col("c_acctbal")), 2).as("max_bal"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_cube" -> q52Cube,
     "q53_set_ops" -> q53SetOps,
+    "q54_date_funcs" -> q54DateFuncs,
+    "q55_array_hof" -> q55ArrayHof,
+    "q56_argmax" -> q56Argmax,
     "q28_json_extract" -> q28JsonExtract,
     "q33_rollup" -> q33Rollup,
     "q34_pivot" -> q34Pivot,
@@ -380,6 +433,36 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q54_date_funcs" ->
+      """SELECT o_orderkey,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+        |  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT)
+        |    AS days_since_95
+        |FROM orders""".stripMargin,
+    "q55_array_hof" ->
+      """SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> length(t) > 4)) AS INT) AS n_long,
+        |  array_to_string(list_transform(toks, t -> upper(t))[1:3], ' ')
+        |    AS head_upper,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS INT)
+        |    AS total_chars
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |      FROM documents)""".stripMargin,
+    "q56_argmax" ->
+      """SELECT c_mktsegment,
+        |  arg_max(c_name, c_custkey) AS latest_customer,
+        |  arg_min(c_name, c_custkey) AS first_customer,
+        |  round(max(c_acctbal), 2) AS max_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
     "q52_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price
