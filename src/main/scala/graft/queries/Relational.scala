@@ -403,7 +403,64 @@ object Relational {
         min_by(col("c_name"), col("c_custkey")).as("first_customer"),
         round(max(col("c_acctbal")), 2).as("max_bal"))
 
+  /** URL component extraction via native `parse_url` (HOST / PATH / QUERY
+    * / a single query parameter) — the web-corpus curation surface. URLs
+    * are synthesized deterministically from `o_orderkey` so both engines
+    * see identical inputs; every 13th URL carries no query string, pinning
+    * the null behavior (`parse_url` → NULL, not empty string). The oracle
+    * rebuilds the expected components arithmetically — it verifies the
+    * parse, it doesn't re-implement it. */
+  def q57UrlFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val base = concat(lit("https://shop"), pmod(k, lit(5)).cast("string"),
+      lit(".example.com/c/"), pmod(k, lit(7)).cast("string"),
+      lit("/item-"), k.cast("string"))
+    val url = when(pmod(k, lit(13)) === 0, base).otherwise(concat(base,
+      lit("?page="), pmod(k, lit(3)).cast("string"),
+      lit("&ref=r"), pmod(k, lit(11)).cast("string")))
+    table(spark, dir, "orders")
+      .select(k.as("o_orderkey"), url.as("url"))
+      .select(
+        col("o_orderkey"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref_param"))
+  }
+
+  /** Ordered string aggregation (LISTAGG / string_agg): per-nation
+    * pipe-joined sorted supplier roster. `collect_list` order is
+    * partition-nondeterministic by design — `array_sort` before the join
+    * is what makes the operator distributable AND deterministic; the
+    * oracle's `ORDER BY` inside string_agg pins the same contract. */
+  def q58Listagg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "supplier")
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        array_join(array_sort(collect_list(col("s_name"))), "|").as("names"))
+
+  /** Linear-regression aggregates (regr_slope/intercept/r2/avgx/avgy) of
+    * extended price on quantity per return flag — single-pass moment
+    * sketches, mergeable across partitions (the 100 TB path needs no
+    * second scan). Rounded to absorb accumulation-order float drift. */
+  def q59Regr(spark: SparkSession, dir: String): DataFrame = {
+    val y = col("l_extendedprice"); val x = col("l_quantity")
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        regr_count(y, x).cast("long").as("n_pairs"),
+        round(regr_slope(y, x), 4).as("slope"),
+        round(regr_intercept(y, x), 2).as("intercept"),
+        round(regr_r2(y, x), 4).as("r2"),
+        round(regr_avgx(y, x), 4).as("avg_x"),
+        round(regr_avgy(y, x), 2).as("avg_y"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_url_funcs" -> q57UrlFuncs,
+    "q58_listagg" -> q58Listagg,
+    "q59_regr" -> q59Regr,
     "q52_cube" -> q52Cube,
     "q53_set_ops" -> q53SetOps,
     "q54_date_funcs" -> q54DateFuncs,
@@ -433,6 +490,29 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_url_funcs" ->
+      """SELECT o_orderkey,
+        |  'shop' || (o_orderkey % 5) || '.example.com' AS host,
+        |  '/c/' || (o_orderkey % 7) || '/item-' || o_orderkey AS path,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |       ELSE 'page=' || (o_orderkey % 3) || '&ref=r' || (o_orderkey % 11)
+        |  END AS query,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |       ELSE 'r' || (o_orderkey % 11) END AS ref_param
+        |FROM orders""".stripMargin,
+    "q58_listagg" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        |  string_agg(s_name, '|' ORDER BY s_name) AS names
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
+    "q59_regr" ->
+      """SELECT l_returnflag,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 2) AS avg_y
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q54_date_funcs" ->
       """SELECT o_orderkey,
         |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
