@@ -94,12 +94,80 @@ object StreamingQueries {
       col("n_events"))
   }
 
+  /** Streaming exact dedup (watermark-bounded state): first occurrence
+    * per (user_id, event_type) over the event stream. All data arrives
+    * inside one AvailableNow batch, so the within-watermark guarantee
+    * coincides with global distinct — which is exactly what the oracle
+    * spells. Only the key columns are projected: WHICH physical row
+    * survives is arrival-order-dependent, the key set is not. */
+  def q60StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = Streams.dedupStream(events, "event_ts",
+      Seq("user_id", "event_type"), watermarkDelay = "1 hour")
+      .select(col("user_id"), col("event_type"))
+    val sink = s"q60_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = deduped.writeStream
+      .format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-$sink")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  /** Stream-stream inner interval join: each purchase matched to the same
+    * user's clicks in the preceding hour. Inner-join emission is
+    * watermark-independent (pairs emit when the later side arrives;
+    * the watermark only bounds state), so run-to-completion output ≡ the
+    * batch join the oracle spells. */
+  def q61StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def stream() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = stream().where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_ts").as("click_ts"))
+    val purchases = stream().where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("event_ts").as("purchase_ts"))
+    val joined = Streams.intervalJoin(clicks, purchases, "user_id",
+      "click_ts", "purchase_ts", intervalUpper = "1 HOUR",
+      watermarkDelay = "0 seconds")
+      .select(col("click_id"), col("l.user_id").as("user_id"),
+        col("purchase_id"))
+    val sink = s"q61_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream
+      .format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-$sink")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_stream_window" -> q37StreamWindow,
-    "q51_stream_session" -> q51StreamSession
+    "q51_stream_session" -> q51StreamSession,
+    "q60_stream_dedup" -> q60StreamDedup,
+    "q61_stream_join" -> q61StreamJoin
   )
 
   val oracles: Map[String, String] = Map(
+    "q60_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q61_stream_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000""".stripMargin,
     "q37_stream_window" ->
       """WITH b AS (SELECT time_bucket(INTERVAL '6 hours', ts) ws, event_type,
         |             count(*) AS n_events

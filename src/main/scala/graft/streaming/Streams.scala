@@ -80,6 +80,41 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming exact dedup with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`): a key's dedup state is evicted
+    * once the watermark passes its event time + delay, so an unbounded
+    * key space (URLs, doc hashes, event ids at 100 TB/day) cannot
+    * accumulate state forever — the guarantee weakens from global to
+    * "no duplicates within the watermark horizon", which is the right
+    * trade for at-least-once upstream retries. Dedup is a stateful
+    * filter, not an aggregate: surviving rows emit in the micro-batch
+    * they arrive. Which physical row survives per key is
+    * arrival-order-dependent — project the key columns downstream when
+    * determinism matters. */
+  def dedupStream(events: DataFrame, tsCol: String, keys: Seq[String],
+      watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Watermarked stream-stream inner join: right rows with the same key
+    * inside `[leftTs, leftTs + intervalUpper]`. The event-time range
+    * predicate is mandatory design, not decoration — it is what lets the
+    * engine derive a state-retention bound per side (left rows evict
+    * once the watermark passes `leftTs + intervalUpper`; right rows once
+    * it passes `rightTs`), keeping join state finite on unbounded
+    * streams. Matched pairs emit in the batch the later row arrives. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, intervalUpper: String,
+      watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $intervalUpper"),
+      "inner")
+  }
+
   /** Per-key latest-version state: the snapshot-merge idiom as
     * flatMapGroupsWithState. Emits a row only when the incoming version is
     * newer than the stored one (effective-timestamp comparison, the P6

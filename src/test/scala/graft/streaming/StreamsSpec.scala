@@ -111,6 +111,62 @@ class StreamsSpec extends SparkSpec {
       s"second session wrong: $rows")
   }
 
+  test("dedupStream: dedups within the watermark horizon, state evicts past it") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streams.dedupStream(
+        input.toDS().toDF("ts", "k"), "ts", Seq("k"), "10 seconds")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((ts("2024-01-01 00:00:00"), "a"),
+      (ts("2024-01-01 00:00:01"), "a"), (ts("2024-01-01 00:00:02"), "b"))
+    q.processAllAvailable()
+    // same-batch duplicate of "a" suppressed
+    assert(spark.table("dedup_out").collect().map(_.getString(1)).sorted
+      .toSeq == Seq("a", "b"))
+    // advance the watermark far past a's eventTime + 10s → state evicted
+    input.addData((ts("2024-01-01 01:00:00"), "c"))
+    q.processAllAvailable()
+    // "a" reappearing BEYOND the horizon is a new row again (bounded
+    // state = within-horizon guarantee, by design)
+    input.addData((ts("2024-01-01 01:00:05"), "a"))
+    q.processAllAvailable()
+    val ks = spark.table("dedup_out").collect().map(_.getString(1)).toSeq
+    q.stop()
+    assert(ks.count(_ == "a") == 2 && ks.count(_ == "b") == 1)
+  }
+
+  test("intervalJoin: matches only key-equal pairs inside the time interval") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, String, String)]
+    val buys = MemoryStream[(java.sql.Timestamp, String, String)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val joined = Streams.intervalJoin(
+      clicks.toDS().toDF("cts", "user", "click_id"),
+      buys.toDS().toDF("bts", "user", "buy_id"),
+      "user", "cts", "bts", "1 HOUR", "0 seconds")
+      .select(col("click_id"), col("buy_id"))
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    clicks.addData(
+      (ts("2024-01-01 10:00:00"), "u1", "c1"),
+      (ts("2024-01-01 10:00:00"), "u2", "c2"))
+    buys.addData(
+      (ts("2024-01-01 10:30:00"), "u1", "b1"),   // in window, same user
+      (ts("2024-01-01 12:00:00"), "u1", "b2"),   // outside window
+      (ts("2024-01-01 10:30:00"), "u3", "b3"))   // no matching user
+    q.processAllAvailable()
+    val pairs = spark.table("ij_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(pairs == Set("c1" -> "b1"))
+  }
+
   test("latestPerKeyStream state logic emits only newer versions") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
