@@ -1,0 +1,83 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical data layout for scan efficiency at scale — the writer-side
+  * dual of predicate pushdown. The reference pins layout with clustered
+  * indexes + hash distribution in its CTAS DDL
+  * (`/root/reference/USQL/CreateAndInitializeCommit.usql:55` INTO 200,
+  * `CreateGitHubDataTable.usql:23-26`); on a data lake the same lever is
+  * how rows are arranged INSIDE and ACROSS parquet files:
+  *
+  *   - [[writeRangeClustered]] — global range-cluster on a sort key:
+  *     each output file owns a disjoint key range, so parquet footer
+  *     min/max stats let a filtered scan skip whole files (and row
+  *     groups within them). The 100 TB effect: a point/range query on
+  *     the cluster key touches O(selectivity) of the data, not all of
+  *     it.
+  *   - [[zorderValue]] — bit-interleaved composite key: sorting by it
+  *     clusters BOTH dimensions at once, so either-dimension predicates
+  *     skip most files (single-column range clustering only helps its
+  *     own column). The classic multi-dimensional layout for
+  *     (repo, date)-style access patterns.
+  *
+  * Both write plain parquet readable by any engine — layout is a
+  * property of row order, not a table format.
+  */
+object Layout {
+
+  /** Write `df` range-clustered by `keys`: `repartitionByRange` samples
+    * the key distribution and assigns each of `numFiles` partitions a
+    * contiguous key range (skew-adaptive — equal ROWS per file, not
+    * equal key-width), then an intra-partition sort makes row groups
+    * internally ordered. One shuffle, then a streaming write — nothing
+    * driver-side, so `numFiles` can be thousands. */
+  def writeRangeClustered(df: DataFrame, path: String, numFiles: Int,
+      keys: Column*): Unit =
+    df.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").parquet(path)
+
+  /** Z-value of two non-negative int columns: interleaves the low
+    * `bitsPerDim` bits of each (x in even positions, y in odd) into one
+    * long. Computed with plain bitwise expressions — codegen-friendly,
+    * no UDF. Callers with unbounded domains should first quantize to
+    * `bitsPerDim`-bit rank space (e.g. `ntile` or epoch-day & mask). */
+  def zorderValue(x: Column, y: Column, bitsPerDim: Int = 16): Column = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 31, s"bitsPerDim in [1,31], got $bitsPerDim")
+    val mask = (1L << bitsPerDim) - 1L
+    val xs = x.cast("long").bitwiseAND(lit(mask))
+    val ys = y.cast("long").bitwiseAND(lit(mask))
+    (0 until bitsPerDim).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Write z-order-clustered on two dimensions: range-cluster on the
+    * interleaved z-value so each file owns a compact rectangle-ish region
+    * of (x, y) space and predicates on EITHER dimension skip most files.
+    * The z column is dropped from the stored schema — layout only. */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+      x: Column, y: Column, bitsPerDim: Int = 16): Unit =
+    df.withColumn("__z", zorderValue(x, y, bitsPerDim))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file [min, max] of `key` over a parquet directory — the same
+    * stats a scan's file/row-group skipping consults, computed
+    * distributedly via `input_file_name`. Dev/verification helper for asserting
+    * layout quality (disjointness ⇒ skippability). */
+  def fileRanges(spark: SparkSession, path: String, key: String)
+      : Seq[(String, Long, Long)] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(key)).cast("long").as("mn"), max(col(key)).cast("long").as("mx"))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._2)
+  }
+}
