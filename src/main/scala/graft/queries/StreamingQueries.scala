@@ -21,6 +21,25 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
+  /** Run `f` with shuffle partitions pinned to `n` for a stateful stream.
+    *
+    * Stateful operators allocate one state-store instance per shuffle
+    * partition (a stream-stream join allocates FOUR — two per side), and
+    * each store carries fixed per-batch cost (provider init, snapshot,
+    * commit). Partition count is therefore a STATE-VOLUME knob, not a
+    * CPU-count knob: these streams hold KBs of state, so a handful of
+    * partitions is right; a 100 TB/day stream would raise it to spread
+    * store size, independently of executor cores. The setting is pinned
+    * into the query's checkpoint at first start (changing it later needs
+    * a new checkpoint), so it belongs HERE, per stream — the batch
+    * queries keep the session-wide parallelism. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Six-hour tumbling-window event counts per type, append mode with a
     * zero-delay watermark, run to completion over the events table.
     *
@@ -33,7 +52,8 @@ object StreamingQueries {
     * unemitted. Window starts/ends are epoch-aligned (Spark `window()`
     * and DuckDB `time_bucket` agree for midnight-phase intervals) and
     * formatted as strings to sidestep the parquet ns-vs-µs divergence. */
-  def q37StreamWindow(spark: SparkSession, dir: String): DataFrame = {
+  def q37StreamWindow(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     // ts arrives as epoch NANOS (long) under nanosAsLong; integer DIV
@@ -69,6 +89,9 @@ object StreamingQueries {
     * strictly-larger-than-gap silence splits; an event exactly on the
     * session end merges); the oracle replays exactly that on
     * epoch-micros. */
+  // q51 keeps the session-wide partitioning: session-window state spans
+  // (user × session) keys — enough rows that the per-partition merge sort,
+  // not store count, dominates; see withStatePartitions for the trade.
   def q51StreamSession(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
@@ -100,7 +123,8 @@ object StreamingQueries {
     * coincides with global distinct — which is exactly what the oracle
     * spells. Only the key columns are projected: WHICH physical row
     * survives is arrival-order-dependent, the key set is not. */
-  def q60StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def q60StreamDedup(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val events = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -124,7 +148,8 @@ object StreamingQueries {
     * watermark-independent (pairs emit when the later side arrives;
     * the watermark only bounds state), so run-to-completion output ≡ the
     * batch join the oracle spells. */
-  def q61StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  def q61StreamJoin(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def stream() = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)

@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+
+  test("hllDistinct estimates within documented error; sketches union losslessly") {
+    import spark.implicits._
+    // 3 groups with known distinct counts 1000 / 5000 / 1 (plus repeats)
+    val rows = (1 to 1000).map(i => ("a", s"u$i")) ++
+      (1 to 5000).flatMap(i => Seq(("b", s"v$i"), ("b", s"v$i"))) ++
+      Seq.fill(100)(("c", "only"))
+    val df = rows.toDF("g", "u").repartition(8)
+    val est = Sketches.hllDistinct(df, Seq("g"), "u")
+      .select("g", "estimate").as[(String, Double)].collect().toMap
+    assert(math.abs(est("a") - 1000) / 1000.0 < 0.05, s"a: ${est("a")}")
+    assert(math.abs(est("b") - 5000) / 5000.0 < 0.05, s"b: ${est("b")}")
+    assert(est("c") == 1.0)
+  }
+
+  test("hllRollup: daily sketches union to the month's true distinct estimate") {
+    import spark.implicits._
+    // users overlap across days — summing daily distincts would overcount;
+    // the union must see through the overlap
+    val rows = for { day <- 1 to 10; u <- 1 to 2000 } yield (s"d$day", s"user$u")
+    val daily = Sketches.hllDistinct(rows.toDF("day", "u").repartition(8),
+      Seq("day"), "u")
+    // every day has the SAME 2000 users: month distinct = 2000, not 20000
+    val month = Sketches.hllRollup(daily.withColumn("month", lit("m1")),
+      Seq("month"))
+      .select("estimate").as[Double].head()
+    assert(math.abs(month - 2000) / 2000.0 < 0.05, s"month estimate: $month")
+  }
+
+  test("approxPercentiles tracks exact percentiles at high accuracy") {
+    import spark.implicits._
+    val df = (1 to 10001).map(i => ("g", i.toDouble)).toDF("g", "v")
+      .repartition(8)
+    val ps = Sketches.approxPercentiles(df, Seq("g"), col("v"), Seq(0.5, 0.9))
+      .select("percentiles").as[Seq[Double]].head()
+    assert(math.abs(ps(0) - 5001.0) <= 10, s"p50: ${ps(0)}")
+    assert(math.abs(ps(1) - 9001.0) <= 10, s"p90: ${ps(1)}")
+  }
+}
