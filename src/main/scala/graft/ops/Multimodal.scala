@@ -194,6 +194,133 @@ object Multimodal {
       }
   }
 
+  /** ======== REAL AUDIO CODEC (pure JDK) ========
+    * `javax.sound.sampled` ships WAV/AIFF/AU readers in every JDK — the
+    * audio dual of [[JdkImageCodec]]:
+    *  - [[decode]] reads frame count / rate / channels from the FILE
+    *    HEADER (`AudioSystem.getAudioFileFormat` — no PCM decode for
+    *    metadata-only scans); duration_ms = frames / rate.
+    *  - [[embed]] decodes PCM, downmixes to mono, pools per-bucket RMS
+    *    energy across `dim` equal time slices, unit-normalizes — a real,
+    *    deterministic acoustic envelope feature.
+    *  - [[transcode]] downmixes to 16-bit mono PCM WAV (the normalize
+    *    step of an ingest pipeline); (w, h) are image-shaped and ignored.
+    * Non-audio kinds delegate to the stub; undecodable payloads →
+    * ok=false / zero vector / passthrough (silent-skip policy). */
+  object JdkAudioCodec extends MediaCodec {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    def decode(kind: String, payload: Array[Byte]): Decoded =
+      if (kind != "audio") StubCodec.decode(kind, payload)
+      else if (payload == null || payload.isEmpty) Decoded(null, 0, 0, 0, 0L, ok = false)
+      else try {
+        val ff = AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ff.getFormat
+        val frames = ff.getFrameLength
+        val durMs =
+          if (frames > 0 && fmt.getFrameRate > 0)
+            (frames * 1000L / fmt.getFrameRate.toLong)
+          else 0L
+        Decoded(s"audio/${ff.getType.getExtension}",
+          fmt.getSampleRate.toInt, fmt.getChannels, frames max 0, durMs,
+          ok = true)
+      } catch { case scala.util.control.NonFatal(_) => Decoded(null, 0, 0, 0, 0L, ok = false) }
+
+    /** PCM frames as mono doubles in [-1, 1] (16-bit signed LE target). */
+    private def monoSamples(payload: Array[Byte]): Option[Array[Double]] =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val src = in.getFormat
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, 1, 2, src.getSampleRate, false)
+          val mono = AudioSystem.getAudioInputStream(target, in)
+          val bytes = mono.readAllBytes()
+          val out = new Array[Double](bytes.length / 2)
+          var i = 0
+          while (i < out.length) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt
+            out(i) = ((hi << 8) | lo) / 32768.0
+            i += 1
+          }
+          Some(out)
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    def embed(payload: Array[Byte], dim: Int): Array[Float] =
+      monoSamples(payload) match {
+        case None => new Array[Float](dim)
+        case Some(s) if s.isEmpty => new Array[Float](dim)
+        case Some(s) =>
+          val v = new Array[Float](dim)
+          var b = 0
+          while (b < dim) {
+            val from = (s.length.toLong * b / dim).toInt
+            val until = ((s.length.toLong * (b + 1) / dim).toInt) max (from + 1)
+            var acc = 0.0; var i = from
+            while (i < until && i < s.length) { acc += s(i) * s(i); i += 1 }
+            v(b) = math.sqrt(acc / (i - from)).toFloat
+            b += 1
+          }
+          val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+          if (n > 0) { var j = 0; while (j < dim) { v(j) /= n; j += 1 } }
+          v
+      }
+
+    def transcode(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val src = in.getFormat
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, 1, 2, src.getSampleRate, false)
+          val mono = AudioSystem.getAudioInputStream(target, in)
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(mono,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          bos.toByteArray
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => payload }
+  }
+
+  /** Dispatching codec: real JDK implementations where the JDK has one
+    * (image, audio), deterministic stub elsewhere (video needs ffmpeg,
+    * absent here). The production shape: per-kind codecs behind one
+    * contract, chosen per row. */
+  object JdkCodec extends MediaCodec {
+    def decode(kind: String, payload: Array[Byte]): Decoded = kind match {
+      case "image" => JdkImageCodec.decode(kind, payload)
+      case "audio" => JdkAudioCodec.decode(kind, payload)
+      case _       => StubCodec.decode(kind, payload)
+    }
+    // embed/transcode route on content sniffing being unnecessary: the
+    // callers below always carry `kind` alongside payload rows, but the
+    // MediaCodec contract passes only bytes — so probe image first (fast
+    // header check), then audio, then stub.
+    def embed(payload: Array[Byte], dim: Int): Array[Float] = {
+      val img = JdkImageCodec.decode("image", payload)
+      if (img.ok) JdkImageCodec.embed(payload, dim)
+      else {
+        val aud = JdkAudioCodec.decode("audio", payload)
+        if (aud.ok) JdkAudioCodec.embed(payload, dim)
+        else StubCodec.embed(payload, dim)
+      }
+    }
+    def transcode(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = JdkImageCodec.decode("image", payload)
+      if (img.ok) JdkImageCodec.transcode(payload, w, h)
+      else {
+        val aud = JdkAudioCodec.decode("audio", payload)
+        if (aud.ok) JdkAudioCodec.transcode(payload, w, h)
+        else StubCodec.transcode(payload, w, h)
+      }
+    }
+  }
+
   /** Decode payloads → metadata struct, one codec per partition (the
     * mapPartitions batch shape a real decoder needs: amortized init,
     * streaming iterator, no whole-partition materialization). */
