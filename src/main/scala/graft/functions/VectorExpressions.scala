@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftSqlShim
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for float-vector dot products.
   *
@@ -59,6 +59,84 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Pack a float vector into int8 codes (symmetric linear quantization):
+  * `codes[i] = clamp(rint(v[i] / scale), -127, 127)` as one byte each.
+  * With `scale = maxAbs/127` this is the standard 4×-memory-reduction
+  * embedding layout — 100 TB of float32 embeddings become 25 TB, and the
+  * int dot product below runs on cheap integer ALUs. `rint` (round
+  * half-even) is pinned so results are bit-stable across JVMs. */
+case class Int8Pack(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "int8_pack"
+
+  override protected def nullSafeEval(v: Any, s: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val scale = s.asInstanceOf[Double]
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val q = if (scale > 0) Math.rint(x.getFloat(i) / scale) else 0.0
+      out(i) = Math.max(-127.0, Math.min(127.0, q)).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, s) =>
+      s"""
+         |int n = $v.numElements();
+         |byte[] out = new byte[n];
+         |for (int i = 0; i < n; i++) {
+         |  double q = ($s > 0) ? java.lang.Math.rint($v.getFloat(i) / $s) : 0.0;
+         |  out[i] = (byte) java.lang.Math.max(-127.0, java.lang.Math.min(127.0, q));
+         |}
+         |${ev.value} = out;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Integer dot product of two int8 code vectors: Σ a[i]·b[i] as a long —
+  * EXACT (no float accumulation at all; 64-dim worst case is 64·127² ≪
+  * 2⁶³). The approximate float dot is `int8_dot(a,b) · scaleA · scaleB`. */
+case class Int8VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int8_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x(i).toLong * y(i).toLong; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int n = java.lang.Math.min($a.length, $b.length);
+         |long s = 0L;
+         |for (int i = 0; i < n; i++) {
+         |  s += (long) $a[i] * (long) $b[i];
+         |}
+         |${ev.value} = s;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API for the vector expressions. */
 object VectorFunctions {
 
@@ -75,4 +153,30 @@ object VectorFunctions {
     * norms once per vector, not once per pair. */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     vecDot(a, b) / (normA * normB)
+
+  /** Symmetric per-vector quantization scale: max |v[i]| / 127 (0 for the
+    * zero vector). Computed once per vector at index-build time. */
+  def int8Scale(v: Column): Column = {
+    import org.apache.spark.sql.functions.{abs => fabs, array_max, coalesce, lit, transform}
+    coalesce(array_max(transform(v, x => fabs(x))), lit(0.0f))
+      .cast("double") / 127.0
+  }
+
+  /** v → int8 codes under `scale` (one byte per element — 4× smaller
+    * than float32, 8× than the array<double> Spark would default to). */
+  def int8Pack(v: Column, scale: Column): Column =
+    GraftSqlShim.column(Int8Pack(
+      GraftSqlShim.expression(v), GraftSqlShim.expression(scale.cast("double"))))
+
+  /** Exact integer Σ a[i]·b[i] over int8 codes (long). */
+  def int8Dot(a: Column, b: Column): Column =
+    GraftSqlShim.column(Int8VecDot(
+      GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  /** Approximate cosine from int8 codes + per-vector scales and true
+    * norms: (dot·sa·sb) / (na·nb). Error is the quantization error only
+    * (≲1% at int8 for unit-ish vectors). */
+  def int8Cosine(a: Column, b: Column, scaleA: Column, scaleB: Column,
+      normA: Column, normB: Column): Column =
+    int8Dot(a, b).cast("double") * scaleA * scaleB / (normA * normB)
 }

@@ -77,6 +77,37 @@ object Ann {
     topKPerKey(pairs, k)
   }
 
+  /** Int8-quantized cosine top-k: vectors are packed to one byte per
+    * component (symmetric linear quantization, per-vector scale) and
+    * scored with an EXACT integer dot product rescaled by the two
+    * quantization scales — the memory-bandwidth lever for planet-scale
+    * ANN (float32 corpus → ¼ the bytes moved per candidate; the
+    * broadcast side shrinks 4× too). Returns the same (vec_id,
+    * neighbor_id, cosine, rank) shape as [[cosineTopK]]; cosine here is
+    * approximate (quantization error ≲1%), so treat it as a CANDIDATE
+    * stage and re-rank the top-k' with full precision when exact order
+    * matters — [[graft.functions.VectorFunctions.int8Cosine]]. */
+  def cosineTopKInt8(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    def packed(df: DataFrame): DataFrame =
+      withNorm(df, idCol, vecCol, dim)
+        .withColumn("__sc", int8Scale(col("__vec")))
+        .select(col("__vid"), int8Pack(col("__vec"), col("__sc")).as("__codes"),
+          col("__sc"), col("__nrm"))
+    val q = packed(queries)
+    val c = packed(corpus)
+    val pairs = q.select(col("__vid").as("vec_id"), col("__codes").as("__qc"),
+        col("__sc").as("__qs"), col("__nrm").as("__qn"))
+      .crossJoin(broadcast(c.select(col("__vid").as("neighbor_id"),
+        col("__codes").as("__cc"), col("__sc").as("__cs"), col("__nrm").as("__cn"))))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        int8Cosine(col("__qc"), col("__cc"), col("__qs"), col("__cs"),
+          col("__qn"), col("__cn")).as("cosine"))
+    topKPerKey(pairs, k)
+  }
+
   /** Assign each vector to its nearest centroid by cosine (broadcast join
     * against the K centroids; ties → lowest centroid id). */
   def assignClusters(df: DataFrame, centroids: DataFrame, idCol: String,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FloatVecDot, NGramShingles, TopKByScore}
+import graft.functions.{FloatVecDot, Int8Pack, Int8VecDot, NGramShingles, TopKByScore}
 import org.apache.spark.sql.{GraftSqlShim, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -62,6 +62,18 @@ object GraftExtensions {
         require(es.length == 3,
           "topk_by_score(score, id, k) takes three args")
         TopKByScore(es.head, es(1), intArg(es(2), "topk_by_score k"))
+      }),
+    ("int8_pack",
+      new ExpressionInfo(classOf[Int8Pack].getName, "int8_pack"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "int8_pack(vec, scale) takes two args")
+        Int8Pack(es.head, es(1))
+      }),
+    ("int8_dot",
+      new ExpressionInfo(classOf[Int8VecDot].getName, "int8_dot"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "int8_dot(a, b) takes two binary args")
+        Int8VecDot(es.head, es(1))
       })
   )
 

@@ -54,6 +54,19 @@ object Training {
       .withColumn("cosine", round(col("cosine"), 6))
   }
 
+  /** Int8-quantized cosine top-5 (same query shape as q21): codes are one
+    * byte per component, the dot product is exact integer arithmetic, and
+    * the cosine is rescaled by the two per-vector quantization scales.
+    * The oracle replays the quantization bit-for-bit (`round_even` ≡ the
+    * engine's pinned `Math.rint`), so this is hash-gated like the exact
+    * path — the ¼-memory candidate stage, not a weaker check. */
+  def q62AnnInt8(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Ann.cosineTopKInt8(e.where(col("vec_id") < 1000), e, "vec_id", "embedding",
+      Dim, 5)
+      .withColumn("cosine", round(col("cosine"), 6))
+  }
+
   /** Language-ID heuristic (stopword profiles) with confidence. */
   def q22LangId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
@@ -283,7 +296,8 @@ object Training {
     "q40_token_budget" -> q40TokenBudget,
     "q41_ann_nprobe" -> q41AnnNprobe,
     "q42_dedup_groups" -> q42DedupGroups,
-    "q50_dedup_cascade" -> q50DedupCascade
+    "q50_dedup_cascade" -> q50DedupCascade,
+    "q62_ann_int8" -> q62AnnInt8
   )
 
   val oracles: Map[String, String] = Map(
@@ -351,6 +365,31 @@ object Training {
          |th AS (SELECT doc_id, cnt, ${h60("tok")} h FROM tc),
          |bs AS (SELECT doc_id, $sums FROM th GROUP BY doc_id)
          |SELECT doc_id, ($fp)::BIGINT AS simhash FROM bs""".stripMargin
+    },
+    "q62_ann_int8" -> {
+      // per-vector scale + int8 codes exactly as Int8Pack: maxAbs/127 in
+      // doubles, round-half-even, clamp to [-127, 127]
+      val codeCte =
+        s"""q AS (SELECT vec_id, embedding, sqrt(${dotSql("e", "e")}) nrm,
+           |        CAST(list_max(list_transform(embedding, x -> abs(x)))
+           |             AS DOUBLE) / 127 sc
+           |      FROM embeddings e),
+           |c AS (SELECT vec_id, nrm, sc,
+           |        list_transform(embedding, x -> CAST(greatest(-127.0,
+           |          least(127.0, round_even(CASE WHEN sc > 0
+           |            THEN CAST(x AS DOUBLE) / sc ELSE 0 END, 0)))
+           |          AS BIGINT)) codes
+           |      FROM q)""".stripMargin
+      val intDot = (1 to Dim).map(i => s"a.codes[$i] * b.codes[$i]")
+        .mkString(" + ")
+      s"""WITH $codeCte,
+         |p AS (SELECT a.vec_id vec_id, b.vec_id neighbor_id,
+         |        ($intDot) * a.sc * b.sc / (a.nrm * b.nrm) cosine
+         |      FROM c a JOIN c b ON a.vec_id <> b.vec_id WHERE a.vec_id < 1000)
+         |SELECT vec_id, neighbor_id, round(cosine, 6) AS cosine, "rank" FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM p) WHERE "rank" <= 5""".stripMargin
     },
     "q21_cosine_topk" ->
       s"""WITH $normCte,

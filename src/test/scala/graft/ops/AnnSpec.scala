@@ -70,6 +70,51 @@ class AnnSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("int8 pack/dot: exact integer arithmetic, deterministic packing") {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.5f, 0.5f, -1.0f, 0.1f))).toDF("id", "v")
+      .withColumn("sc", int8Scale(col("v")))
+      .withColumn("codes", int8Pack(col("v"), col("sc")))
+    val rows = df.select("id", "sc", "codes").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getAs[Array[Byte]](2))).toMap
+    // scale = maxAbs/127; codes = rint(v/scale)
+    assert(math.abs(rows(1L)._1 - 1.0 / 127) < 1e-12)
+    assert(rows(1L)._2.toSeq == Seq[Byte](127, -64, 32, 0)) // -63.5 rounds half-even to -64
+    assert(rows(2L)._2.toSeq == Seq[Byte](64, 64, -127, 13))
+    // integer dot is exact: 127*64 + -64*64 + 32*-127 + 0*13
+    val d = df.where(col("id") === 1L).select(col("codes").as("a"))
+      .crossJoin(df.where(col("id") === 2L).select(col("codes").as("b")))
+      .select(int8Dot(col("a"), col("b"))).head().getLong(0)
+    assert(d == 127L * 64 - 64L * 64 + 32L * -127)
+  }
+
+  test("cosineTopKInt8: candidate stage recalls the exact top-k on real-ish data") {
+    // 200 vectors in 16-dim, deterministic pseudo-random, some near-dups
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 200L).map { i =>
+      i -> Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val exact = Ann.cosineTopK(df, df, "vec_id", "embedding", 16, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Ann.cosineTopKInt8(df, df, "vec_id", "embedding", 16, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall@5 = $recall")
+    // approximate cosines stay within int8 quantization error of exact
+    val ec = Ann.cosineTopK(df, df, "vec_id", "embedding", 16, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Ann.cosineTopKInt8(df, df, "vec_id", "embedding", 16, 5).collect()
+      .foreach { r =>
+        ec.get((r.getLong(0), r.getLong(1))).foreach { exactCos =>
+          assert(math.abs(r.getDouble(2) - exactCos) < 0.02,
+            s"pair ${(r.getLong(0), r.getLong(1))}: ${r.getDouble(2)} vs $exactCos")
+        }
+      }
+  }
+
   test("cosineDupPairs finds near-identical vectors above threshold") {
     val pairs = Ann.cosineDupPairs(vecs, "vec_id", "embedding", 4,
         threshold = 0.99, numCentroids = 2)

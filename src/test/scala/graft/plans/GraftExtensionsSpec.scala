@@ -14,6 +14,13 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT ngram_shingles(split('a b c d', ' '), 3) AS s")
       .head().getSeq[String](0)
     assert(shingles == Seq("a b c", "b c d"))
+    // int8 quantized path from pure SQL: pack both vectors, integer dot
+    val i8 = spark.sql(
+      """SELECT int8_dot(
+        |  int8_pack(array(1.0F, -1.0F), CAST(1.0/127 AS DOUBLE)),
+        |  int8_pack(array(1.0F,  1.0F), CAST(1.0/127 AS DOUBLE))) AS d"""
+        .stripMargin).head().getLong(0)
+    assert(i8 == 127L * 127 - 127L * 127 + 0) // 127·127 + (-127)·127 = 0
   }
 
   test("ngram_shingles rejects a non-literal n") {
