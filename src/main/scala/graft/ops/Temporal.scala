@@ -42,13 +42,20 @@ object Temporal {
     * `last(payload, ignoreNulls)` carries the latest right payload onto
     * each left row.
     *
+    * `direction = "forward"` flips the semantics to the EARLIEST right row
+    * with `right.tsCol >= left.tsCol` (ties → smallest `tiebreak`): the
+    * scan runs descending in time, so the same single-shuffle running-last
+    * plan serves both directions.
+    *
     * @param rightPayload right columns to attach (renamed as given)
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String,
       rightPayload: Seq[(String, String)],
-      tiebreak: String): DataFrame = {
+      tiebreak: String, direction: String = "backward"): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name at least one column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val payloadStruct = struct(
       (rightPayload.map { case (c, as) => col(c).as(as) } :+
         col(tiebreak).as("__tb")): _*)
@@ -63,8 +70,13 @@ object Temporal {
     val rTyped = rNorm.withColumn("__lrow",
       lit(null).cast(lTyped.schema("__lrow").dataType))
     val unioned = lTyped.unionByName(rTyped)
+    val order =
+      if (direction == "backward")
+        Seq(col("__t").asc, col("__tag").asc, col("__r.__tb").asc)
+      else // forward: scan from the future; closest following right wins
+        Seq(col("__t").desc, col("__tag").asc, col("__r.__tb").desc)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__tag").asc, col("__r.__tb").asc)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))

@@ -39,6 +39,21 @@ object Advanced {
         col("purchase_value"))
   }
 
+  /** Forward as-of join: every click paired with the same user's EARLIEST
+    * following-or-simultaneous purchase — the attribution dual of q43,
+    * same single-shuffle plan scanning time descending. */
+  def q63AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+    Temporal.asofJoin(clicks, purchases, "user_id", "ts_us", "ts_us",
+      Seq("event_id" -> "purchase_id", "value" -> "purchase_value"),
+      tiebreak = "event_id", direction = "forward")
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        col("purchase_value"))
+  }
+
   /** Interval range join (no equi-key): per error event, count and sum all
     * events inside [ts, ts+10min). Binned-candidate equi-join plan — the
     * inequality-only join Spark would otherwise execute as a quadratic
@@ -128,7 +143,8 @@ object Advanced {
     "q46_pii_scrub" -> q46PiiScrub,
     "q47_tfidf" -> q47Tfidf,
     "q48_weighted_sample" -> q48WeightedSample,
-    "q49_bloom_semi" -> q49BloomSemi
+    "q49_bloom_semi" -> q49BloomSemi,
+    "q63_asof_forward" -> q63AsofForward
   )
 
   /** The synthesized PII text in DuckDB (|| casts ints itself). */
@@ -196,6 +212,16 @@ object Advanced {
         |  FROM (SELECT * FROM events WHERE event_type = 'click') c
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |    ON p.user_id = c.user_id AND p.ts <= c.ts
+        |) WHERE rn = 1""".stripMargin,
+    "q63_asof_forward" ->
+      """SELECT click_id, user_id, purchase_id, purchase_value FROM (
+        |  SELECT c.event_id AS click_id, c.user_id,
+        |         p.event_id AS purchase_id, p.value AS purchase_value,
+        |         row_number() OVER (PARTITION BY c.event_id
+        |                            ORDER BY p.ts ASC, p.event_id ASC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts
         |) WHERE rn = 1""".stripMargin,
     "q44_range_join" ->
       """SELECT i.event_id AS error_id, count(*) AS n_events,

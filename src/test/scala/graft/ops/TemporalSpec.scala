@@ -47,6 +47,27 @@ class TemporalSpec extends SparkSpec {
     assert(byL(30L) === None)       // key with no right rows
   }
 
+  test("asofJoin forward: earliest following right row, ties to min tiebreak") {
+    val got = Temporal.asofJoin(lhs, rhs, "k", "t", "t",
+      Seq("rid" -> "m_rid"), tiebreak = "rid", direction = "forward")
+    val byL = got.collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(byL(10L) === Some(100L)) // t=+100: simultaneous pair → min rid
+    assert(byL(11L) === Some(102L)) // t=+200: next is +250
+    assert(byL(12L) === None)       // t=+300: nothing follows
+    assert(byL(20L) === Some(200L)) // +150 → +160 IS following
+    assert(byL(30L) === None)       // no right rows for key
+    // reference: join-all-then-rank ascending
+    val l = lhs.select(col("k"), col("t").as("lt"), col("lid"))
+    val r = rhs.select(col("k").as("rk"), col("t").as("rt"), col("rid"))
+    val w = Window.partitionBy(col("lid"))
+      .orderBy(col("rt").asc_nulls_last, col("rid").asc_nulls_last)
+    val naive = l.join(r, col("k") === col("rk") && col("rt") >= col("lt"),
+        "left_outer")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("k"), col("lt").as("t"), col("lid"), col("rid").as("m_rid"))
+    assert(got.collect().toSet === naive.collect().toSet)
+  }
+
   test("asofJoin plans a single exchange (union+window), not a join") {
     val got = Temporal.asofJoin(lhs, rhs, "k", "t", "t",
       Seq("rid" -> "m_rid"), tiebreak = "rid")
