@@ -201,6 +201,30 @@ object Training {
   def q50DedupCascade(spark: SparkSession, dir: String): DataFrame =
     TextDedup.dedupCascade(docs(spark, dir), "doc_id", "text")
 
+  /** The curation pipeline END TO END: quality gate (heuristic score ≥
+    * 2/3) → full dedup cascade on the survivors (exact → LSH →
+    * connected components, representatives only) → per-language token
+    * budget fill (best quality first). This is the composite a training
+    * run actually executes before tokenization; every stage is an
+    * already-oracle-verified operator, and the composition itself is
+    * hash-gated against one recursive-CTE replay — so stage WIRING
+    * errors (filtering after dedup instead of before, budget over the
+    * wrong grouping) are caught, not just stage internals. */
+  def q64Curation(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    val kept = scored.where(col("quality") >= 0.5)
+    val survivors = kept.join(
+      TextDedup.dedupCascade(kept, "doc_id", "text")
+        .where(col("keep")).select("doc_id"),
+      Seq("doc_id"))
+    graft.ops.Sampling.tokenBudgetPerGroup(
+      survivors.withColumn("n_tokens", TextAnalysis.tokenCount(col("text"))),
+      Seq("lang"), Seq(col("quality").desc, col("doc_id").asc),
+      col("n_tokens"), budget = 400)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
+  }
+
   /** Multi-probe IVF: nprobe=2 over the same 16 deterministic centroids
     * as q26 — the recall dial between single-probe IVF and brute force. */
   def q41AnnNprobe(spark: SparkSession, dir: String): DataFrame =
@@ -297,7 +321,8 @@ object Training {
     "q41_ann_nprobe" -> q41AnnNprobe,
     "q42_dedup_groups" -> q42DedupGroups,
     "q50_dedup_cascade" -> q50DedupCascade,
-    "q62_ann_int8" -> q62AnnInt8
+    "q62_ann_int8" -> q62AnnInt8,
+    "q64_curation" -> q64Curation
   )
 
   val oracles: Map[String, String] = Map(
@@ -488,6 +513,46 @@ object Training {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY source ORDER BY quality DESC, n_chars DESC, doc_id) rn
          |  FROM q) WHERE rn <= 10""".stripMargin
+    },
+    "q64_curation" -> {
+      val en = stopIn(TextAnalysis.stopwords.head._2)
+      s"""WITH RECURSIVE
+         |f AS (SELECT doc_id, lang, text,
+         |             string_split(text, ' ') ws FROM documents),
+         |sc AS (SELECT doc_id, lang, text, len(ws)::INT n_tokens,
+         |  round(((CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+         |                        / length(text), 6) <= 0.1 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN round(len(list_filter(ws, t -> t IN $en))::DOUBLE
+         |                        / len(ws), 6) > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+         |  FROM f),
+         |kept AS (SELECT * FROM sc WHERE quality >= 0.5),
+         |k AS (SELECT md5(text) h, min(doc_id) keep
+         |      FROM kept GROUP BY md5(text)),
+         |exact_edges AS (SELECT d.doc_id doc_a, k.keep doc_b
+         |                FROM kept d JOIN k ON md5(d.text) = k.h
+         |                WHERE d.doc_id <> k.keep),
+         |repdocs AS (SELECT d.* FROM kept d JOIN k ON d.doc_id = k.keep),
+         |${minhashCtesOver("repdocs")},
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.8
+         |      UNION ALL SELECT doc_a, doc_b FROM exact_edges),
+         |und AS (SELECT doc_a u, doc_b v FROM p
+         |        UNION SELECT doc_b, doc_a FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u doc_id, min(v) component FROM reach GROUP BY u),
+         |surv AS (SELECT d.* FROM kept d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |         WHERE d.doc_id = coalesce(c.component, d.doc_id)),
+         |c2 AS (SELECT doc_id, lang, n_tokens,
+         |        coalesce(sum(n_tokens) OVER (PARTITION BY lang
+         |          ORDER BY quality DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |          AS cum_before
+         |       FROM surv)
+         |SELECT doc_id, lang, n_tokens, cum_before FROM c2
+         |WHERE cum_before < 400""".stripMargin
     },
     "q40_token_budget" -> {
       val en = stopIn(TextAnalysis.stopwords.head._2)
