@@ -151,6 +151,32 @@ object TextAnalysis {
       regexp_replace(c, pat, rep)
     }
 
+  /** (name, pattern, replacement) normalization chain applied in order by
+    * [[cleanText]] — C4-style: drop control/zero-width chars, normalize
+    * curly quotes and long dashes to ASCII, collapse runs of whitespace,
+    * trim. RE2-safe character classes (no lookaround, no backrefs) so the
+    * SAME patterns replay verbatim in the DuckDB oracle. */
+  val cleanPatterns: Seq[(String, String, String)] = Seq(
+    ("controls", "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\u200b\\u200c\\u200d\\ufeff]", ""),
+    ("quotes", "[\\u2018\\u2019\\u201a\\u201b]", "'"),
+    ("dquotes", "[\\u201c\\u201d\\u201e\\u201f]", "\""),
+    ("dashes", "[\\u2012\\u2013\\u2014\\u2015]", "-"),
+    ("spaces", "[\\s\\u00a0\\u2000-\\u200a\\u2028\\u2029\\u202f\\u3000]+", " "))
+
+  /** Normalize raw crawled text for training: strip control and
+    * zero-width characters, ASCII-fold typographic quotes/dashes,
+    * collapse all whitespace runs to one space, trim, and hard-cap at
+    * `maxChars` (defense against pathological megadocs — truncation is a
+    * LENGTH policy, applied after cleaning so the cap counts clean
+    * characters). Pure projection — codegen'd regex chain at scan
+    * speed, no UDF. */
+  def cleanText(text: Column, maxChars: Int = 1 << 20): Column =
+    substring(
+      trim(cleanPatterns.foldLeft(text) { case (c, (_, pat, rep)) =>
+        regexp_replace(c, pat, rep)
+      }),
+      1, maxChars)
+
   /** Per-kind PII match counts on the raw text (audit metric alongside
     * [[scrubPii]]). */
   def piiCounts(text: Column): Seq[(String, Column)] =

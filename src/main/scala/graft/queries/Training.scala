@@ -225,6 +225,28 @@ object Training {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
   }
 
+  /** C4-style text normalization: deterministic "dirt" (control chars,
+    * curly quotes, em-dash, zero-width space, NBSP, doubled spaces) is
+    * prepended/appended to each doc, then [[TextAnalysis.cleanText]]
+    * strips/folds/collapses and caps at 300 clean chars. Both engines
+    * build the identical dirty string; the oracle replays the SAME
+    * pattern chain (generated from [[TextAnalysis.cleanPatterns]], Java
+    * `\\uXXXX` classes converted to RE2 `\\x{...}`). */
+  def q65TextClean(spark: SparkSession, dir: String): DataFrame = {
+    // \u0001 control, curly quotes, doubled spaces, em-dash; the tail adds
+    // a zero-width space + NBSP on every third doc (escapes, not literal
+    // invisibles, so the fixture is readable)
+    val dirty = concat(
+      lit("\u0001\u2018hi\u2019  \u2014  "),
+      col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("\u200b\u00a0tail"))
+        .otherwise(lit(" ")))
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.cleanText(dirty, maxChars = 300).as("cleaned"))
+      .withColumn("n_clean", length(col("cleaned")))
+  }
+
   /** Multi-probe IVF: nprobe=2 over the same 16 deterministic centroids
     * as q26 — the recall dial between single-probe IVF and brute force. */
   def q41AnnNprobe(spark: SparkSession, dir: String): DataFrame =
@@ -322,8 +344,15 @@ object Training {
     "q42_dedup_groups" -> q42DedupGroups,
     "q50_dedup_cascade" -> q50DedupCascade,
     "q62_ann_int8" -> q62AnnInt8,
-    "q64_curation" -> q64Curation
+    "q64_curation" -> q64Curation,
+    "q65_text_clean" -> q65TextClean
   )
+
+  /** Java-regex character classes → RE2 (DuckDB): `\\uXXXX` becomes
+    * `\\x{XXXX}`. Everything else in [[TextAnalysis.cleanPatterns]] is
+    * written in the common subset of both dialects. */
+  private def re2(pat: String): String =
+    pat.replaceAll("\\\\u([0-9a-fA-F]{4})", "\\\\x{$1}")
 
   val oracles: Map[String, String] = Map(
     "q17_dedup_exact" ->
@@ -513,6 +542,19 @@ object Training {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY source ORDER BY quality DESC, n_chars DESC, doc_id) rn
          |  FROM q) WHERE rn <= 10""".stripMargin
+    },
+    "q65_text_clean" -> {
+      val dirtySql =
+        "chr(1) || chr(8216) || 'hi' || chr(8217) || '  ' || chr(8212) || " +
+          "'  ' || text || CASE WHEN doc_id % 3 = 0 " +
+          "THEN chr(8203) || chr(160) || 'tail' ELSE ' ' END"
+      val chain = TextAnalysis.cleanPatterns.foldLeft("dirty") {
+        case (acc, (_, pat, rep)) =>
+          s"regexp_replace($acc, '${re2(pat)}', '${rep.replace("'", "''")}', 'g')"
+      }
+      s"""SELECT doc_id, cleaned, length(cleaned)::INT AS n_clean FROM (
+         |  SELECT doc_id, substring(trim($chain), 1, 300) AS cleaned
+         |  FROM (SELECT doc_id, $dirtySql AS dirty FROM documents))""".stripMargin
     },
     "q64_curation" -> {
       val en = stopIn(TextAnalysis.stopwords.head._2)
