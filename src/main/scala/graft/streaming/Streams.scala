@@ -148,4 +148,54 @@ object Streams {
           }
       }
   }
+
+  /** [[latestPerKeyStream]] on Spark 4's `transformWithState` — the
+    * successor API for arbitrary stateful processing (typed per-key state
+    * handles, first-class per-state TTL, timers, schema evolution of
+    * state). Same emission semantics as the flatMapGroupsWithState
+    * version: a row emits only when it advances the key's effective
+    * timestamp. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — which is also the provider
+    * a 100 TB deployment runs anyway: state spills to disk + SST
+    * snapshots instead of living on the JVM heap.
+    *
+    * `stateTtl` maps to `TTLConfig` — eviction is handled by the state
+    * store itself (no processing-time timers, no forced no-data
+    * batches — strictly better than the GroupStateTimeout spelling). */
+  class LatestVersionProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, VersionedDoc, VersionedDoc] {
+    import org.apache.spark.sql.streaming.{TimerValues, TimeMode, TTLConfig, ValueState}
+    @transient private var latest: ValueState[VersionedDoc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[VersionedDoc]("latest",
+        org.apache.spark.sql.Encoders.product[VersionedDoc],
+        if (ttl == null) TTLConfig.NONE else ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[VersionedDoc],
+        timerValues: TimerValues): Iterator[VersionedDoc] = {
+      val stored = if (latest.exists()) Some(latest.get()) else None
+      val best = (stored.toSeq ++ rows)
+        .maxBy(d => Option(d.effectiveTs).fold(Long.MinValue)(_.getTime))
+      val isNew = stored.forall(s =>
+        best.effectiveTs != null && (s.effectiveTs == null ||
+          best.effectiveTs.after(s.effectiveTs)))
+      latest.update(best)
+      if (isNew) Iterator.single(best) else Iterator.empty
+    }
+  }
+
+  def latestPerKeyTws(docs: org.apache.spark.sql.Dataset[VersionedDoc],
+      stateTtl: Option[java.time.Duration] = None)
+      : org.apache.spark.sql.Dataset[VersionedDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    val ttl = stateTtl.fold(TTLConfig.NONE)(TTLConfig.apply)
+    docs.groupByKey(_.key)
+      .transformWithState(new LatestVersionProcessor(ttl),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

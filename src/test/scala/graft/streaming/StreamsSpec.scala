@@ -167,6 +167,43 @@ class StreamsSpec extends SparkSpec {
     assert(pairs == Set("c1" -> "b1"))
   }
 
+  test("latestPerKeyTws (transformWithState + RocksDB) matches the fMGWS semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Streams.VersionedDoc]
+      val q = Streams.latestPerKeyTws(input.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        Streams.VersionedDoc("k1", ts("2024-01-01 00:00:00"), "p1"),
+        Streams.VersionedDoc("k1", ts("2024-01-03 00:00:00"), "p3"))
+      q.processAllAvailable()
+      input.addData(
+        Streams.VersionedDoc("k1", ts("2024-01-02 00:00:00"), "p2"), // stale
+        Streams.VersionedDoc("k2", ts("2024-01-01 00:00:00"), "x1")) // new key
+      q.processAllAvailable()
+      input.addData(
+        Streams.VersionedDoc("k1", ts("2024-01-05 00:00:00"), "p5")) // advances
+      q.processAllAvailable()
+      val out = spark.table("tws_out").as[Streams.VersionedDoc].collect()
+      q.stop()
+      // batch1: p3 (max of batch); batch2: x1 only (p2 stale); batch3: p5
+      assert(out.map(_.payload).sorted.toSeq == Seq("p3", "p5", "x1"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("latestPerKeyStream state logic emits only newer versions") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
