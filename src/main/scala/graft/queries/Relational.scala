@@ -457,7 +457,56 @@ object Relational {
         round(regr_avgy(y, x), 2).as("avg_y"))
   }
 
+  /** Map higher-order functions (map_from_entries / map_filter /
+    * transform_values / map_keys / map_values / map_entries): per-order
+    * line map (linenumber → quantity), filtered, transformed, and
+    * rendered as deterministic strings (entry order pinned by
+    * `array_sort` before map construction — the q13 technique, so the
+    * hash is stable across engines' map orderings). */
+  def q66MapFuncs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      // the synthetic lineitem repeats linenumbers within an order —
+      // collapse first; map keys must be unique (ANSI duplicate-key error)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      .groupBy(col("l_orderkey"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("l_linenumber"), col("qty")))))
+        .as("m"))
+      .select(
+        col("l_orderkey"),
+        size(col("m")).as("n_items"),
+        round(aggregate(map_values(col("m")), lit(0.0), (a, v) => a + v), 2)
+          .as("total_qty"),
+        array_join(
+          transform(map_keys(map_filter(col("m"), (_, v) => v >= 30)),
+            _.cast("string")), ",").as("big_items"),
+        array_join(
+          transform(map_entries(transform_values(col("m"), (_, v) => v * 2)),
+            e => concat(e.getField("key").cast("string"), lit("="),
+              e.getField("value").cast("string"))), ",").as("doubled"))
+
+  /** Bitwise and conditional scalar surface: AND/OR/XOR/shifts (hash
+    * bucketing, flag packing) and greatest/least/nullif/coalesce (the
+    * null-handling idioms) — all codegen'd projections. */
+  def q67BitwiseCond(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    table(spark, dir, "orders").select(
+      k.as("o_orderkey"),
+      k.bitwiseAND(lit(255L)).as("and255"),
+      k.bitwiseOR(lit(16L)).as("or16"),
+      k.bitwiseXOR(lit(85L)).as("xor85"),
+      shiftleft(k, 3).as("shl3"),
+      shiftright(k, 2).as("shr2"),
+      greatest(pmod(k, lit(7L)), pmod(k, lit(11L))).as("gmax"),
+      least(pmod(k, lit(7L)), pmod(k, lit(11L))).as("lmin"),
+      nullif(pmod(k, lit(5L)), lit(0L)).as("nz"),
+      coalesce(nullif(pmod(k, lit(5L)), lit(0L)), lit(-1L)).as("nzc"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_bitwise_cond" -> q67BitwiseCond,
+    "q66_map_funcs" -> q66MapFuncs,
     "q57_url_funcs" -> q57UrlFuncs,
     "q58_listagg" -> q58Listagg,
     "q59_regr" -> q59Regr,
@@ -490,6 +539,36 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q67_bitwise_cond" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS and255,
+        |  o_orderkey | 16 AS or16,
+        |  xor(o_orderkey, 85) AS xor85,
+        |  o_orderkey << 3 AS shl3,
+        |  o_orderkey >> 2 AS shr2,
+        |  greatest(o_orderkey % 7, o_orderkey % 11) AS gmax,
+        |  least(o_orderkey % 7, o_orderkey % 11) AS lmin,
+        |  nullif(o_orderkey % 5, 0) AS nz,
+        |  coalesce(nullif(o_orderkey % 5, 0), -1) AS nzc
+        |FROM orders""".stripMargin,
+    "q66_map_funcs" ->
+      """WITH pre AS (SELECT l_orderkey, l_linenumber,
+        |               round(sum(l_quantity), 2) AS qty
+        |             FROM lineitem GROUP BY l_orderkey, l_linenumber),
+        |g AS (SELECT l_orderkey,
+        |             array_agg(l_linenumber ORDER BY l_linenumber) ks,
+        |             array_agg(qty ORDER BY l_linenumber) vs
+        |           FROM pre GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  len(ks)::INT AS n_items,
+        |  round(list_sum(vs), 2) AS total_qty,
+        |  coalesce(array_to_string(list_transform(
+        |    list_filter(ks, (k, i) -> vs[i] >= 30), k -> k::VARCHAR), ','), '')
+        |    AS big_items,
+        |  array_to_string(list_transform(ks,
+        |    (k, i) -> k::VARCHAR || '=' || (vs[i] * 2)::VARCHAR), ',')
+        |    AS doubled
+        |FROM g""".stripMargin,
     "q57_url_funcs" ->
       """SELECT o_orderkey,
         |  'shop' || (o_orderkey % 5) || '.example.com' AS host,
