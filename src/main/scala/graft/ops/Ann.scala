@@ -186,6 +186,66 @@ object Ann {
     topKPerKey(pairs, k)
   }
 
+  /** Persist an IVF index: cluster assignments written as parquet
+    * PARTITIONED BY cluster id (`cid=`), centroids + norms alongside.
+    * Build once, query many — the index shape that makes repeated ANN
+    * queries O(probed clusters) instead of O(corpus): a probe query's
+    * broadcast join on `cid` triggers Spark's dynamic partition pruning,
+    * so the scan reads ONLY the probed clusters' files. At 100 TB of
+    * embeddings, nprobe/K of the data comes off storage, the rest is
+    * never listed. Centroids here are the deterministic id<K seed
+    * ([[ivfTopK]]); swap in k-means centroids without changing layout. */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numCentroids: Int, path: String): Unit = {
+    val centroids = df.where(col(idCol) < numCentroids)
+    withNorm(centroids, idCol, vecCol, dim)
+      .select(col("__vid").as("cid"), col("__vec").as("cvec"),
+        col("__nrm").as("cnrm"))
+      .coalesce(1) // K rows — one file, broadcast at query time
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    assignClusters(df, centroids, idCol, vecCol, dim)
+      .select(col("__vid").as("vec_id"), col("__vec").as("vec"),
+        col("__nrm").as("nrm"), col("__cid").as("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path/assignments")
+  }
+
+  /** Query a persisted IVF index: assign each query vector to its
+    * `nprobe` nearest stored centroids (broadcast, K rows), then join
+    * the probe list against the partitioned assignments — the join key
+    * IS the partition column, so dynamic partition pruning limits the
+    * scan to probed clusters. Self-pairs excluded; same output shape as
+    * [[cosineTopK]]. */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val q = withNorm(queries, idCol, vecCol, dim)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__sim",
+        dot(col("__vec"), col("cvec"), dim) / (col("__nrm") * col("cnrm")))
+      .groupBy("__vid")
+      .agg(graft.functions.TopKByScore.topK(col("__sim"), col("cid"), nprobe)
+        .as("__top"))
+      .select(col("__vid"), explode(col("__top.id")).as("cid"))
+      .join(q, Seq("__vid"))
+      .select(col("__vid").as("vec_id"), col("__vec").as("__qv"),
+        col("__nrm").as("__qn"), col("cid"))
+    val index = spark.read.parquet(s"$path/assignments")
+    // broadcast the (small) probe side: the assignments scan stays the
+    // streamed side and its partition filter comes from the broadcast —
+    // dynamic partition pruning reads only probed cid= directories
+    val scored = index
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("__cv"),
+        col("nrm").as("__cn"), col("cid"))
+      .join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        (dot(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
+          .as("cosine"))
+    topKPerKey(scored, k)
+  }
+
   /** Embedding-level near-duplicate pairs: cosine ≥ `threshold`, blocked
     * through the same IVF assignment so only same-cluster pairs are
     * scored (near-identical vectors share a nearest centroid). */

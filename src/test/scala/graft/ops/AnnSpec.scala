@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class AnnSpec extends SparkSpec {
   import spark.implicits._
@@ -113,6 +114,36 @@ class AnnSpec extends SparkSpec {
             s"pair ${(r.getLong(0), r.getLong(1))}: ${r.getDouble(2)} vs $exactCos")
         }
       }
+  }
+
+  test("persisted IVF index: query matches in-memory IVF; scan is partition-pruned") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 100L).map { i =>
+      i -> Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    }.toDF("vec_id", "embedding")
+    val path = scratch("ivf-index")
+    Ann.buildIvfIndex(corpus, "vec_id", "embedding", 8, numCentroids = 4, path)
+    // layout: one directory per cluster
+    val dirs = new java.io.File(s"$path/assignments").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.forall(_.startsWith("cid=")) && dirs.length == 4, dirs.toSeq)
+
+    val queries = corpus.where(col("vec_id") < 10)
+    val viaIndex = Ann.queryIvfIndex(spark, path, queries,
+      "vec_id", "embedding", 8, k = 3, nprobe = 4)
+    // nprobe = numCentroids ⇒ exhaustive ⇒ must equal brute force
+    val brute = Ann.cosineTopK(queries, corpus, "vec_id", "embedding", 8, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == brute)
+
+    // selective probe: dynamic partition pruning must reach the scan
+    val selective = Ann.queryIvfIndex(spark, path, queries,
+      "vec_id", "embedding", 8, k = 3, nprobe = 1)
+    val plan = selective.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the assignments scan:\n$plan")
+    selective.collect() // and it still executes
   }
 
   test("cosineDupPairs finds near-identical vectors above threshold") {
