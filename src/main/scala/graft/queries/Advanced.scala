@@ -136,7 +136,37 @@ object Advanced {
         round(sum(col("l_quantity")), 2).as("sum_qty"))
   }
 
+  /** Time-series gap fill: per-priority daily revenue on a complete date
+    * spine (`sequence` + `explode` — generated distributedly, no driver
+    * loop), missing days forward-filled with `last(ignoreNulls)` over an
+    * ordered window. The standard reporting densification; one window
+    * shuffle per group key. */
+  def q68GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderdate"))
+      .agg(round(sum(col("o_totalprice")), 2).as("day_total"))
+    val spine = daily.groupBy(col("o_orderpriority"))
+      .agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mx"))
+      .select(col("o_orderpriority"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY")))
+          .as("d"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily,
+        spine("o_orderpriority") === daily("o_orderpriority") &&
+          col("d") === col("o_orderdate"), "left")
+      .select(spine("o_orderpriority"), col("d"), col("day_total"))
+      .withColumn("filled", last(col("day_total"), ignoreNulls = true).over(w))
+      .select(
+        col("o_orderpriority"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("filled"),
+        col("day_total").isNull.as("is_gap"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_gap_fill" -> q68GapFill,
     "q43_asof_join" -> q43AsofJoin,
     "q44_range_join" -> q44RangeJoin,
     "q45_sessionize" -> q45Sessionize,
@@ -171,6 +201,20 @@ object Advanced {
   }
 
   val oracles: Map[String, String] = Map(
+    "q68_gap_fill" ->
+      """WITH daily AS (SELECT o_orderpriority p, o_orderdate d,
+        |                 round(sum(o_totalprice), 2) t
+        |               FROM orders GROUP BY 1, 2),
+        |b AS (SELECT p, min(d) mn, max(d) mx FROM daily GROUP BY p),
+        |spine AS (SELECT p, unnest(generate_series(mn, mx,
+        |            INTERVAL 1 DAY))::DATE d FROM b),
+        |j AS (SELECT s.p, s.d, daily.t, daily.t IS NULL AS is_gap
+        |      FROM spine s LEFT JOIN daily ON daily.p = s.p AND daily.d = s.d)
+        |SELECT p AS o_orderpriority, strftime(d, '%Y-%m-%d') AS day,
+        |  last_value(t IGNORE NULLS) OVER (PARTITION BY p ORDER BY d
+        |    ROWS UNBOUNDED PRECEDING) AS filled,
+        |  is_gap
+        |FROM j""".stripMargin,
     "q48_weighted_sample" -> {
       val pri = "round(ln((('0x' || substr(md5(doc_id || ':w0'), 1, 15))::BIGINT)" +
         " / 1152921504606846976.0) / n_chars, 9)"
