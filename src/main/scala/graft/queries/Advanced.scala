@@ -165,7 +165,16 @@ object Advanced {
         col("day_total").isNull.as("is_gap"))
   }
 
+  /** One-scan dataset profile over orders: null counts, exact distinct
+    * cardinality, min/max per column (ANALYZE-style statistics; the
+    * 100 TB variant swaps exact distincts for HLL sketches — see
+    * [[graft.ops.Profile]] / [[graft.ops.Sketches]]). */
+  def q69Profile(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.profile(table(spark, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_profile" -> q69Profile,
     "q68_gap_fill" -> q68GapFill,
     "q43_asof_join" -> q43AsofJoin,
     "q44_range_join" -> q44RangeJoin,
@@ -201,6 +210,15 @@ object Advanced {
   }
 
   val oracles: Map[String, String] = Map(
+    "q69_profile" ->
+      Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+        .map { c =>
+          s"""SELECT '$c' AS "column", count(*) AS n_rows,
+             |  count(*) - count($c) AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+             |FROM orders""".stripMargin
+        }.mkString("\nUNION ALL\n"),
     "q68_gap_fill" ->
       """WITH daily AS (SELECT o_orderpriority p, o_orderdate d,
         |                 round(sum(o_totalprice), 2) t
