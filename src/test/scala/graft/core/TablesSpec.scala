@@ -53,6 +53,28 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: mergeSchema unifies widened snapshots, old rows null-filled") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // day 1: the crawler emits (urn, sha); day 2 adds a column (message) —
+    // the reference handles this by editing DDL + full rebuild; a data
+    // lake handles it by reading with schema merge: the union schema, old
+    // rows null for the new column, no rewrite of day-1 files
+    val dir = scratch("schema-evo")
+    Seq(("urn:c:1", "v1")).toDF("urn", "sha")
+      .write.parquet(s"$dir/d=2024-01-01")
+    Seq(("urn:c:2", "v2", "fix build")).toDF("urn", "sha", "message")
+      .write.parquet(s"$dir/d=2024-01-02")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("urn", "sha", "message", "d"))
+    val rows = merged.select("urn", "message").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(rows("urn:c:1").isEmpty)            // old row: null-filled
+    assert(rows("urn:c:2").contains("fix build"))
+    // and the projection still prunes: scanning only day-1 columns works
+    assert(merged.where(col("d") === "2024-01-01").count() == 1)
+  }
+
   test("registerTestTables + engine SQL functions work end to end") {
     graft.plans.GraftExtensions.register(spark)
     val tables = Tables.registerTestTables(spark, "/root/testdata/sf0.001")
