@@ -247,6 +247,34 @@ object Training {
       .withColumn("n_clean", length(col("cleaned")))
   }
 
+  /** Unigram language-model scoring — the perplexity quality filter: doc
+    * log-probability Σ tf·ln(cnt/N) under the corpus's own unigram model,
+    * and perplexity exp(−logp/len). The per-doc reduction folds a
+    * token-sorted array left-associatively (`aggregate` HOF over
+    * `sort_array`), so the float sum is order-pinned and the oracle
+    * (DuckDB `list_reduce` over `array_agg(… ORDER BY token)`) reproduces
+    * it bit-for-bit — no rounding slack needed before the final render.
+    * Scale shape: two token-level aggregations + one broadcast 1-row
+    * total; the model "training" IS the frequency count. */
+  def q70LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(col("doc_id"),
+      explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).cast("double").as("nn"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val terms = tf.join(freq, "token").crossJoin(broadcast(total))
+      .select(col("doc_id"), col("token"), col("tf"),
+        (col("tf") * log(col("cnt").cast("double") / col("nn"))).as("v"))
+    val s = aggregate(transform(col("arr"), e => e.getField("v")),
+      lit(0.0), (a, x) => a + x)
+    terms.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("token"), col("v")))).as("arr"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(s, 6).as("log_prob"),
+        round(exp(negate(s) / col("n_tokens")), 4).as("ppl"))
+  }
+
   /** Multi-probe IVF: nprobe=2 over the same 16 deterministic centroids
     * as q26 — the recall dial between single-probe IVF and brute force. */
   def q41AnnNprobe(spark: SparkSession, dir: String): DataFrame =
@@ -345,7 +373,8 @@ object Training {
     "q50_dedup_cascade" -> q50DedupCascade,
     "q62_ann_int8" -> q62AnnInt8,
     "q64_curation" -> q64Curation,
-    "q65_text_clean" -> q65TextClean
+    "q65_text_clean" -> q65TextClean,
+    "q70_lm_score" -> q70LmScore
   )
 
   /** Java-regex character classes → RE2 (DuckDB): `\\uXXXX` becomes
@@ -543,6 +572,24 @@ object Training {
          |    PARTITION BY source ORDER BY quality DESC, n_chars DESC, doc_id) rn
          |  FROM q) WHERE rn <= 10""".stripMargin
     },
+    "q70_lm_score" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) token
+        |           FROM documents),
+        |tok AS (SELECT doc_id, token FROM t WHERE token <> ''),
+        |freq AS (SELECT token, count(*) cnt FROM tok GROUP BY token),
+        |n AS (SELECT sum(cnt)::DOUBLE nn FROM freq),
+        |tf AS (SELECT doc_id, token, count(*) tf FROM tok GROUP BY 1, 2),
+        |terms AS (SELECT tf.doc_id, tf.token, tf.tf,
+        |            tf.tf * ln(freq.cnt::DOUBLE / n.nn) v
+        |          FROM tf JOIN freq USING (token) CROSS JOIN n),
+        |g AS (SELECT doc_id, array_agg(v ORDER BY token) vs,
+        |        sum(tf)::BIGINT n_tokens
+        |      FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(list_reduce(vs, (a, b) -> a + b), 6) AS log_prob,
+        |  round(exp(-(list_reduce(vs, (a, b) -> a + b)) / n_tokens), 4)
+        |    AS ppl
+        |FROM g""".stripMargin,
     "q65_text_clean" -> {
       val dirtySql =
         "chr(1) || chr(8216) || 'hi' || chr(8217) || '  ' || chr(8212) || " +
