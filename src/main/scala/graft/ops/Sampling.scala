@@ -37,6 +37,34 @@ object Sampling {
         lit(1000000L)).cast("double") < frac * 1e6)
   }
 
+  /** Reproducible dataset splitting: named splits by cumulative-fraction
+    * thresholds on the hash-uniform (e.g. train 0.8 / val 0.1 / test 0.1)
+    * plus a `fold` column (hash mod `kFolds`, independent salt) for
+    * cross-validation. Pure projection — no shuffle, no state; membership
+    * is a function of the KEY alone, so it is stable under reruns,
+    * repartitioning, late-arriving data, and engine changes (the property
+    * random() splits lack, and the one that matters when the corpus is
+    * 100 TB re-crawled monthly). */
+  def assignSplits(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], kFolds: Int,
+      salt: String = "sp0"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    require(kFolds >= 1)
+    val u = pmod(TextDedup.hash60(
+        concat(col(keyCol).cast("string"), lit(":" + salt))),
+      lit(1000000L))
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail.map(f => (f * 1e6).toLong)
+    val split = splits.zip(cum).init.foldRight(
+        lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
+      when(u < hi, lit(name)).otherwise(acc)
+    }
+    val fold = pmod(TextDedup.hash60(
+        concat(col(keyCol).cast("string"), lit(":" + salt + ":fold"))),
+      lit(kFolds.toLong))
+    df.withColumn("split", split).withColumn("fold", fold)
+  }
+
   /** Per-group quota: keep the top `quota` rows of each group by `order`
     * (e.g. best-quality documents per source). The standard data-mixing
     * primitive; plans as WindowGroupLimit — no full per-group sort

@@ -504,7 +504,35 @@ object Relational {
       coalesce(nullif(pmod(k, lit(5L)), lit(0L)), lit(-1L)).as("nzc"))
   }
 
+  /** RANGE-frame rolling window: per-priority 7-day rolling order count
+    * and revenue by order date — a VALUE-based frame (all rows within 6
+    * days before the current row's date), not a row count; days are
+    * epoch-day longs so the frame bound is exact integer arithmetic in
+    * both engines. Completes the frame surface next to q9's ROWS frame. */
+  def q72RollingRange(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // rolling revenue sums in exact integer CENTS: a sliding frame's
+    // float summation order is engine-internal (DuckDB segment tree vs
+    // sequential), so money math over the frame must be integral to be
+    // reproducible — the same practice a real revenue pipeline follows
+    val daily = table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderdate"))
+      .agg(count(lit(1)).as("n"),
+        round(round(sum(col("o_totalprice")), 2) * 100, 0).cast("long")
+          .as("tc"))
+      .withColumn("epoch_day",
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("epoch_day")).rangeBetween(-6, 0)
+    daily.select(
+      col("o_orderpriority"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+      sum(col("n")).over(w).as("rolling_n"),
+      (sum(col("tc")).over(w) / 100.0).as("rolling_rev"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_rolling_range" -> q72RollingRange,
     "q67_bitwise_cond" -> q67BitwiseCond,
     "q66_map_funcs" -> q66MapFuncs,
     "q57_url_funcs" -> q57UrlFuncs,
@@ -539,6 +567,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q72_rolling_range" ->
+      """WITH daily AS (SELECT o_orderpriority, o_orderdate, count(*) n,
+        |    CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) tc,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) ed
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |  sum(n) OVER w AS rolling_n,
+        |  sum(tc) OVER w / 100.0 AS rolling_rev
+        |FROM daily
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY ed
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q67_bitwise_cond" ->
       """SELECT o_orderkey,
         |  o_orderkey & 255 AS and255,

@@ -275,6 +275,13 @@ object Training {
         round(exp(negate(s) / col("n_tokens")), 4).as("ppl"))
   }
 
+  /** Reproducible train/val/test + 5-fold assignment (hash thresholds on
+    * doc_id — stable under reruns, repartitioning, and re-crawls). */
+  def q71Split(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.assignSplits(docs(spark, dir), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), kFolds = 5)
+      .select(col("doc_id"), col("lang"), col("split"), col("fold"))
+
   /** Multi-probe IVF: nprobe=2 over the same 16 deterministic centroids
     * as q26 — the recall dial between single-probe IVF and brute force. */
   def q41AnnNprobe(spark: SparkSession, dir: String): DataFrame =
@@ -374,7 +381,8 @@ object Training {
     "q62_ann_int8" -> q62AnnInt8,
     "q64_curation" -> q64Curation,
     "q65_text_clean" -> q65TextClean,
-    "q70_lm_score" -> q70LmScore
+    "q70_lm_score" -> q70LmScore,
+    "q71_split" -> q71Split
   )
 
   /** Java-regex character classes → RE2 (DuckDB): `\\uXXXX` becomes
@@ -572,6 +580,15 @@ object Training {
          |    PARTITION BY source ORDER BY quality DESC, n_chars DESC, doc_id) rn
          |  FROM q) WHERE rn <= 10""".stripMargin
     },
+    "q71_split" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN ${h60("doc_id || ':sp0'")} % 1000000 < 800000
+         |         THEN 'train'
+         |       WHEN ${h60("doc_id || ':sp0'")} % 1000000 < 900000
+         |         THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  ${h60("doc_id || ':sp0:fold'")} % 5 AS fold
+         |FROM documents""".stripMargin,
     "q70_lm_score" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) token
         |           FROM documents),
