@@ -36,6 +36,30 @@ class SamplingSpec extends SparkSpec {
     assert(aSet != b)
   }
 
+  test("assignSplits: partition complete, ratios ~honored, stable under repartition") {
+    val ids = spark.range(0, 10000).toDF("doc_id")
+    val s = Sampling.assignSplits(ids, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), kFolds = 5)
+    val bysplit = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bysplit.values.sum == 10000)                    // complete partition
+    assert(math.abs(bysplit("train") - 8000) < 300, bysplit)
+    assert(math.abs(bysplit("val") - 1000) < 150, bysplit)
+    assert(math.abs(bysplit("test") - 1000) < 150, bysplit)
+    val folds = s.groupBy("fold").count().collect().map(_.getLong(1))
+    assert(folds.length == 5 && folds.forall(n => math.abs(n - 2000) < 200))
+    // fold is independent of split: every (split, fold) cell is populated
+    assert(s.select("split", "fold").distinct().count() == 15)
+    // membership is a function of the key alone — identical after reshuffle
+    val again = Sampling.assignSplits(ids.repartition(13), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), kFolds = 5)
+      .select("doc_id", "split", "fold").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val first = s.select("doc_id", "split", "fold").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(first == again)
+  }
+
   test("quotaPerGroup keeps exactly the top-N per group") {
     val df = Seq(
       ("s1", 1L, 0.9), ("s1", 2L, 0.8), ("s1", 3L, 0.7),
