@@ -14,16 +14,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   SELECT ngram_shingles(split(text, ' '), 3) FROM documents
   * }}}
   *
-  * This is the same mechanism a custom Rule[LogicalPlan] or SparkStrategy
-  * would plug into; the engine currently needs only function injection
-  * (SURVEY.md §4: every rewrite the reference relies on is stock Catalyst).
+  * — and injects [[RangeJoinRule]], a `Rule[LogicalPlan]` that rewrites
+  * inequality-only interval joins (BroadcastNestedLoopJoin territory) into
+  * binned equi-joins automatically when
+  * `spark.graft.rangejoin.binwidth` is set. (SURVEY.md §4: every rewrite
+  * the REFERENCE relies on is stock Catalyst; the rule covers the
+  * range-join shape the reference never hits but a telemetry warehouse
+  * does.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // inequality-only interval joins → binned equi-joins (opt-in via
+    // spark.graft.rangejoin.binwidth; inert otherwise)
+    ext.injectOptimizerRule(_ => RangeJoinRule)
+  }
 }
 
 object GraftExtensions {

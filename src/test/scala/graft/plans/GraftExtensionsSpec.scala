@@ -30,6 +30,43 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("RangeJoinRule: inequality-only join rewrites to a binned equi-join, same rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val intervals = Seq((1L, 100L, 300L), (2L, 250L, 251L), (3L, 400L, 400L))
+      .toDF("iid", "s", "e")
+    val points = Seq((50L, 99L), (51L, 100L), (52L, 250L), (53L, 299L),
+      (54L, 300L), (55L, 400L)).toDF("pid", "ts")
+    def q = intervals.join(points,
+      col("ts") >= col("s") && col("ts") < col("e"))
+    val naive = q.collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    // without the conf: inert — nested-loop plan untouched
+    assert(q.queryExecution.optimizedPlan.toString.contains("Join Inner"))
+
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RangeJoinRule
+    spark.conf.set("spark.graft.rangejoin.binwidth", "100")
+    try {
+      val rewritten = q
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"),
+        s"expected the binned equi-join, got:\n$plan")
+      assert(plan.contains("Generate explode"), s"missing bin explode:\n$plan")
+      // identical result set — the residual keeps semantics exact
+      assert(rewritten.collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+        == naive)
+      // joins WITH an equality conjunct are left alone
+      val equi = intervals.join(points, col("iid") === col("pid")
+        && col("ts") >= col("s"))
+      assert(!equi.queryExecution.optimizedPlan.toString
+        .contains("__graft_bin_l"))
+    } finally {
+      spark.conf.unset("spark.graft.rangejoin.binwidth")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == RangeJoinRule)
+    }
+  }
+
   test("extension class applies to a freshly built session") {
     val ext = new GraftExtensions
     // applying the extension function directly exercises the injection path
