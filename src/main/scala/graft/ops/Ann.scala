@@ -186,6 +186,48 @@ object Ann {
     topKPerKey(pairs, k)
   }
 
+  /** K-means centroid training (Lloyd's algorithm), the production
+    * replacement for the deterministic id<K IVF seeding: init from the
+    * first K vectors, then `iters` rounds of assign (broadcast cosine
+    * argmax) + recompute (element-wise mean via posexplode — a (cid,
+    * position) aggregation that scales out; no vectors on the driver).
+    * Empty clusters keep their previous centroid. Returns (cid, vec) with
+    * `vec` float — drop-in wherever centroids are consumed
+    * ([[assignClusters]], [[buildIvfIndex]]). Means are float-rounded
+    * each round, so centroids stay compact and transfer-cheap. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0)
+    var centroids = df.where(col(idCol) < k)
+      .select(col(idCol).cast("long").as("__cid"),
+        col(vecCol).as("__cvec"))
+      .persist()
+    centroids.count()
+    for (_ <- 0 until iters) {
+      val assigned = assignClusters(df,
+        centroids.select(col("__cid").as(idCol), col("__cvec").as(vecCol)),
+        idCol, vecCol, dim)
+      val means = assigned
+        .select(col("__cid"), posexplode(col("__vec")).as(Seq("__pos", "__x")))
+        .groupBy(col("__cid"), col("__pos"))
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy(col("__cid"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("__pos"), col("__m"))))).as("__bypos"))
+        .select(col("__cid"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => element_at(col("__bypos"), i).cast("float")).as("__mvec"))
+      val next = centroids.join(means, Seq("__cid"), "left_outer")
+        .select(col("__cid"),
+          coalesce(col("__mvec"), col("__cvec")).as("__cvec"))
+        .persist()
+      next.count()
+      centroids.unpersist()
+      centroids = next
+    }
+    centroids.select(col("__cid").as("cid"), col("__cvec").as("vec"))
+  }
+
   /** Persist an IVF index: cluster assignments written as parquet
     * PARTITIONED BY cluster id (`cid=`), centroids + norms alongside.
     * Build once, query many — the index shape that makes repeated ANN

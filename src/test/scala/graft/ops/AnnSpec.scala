@@ -146,6 +146,34 @@ class AnnSpec extends SparkSpec {
     selective.collect() // and it still executes
   }
 
+  test("kmeansCentroids: Lloyd rounds move centroids onto the true blobs") {
+    import spark.implicits._
+    // two tight blobs on orthogonal axes, 30 vectors each, seeds start
+    // INSIDE the data (ids 0,1 — one per blob by construction)
+    val rnd = new scala.util.Random(3)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + rnd.nextFloat() * 0.05f)
+    val blobA = Array(1f, 0f, 0f, 0f); val blobB = Array(0f, 1f, 0f, 0f)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, jitter(if (i % 2 == 0) blobA else blobB))
+    }.toDF("vec_id", "embedding")
+    val cents = Ann.kmeansCentroids(vecs, "vec_id", "embedding", 4,
+      k = 2, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(cents.size == 2)
+    // centroid 0 ≈ blob A mean (x-dominant), centroid 1 ≈ blob B mean
+    assert(cents(0L).head > 0.9f && cents(0L)(1) < 0.1f, cents(0L))
+    assert(cents(1L)(1) > 0.9f && cents(1L).head < 0.1f, cents(1L))
+    // and they drive assignClusters to a clean 30/30 split
+    val sizes = Ann.assignClusters(vecs,
+        spark.createDataFrame(cents.toSeq.map { case (id, v) =>
+          (id, v.toArray) }).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 4)
+      .groupBy("__cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(0L -> 30L, 1L -> 30L), sizes)
+  }
+
   test("cosineDupPairs finds near-identical vectors above threshold") {
     val pairs = Ann.cosineDupPairs(vecs, "vec_id", "embedding", 4,
         threshold = 0.99, numCentroids = 2)

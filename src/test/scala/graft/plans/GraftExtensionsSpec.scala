@@ -67,6 +67,30 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("RangeJoinRule: swapped sides (points on the LEFT) rewrite too") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val intervals = Seq((1L, 100L, 300L), (2L, 250L, 251L))
+      .toDF("iid", "s", "e")
+    val points = Seq((50L, 99L), (51L, 100L), (52L, 250L), (53L, 299L),
+      (54L, 300L)).toDF("pid", "ts")
+    def q = points.join(intervals,                      // point side LEFT
+      col("ts") >= col("s") && col("ts") < col("e"))
+    val naive = q.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RangeJoinRule
+    spark.conf.set("spark.graft.rangejoin.binwidth", "100")
+    try {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), s"swapped rewrite missing:\n$plan")
+      assert(q.collect().map(r => (r.getLong(0), r.getLong(2))).toSet == naive)
+    } finally {
+      spark.conf.unset("spark.graft.rangejoin.binwidth")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == RangeJoinRule)
+    }
+  }
+
   test("extension class applies to a freshly built session") {
     val ext = new GraftExtensions
     // applying the extension function directly exercises the injection path
