@@ -173,7 +173,60 @@ object Advanced {
     graft.ops.Profile.profile(table(spark, dir, "orders"),
       Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"))
 
+  /** Ordered funnel with a conversion window: view → first click within
+    * 24h OF THE FIRST VIEW → first purchase within 24h of that click,
+    * per user; one row per funnel stage with the user count. Ordering +
+    * window is what makes it a funnel (a purchase before the view, or a
+    * week later, does not convert) — each stage is one filtered
+    * aggregate + one equi-join on user_id. */
+  def q73Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val dayUs = 86400000000L
+    def stage(tpe: String) = ev.where(col("event_type") === tpe)
+    val tv = stage("view").groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("t_view"))
+    val tc = stage("click").join(tv, "user_id")
+      .where(col("ts_us") >= col("t_view") &&
+        col("ts_us") < col("t_view") + dayUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
+    val tp = stage("purchase").join(tc, "user_id")
+      .where(col("ts_us") >= col("t_click") &&
+        col("ts_us") < col("t_click") + dayUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))
+    tv.join(tc.select(col("user_id"), col("t_click")), Seq("user_id"), "left_outer")
+      .join(tp.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2).otherwise(1).as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Weekly cohort retention: users grouped by the Monday week of their
+    * FIRST event; for each later active week, how many of the cohort came
+    * back. The canonical warehouse triangle — two aggregations and one
+    * equi-join on user_id, fully shuffle-parallel. */
+  def q74Cohort(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"),
+        to_date(timestamp_micros(col("ts_us"))).as("d"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_d")).cast("date").as("cohort_w"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("d")).cast("date").as("w"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_w"), col("w"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(
+        date_format(col("cohort_w"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("w"), col("cohort_w")) / 7).cast("int").as("week_offset"),
+        col("n_active"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_funnel" -> q73Funnel,
+    "q74_cohort" -> q74Cohort,
     "q69_profile" -> q69Profile,
     "q68_gap_fill" -> q68GapFill,
     "q43_asof_join" -> q43AsofJoin,
@@ -210,6 +263,39 @@ object Advanced {
   }
 
   val oracles: Map[String, String] = Map(
+    "q73_funnel" ->
+      """WITH tv AS (SELECT user_id, min(epoch_us(ts)) t_view
+        |            FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |tc AS (SELECT e.user_id, min(epoch_us(e.ts)) t_click
+        |       FROM events e JOIN tv ON e.user_id = tv.user_id
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) >= tv.t_view
+        |         AND epoch_us(e.ts) < tv.t_view + 86400000000
+        |       GROUP BY e.user_id),
+        |tp AS (SELECT e.user_id, min(epoch_us(e.ts)) t_purchase
+        |       FROM events e JOIN tc ON e.user_id = tc.user_id
+        |       WHERE e.event_type = 'purchase'
+        |         AND epoch_us(e.ts) >= tc.t_click
+        |         AND epoch_us(e.ts) < tc.t_click + 86400000000
+        |       GROUP BY e.user_id)
+        |SELECT stage, count(*) AS n_users FROM (
+        |  SELECT CASE WHEN tp.user_id IS NOT NULL THEN 3
+        |              WHEN tc.user_id IS NOT NULL THEN 2
+        |              ELSE 1 END AS stage
+        |  FROM tv LEFT JOIN tc ON tv.user_id = tc.user_id
+        |          LEFT JOIN tp ON tv.user_id = tp.user_id)
+        |GROUP BY stage""".stripMargin,
+    "q74_cohort" ->
+      """WITH ev AS (SELECT user_id, ts::DATE d FROM events),
+        |cohort AS (SELECT user_id,
+        |             date_trunc('week', min(d))::DATE cohort_w
+        |           FROM ev GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id,
+        |             date_trunc('week', d)::DATE w FROM ev)
+        |SELECT strftime(cohort_w, '%Y-%m-%d') AS cohort_week,
+        |  (date_diff('day', cohort_w, w) / 7)::INT AS week_offset,
+        |  count(*) AS n_active
+        |FROM active JOIN cohort USING (user_id)
+        |GROUP BY cohort_w, w""".stripMargin,
     "q69_profile" ->
       Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
         .map { c =>
