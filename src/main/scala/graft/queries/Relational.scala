@@ -531,7 +531,25 @@ object Relational {
       (sum(col("tc")).over(w) / 100.0).as("rolling_rev"))
   }
 
+  /** Full outer join: per-nation customer vs supplier counts, neither
+    * side required — the join-type surface the reference never uses
+    * (§2.3 is inner/semi/anti only) but reconciliation queries need;
+    * null-coalesced counts make the mismatch visible. */
+  def q75FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = table(spark, dir, "supplier")
+      .where(col("s_acctbal") > 9000.0) // sparse side → unmatched nations
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_full_outer" -> q75FullOuter,
     "q72_rolling_range" -> q72RollingRange,
     "q67_bitwise_cond" -> q67BitwiseCond,
     "q66_map_funcs" -> q66MapFuncs,
@@ -567,6 +585,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q75_full_outer" ->
+      """SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+        |  coalesce(c.n_cust, 0) AS n_cust,
+        |  coalesce(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey, count(*) n_cust
+        |      FROM customer GROUP BY c_nationkey) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey, count(*) n_supp
+        |      FROM supplier WHERE s_acctbal > 9000.0
+        |      GROUP BY s_nationkey) s
+        |ON c.c_nationkey = s.s_nationkey""".stripMargin,
     "q72_rolling_range" ->
       """WITH daily AS (SELECT o_orderpriority, o_orderdate, count(*) n,
         |    CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) tc,
