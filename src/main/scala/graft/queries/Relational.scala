@@ -548,7 +548,26 @@ object Relational {
         coalesce(col("n_supp"), lit(0L)).as("n_supp"))
   }
 
+  /** The full ranking-function family in one window (rank, dense_rank,
+    * percent_rank, cume_dist, ntile) — q7/q8 pin row_number; this pins
+    * the rest, including tie semantics (same acctbal → same rank, gap in
+    * rank, no gap in dense_rank). Tie-free ORDER BY for ntile: bucket
+    * boundaries under ties are engine-specific, so the key is appended. */
+  def q76RankFamily(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    table(spark, dir, "customer").select(
+      col("c_custkey"), col("c_mktsegment"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      round(percent_rank().over(w), 6).as("prnk"),
+      round(cume_dist().over(w), 6).as("cdist"),
+      ntile(4).over(w).as("quartile"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_rank_family" -> q76RankFamily,
     "q75_full_outer" -> q75FullOuter,
     "q72_rolling_range" -> q72RollingRange,
     "q67_bitwise_cond" -> q67BitwiseCond,
@@ -585,6 +604,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q76_rank_family" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  ntile(4) OVER w AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
     "q75_full_outer" ->
       """SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
         |  coalesce(c.n_cust, 0) AS n_cust,
