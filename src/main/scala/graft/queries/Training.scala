@@ -282,6 +282,19 @@ object Training {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), kFolds = 5)
       .select(col("doc_id"), col("lang"), col("split"), col("fold"))
 
+  /** Inverted-index conjunctive search: build the bucket-partitioned
+    * posting table, then answer "docs containing BOTH terms" from the
+    * index alone (two partition-pruned term lookups + one doc_id
+    * intersection — the text column is never rescanned). The oracle
+    * answers the same question by brute-force token-list scan. */
+  def q77IndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-q77-idx").toString
+    graft.ops.TextIndex.build(docs(spark, dir), "doc_id", "text", idx,
+      numBuckets = 16)
+    graft.ops.TextIndex.search(spark, idx, Seq("join", "hash"),
+      numBuckets = 16)
+  }
+
   /** Multi-probe IVF: nprobe=2 over the same 16 deterministic centroids
     * as q26 — the recall dial between single-probe IVF and brute force. */
   def q41AnnNprobe(spark: SparkSession, dir: String): DataFrame =
@@ -382,7 +395,8 @@ object Training {
     "q64_curation" -> q64Curation,
     "q65_text_clean" -> q65TextClean,
     "q70_lm_score" -> q70LmScore,
-    "q71_split" -> q71Split
+    "q71_split" -> q71Split,
+    "q77_index_search" -> q77IndexSearch
   )
 
   /** Java-regex character classes → RE2 (DuckDB): `\\uXXXX` becomes
@@ -580,6 +594,10 @@ object Training {
          |    PARTITION BY source ORDER BY quality DESC, n_chars DESC, doc_id) rn
          |  FROM q) WHERE rn <= 10""".stripMargin
     },
+    "q77_index_search" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'join')
+        |  AND list_contains(string_split(text, ' '), 'hash')""".stripMargin,
     "q71_split" ->
       s"""SELECT doc_id, lang,
          |  CASE WHEN ${h60("doc_id || ':sp0'")} % 1000000 < 800000
