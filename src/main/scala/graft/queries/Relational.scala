@@ -557,13 +557,22 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    // tied ordering: balance bucketed to thousands — many rows share a
+    // key, so rank gaps / dense_rank compaction / cume_dist plateaus are
+    // actually exercised (rank outputs are key-determined, hence
+    // deterministic even with ties)
+    val bucket = floor(col("c_acctbal") / 1000).cast("long")
+    val wt = Window.partitionBy(col("c_mktsegment")).orderBy(bucket.desc)
     table(spark, dir, "customer").select(
       col("c_custkey"), col("c_mktsegment"),
       rank().over(w).as("rnk"),
       dense_rank().over(w).as("drnk"),
       round(percent_rank().over(w), 6).as("prnk"),
       round(cume_dist().over(w), 6).as("cdist"),
-      ntile(4).over(w).as("quartile"))
+      ntile(4).over(w).as("quartile"),
+      rank().over(wt).as("rnk_tied"),
+      dense_rank().over(wt).as("drnk_tied"),
+      round(cume_dist().over(wt), 6).as("cdist_tied"))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -610,10 +619,16 @@ object Relational {
         |  dense_rank() OVER w AS drnk,
         |  round(percent_rank() OVER w, 6) AS prnk,
         |  round(cume_dist() OVER w, 6) AS cdist,
-        |  ntile(4) OVER w AS quartile
+        |  ntile(4) OVER w AS quartile,
+        |  rank() OVER wt AS rnk_tied,
+        |  dense_rank() OVER wt AS drnk_tied,
+        |  round(cume_dist() OVER wt, 6) AS cdist_tied
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment
-        |             ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
+        |             ORDER BY c_acctbal DESC, c_custkey ASC),
+        |       wt AS (PARTITION BY c_mktsegment
+        |              ORDER BY CAST(floor(c_acctbal / 1000) AS BIGINT) DESC)"""
+        .stripMargin,
     "q75_full_outer" ->
       """SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
         |  coalesce(c.n_cust, 0) AS n_cust,
