@@ -575,7 +575,27 @@ object Relational {
       round(cume_dist().over(wt), 6).as("cdist_tied"))
   }
 
+  /** Value window functions with explicit frames: first_value over the
+    * growing frame, last_value over the FULL partition (the default
+    * frame's last_value ≡ current row — the classic trap, pinned here by
+    * spelling the frame), nth_value(3), lag with default — completing
+    * §2.5 next to q10's lag/lead and q76's ranking family. */
+  def q78ValueFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val grow = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "customer").select(
+      col("c_custkey"), col("c_mktsegment"),
+      first(col("c_name")).over(grow).as("richest"),
+      last(col("c_name")).over(full).as("poorest"),
+      nth_value(col("c_name"), 3).over(grow).as("third"),
+      lag(col("c_custkey"), 2, -1L).over(base).as("lag2_key"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_value_funcs" -> q78ValueFuncs,
     "q76_rank_family" -> q76RankFamily,
     "q75_full_outer" -> q75FullOuter,
     "q72_rolling_range" -> q72RollingRange,
@@ -613,6 +633,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q78_value_funcs" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  first_value(c_name) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS richest,
+        |  last_value(c_name) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS poorest,
+        |  nth_value(c_name, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS third,
+        |  coalesce(lag(c_custkey, 2) OVER w, -1) AS lag2_key
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
     "q76_rank_family" ->
       """SELECT c_custkey, c_mktsegment,
         |  rank() OVER w AS rnk,
