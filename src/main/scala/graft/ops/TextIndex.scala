@@ -56,4 +56,55 @@ object TextIndex {
       .reduce((a, b) => a.join(b, Seq("doc_id")))
       .distinct()
   }
+
+  /** Documents containing ANY of `terms` (disjunctive search): union of
+    * pruned posting scans, deduped. */
+  def searchAny(spark: SparkSession, path: String, terms: Seq[String],
+      numBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "searchAny needs at least one term")
+    terms.map(t => lookup(spark, path, t, numBuckets))
+      .reduce(_ unionByName _)
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------- phrase
+
+  /** Positional posting table: one row per (token, doc_id, pos) — the
+    * layout phrase queries need. ~tf× larger than [[build]]'s membership
+    * postings; same bucket partitioning, so term lookups prune the same
+    * way. */
+  def buildPositional(df: DataFrame, idCol: String, textCol: String,
+      path: String, numBuckets: Int = 64): Unit = {
+    require(numBuckets >= 1)
+    df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(filter(split(col(textCol), " "), t => t =!= ""))
+          .as(Seq("pos", "token")))
+      .withColumn("bkt", pmod(TextDedup.hash60(col("token")), lit(numBuckets.toLong)))
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(path)
+  }
+
+  /** Documents containing `terms` as a CONSECUTIVE phrase: per-term
+    * pruned positional lookups, then position-arithmetic equi-joins —
+    * term i must sit at `pos(first) + i`. The join key is (doc_id,
+    * expected position), so each step is a hash join that only ever
+    * shrinks the candidate set; no text rescan, no window. */
+  def searchPhrase(spark: SparkSession, path: String, terms: Seq[String],
+      numBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "searchPhrase needs at least one term")
+    def positions(term: String): DataFrame = {
+      val bkt = spark.range(1)
+        .select(pmod(TextDedup.hash60(lit(term)), lit(numBuckets.toLong)))
+        .head().getLong(0)
+      spark.read.parquet(path)
+        .where(col("bkt") === bkt && col("token") === term)
+        .select(col("doc_id"), col("pos"))
+    }
+    val first = positions(terms.head).select(col("doc_id"), col("pos").as("p0"))
+    terms.zipWithIndex.tail.foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(
+        positions(t).select(col("doc_id"), (col("pos") - i).as("p0")),
+        Seq("doc_id", "p0"))
+    }.select(col("doc_id")).distinct()
+  }
 }

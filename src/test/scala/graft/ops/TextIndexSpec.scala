@@ -38,6 +38,37 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.search(spark, idx, Seq("zzz_not_a_word"), 16).count() == 0)
   }
 
+  test("searchAny ∪ and searchPhrase positions match brute force") {
+    val idx = scratch("text-index-pos")
+    TextIndex.buildPositional(docs, "doc_id", "text", idx, numBuckets = 16)
+
+    // a real two-word phrase taken from the corpus itself
+    val Array(w1, w2) = docs.select(split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("ws").getItem(0), col("ws").getItem(1))
+      .head().toSeq.map(_.asInstanceOf[String]).toArray
+    val phrase = TextIndex.searchPhrase(spark, idx, Seq(w1, w2), 16)
+      .collect().map(_.getLong(0)).toSet
+    val brutePhrase = docs.where(
+        concat(lit(" "), col("text"), lit(" ")).contains(s" $w1 $w2 "))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(phrase == brutePhrase, s"phrase '$w1 $w2'")
+    assert(phrase.nonEmpty)
+    // phrase ⊆ conjunction of its words
+    val conj = TextIndex.searchPhrase(spark, idx, Seq(w1), 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(phrase.subsetOf(conj))
+
+    // OR search over the membership index
+    val midx = scratch("text-index-or")
+    TextIndex.build(docs, "doc_id", "text", midx, numBuckets = 16)
+    val any = TextIndex.searchAny(spark, midx, Seq(w1, "zzz_absent"), 16)
+      .collect().map(_.getLong(0)).toSet
+    val single = TextIndex.search(spark, midx, Seq(w1), 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(any == single) // absent term adds nothing
+  }
+
   test("lookup scan is partition-pruned to one bkt= directory") {
     val idx = scratch("text-index-prune")
     TextIndex.build(docs.limit(50), "doc_id", "text", idx, numBuckets = 16)
