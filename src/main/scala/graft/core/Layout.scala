@@ -56,6 +56,26 @@ object Layout {
     }
   }
 
+  /** N-dimensional z-value: round-robin bit interleave of `dims.length`
+    * non-negative int columns (dim j's bit i lands at position
+    * `i * N + j`). Total bits `bitsPerDim * N` must fit a long. The 2-dim
+    * [[zorderValue]] is the `N = 2` special case (kept for its hand-
+    * checkable layout); use this one for (repo, date, actor)-style
+    * three-way access patterns. */
+  def zorderValueN(dims: Seq[Column], bitsPerDim: Int): Column = {
+    val n = dims.length
+    require(n >= 1, "zorderValueN needs at least one dimension")
+    require(bitsPerDim >= 1 && bitsPerDim * n <= 63,
+      s"bitsPerDim*dims must fit a long, got $bitsPerDim*$n")
+    val mask = (1L << bitsPerDim) - 1L
+    val masked = dims.map(_.cast("long").bitwiseAND(lit(mask)))
+    (0 until bitsPerDim).foldLeft(lit(0L)) { (acc, i) =>
+      masked.zipWithIndex.foldLeft(acc) { case (a, (d, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(d, i).bitwiseAND(lit(1L)), i * n + j))
+      }
+    }
+  }
+
   /** Write z-order-clustered on two dimensions: range-cluster on the
     * interleaved z-value so each file owns a compact rectangle-ish region
     * of (x, y) space and predicates on EITHER dimension skip most files.

@@ -40,6 +40,35 @@ class LayoutSpec extends SparkSpec {
     assert(filesHit(random) == 10, "random layout spans every file")
   }
 
+  test("zorderValueN: N-dim interleave, 2-dim case matches zorderValue, 3-dim locality") {
+    import spark.implicits._
+    // N=2 must agree with the hand-checked 2-dim implementation
+    val pairs = for { x <- 0 until 8; y <- 0 until 8 } yield (x.toLong, y.toLong)
+    val agree = pairs.toDF("x", "y").select(
+        (Layout.zorderValue(col("x"), col("y"), 3) ===
+          Layout.zorderValueN(Seq(col("x"), col("y")), 3)).as("ok"))
+      .agg(min(col("ok"))).head().getBoolean(0)
+    assert(agree, "N=2 generalization must equal the 2-dim interleave")
+
+    // 3-dim: sort a 16^3 grid by z, cut into 16 files' worth of ranges;
+    // an 1/4-width slab on ANY dimension must skip at least half the files
+    val grid = for { x <- 0 until 16; y <- 0 until 16; z <- 0 until 16 }
+      yield (x.toLong, y.toLong, z.toLong)
+    val out = scratch("zorder3")
+    grid.toDF("x", "y", "z")
+      .withColumn("__z", Layout.zorderValueN(
+        Seq(col("x"), col("y"), col("z")), 4))
+      .repartitionByRange(16, col("__z")).sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(out)
+    def hit(c: String): Long =
+      spark.read.parquet(out).where(col(c) between (0, 3))
+        .select(input_file_name()).distinct().count()
+    Seq("x", "y", "z").foreach { c =>
+      assert(hit(c) <= 8, s"$c-slab hit ${hit(c)} of 16 files")
+    }
+  }
+
   test("zorderValue interleaves bits; locality beats single-key sort on the other dim") {
     import spark.implicits._
     // hand-checked interleave: x=0b11 (bits 0,2), y=0b10 (bit 3) -> 0b1101? compute:
