@@ -163,6 +163,51 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric containment pairs: C(A→B) = |A∩B| / |A| ≥ `threshold` —
+    * the subset-detection measure Jaccard misses (a paragraph quoted
+    * inside a much longer document scores near-zero Jaccard but full
+    * containment). Output is DIRECTED: (doc_a, doc_b) means A is
+    * `containment`-contained in B, and both directions can appear.
+    *
+    * Prefix filtering adapts to the asymmetry: if C(A→B) ≥ t then any
+    * (|A| − ⌈t·|A|⌉ + 1)-prefix of A's df-ordered shingles must hit B's
+    * FULL set (B's size is unconstrained — that is the point), so the
+    * candidate join is A-prefix × all-shingles inverted index; exact
+    * verification follows. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxShingleDf: Option[Long] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val rows = filteredRows(hashedShingleRows(df, idCol, textCol, n), maxShingleDf)
+    val dfreq = rows.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    val docs = rows.join(dfreq, Seq("__sh"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__sh")))).as("__arr"))
+      .select(col("__id"),
+        transform(col("__arr"), e => e("__sh")).as("__shs"),
+        size(col("__arr")).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixA = docs.select(col("__id").as("doc_a"), col("__n").as("__na"),
+      explode(slice(col("__shs"), lit(1),
+        (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")))
+        .as("__sh"))
+    val bAll = rows.select(col("__id").as("doc_b"), col("__sh"))
+    val cands = prefixA.join(bAll, Seq("__sh"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val withA = docs
+      .select(col("__id").as("doc_a"), col("__shs").as("__sa"),
+        col("__n").as("__na"))
+      .join(broadcast(cands), Seq("doc_a"))
+    docs
+      .select(col("__id").as("doc_b"), col("__shs").as("__sb"))
+      .join(broadcast(withA), Seq("doc_b"))
+      .withColumn("containment",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          col("__na"))
+      .where(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Reference quadratic-candidate implementation (inverted index over ALL
     * shingles): same output as [[jaccardPairs]]; kept for differential
     * testing of the prefix filter. */

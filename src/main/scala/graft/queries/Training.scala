@@ -282,6 +282,13 @@ object Training {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), kFolds = 5)
       .select(col("doc_id"), col("lang"), col("split"), col("fold"))
 
+  /** Asymmetric containment near-dup: |A∩B| / |A| ≥ 0.8 over hashed word
+    * 3-gram shingles — catches a document quoted INSIDE a longer one,
+    * which symmetric Jaccard (q18) scores near zero. Directed pairs. */
+  def q79Containment(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.containmentPairs(docs(spark, dir), "doc_id", "text", 3, 0.8)
+      .withColumn("containment", round(col("containment"), 6))
+
   /** Inverted-index conjunctive search: build the bucket-partitioned
     * posting table, then answer "docs containing BOTH terms" from the
     * index alone (two partition-pruned term lookups + one doc_id
@@ -396,7 +403,8 @@ object Training {
     "q65_text_clean" -> q65TextClean,
     "q70_lm_score" -> q70LmScore,
     "q71_split" -> q71Split,
-    "q77_index_search" -> q77IndexSearch
+    "q77_index_search" -> q77IndexSearch,
+    "q79_containment" -> q79Containment
   )
 
   /** Java-regex character classes → RE2 (DuckDB): `\\uXXXX` becomes
@@ -594,6 +602,14 @@ object Training {
          |    PARTITION BY source ORDER BY quality DESC, n_chars DESC, doc_id) rn
          |  FROM q) WHERE rn <= 10""".stripMargin
     },
+    "q79_containment" ->
+      s"""WITH $hashedShingleCtes,
+         |p AS (SELECT x.doc_id doc_a, y.doc_id doc_b,
+         |        len(list_intersect(x.shs, y.shs))::DOUBLE / len(x.shs) cont
+         |      FROM s x JOIN s y ON x.doc_id <> y.doc_id
+         |      WHERE len(x.shs) > 0 AND len(y.shs) > 0)
+         |SELECT doc_a, doc_b, round(cont, 6) AS containment
+         |FROM p WHERE cont >= 0.8""".stripMargin,
     "q77_index_search" ->
       """SELECT doc_id FROM documents
         |WHERE list_contains(string_split(text, ' '), 'join')

@@ -62,6 +62,36 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: directed subset detection that Jaccard misses") {
+    // doc 10 (one sentence) appears verbatim inside doc 11 (much longer):
+    // containment(10→11) = 1.0, while Jaccard is far below any useful
+    // threshold — the asymmetric measure earns its keep here
+    val quote = "p q r s t"
+    val long = s"m n o $quote u v w x y z aa bb cc dd ee ff gg hh"
+    val d = Seq((10L, quote), (11L, long), (12L, "k l zz k2 l2 zz2"))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.containmentPairs(d, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet == Set((10L, 11L)), s"pairs: $pairs") // directed!
+    assert(pairs((10L, 11L)) == 1.0)
+    // and Jaccard at the same threshold finds NOTHING
+    assert(TextDedup.jaccardPairs(d, "doc_id", "text", 3, 0.9).count() == 0)
+    // differential vs naive all-pairs on the shared fixture
+    val fast = TextDedup.containmentPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naiveRows = docs.select(col("doc_id").as("a"),
+        TextDedup.shingleHashes(col("text"), 3).as("sa"))
+    val naive = naiveRows.crossJoin(
+        naiveRows.select(col("a").as("b"), col("sa").as("sb")))
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(col("sa"))).as("c"))
+      .where(col("c") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == naive, s"fast=$fast naive=$naive")
+  }
+
   test("minhash LSH recovers exact and near duplicates, verified") {
     val pairs = TextDedup.minhashDedupPairs(docs, "doc_id", "text",
         threshold = 0.5)
