@@ -33,6 +33,32 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(month - 2000) / 2000.0 < 0.05, s"month estimate: $month")
   }
 
+  test("count-min sketch heavy hitters: skewed keys found, counts within bound") {
+    import spark.implicits._
+    // zipf-ish: key k appears ~ 10000/k times — the hot keys a 100 TB
+    // GROUP BY would need to know about BEFORE shuffling (salting
+    // decisions); count-min answers point queries in sub-linear space
+    val rows = (1 to 50).flatMap(k => Seq.fill(10000 / k)(s"key$k"))
+    val df = rows.toDF("k").repartition(8)
+    val eps = 0.001; val conf = 0.99
+    val cms = df.stat.countMinSketch(col("k"), eps, conf, seed = 42)
+    val n = rows.length.toLong
+    assert(cms.totalCount() == n)
+    // CMS guarantees estimate >= true, and <= true + eps*N w.p. conf
+    for (k <- Seq(1, 2, 10, 50)) {
+      val truth = 10000 / k
+      val est = cms.estimateCount(s"key$k")
+      assert(est >= truth, s"key$k: $est < $truth")
+      assert(est <= truth + (eps * n).toLong + 1, s"key$k overestimate: $est vs $truth")
+    }
+    // mergeable: two half-sketches union to the full answer
+    val Array(h1, h2) = df.randomSplit(Array(0.5, 0.5), seed = 7)
+    val m = h1.stat.countMinSketch(col("k"), eps, conf, seed = 42)
+      .mergeInPlace(h2.stat.countMinSketch(col("k"), eps, conf, seed = 42))
+    assert(m.totalCount() == n)
+    assert(m.estimateCount("key1") >= 10000)
+  }
+
   test("approxPercentiles tracks exact percentiles at high accuracy") {
     import spark.implicits._
     val df = (1 to 10001).map(i => ("g", i.toDouble)).toDF("g", "v")
