@@ -518,8 +518,11 @@ object Relational {
     val daily = table(spark, dir, "orders")
       .groupBy(col("o_orderpriority"), col("o_orderdate"))
       .agg(count(lit(1)).as("n"),
-        round(round(sum(col("o_totalprice")), 2) * 100, 0).cast("long")
-          .as("tc"))
+        // convert to cents PER ROW before summing: a float group-sum's
+        // accumulation order is engine-internal, and a half-ulp at a
+        // .xx5 boundary rounds to a different cent — same hazard as the
+        // frame sum below, one operator earlier
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("tc"))
       .withColumn("epoch_day",
         datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long"))
     val w = Window.partitionBy(col("o_orderpriority"))
@@ -674,7 +677,7 @@ object Relational {
         |ON c.c_nationkey = s.s_nationkey""".stripMargin,
     "q72_rolling_range" ->
       """WITH daily AS (SELECT o_orderpriority, o_orderdate, count(*) n,
-        |    CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) tc,
+        |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) tc,
         |    date_diff('day', DATE '1970-01-01', o_orderdate) ed
         |  FROM orders GROUP BY 1, 2)
         |SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS day,
