@@ -28,16 +28,22 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // One untimed pass per query before its timed pass (disable with
+    // One untimed pass per query before its timed passes (disable with
     // SPARK_GRAFT_WARMUP=0). First execution conflates the query with
     // one-time janino/JIT compilation of its generated code — tens of
     // codegen units for the multi-stage similarity queries, recompiled at
     // every AQE replan — and on the shared build host that compile cost
     // varies 10–50× with CPU contention (measured: q18 first run 8–77 s,
     // second run 3 s, identical binary). Steady state is the metric.
-    // SPARK_GRAFT_REPEAT=n (dev): n timed runs, report the last.
+    // MEDIAN-of-3 timed runs per query (SPARK_GRAFT_REPEAT overrides):
+    // the host's virtio disk intermittently stalls for seconds (same
+    // binary measured 25 s and 173 s across runs), and a median absorbs
+    // one stalled run per query where a single sample cannot.
     val warmup = !sys.env.get("SPARK_GRAFT_WARMUP").contains("0")
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(3)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2) // odd n → middle; even → upper mid
+    }
     val results = selected.map { case (name, fn) =>
       if (warmup) { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
       val times = (1 to repeat).map { _ =>
@@ -45,14 +51,25 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      if (repeat > 1)
-        System.err.println(s"[bench] $name runs: ${times.map(t => f"$t%.2f").mkString(", ")}")
-      name -> times.last
+      System.err.println(s"[bench] $name runs: ${times.map(t => f"$t%.3f").mkString(", ")}")
+      (name, median(times), times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // every individual sample too, so the artifact itself shows whether a
+    // slow median was a stall (one outlier) or a real plan cost (all three)
+    val runs = results.map { case (k, _, ts) =>
+      "\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout tails get truncated by log capture (r3 lost 13 of 79 query
+    // times); a file survives regardless
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }
