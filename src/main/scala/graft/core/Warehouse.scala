@@ -1,0 +1,151 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persistent catalog DDL — the reference's database/table surface (S9):
+  * `CREATE DATABASE` / `CREATE TABLE` / `DROP TABLE` whose metadata
+  * SURVIVES the Spark session (ref `CreateGitHubDataTable.usql:4-12`,
+  * `CreateAndInitializeCommit.usql:47` — the U-SQL scripts create a
+  * catalog database once and every later job resolves tables by name).
+  *
+  * Spark's default in-memory catalog loses metadata when the JVM exits,
+  * so graft pairs the session catalog with a MANIFEST file at the
+  * warehouse root (`_graft_catalog.tsv`: db, table, format, partition
+  * columns — locations are derived as `<root>/<db>/<table>`, so the
+  * warehouse relocates wholesale). Every DDL call updates BOTH: the
+  * session catalog for immediate `spark.sql("SELECT … FROM db.t")`
+  * resolution, the manifest for the next session — [[open]] replays it
+  * into any fresh session/JVM against the same root. Data and manifest
+  * live through the Hadoop FileSystem API, so the warehouse root works
+  * on HDFS/S3/ABFS exactly as on local disk; the manifest rewrite is
+  * write-temp-then-rename (atomic on directory-rename filesystems).
+  * Single-writer DDL is assumed — same as the reference's ADLA catalog
+  * scripts, which serialize DDL through job submission.
+  *
+  * Tables are EXTERNAL (`spark.catalog.createTable` over the parquet
+  * location): dropping the catalog entry never deletes data unless
+  * `purge = true`. Partitioned tables register their partitions via
+  * `recoverPartitions` (MSCK semantics), so partition pruning works
+  * through the catalog exactly as through the path API.
+  */
+object Warehouse {
+
+  final case class Entry(db: String, table: String, format: String,
+      partitionCols: Seq[String]) {
+    def qualified: String = s"$db.$table"
+    def location(root: String): String = s"$root/$db/$table"
+  }
+
+  private val ManifestName = "_graft_catalog.tsv"
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** CREATE DATABASE IF NOT EXISTS: a directory under the root plus a
+    * session-catalog database so `db.table` names resolve in SQL. */
+  def createDatabase(spark: SparkSession, root: String, db: String): Unit = {
+    requireIdent(db)
+    fs(spark, root).mkdirs(new Path(s"$root/$db"))
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+  }
+
+  /** CREATE TABLE AS SELECT: write `df` as parquet under
+    * `<root>/<db>/<table>` (optionally partitioned), record it in the
+    * manifest, and register it in the session catalog. `mode` is
+    * "overwrite" (TRUNCATE+INSERT parity) or "append". */
+  def saveTable(spark: SparkSession, root: String, db: String, name: String,
+      df: DataFrame, partitionCols: Seq[String] = Nil,
+      mode: String = "overwrite"): Unit = {
+    requireIdent(db); requireIdent(name)
+    createDatabase(spark, root, db)
+    val e = Entry(db, name, "parquet", partitionCols)
+    val w = df.write.mode(mode).format("parquet")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .save(e.location(root))
+    upsert(spark, root, e)
+    register(spark, root, e)
+  }
+
+  /** Replay the manifest into THIS session's catalog — the cold-start
+    * path: a brand-new session (or JVM) pointed at the same warehouse
+    * root sees every table by `db.table` name. Returns qualified names. */
+  def open(spark: SparkSession, root: String): Seq[String] = {
+    val entries = readManifest(spark, root)
+    entries.foreach(register(spark, root, _))
+    entries.map(_.qualified)
+  }
+
+  /** DROP TABLE: removes the catalog entry (session + manifest);
+    * `purge = true` also deletes the data directory. */
+  def dropTable(spark: SparkSession, root: String, db: String, name: String,
+      purge: Boolean = false): Unit = {
+    requireIdent(db); requireIdent(name)
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")
+    writeManifest(spark, root,
+      readManifest(spark, root).filterNot(e => e.db == db && e.table == name))
+    if (purge)
+      fs(spark, root).delete(new Path(s"$root/$db/$name"), true)
+  }
+
+  /** The manifest's current entries (empty on a fresh root). */
+  def listTables(spark: SparkSession, root: String): Seq[Entry] =
+    readManifest(spark, root)
+
+  // ------------------------------------------------------------ internals
+
+  private def register(spark: SparkSession, root: String, e: Entry): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `${e.db}`")
+    spark.sql(s"DROP TABLE IF EXISTS `${e.db}`.`${e.table}`")
+    spark.catalog.createTable(e.qualified, e.location(root), e.format)
+    if (e.partitionCols.nonEmpty)
+      spark.catalog.recoverPartitions(e.qualified)
+  }
+
+  private def upsert(spark: SparkSession, root: String, e: Entry): Unit =
+    writeManifest(spark, root,
+      readManifest(spark, root)
+        .filterNot(x => x.db == e.db && x.table == e.table) :+ e)
+
+  private def readManifest(spark: SparkSession, root: String): Seq[Entry] = {
+    val p = new Path(s"$root/$ManifestName")
+    val f = fs(spark, root)
+    if (!f.exists(p)) return Seq.empty
+    val in = f.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      line.split("\t", -1) match {
+        case Array(db, t, fmt, parts) =>
+          Entry(db, t, fmt,
+            if (parts.isEmpty) Nil else parts.split(",").toSeq)
+        case other =>
+          sys.error(s"malformed catalog line (${other.length} fields): $line")
+      }
+    }.toSeq
+  }
+
+  private def writeManifest(spark: SparkSession, root: String,
+      entries: Seq[Entry]): Unit = {
+    val f = fs(spark, root)
+    val tmp = new Path(s"$root/.$ManifestName.tmp")
+    val out = f.create(tmp, true)
+    try {
+      val body = entries.sortBy(e => (e.db, e.table)).map { e =>
+        s"${e.db}\t${e.table}\t${e.format}\t${e.partitionCols.mkString(",")}"
+      }.mkString("", "\n", "\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    val dst = new Path(s"$root/$ManifestName")
+    f.delete(dst, false)
+    if (!f.rename(tmp, dst))
+      sys.error(s"catalog manifest rename failed: $tmp -> $dst")
+  }
+
+  /** Identifiers flow into SQL and filesystem paths — restrict to the
+    * safe charset rather than attempt quoting-based escape. */
+  private def requireIdent(s: String): Unit =
+    require(s.nonEmpty && s.forall(c => c.isLetterOrDigit || c == '_'),
+      s"identifier must be [A-Za-z0-9_]+, got '$s'")
+}

@@ -235,11 +235,20 @@ object Ann {
     * broadcast join on `cid` triggers Spark's dynamic partition pruning,
     * so the scan reads ONLY the probed clusters' files. At 100 TB of
     * embeddings, nprobe/K of the data comes off storage, the rest is
-    * never listed. Centroids here are the deterministic id<K seed
-    * ([[ivfTopK]]); swap in k-means centroids without changing layout. */
+    * never listed. `kmeansIters > 0` trains the centroids with
+    * [[kmeansCentroids]] (Lloyd's) before assignment — better-balanced
+    * clusters, hence better recall per probe, at the cost of `iters`
+    * training passes at build time; `kmeansIters = 0` keeps the
+    * deterministic id<K seed ([[ivfTopK]]). Layout is identical either
+    * way, so queries don't care how the index was built. */
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      numCentroids: Int, path: String): Unit = {
-    val centroids = df.where(col(idCol) < numCentroids)
+      numCentroids: Int, path: String, kmeansIters: Int = 0): Unit = {
+    val centroids =
+      if (kmeansIters > 0)
+        kmeansCentroids(df, idCol, vecCol, dim, numCentroids, kmeansIters)
+          .select(col("cid").as(idCol), col("vec").as(vecCol))
+      else df.where(col(idCol) < numCentroids)
+        .select(col(idCol), col(vecCol))
     withNorm(centroids, idCol, vecCol, dim)
       .select(col("__vid").as("cid"), col("__vec").as("cvec"),
         col("__nrm").as("cnrm"))
@@ -290,16 +299,34 @@ object Ann {
 
   /** Embedding-level near-duplicate pairs: cosine ≥ `threshold`, blocked
     * through the same IVF assignment so only same-cluster pairs are
-    * scored (near-identical vectors share a nearest centroid). */
+    * scored (near-identical vectors share a nearest centroid).
+    *
+    * Skew safety: a HOT cluster of m vectors yields m² candidate pairs,
+    * and an unsalted equi-join on cluster id lands all of them on one
+    * task. Clusters larger than `maxBlock` are therefore salted — the
+    * left side takes a deterministic salt in [0, g) (g = ⌈m/maxBlock⌉,
+    * from a broadcast of the K-row cluster-size frame), the right side
+    * replicates to every salt — so each pair still materializes exactly
+    * once, but a hot cluster's pairs spread across g tasks. Output is
+    * bit-identical to the unsalted join (the differential spec asserts
+    * it); total work is unchanged — salting fixes the DISTRIBUTION, and
+    * the documented recall trade of blocking stays as it was. */
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double, numCentroids: Int): DataFrame = {
+      threshold: Double, numCentroids: Int, maxBlock: Int = 4096): DataFrame = {
+    require(maxBlock >= 1, s"maxBlock must be positive, got $maxBlock")
     val centroids = df.where(col(idCol) < numCentroids)
     val assigned = assignClusters(df, centroids, idCol, vecCol, dim)
-    val l = assigned.select(col("__vid").as("vec_a"), col("__vec").as("__va"),
-      col("__nrm").as("__na"), col("__cid"))
-    val r = assigned.select(col("__vid").as("vec_b"), col("__vec").as("__vb"),
-      col("__nrm").as("__nb"), col("__cid"))
-    l.join(r, Seq("__cid"))
+    val gees = assigned.groupBy("__cid")
+      .agg(ceil(count(lit(1)) / lit(maxBlock.toDouble)).cast("int").as("__g"))
+    val l = assigned.join(broadcast(gees), Seq("__cid"))
+      .select(col("__vid").as("vec_a"), col("__vec").as("__va"),
+        col("__nrm").as("__na"), col("__cid"),
+        pmod(hash(col("__vid")), col("__g")).as("__salt"))
+    val r = assigned.join(broadcast(gees), Seq("__cid"))
+      .select(col("__vid").as("vec_b"), col("__vec").as("__vb"),
+        col("__nrm").as("__nb"), col("__cid"),
+        explode(sequence(lit(0), col("__g") - 1)).as("__salt"))
+    l.join(r, Seq("__cid", "__salt"))
       .where(col("vec_a") < col("vec_b"))
       .withColumn("cosine",
         dot(col("__va"), col("__vb"), dim) / (col("__na") * col("__nb")))

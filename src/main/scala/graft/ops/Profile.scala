@@ -4,14 +4,21 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling — the ANALYZE-statistics surface: per-column null
-  * counts, distinct cardinality, and min/max in ONE scan. The multi-column
-  * `count(distinct …)` plans through Catalyst's Expand (one pass over the
-  * data, rows replicated per distinct-aggregate — the standard trade);
-  * profiles feed CBO-style decisions (broadcast-ability, skew suspicion,
-  * null-heavy columns) and data-quality gates. For 100 TB profiles swap
-  * the exact distincts for [[Sketches.hllDistinct]] sketches — same
-  * output shape, bounded memory, and re-mergeable across partitions of a
-  * table profiled incrementally.
+  * counts, distinct cardinality, and min/max in ONE scan.
+  *
+  * The DEFAULT distinct estimator is HyperLogLog++
+  * (`approx_count_distinct`): each column is a regular aggregate with
+  * bounded sketch state, so N columns profile in one narrow pass with NO
+  * Expand — the shape that survives 100 TB. `exact = true` switches to
+  * `count(distinct …)`, which plans through Catalyst's Expand (rows
+  * replicated once per distinct-aggregate); exact mode is for modest
+  * inputs or when the profile itself is the deliverable — at 100 TB an
+  * N-column exact profile multiplies the scan N× through the Expand and
+  * is the one genuine scale-killer this module can produce, which is why
+  * it is opt-in rather than the default. Profiles feed CBO-style
+  * decisions (broadcast-ability, skew suspicion, null-heavy columns) and
+  * data-quality gates; for re-mergeable incremental profiles keep the
+  * raw sketches instead ([[Sketches.hllDistinct]] / [[Sketches.hllRollup]]).
   *
   * Output is long-format `(column, n_rows, n_nulls, n_distinct, min_val,
   * max_val)` — min/max computed on the native type, rendered as strings
@@ -19,12 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String],
+      exact: Boolean = false, rsd: Double = 0.02): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    def dist(c: String): Column =
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c), rsd)
     val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        countDistinct(col(c)).as(s"__dist_$c"),
+        dist(c).as(s"__dist_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }

@@ -44,6 +44,17 @@ object TextDedup {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of [[hash60]] — bit-identical (same md5-prefix
+    * construction over UTF-8 bytes), for computing partition/bucket keys
+    * of LITERAL values without launching a Spark job (e.g. a term
+    * lookup's `bkt=` literal in [[TextIndex.lookup]]). */
+  def hash60Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Distinct word n-gram shingles of a text column, as an array column.
     * Documents with fewer than `n` words get an empty array. Native
     * single-pass expression ([[graft.functions.NGramShingles]]) — the
@@ -145,17 +156,22 @@ object TextDedup {
         col("__nb") >= ceil(lit(threshold) * col("__na")) &&
         col("__na") >= ceil(lit(threshold) * col("__nb")))
       .select("doc_a", "doc_b").distinct()
-    // lookup joins broadcast the SMALL side (surviving pairs), streaming
-    // the persisted doc frame — never the reverse: broadcasting the array
-    // frame would collect every document's shingles to the driver
+    // lookup joins broadcast ONLY the skinny pair keys (16 bytes/row) into
+    // each per-doc frame; the two candidate-sized array frames then meet
+    // in a shuffle join on the pair key. No BroadcastExchange ever carries
+    // a shingle array, so a pathological corpus whose prefix filter yields
+    // millions of candidates streams through bounded shuffle partitions
+    // instead of OOMing the driver (AQE may still elect a broadcast at
+    // runtime — but size-gated by its threshold, not hard-coded).
     val withA = docs
       .select(col("__id").as("doc_a"), col("__shs").as("__sa"),
         col("__n").as("__na"))
       .join(broadcast(cands), Seq("doc_a"))
-    docs
+    val withB = docs
       .select(col("__id").as("doc_b"), col("__shs").as("__sb"),
         col("__n").as("__nb"))
-      .join(broadcast(withA), Seq("doc_b"))
+      .join(broadcast(cands), Seq("doc_b"))
+    withA.join(withB, Seq("doc_a", "doc_b"))
       .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
       .withColumn("jaccard", col("__inter").cast("double") /
         (col("__na") + col("__nb") - col("__inter")))
@@ -194,13 +210,16 @@ object TextDedup {
     val cands = prefixA.join(bAll, Seq("__sh"))
       .where(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    // same bounded-verification shape as [[jaccardPairs]]: broadcast only
+    // the skinny pair keys, shuffle-join the two array lookups
     val withA = docs
       .select(col("__id").as("doc_a"), col("__shs").as("__sa"),
         col("__n").as("__na"))
       .join(broadcast(cands), Seq("doc_a"))
-    docs
+    val withB = docs
       .select(col("__id").as("doc_b"), col("__shs").as("__sb"))
-      .join(broadcast(withA), Seq("doc_b"))
+      .join(broadcast(cands), Seq("doc_b"))
+    withA.join(withB, Seq("doc_a", "doc_b"))
       .withColumn("containment",
         size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
           col("__na"))

@@ -35,12 +35,13 @@ object TextIndex {
       .write.mode("overwrite").partitionBy("bkt").parquet(path)
   }
 
-  /** Posting list of one term (a `bkt=` partition-pruned scan). */
+  /** Posting list of one term (a `bkt=` partition-pruned scan). The
+    * bucket key of the LITERAL term is computed on the driver
+    * ([[TextDedup.hash60Local]], bit-identical to the write-side column
+    * hash) — no Spark job per term, just one pruned scan. */
   def lookup(spark: SparkSession, path: String, term: String,
       numBuckets: Int = 64): DataFrame = {
-    val bkt = spark.range(1)
-      .select(pmod(TextDedup.hash60(lit(term)), lit(numBuckets.toLong)))
-      .head().getLong(0)
+    val bkt = Math.floorMod(TextDedup.hash60Local(term), numBuckets.toLong)
     spark.read.parquet(path)
       .where(col("bkt") === bkt && col("token") === term)
       .select(col("doc_id"))
@@ -93,9 +94,7 @@ object TextIndex {
       numBuckets: Int = 64): DataFrame = {
     require(terms.nonEmpty, "searchPhrase needs at least one term")
     def positions(term: String): DataFrame = {
-      val bkt = spark.range(1)
-        .select(pmod(TextDedup.hash60(lit(term)), lit(numBuckets.toLong)))
-        .head().getLong(0)
+      val bkt = Math.floorMod(TextDedup.hash60Local(term), numBuckets.toLong)
       spark.read.parquet(path)
         .where(col("bkt") === bkt && col("token") === term)
         .select(col("doc_id"), col("pos"))

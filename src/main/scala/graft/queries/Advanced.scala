@@ -166,12 +166,14 @@ object Advanced {
   }
 
   /** One-scan dataset profile over orders: null counts, exact distinct
-    * cardinality, min/max per column (ANALYZE-style statistics; the
-    * 100 TB variant swaps exact distincts for HLL sketches — see
-    * [[graft.ops.Profile]] / [[graft.ops.Sketches]]). */
+    * cardinality, min/max per column (ANALYZE-style statistics). `exact =
+    * true` here because the oracle hash-compares values; the library
+    * DEFAULT is the HLL sketch path — one narrow pass, no Expand — which
+    * is what a 100 TB profile runs (see [[graft.ops.Profile]]). */
   def q69Profile(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Profile.profile(table(spark, dir, "orders"),
-      Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"))
+      Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"),
+      exact = true)
 
   /** Ordered funnel with a conversion window: view → first click within
     * 24h OF THE FIRST VIEW → first purchase within 24h of that click,

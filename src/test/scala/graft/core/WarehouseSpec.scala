@@ -1,0 +1,108 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** S9 persistent catalog: DDL registers tables in the session catalog AND
+  * a warehouse-root manifest; a brand-new session (fresh catalog) replays
+  * the manifest with [[Warehouse.open]] and resolves every table by
+  * `db.table` name — the across-session persistence the reference's
+  * U-SQL catalog provides (CreateGitHubDataTable.usql:4-12). */
+class WarehouseSpec extends SparkSpec {
+
+  test("createDatabase + saveTable: SQL resolves db.table; partitioned table prunes") {
+    val root = scratch("wh-ddl")
+    val region = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    try {
+      Warehouse.saveTable(spark, root, "whtest1", "region", region)
+      Warehouse.saveTable(spark, root, "whtest1", "orders_bypri", orders,
+        partitionCols = Seq("o_orderpriority"))
+
+      assert(spark.sql("SELECT count(*) FROM whtest1.region").head().getLong(0)
+        == region.count())
+      val pri = orders.select("o_orderpriority").distinct()
+        .head().getString(0)
+      val got = spark.sql(
+        s"SELECT count(*) FROM whtest1.orders_bypri WHERE o_orderpriority = '$pri'")
+        .head().getLong(0)
+      val want = orders.where(col("o_orderpriority") === pri).count()
+      assert(got == want && got > 0)
+
+      // manifest records both tables with their partition columns
+      val entries = Warehouse.listTables(spark, root)
+        .map(e => e.qualified -> e.partitionCols).toMap
+      assert(entries == Map(
+        "whtest1.region" -> Nil,
+        "whtest1.orders_bypri" -> Seq("o_orderpriority")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS whtest1.region")
+      spark.sql("DROP TABLE IF EXISTS whtest1.orders_bypri")
+      spark.sql("DROP DATABASE IF EXISTS whtest1")
+    }
+  }
+
+  test("open replays the manifest into a session whose catalog has never seen the tables") {
+    val root = scratch("wh-reopen")
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    try {
+      Warehouse.saveTable(spark, root, "whtest2", "nation", nation)
+      // simulate a cold start: the ONLY registration state a new JVM has
+      // is the warehouse root — drop everything from the live catalog
+      spark.sql("DROP TABLE whtest2.nation")
+      spark.sql("DROP DATABASE whtest2")
+      val fresh = spark.newSession()
+      assert(!fresh.catalog.databaseExists("whtest2"))
+      val opened = Warehouse.open(fresh, root)
+      assert(opened == Seq("whtest2.nation"))
+      assert(fresh.sql("SELECT count(*) FROM whtest2.nation").head().getLong(0)
+        == nation.count())
+      // and the original session sees it too (shared external catalog)
+      assert(spark.sql("SELECT count(*) FROM whtest2.nation").head().getLong(0)
+        == nation.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS whtest2.nation")
+      spark.sql("DROP DATABASE IF EXISTS whtest2")
+    }
+  }
+
+  test("dropTable removes the entry; purge=false keeps data, purge=true deletes it") {
+    val root = scratch("wh-drop")
+    val region = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    try {
+      Warehouse.saveTable(spark, root, "whtest3", "keepme", region)
+      Warehouse.saveTable(spark, root, "whtest3", "purgeme", region)
+
+      Warehouse.dropTable(spark, root, "whtest3", "keepme")
+      assert(!spark.catalog.tableExists("whtest3.keepme"))
+      assert(new java.io.File(s"$root/whtest3/keepme").exists(),
+        "purge=false must keep data")
+
+      Warehouse.dropTable(spark, root, "whtest3", "purgeme", purge = true)
+      assert(!new java.io.File(s"$root/whtest3/purgeme").exists(),
+        "purge=true must delete data")
+
+      assert(Warehouse.listTables(spark, root).isEmpty)
+      // re-save over a dropped name works (DDL is idempotent)
+      Warehouse.saveTable(spark, root, "whtest3", "keepme", region)
+      assert(spark.sql("SELECT count(*) FROM whtest3.keepme").head().getLong(0)
+        == region.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS whtest3.keepme")
+      spark.sql("DROP TABLE IF EXISTS whtest3.purgeme")
+      spark.sql("DROP DATABASE IF EXISTS whtest3")
+    }
+  }
+
+  test("identifiers are restricted to the safe charset") {
+    val root = scratch("wh-ident")
+    val region = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    intercept[IllegalArgumentException] {
+      Warehouse.saveTable(spark, root, "bad-db", "t", region)
+    }
+    intercept[IllegalArgumentException] {
+      Warehouse.saveTable(spark, root, "db", "t; DROP TABLE x", region)
+    }
+  }
+}

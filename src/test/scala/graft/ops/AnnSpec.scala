@@ -181,4 +181,62 @@ class AnnSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
+
+  test("cosineDupPairs: hot-cluster salting is bit-identical to the unsalted join") {
+    // skew fixture: ONE cluster holds everything (numCentroids = 1), so an
+    // unsalted equi-join on cluster id puts all m² pairs on a single task;
+    // maxBlock = 8 forces g = ⌈100/8⌉ = 13 sub-blocks
+    val rnd = new scala.util.Random(11)
+    val hot = (0L until 100L).map { i =>
+      i -> Array.fill(8)(1f + rnd.nextFloat() * 0.01f)
+    }.toDF("vec_id", "embedding")
+    def run(maxBlock: Int) =
+      Ann.cosineDupPairs(hot, "vec_id", "embedding", 8,
+          threshold = 0.999, numCentroids = 1, maxBlock = maxBlock)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = run(8)
+    val unsalted = run(1 << 30)
+    assert(salted.nonEmpty, "fixture should produce near-dup pairs")
+    assert(salted == unsalted,
+      s"salting changed results: ${salted.size} vs ${unsalted.size} pairs")
+    // every pair appears exactly once (replication did not duplicate)
+    val keys = salted.toSeq.map(p => (p._1, p._2))
+    assert(keys.distinct.size == keys.size)
+  }
+
+  test("buildIvfIndex(kmeansIters): trained centroids separate blobs the id<K seed mixes") {
+    // 30 blob-A vectors (ids 0–29) then 30 blob-B (ids 30–59): the id<2
+    // seed puts BOTH centroids inside blob A — k-means must pull one onto
+    // blob B within a few Lloyd rounds
+    val rnd = new scala.util.Random(5)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + rnd.nextFloat() * 0.05f)
+    val blobA = Array(1f, 0f, 0f, 0f); val blobB = Array(0f, 1f, 0f, 0f)
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, jitter(if (i < 30) blobA else blobB))
+    }.toDF("vec_id", "embedding")
+    val path = scratch("ivf-kmeans")
+    Ann.buildIvfIndex(corpus, "vec_id", "embedding", 4,
+      numCentroids = 2, path, kmeansIters = 5)
+    // layout unchanged: cid= partition dirs
+    val dirs = new java.io.File(s"$path/assignments").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.forall(_.startsWith("cid=")) && dirs.length == 2, dirs.toSeq)
+    // trained clusters align with the blobs: a clean 30/30 split
+    val sizes = spark.read.parquet(s"$path/assignments")
+      .groupBy("cid").count().collect().map(_.getLong(1)).sorted.toSeq
+    assert(sizes == Seq(30L, 30L), s"cluster sizes $sizes")
+    // nprobe=1 against the trained index achieves FULL recall vs brute
+    // force (every true neighbor of a blob member is inside its blob)
+    val queries = corpus.where(col("vec_id") % 7 === 0)
+    val viaIndex = Ann.queryIvfIndex(spark, path, queries,
+        "vec_id", "embedding", 4, k = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Ann.cosineTopK(queries, corpus, "vec_id", "embedding", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == brute,
+      s"k-means index nprobe=1 recall ${
+        (viaIndex intersect brute).size.toDouble / brute.size}")
+  }
 }

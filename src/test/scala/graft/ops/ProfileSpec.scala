@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Profile's scale contract: the DEFAULT distinct estimator is an HLL
+  * sketch — one narrow aggregation pass with NO Expand in the plan — and
+  * exact `count(distinct)` (which Expands the scan N-columns-fold) is
+  * opt-in for modest inputs. */
+class ProfileSpec extends SparkSpec {
+
+  private lazy val orders =
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+  private val cols =
+    Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+
+  test("default (sketch) profile plans with no Expand; exact opt-in Expands") {
+    val sketch = Profile.profile(orders, cols)
+    sketch.collect()
+    val sp = sketch.queryExecution.executedPlan.toString
+    assert(!sp.contains("Expand"),
+      s"sketch profile must not Expand the scan:\n$sp")
+
+    val exact = Profile.profile(orders, cols, exact = true)
+    exact.collect()
+    val ep = exact.queryExecution.executedPlan.toString
+    assert(ep.contains("Expand"),
+      "witness failed: exact multi-distinct should plan through Expand " +
+        s"(did Catalyst change?):\n$ep")
+  }
+
+  test("sketch profile matches exact on nulls/min/max, distinct within rsd") {
+    def byCol(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+        .toMap
+    val sk = byCol(Profile.profile(orders, cols, rsd = 0.02))
+    val ex = byCol(Profile.profile(orders, cols, exact = true))
+    assert(sk.keySet == ex.keySet)
+    for (c <- cols) {
+      val (sn, snull, sdist, smin, smax) = sk(c)
+      val (en, enull, edist, emin, emax) = ex(c)
+      assert(sn == en && snull == enull && smin == emin && smax == emax,
+        s"non-distinct stats must be exact for $c")
+      val err = math.abs(sdist - edist).toDouble / math.max(edist, 1L)
+      assert(err <= 0.10, s"$c: sketch distinct $sdist vs exact $edist " +
+        f"(err $err%.3f) outside tolerance")
+    }
+  }
+}

@@ -214,4 +214,39 @@ class TextDedupSpec extends SparkSpec {
     // first 15 hex chars of md5("hello") = 5d41402abc4b2a7
     assert(h == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
   }
+
+  test("hash60Local (driver-side) is bit-identical to the hash60 column") {
+    val terms = Seq("hello", "the", "zzz_not_a_word", "héllo wörld",
+      "日本語テキスト", "a b c", "0", " leading space")
+    val viaColumn = terms.toDF("s")
+      .select(col("s"), TextDedup.hash60(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (t <- terms)
+      assert(TextDedup.hash60Local(t) == viaColumn(t),
+        s"driver/column hash mismatch for '$t'")
+  }
+
+  test("verification joins never broadcast shingle arrays (bounded at scale)") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // AQE off: inspect the STATIC plan — the one the optimizer commits to
+    // before runtime sizes are known; AQE may still elect a broadcast at
+    // runtime, but size-gated by its threshold, which is the safe case
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, out) <- Seq(
+          "jaccard" -> TextDedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.8),
+          "containment" ->
+            TextDedup.containmentPairs(corpus, "doc_id", "text", 3, 0.9))) {
+        val offenders = out.queryExecution.executedPlan.collect {
+          case b: BroadcastExchangeExec
+              if b.output.exists(_.dataType.isInstanceOf[ArrayType]) => b
+        }
+        assert(offenders.isEmpty,
+          s"$name broadcasts array payloads:\n${offenders.mkString("\n")}")
+        assert(out.count() > 0) // plan still executes and finds pairs
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
