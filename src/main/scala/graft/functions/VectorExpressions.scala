@@ -43,16 +43,23 @@ case class FloatVecDot(left: Expression, right: Expression)
     s
   }
 
+  // locals via freshName: two instances of the same expression can share
+  // one whole-stage-codegen class, and fixed names collide there (janino
+  // "Redefinition of local variable" → silent interpreted fallback)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = s;
-       """.stripMargin)
+         |${ev.value} = $s;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -86,16 +93,21 @@ case class Int8Pack(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (v, s) =>
+    nullSafeCodeGen(ctx, ev, (v, s) => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val q = ctx.freshName("q")
       s"""
-         |int n = $v.numElements();
-         |byte[] out = new byte[n];
-         |for (int i = 0; i < n; i++) {
-         |  double q = ($s > 0) ? java.lang.Math.rint($v.getFloat(i) / $s) : 0.0;
-         |  out[i] = (byte) java.lang.Math.max(-127.0, java.lang.Math.min(127.0, q));
+         |int $n = $v.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $q = ($s > 0) ? java.lang.Math.rint($v.getFloat($i) / $s) : 0.0;
+         |  $out[$i] = (byte) java.lang.Math.max(-127.0, java.lang.Math.min(127.0, $q));
          |}
-         |${ev.value} = out;
-       """.stripMargin)
+         |${ev.value} = $out;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -122,15 +134,19 @@ case class Int8VecDot(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.length, $b.length);
-         |long s = 0L;
-         |for (int i = 0; i < n; i++) {
-         |  s += (long) $a[i] * (long) $b[i];
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a[$i] * (long) $b[$i];
          |}
-         |${ev.value} = s;
-       """.stripMargin)
+         |${ev.value} = $s;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -226,7 +226,27 @@ object Advanced {
         col("n_active"))
   }
 
+  /** S9 catalog round-trip (ref CreateGitHubDataTable.usql:4-12): CTAS
+    * the nation table into a persistent warehouse (root manifest +
+    * session catalog, [[graft.core.Warehouse]]), then resolve it BY NAME
+    * from a brand-new session whose catalog never saw the DDL — the
+    * returned rows travelled through the on-disk catalog metadata, not
+    * live session state. The warehouse root derives from the input dir
+    * so concurrent scale factors don't collide. */
+  def q80Catalog(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Warehouse
+    val root = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_wh_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    Warehouse.saveTable(spark, root, "graftwh", "nation",
+      table(spark, dir, "nation"))
+    val fresh = spark.newSession()
+    Warehouse.open(fresh, root)
+    fresh.sql(
+      "SELECT n_nationkey, n_name, n_regionkey FROM graftwh.nation")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_catalog" -> q80Catalog,
     "q73_funnel" -> q73Funnel,
     "q74_cohort" -> q74Cohort,
     "q69_profile" -> q69Profile,
@@ -265,6 +285,8 @@ object Advanced {
   }
 
   val oracles: Map[String, String] = Map(
+    "q80_catalog" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q73_funnel" ->
       """WITH tv AS (SELECT user_id, min(epoch_us(ts)) t_view
         |            FROM events WHERE event_type = 'view' GROUP BY user_id),
