@@ -8,10 +8,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.defs ++ graft.queries.Training.defs ++
-      graft.queries.StreamingQueries.defs ++ graft.queries.Advanced.defs
+      graft.queries.StreamingQueries.defs ++ graft.queries.Advanced.defs ++
+      graft.queries.Lifecycle.defs ++ graft.queries.Corpus.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Training.oracles ++
-      graft.queries.StreamingQueries.oracles ++ graft.queries.Advanced.oracles
+      graft.queries.StreamingQueries.oracles ++ graft.queries.Advanced.oracles ++
+      graft.queries.Lifecycle.oracles ++ graft.queries.Corpus.oracles
 }

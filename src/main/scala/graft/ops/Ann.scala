@@ -333,4 +333,24 @@ object Ann {
       .where(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): embedding-space near-duplicate PAIRS (IVF-blocked cosine
+    * ≥ `threshold`, [[cosineDupPairs]]) → connected components → one
+    * survivor per semantic group (lowest id). Returns every input id with
+    * its `component` label and a `keep` flag; ids untouched by any dup
+    * pair keep themselves. Same composition discipline as
+    * [[TextDedup.dedupCascade]]: every stage is the already-verified
+    * distributed primitive, no collect, O(log n) CC rounds. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, numCentroids: Int, maxBlock: Int = 4096): DataFrame = {
+    val pairs =
+      cosineDupPairs(df, idCol, vecCol, dim, threshold, numCentroids, maxBlock)
+    val comp = TextDedup.connectedComponentsStar(pairs, "vec_a", "vec_b")
+      .withColumnRenamed("doc_id", idCol)
+    df.select(col(idCol)).join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+      .withColumn("keep", col(idCol) === col("component"))
+  }
 }

@@ -210,6 +210,54 @@ object TextAnalysis {
       .select(col("__id"), col("token"), col("tfidf"), col("rnk"))
   }
 
+  /** BM25 relevance (Robertson/Spärck Jones; the Lucene `+1` idf variant,
+    * always positive) of every document against a literal term set.
+    *
+    * Because the terms are literals, per-term tf is a PROJECTION
+    * (`filter` over the token array — no explode, no per-token shuffle);
+    * corpus stats (N, avgdl, per-term df) are ONE tiny aggregate row
+    * broadcast back. Per-term scores are summed in fixed term order, so
+    * the float result is reproducible across partitionings and engines.
+    * Docs matching no term are dropped — at 100 TB that candidate set is
+    * exactly what a [[TextIndex]] postings lookup feeds this scorer.
+    *
+    * Output: (doc_id, score, rank), rank by (score desc, id) within the
+    * whole corpus, top `k`. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int = 100,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    val base = df.select(col(idCol).as("doc_id"),
+        words(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("double"))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (acc, (t, i)) =>
+      acc.withColumn(s"__tf_$i",
+        size(filter(col("__toks"), x => x === lit(t))).cast("double"))
+    }.drop("__toks")
+    // N, avgdl, df per term: integer-valued doubles, so the partial-agg
+    // sum order cannot change the result (exact below 2^53)
+    val aggs =
+      count(lit(1)).cast("double").as("__n") +:
+      avg(col("__dl")).as("__avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"__tf_$i") > 0, 1.0).otherwise(0.0)).as(s"__df_$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val termScore = terms.indices.map { i =>
+      val tf = col(s"__tf_$i"); val dfi = col(s"__df_$i")
+      log((col("__n") - dfi + lit(0.5)) / (dfi + lit(0.5)) + lit(1.0)) *
+        (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduceLeft(_ + _) // fixed left-to-right term order: reproducible sum
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("score", round(termScore, 6))
+      .where(col("score") > 0)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("score"), col("rank"))
+  }
+
   /** The full per-document analysis projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

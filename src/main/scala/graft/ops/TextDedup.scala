@@ -433,6 +433,50 @@ object TextDedup {
       .withColumn("keep", col("doc_id") === col("component"))
   }
 
+  /** Corpus-wide chunk-level deduplication (the C4/RefinedWeb line-dedup
+    * rule generalized to fixed-width token chunks, since the corpus has no
+    * newline structure): split each document into consecutive
+    * `chunkTokens`-token chunks, keep only the globally FIRST occurrence
+    * of every distinct chunk (lowest (doc_id, chunk_idx)), and rebuild
+    * each document from its surviving chunks in order. Documents whose
+    * every chunk was seen earlier elsewhere come back with a null
+    * `clean_text` (fully boilerplate).
+    *
+    * Output: (doc_id, clean_text, n_chunks, n_kept).
+    *
+    * Scale shape: chunking is a projection (`slice` over the token array,
+    * no explode until the chunk rows); first-occurrence election is ONE
+    * window shuffle partitioned by the 60-bit chunk hash — 8-byte keys,
+    * not chunk text; the rebuild is one groupBy back on doc_id. No
+    * driver-side state, no cross join. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be positive, got $chunkTokens")
+    val toks = split(col(textCol), " ")
+    val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
+    val chunks = df.select(
+        col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
+          .as(Seq("idx", "chunk")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(hash60(col("chunk")))
+      .orderBy(col("doc_id"), col("idx"))
+    val elected = chunks
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__kept", col("__rn") === 1)
+    elected.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(col("__kept"),
+          struct(col("idx"), col("chunk"))))).as("__ordered"))
+      .withColumn("clean_text",
+        when(col("n_kept") > 0,
+          array_join(transform(col("__ordered"), s => s("chunk")), " ")))
+      .select(col("doc_id"), col("clean_text"), col("n_chunks"), col("n_kept"))
+  }
+
   /** [[connectedComponents]] via alternating large-star / small-star
     * rounds (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") — O(log n) rounds regardless of component DIAMETER, where

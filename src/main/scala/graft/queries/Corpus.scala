@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.core.Tables.table
+import graft.ops.{Ann, TextAnalysis, TextDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 corpus-curation additions: SemDeDup-style semantic dedup over
+  * embeddings, C4-style chunk/line dedup, and BM25 relevance ranking.
+  * Oracle conventions follow [[Training]] (fixed-order float arithmetic,
+  * literal-for-literal expression mirroring).
+  */
+object Corpus {
+
+  private val Dim = 64
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+
+  /** SemDeDup: embedding near-dup pairs (IVF-blocked cosine ≥ 0.4, same
+    * blocking as q30) → connected components → one survivor per semantic
+    * group. [[Ann.semanticDedup]]. */
+  def q83SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Ann.semanticDedup(embs(spark, dir), "vec_id", "embedding", Dim,
+      threshold = 0.4, numCentroids = 16)
+
+  /** Corpus-wide chunk dedup: 10-token chunks, first occurrence wins,
+    * documents rebuilt from surviving chunks. [[TextDedup.lineDedup]]. */
+  def q84LineDedup(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.lineDedup(docs(spark, dir), "doc_id", "text", chunkTokens = 10)
+
+  /** BM25 top-100 for a 3-term query. k1 = 1.5 and b = 0.75 are exactly
+    * representable doubles, so every constant in the scoring formula is
+    * bit-identical across engines. [[TextAnalysis.bm25]]. */
+  def q85Bm25(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(docs(spark, dir), "doc_id", "text",
+      terms = bm25Terms, k = 100, k1 = 1.5, b = 0.75)
+
+  private val bm25Terms = Seq("spark", "query", "join")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_semantic_dedup" -> q83SemanticDedup,
+    "q84_line_dedup" -> q84LineDedup,
+    "q85_bm25" -> q85Bm25
+  )
+
+  /** Fixed left-associated Σ a[i]·b[i] (1-based DuckDB lists) — the same
+    * summation order [[Ann.dot]] pins. */
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"$a.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE")
+      .mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    // q30's pair CTE (same blocking, threshold, rounding-free compare)
+    // + q42's transitive closure + keep-min labeling
+    "q83_semantic_dedup" ->
+      s"""WITH RECURSIVE
+         |n AS (SELECT vec_id, embedding, sqrt(${dotSql("e", "e")}) nrm
+         |      FROM embeddings e),
+         |c AS (SELECT vec_id cid, embedding, nrm FROM n WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, embedding, nrm, cid FROM (
+         |  SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      (${dotSql("v", "c")}) / (v.nrm * c.nrm) DESC, c.cid) rn
+         |  FROM n v CROSS JOIN c) WHERE rn = 1),
+         |p AS (SELECT a.vec_id vec_a, b.vec_id vec_b
+         |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |      WHERE (${dotSql("a", "b")}) / (a.nrm * b.nrm) >= 0.4),
+         |und AS (SELECT vec_a u, vec_b v FROM p
+         |        UNION SELECT vec_b, vec_a FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u vec_id, min(v) component FROM reach GROUP BY u)
+         |SELECT em.vec_id,
+         |  coalesce(comp.component, em.vec_id) AS component,
+         |  (em.vec_id = coalesce(comp.component, em.vec_id)) AS keep
+         |FROM embeddings em LEFT JOIN comp ON comp.vec_id = em.vec_id""".stripMargin,
+    "q84_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |ch AS (SELECT doc_id, i AS idx,
+        |         array_to_string(ts[(i*10+1):(i*10+10)], ' ') chunk
+        |       FROM t, UNNEST(generate_series(0,
+        |         CAST(ceil(len(ts)/10.0) AS INT) - 1)) AS u(i)),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY md5(chunk)
+        |        ORDER BY doc_id, idx) rn FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+        |  string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1)
+        |    AS clean_text
+        |FROM k GROUP BY doc_id""".stripMargin,
+    "q85_bm25" -> {
+      val d = bm25Terms.indices.map(i =>
+        s"len(list_filter(ts, x -> x = '${bm25Terms(i)}'))::DOUBLE tf_$i")
+        .mkString(", ")
+      val st = bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN tf_$i > 0 THEN 1.0 ELSE 0.0 END) df_$i").mkString(", ")
+      val score = bm25Terms.indices.map(i =>
+        s"ln((n - df_$i + 0.5) / (df_$i + 0.5) + 1.0) * (tf_$i * 2.5) / " +
+          s"(tf_$i + 1.5 * (0.25 + 0.75 * dl / avgdl))").mkString(" + ")
+      s"""WITH f AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+         |d AS (SELECT doc_id, len(ts)::DOUBLE dl, $d FROM f),
+         |st AS (SELECT count(*)::DOUBLE n, avg(dl) avgdl, $st FROM d)
+         |SELECT doc_id, score, "rank" FROM (
+         |  SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS "rank"
+         |  FROM (SELECT doc_id, round($score, 6) AS score
+         |        FROM d CROSS JOIN st)
+         |  WHERE score > 0) WHERE "rank" <= 100""".stripMargin
+    }
+  )
+}

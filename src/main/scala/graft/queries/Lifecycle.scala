@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.core.Tables.table
+import graft.ops.History
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse lifecycle surface added in round 4: SCD Type-2 dimension
+  * builds and CDC snapshot diffs over the event stream ([[graft.ops.History]]).
+  * The reference keeps latest-wins snapshots plus the Repo/RepoLog append
+  * log (ProcessDaily.usql:3556-3593); these queries cover the two other
+  * standard history shapes. Temporal arithmetic is exact-integer epoch
+  * micros on both engines (see [[Advanced]]).
+  */
+object Lifecycle {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events").withColumn("ts_us", expr("ts div 1000L"))
+
+  /** SCD2 dimension: each user's `event_type` state as validity intervals —
+    * a new version opens at every state CHANGE (consecutive duplicates
+    * collapse), `valid_to` chains to the next version, one open interval
+    * per user. Single exchange: both windows share (user_id, ts, id)
+    * partitioning. */
+  def q81Scd2(spark: SparkSession, dir: String): DataFrame =
+    History.scd2(events(spark, dir), Seq("user_id"),
+        col("ts_us"), col("event_id"), Seq("event_type"))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("valid_from").as("valid_from_us"),
+        col("valid_to").as("valid_to_us"),
+        col("version"), col("is_current"))
+
+  /** 2024-01-02T00:00:00Z in epoch micros — the CDC split point (134 of
+    * 150 users are active before it at sf0.01, so the diff carries both
+    * inserts and updates). */
+  private val t1Us = 1704153600000000L
+
+  /** CDC changeset between the user-state snapshot as of t1 and the final
+    * snapshot: per user the latest (event_type, value) on each side,
+    * full-outer reconciled into op ∈ {I, U} (no tombstones in the corpus —
+    * the D path is spec-covered in HistorySpec). */
+  def q82CdcDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    def snap(asOf: Option[Long]): DataFrame =
+      History.snapshotAt(ev, Seq("user_id"), col("ts_us"), col("event_id"),
+          asOf.map(lit(_)).getOrElse(lit(Long.MaxValue)))
+        .select(col("user_id"), col("event_type").as("state"), col("value"))
+    History.cdcDiff(snap(Some(t1Us)), snap(None), Seq("user_id"),
+        Seq("state", "value"))
+      .select(col("user_id"), col("op"), col("state_old"), col("state_new"),
+        col("value_old"), col("value_new"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_scd2" -> q81Scd2,
+    "q82_cdc_diff" -> q82CdcDiff
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q81_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(ts) ts_us FROM events),
+        |x AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts_us, event_id) prev
+        |      FROM e),
+        |ch AS (SELECT user_id, event_id, event_type, ts_us FROM x
+        |       WHERE prev IS NULL OR event_type <> prev)
+        |SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+        |  lead(ts_us) OVER w AS valid_to_us,
+        |  row_number() OVER w AS version,
+        |  (lead(ts_us) OVER w IS NULL) AS is_current
+        |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin,
+    "q82_cdc_diff" ->
+      """WITH old_s AS (SELECT user_id, event_type state, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) rn
+        |    FROM events WHERE epoch_us(ts) <= 1704153600000000) WHERE rn = 1),
+        |new_s AS (SELECT user_id, event_type state, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |  CASE WHEN o.user_id IS NULL THEN 'I'
+        |       WHEN n.user_id IS NULL THEN 'D'
+        |       WHEN o.state IS DISTINCT FROM n.state
+        |         OR o.value IS DISTINCT FROM n.value THEN 'U' END AS op,
+        |  o.state AS state_old, n.state AS state_new,
+        |  o.value AS value_old, n.value AS value_new
+        |FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
+        |WHERE CASE WHEN o.user_id IS NULL THEN 'I'
+        |           WHEN n.user_id IS NULL THEN 'D'
+        |           WHEN o.state IS DISTINCT FROM n.state
+        |             OR o.value IS DISTINCT FROM n.value THEN 'U'
+        |      END IS NOT NULL""".stripMargin
+  )
+}
