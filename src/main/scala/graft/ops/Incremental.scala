@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance: a materialized partial-aggregate
+  * table, partitioned by an ingest-granularity column (typically day),
+  * that answers rollup queries WITHOUT rescanning history.
+  *
+  * The design is the mergeable-state discipline used everywhere in this
+  * engine ([[Sketches]], `TopKByScore`): each partition stores per-key
+  * (count, integer-cents sum, min, max) — all exactly mergeable in any
+  * order — so "this month's revenue" reads ~30 tiny partial files instead
+  * of the raw fact table, and a late-arriving day rewrites ONLY its own
+  * partition (dynamic partition overwrite, the reference's S4/S5 partition
+  * replace discipline at the aggregate layer).
+  *
+  * At 100 TB this is the difference between a daily report that costs one
+  * day's scan and one that costs the whole table: raw-history scans are
+  * O(history), this path is O(delta) build + O(partials) read, and the
+  * partials are smaller than the facts by the group-key cardinality ratio.
+  * Money sums are integer cents (per-row conversion BEFORE the first sum),
+  * so merge order — partial vs final, engine vs engine — can never change
+  * a cent (the q72 lesson).
+  */
+object Incremental {
+
+  /** Per-(partition, keys) mergeable state for one measure column.
+    * `measureCents` must already be integral per row (e.g.
+    * `round(col("price") * 100).cast("long")`). */
+  def buildPartials(df: DataFrame, partExpr: Column, keys: Seq[String],
+      measureCents: Column): DataFrame =
+    df.groupBy((partExpr.as("part") +: keys.map(col)): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(measureCents).as("sum_cents"),
+        min(measureCents).as("min_cents"),
+        max(measureCents).as("max_cents"))
+
+  /** Write partials partitioned by `part` with dynamic partition
+    * overwrite: only the partitions PRESENT in `partials` are replaced;
+    * untouched history stays as-is on disk. */
+  def writePartials(partials: DataFrame, path: String): Unit =
+    partials.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part")
+      .parquet(path)
+
+  /** Incremental refresh: recompute partials ONLY for the rows of `delta`
+    * (a new/late day, a corrected batch) and overwrite exactly those
+    * partitions. O(delta), not O(history). */
+  def refresh(delta: DataFrame, path: String, partExpr: Column,
+      keys: Seq[String], measureCents: Column): Unit =
+    writePartials(buildPartials(delta, partExpr, keys, measureCents), path)
+
+  /** Roll partials up to a coarser grain (`grainExpr` over the stored
+    * `part` column, e.g. month from day). Count/sum re-add, min/max
+    * re-min/max — exact in any merge order. */
+  def rollup(spark: SparkSession, path: String, grainExpr: Column,
+      keys: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy((grainExpr.as("grain") +: keys.map(col)): _*)
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables.table
-import graft.ops.History
+import graft.ops.{History, Incremental}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -51,9 +51,34 @@ object Lifecycle {
         col("value_old"), col("value_new"))
   }
 
+  /** Incremental aggregate maintenance ([[graft.ops.Incremental]]):
+    * monthly revenue by order priority answered from DAY-partitioned
+    * mergeable partials (count + integer-cents sum/min/max), not from the
+    * fact table — the merge path the oracle replays as a two-level
+    * aggregate. The partials path derives from the input dir so scale
+    * factors don't collide. */
+  def q86IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_partials_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    Incremental.writePartials(
+      Incremental.buildPartials(table(spark, dir, "orders"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        Seq("o_orderpriority"), cents),
+      path)
+    Incremental.rollup(spark, path, substring(col("part"), 1, 7),
+        Seq("o_orderpriority"))
+      .select(col("grain").as("month"), col("o_orderpriority"),
+        col("cnt").as("n_orders"),
+        (col("sum_cents") / 100.0).as("revenue"),
+        (col("min_cents") / 100.0).as("min_price"),
+        (col("max_cents") / 100.0).as("max_price"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_scd2" -> q81Scd2,
-    "q82_cdc_diff" -> q82CdcDiff
+    "q82_cdc_diff" -> q82CdcDiff,
+    "q86_incremental_agg" -> q86IncrementalAgg
   )
 
   val oracles: Map[String, String] = Map(
@@ -91,6 +116,22 @@ object Lifecycle {
         |           WHEN n.user_id IS NULL THEN 'D'
         |           WHEN o.state IS DISTINCT FROM n.state
         |             OR o.value IS DISTINCT FROM n.value THEN 'U'
-        |      END IS NOT NULL""".stripMargin
+        |      END IS NOT NULL""".stripMargin,
+    // the same two-level merge the partials perform: daily mergeable
+    // state, then re-merge to month — cents are integral per row before
+    // the FIRST sum, so merge order can never change a cent
+    "q86_incremental_agg" ->
+      """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') part,
+        |    o_orderpriority, count(*) cnt,
+        |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) sc,
+        |    min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) mnc,
+        |    max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) mxc
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT substr(part, 1, 7) AS month, o_orderpriority,
+        |  CAST(sum(cnt) AS BIGINT) AS n_orders,
+        |  sum(sc) / 100.0 AS revenue,
+        |  min(mnc) / 100.0 AS min_price,
+        |  max(mxc) / 100.0 AS max_price
+        |FROM daily GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IncrementalSpec extends SparkSpec {
+
+  private def orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+  private val cents = round(col("o_totalprice") * 100).cast("long")
+  private val dayExpr = date_format(col("o_orderdate"), "yyyy-MM-dd")
+
+  private def directMonthly(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("grain"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(cents).as("sum_cents"),
+        min(cents).as("min_cents"), max(cents).as("max_cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+
+  private def rolledUp(path: String) =
+    Incremental.rollup(spark, path, substring(col("part"), 1, 7),
+        Seq("o_orderpriority"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+
+  test("rollup over day partials ≡ direct monthly aggregate over the facts") {
+    val path = scratch("inc_full")
+    Incremental.writePartials(
+      Incremental.buildPartials(orders, dayExpr, Seq("o_orderpriority"), cents),
+      path)
+    assert(rolledUp(path) == directMonthly(orders))
+  }
+
+  test("late-day refresh is O(delta): only its partition is rewritten, result converges") {
+    val path = scratch("inc_delta")
+    val cut = "1997-06-15" // mid-history day with orders on both sides
+    Incremental.writePartials(
+      Incremental.buildPartials(orders.where(dayExpr < cut),
+        dayExpr, Seq("o_orderpriority"), cents),
+      path)
+    def listPartition(day: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$path/part=$day")
+      if (!d.isDirectory) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    // an untouched early partition, snapshotted before the refresh
+    val untouchedDay = orders.where(dayExpr < cut)
+      .select(min(dayExpr)).head().getString(0)
+    val before = listPartition(untouchedDay)
+    assert(before.nonEmpty)
+    // late-arriving day lands: refresh exactly that day's rows
+    Incremental.refresh(orders.where(dayExpr === cut), path,
+      dayExpr, Seq("o_orderpriority"), cents)
+    assert(listPartition(untouchedDay) == before,
+      "untouched partition was rewritten — refresh is not O(delta)")
+    assert(rolledUp(path) == directMonthly(orders.where(dayExpr <= cut)))
+  }
+
+  test("re-refreshing the same day is idempotent") {
+    val path = scratch("inc_idem")
+    val cut = "1997-06-15"
+    Incremental.writePartials(
+      Incremental.buildPartials(orders.where(dayExpr <= cut),
+        dayExpr, Seq("o_orderpriority"), cents),
+      path)
+    val once = rolledUp(path)
+    Incremental.refresh(orders.where(dayExpr === cut), path,
+      dayExpr, Seq("o_orderpriority"), cents)
+    assert(rolledUp(path) == once)
+  }
+}
