@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over an edge list — PageRank in exact integer
+  * arithmetic, plus degree statistics.
+  *
+  * The reference's entity graph (actors→repos via events,
+  * `ProcessDaily.usql` merge inputs) is only ever consumed as flat
+  * latest-wins tables; a warehouse user computing influence/centrality over
+  * it needs an iterative operator the reference lacks. Spark-first shape:
+  * each PageRank round is one equi-join (edges ⋈ ranks on src) plus one
+  * groupBy(dst) — the canonical distributed formulation. Edges are persisted
+  * once and reused every round; `localCheckpoint` truncates the rank
+  * lineage so round N's plan does not replay rounds 1..N-1.
+  *
+  * == Why integer "nano-rank" units ==
+  * Classic float PageRank sums per-node contributions in engine-internal,
+  * partitioning-dependent order; double addition is not associative, so two
+  * runs (or two engines) legitimately disagree in the last ulp and no exact
+  * oracle comparison is possible. Here ranks are `Long`s in units of 1e-9:
+  * each edge contributes `(dampNum * r) div (dampDen * outdeg)` with
+  * integral `div`, and integer sums are order-independent — the result is
+  * bit-identical on any engine, any partitioning, any round order. The
+  * quantization error is ≤1e-9 per edge per round — far below anything a
+  * ranking consumer can observe — and, unlike float PageRank, it is the
+  * SAME error everywhere.
+  *
+  * == 100 TB shape ==
+  * Edges shuffle-partition on `src` for the join; ranks are one row per
+  * node (orders of magnitude smaller than edges) and shuffle to meet them.
+  * No broadcast of anything O(nodes), no driver-side state — the only
+  * driver value per round is nothing at all (fixed iteration count; rank
+  * mass conservation makes a convergence test unnecessary for the
+  * bounded-iteration contract). A hot dst (celebrity node) is a groupBy
+  * skew, absorbed by AQE skew handling or [[Skew]] salting; partial
+  * aggregation (map-side combine) already collapses most of it.
+  */
+object Graph {
+
+  /** Out-degrees of an edge list: one row per distinct src. */
+  def outDegrees(edges: DataFrame, src: String = "src"): DataFrame =
+    edges.groupBy(col(src)).agg(count(lit(1)).as("outdeg"))
+
+  /** Quantized PageRank. `edges` must have `src`/`dst` columns (directed;
+    * pass both directions for an undirected graph). Every node must appear
+    * as a src at least once (no dangling mass redistribution — true by
+    * construction for symmetrized graphs). Returns (node, rank_nano) where
+    * rank_nano is the PageRank in 1e-9 units; the undamped start is
+    * 1e9 per node and the per-round base is `(1e9 * (dampDen - dampNum))
+    * div dampDen` (e.g. 150,000,000 for damping 0.85).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
+    val scale = 1000000000L
+    val base = scale * (dampDen - dampNum) / dampDen
+    val deg = outDegrees(edges)
+    // edges ⋈ outdeg is iteration-invariant: compute once, persist, reuse
+    val edgesDeg = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .unionByName(edges.select(col("dst").as("node")).distinct())
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.select(col("node"), lit(scale).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      // integral contribution: order-independent under summation
+      val contrib = edgesDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          expr(s"($dampNum * r) div ($dampDen * outdeg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    edgesDeg.unpersist()
+    nodes.unpersist()
+    ranks.select(col("node"), col("r").as("rank_nano"))
+  }
+}

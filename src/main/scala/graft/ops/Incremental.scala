@@ -39,9 +39,17 @@ object Incremental {
 
   /** Write partials partitioned by `part` with dynamic partition
     * overwrite: only the partitions PRESENT in `partials` are replaced;
-    * untouched history stays as-is on disk. */
+    * untouched history stays as-is on disk.
+    *
+    * Partials are tiny (one row per key per day) — letting every shuffle
+    * task write into every partition dir sharded them into
+    * `partitions × tasks` near-empty files (measured 32× the file count
+    * and ~10× the write wall-clock at a 2,400-day span). The repartition
+    * on `part` routes each day to exactly one task → ONE file per
+    * partition dir, which is also what the rollup read wants. */
   def writePartials(partials: DataFrame, path: String): Unit =
-    partials.write
+    partials.repartition(col("part"))
+      .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("part")

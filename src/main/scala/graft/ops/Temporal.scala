@@ -141,4 +141,37 @@ object Temporal {
       sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)))
   }
+
+  /** Exponentially weighted moving average per key: the decayed "current
+    * level" of a per-entity time series (`ewma_i = α·x_i + (1-α)·ewma_{i-1}`,
+    * seeded with the first observation), returned as one row per key with
+    * the series length. Time-decay summarization is the standard way to
+    * turn an unbounded event stream into a bounded per-entity feature.
+    *
+    * Determinism: an EWMA is an ordered float fold — a windowed/agg
+    * spelling would sum in engine order and drift in the last ulp. Here
+    * the series is pinned: `sort_array(collect_list(struct(order…, x)))`
+    * fixes the exact IEEE operation sequence, so any engine folding the
+    * same lambda in the same order is bit-identical (same trick as the
+    * q70 LM score; DuckDB replays it with `list_reduce` over
+    * `list(x ORDER BY …)`).
+    *
+    * 100 TB shape: one shuffle on `keyCol`; per-key state is that key's
+    * own series (bounded by entity history, not corpus size). A
+    * pathologically hot key is a groupBy skew — cap series length
+    * upstream or pre-aggregate to coarser ticks before folding.
+    */
+  def ewma(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val fields = orderCols.map(col) :+ col(valueCol).as("__x")
+    val arr = sort_array(collect_list(struct(fields: _*)))
+    val fold = aggregate(
+      transform(arr, e => e.getField("__x").cast("double")),
+      lit(null).cast("double"),
+      (acc, x) => when(acc.isNull, x)
+        .otherwise(lit(alpha) * x + lit(1.0 - alpha) * acc))
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"), fold.as("ewma"))
+  }
 }

@@ -245,8 +245,20 @@ object Advanced {
       "SELECT n_nationkey, n_name, n_regionkey FROM graftwh.nation")
   }
 
+  /** Per-user exponentially decayed activity level (EWMA, α=0.5) over the
+    * event stream — the bounded per-entity feature a training pipeline
+    * derives from unbounded logs. Order-pinned float fold (see
+    * [[graft.ops.Temporal.ewma]]): bit-identical to DuckDB's
+    * `list_reduce` replay because both engines execute the same IEEE
+    * operation sequence. */
+  def q88Ewma(spark: SparkSession, dir: String): DataFrame =
+    Temporal.ewma(events(spark, dir), "user_id",
+        Seq("ts_us", "event_id"), "value", alpha = 0.5)
+      .select(col("user_id"), col("n_obs"), round(col("ewma"), 6).as("ewma"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_catalog" -> q80Catalog,
+    "q88_ewma" -> q88Ewma,
     "q73_funnel" -> q73Funnel,
     "q74_cohort" -> q74Cohort,
     "q69_profile" -> q69Profile,
@@ -287,6 +299,14 @@ object Advanced {
   val oracles: Map[String, String] = Map(
     "q80_catalog" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // list_reduce seeds with the first element and folds left — exactly
+    // the engine's null-seeded first-observation fold; 0.5 is exact in
+    // binary so both lambdas run the same IEEE sequence
+    "q88_ewma" ->
+      """SELECT user_id, count(*) AS n_obs,
+        |  round(list_reduce(list(value ORDER BY epoch_us(ts), event_id),
+        |    (acc, x) -> 0.5*x + 0.5*acc), 6) AS ewma
+        |FROM events GROUP BY user_id""".stripMargin,
     "q73_funnel" ->
       """WITH tv AS (SELECT user_id, min(epoch_us(ts)) t_view
         |            FROM events WHERE event_type = 'view' GROUP BY user_id),

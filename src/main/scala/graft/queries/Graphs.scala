@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.core.Tables.table
+import graft.ops.Graph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the warehouse's relational entities. The customer↔
+  * supplier bipartite graph (who transacts with whom, via orders⋈lineitem)
+  * stands in for the reference's actor↔repo event graph — same shape, and
+  * the synthetic tables make it oracle-checkable. All ranks are exact
+  * integers (see [[graft.ops.Graph]]) so DuckDB replays them bit-for-bit.
+  */
+object Graphs {
+
+  /** Distinct customer↔supplier edges, symmetrized. Node ids are disjoint
+    * by parity: customer c → 2c, supplier s → 2s+1. */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = table(spark, dir, "orders")
+      .join(table(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  /** PageRank (3 rounds, damping 0.85) over the trade graph: which
+    * customers/suppliers sit at the center of the transaction network.
+    * Quantized nano-rank units — deterministic on any engine. */
+  def q87PageRank(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(tradeEdges(spark, dir), iters = 3)
+      .select(col("node"), col("rank_nano"))
+
+  /** Sorted distinct parts per order — the basket. Pair generation happens
+    * map-side from the basket array (triangular `transform` over the
+    * array: one shuffle total), never via the lineitem⋈lineitem self-join
+    * the oracle uses for clarity — that spelling shuffles the fact table
+    * twice and explodes skew on popular parts. Basket size is bounded
+    * (parts per order), so the fanout is quadratic only in that small
+    * bound. */
+  private def baskets(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+
+  private val pairsFromBasket =
+    expr("""flatten(transform(parts, (x, i) ->
+           |  transform(slice(parts, i + 2, size(parts)), y ->
+           |    struct(x AS part_a, y AS part_b))))""".stripMargin)
+
+  /** Co-purchase mining: the 100 part pairs most often bought in the same
+    * order (market-basket co-occurrence — the affinity-graph edge
+    * builder). Deterministic tiebreak on the pair itself. */
+  def q90CoPurchase(spark: SparkSession, dir: String): DataFrame =
+    baskets(spark, dir)
+      .select(explode(pairsFromBasket).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(100)
+
+  /** Item-item cosine similarity over the co-purchase graph:
+    * sim(a,b) = co(a,b) / √(n_a·n_b) with n_x = orders containing x.
+    * All inputs are exact integers; the one float op per pair (√ then
+    * divide) is IEEE-identical on any engine, so the oracle hash-matches
+    * without order pinning. Support floor co ≥ 2 keeps the pair set to
+    * genuinely co-bought items (and bounds the output). */
+  def q91ItemSim(spark: SparkSession, dir: String): DataFrame = {
+    val b = baskets(spark, dir)
+    val co = b.select(explode(pairsFromBasket).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= 2)
+    val n = b.select(explode(col("parts")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n"))
+    co.join(n.select(col("part"), col("n").as("n_a")),
+        col("part_a") === col("part")).drop("part")
+      .join(n.select(col("part"), col("n").as("n_b")),
+        col("part_b") === col("part")).drop("part")
+      .select(col("part_a"), col("part_b"), col("co"),
+        round(col("co") / sqrt((col("n_a") * col("n_b")).cast("double")), 6)
+          .as("cosine"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_pagerank" -> q87PageRank,
+    "q90_copurchase" -> q90CoPurchase,
+    "q91_item_sim" -> q91ItemSim
+  )
+
+  // Fixed-iteration PageRank unrolled as CTEs; `//` (DuckDB integral
+  // floor-div) ≡ Spark `div` for the all-positive operands here, and
+  // integer sums are order-independent, so the replay is exact.
+  val oracles: Map[String, String] = Map(
+    "q87_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s, c FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS node, sum((85*r.r)//(100*d.outdeg)) AS s
+        |       FROM edges e JOIN r0 r ON e.src = r.node
+        |       JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node, 150000000 + coalesce(c.s, 0) AS r
+        |       FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+        |c2 AS (SELECT e.dst AS node, sum((85*r.r)//(100*d.outdeg)) AS s
+        |       FROM edges e JOIN r1 r ON e.src = r.node
+        |       JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node, 150000000 + coalesce(c.s, 0) AS r
+        |       FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+        |c3 AS (SELECT e.dst AS node, sum((85*r.r)//(100*d.outdeg)) AS s
+        |       FROM edges e JOIN r2 r ON e.src = r.node
+        |       JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r3 AS (SELECT n.node, 150000000 + coalesce(c.s, 0) AS r
+        |       FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+        |SELECT CAST(node AS BIGINT) AS node,
+        |       CAST(r AS BIGINT) AS rank_nano FROM r3""".stripMargin,
+    // the self-join spelling IS the semantics; the engine's plan builds
+    // pairs map-side from per-order basket arrays instead (one shuffle)
+    "q90_copurchase" ->
+      """WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |co AS (SELECT a.l_partkey part_a, b.l_partkey part_b,
+        |         count(*) n_orders
+        |       FROM bp a JOIN bp b ON a.l_orderkey = b.l_orderkey
+        |         AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_orders FROM co
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 100""".stripMargin,
+    "q91_item_sim" ->
+      """WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |co AS (SELECT a.l_partkey part_a, b.l_partkey part_b,
+        |         count(*) AS co
+        |       FROM bp a JOIN bp b ON a.l_orderkey = b.l_orderkey
+        |         AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |n AS (SELECT l_partkey part, count(*) n FROM bp GROUP BY 1)
+        |SELECT co.part_a, co.part_b, co.co,
+        |  round(co.co / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6) AS cosine
+        |FROM co JOIN n na ON co.part_a = na.part
+        |JOIN n nb ON co.part_b = nb.part""".stripMargin
+  )
+}

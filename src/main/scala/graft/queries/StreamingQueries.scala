@@ -81,6 +81,42 @@ object StreamingQueries {
       col("n_events"))
   }
 
+  /** Stream-static enrichment: the event stream inner-joined to the
+    * static `customer` dimension (broadcast per micro-batch, stateless),
+    * then 6-hour tumbling revenue/count per market segment, append mode,
+    * run to completion. The watermark sits on the stream BEFORE the join,
+    * so flush is governed by max(ts) over ALL events — the oracle
+    * replays the join plus exactly that rule. Revenue in integer cents
+    * per row before the sum (merge-order-proof). */
+  def q89StreamEnrich(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = Streams.enrichedWindowedAgg(events, dim,
+      streamKey = "user_id", dimKey = "c_custkey", tsCol = "event_ts",
+      segCol = "c_mktsegment", valueCol = "value",
+      windowDur = "6 hours", watermarkDelay = "0 seconds")
+    val sink = s"q89_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-$sink")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).select(
+      date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+      date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+      col("c_mktsegment"), col("n_events"), col("revenue_cents"))
+  }
+
   /** Streaming session windows per user (12h gap), append mode, run to
     * completion. Emission rule: a session closes when the final watermark
     * (= max(ts), zero delay) passes its end = last event + gap — the
@@ -180,12 +216,26 @@ object StreamingQueries {
     "q37_stream_window" -> q37StreamWindow,
     "q51_stream_session" -> q51StreamSession,
     "q60_stream_dedup" -> q60StreamDedup,
-    "q61_stream_join" -> q61StreamJoin
+    "q61_stream_join" -> q61StreamJoin,
+    "q89_stream_enrich" -> q89StreamEnrich
   )
 
   val oracles: Map[String, String] = Map(
     "q60_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // flush clock = max(ts) over ALL events (watermark precedes the join),
+    // not just joined rows
+    "q89_stream_enrich" ->
+      """WITH j AS (SELECT time_bucket(INTERVAL '6 hours', e.ts) ws,
+        |             c.c_mktsegment, count(*) AS n_events,
+        |             sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS revenue_cents
+        |           FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |           GROUP BY 1, 2),
+        |m AS (SELECT max(ts) mx FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(ws + INTERVAL '6 hours', '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  c_mktsegment, n_events, revenue_cents
+        |FROM j, m WHERE ws + INTERVAL '6 hours' <= mx""".stripMargin,
     "q61_stream_join" ->
       """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') c

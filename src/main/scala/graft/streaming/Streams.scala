@@ -198,4 +198,34 @@ object Streams {
       .transformWithState(new LatestVersionProcessor(ttl),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Stream-static enrichment + windowed rollup: join a (small) static
+    * dimension onto an event stream, then tumbling-window aggregates per
+    * dimension attribute. The stream-static join is STATELESS — the dim
+    * is broadcast fresh each micro-batch (so an updated dim table is
+    * picked up on the next batch), and only the windowed aggregate holds
+    * state, one row per (window, segment) bounded by the watermark.
+    *
+    * The watermark is declared on the stream BEFORE the join, so the
+    * emission clock advances with ALL arriving events — including ones
+    * the inner join drops — which keeps the flush rule replayable as
+    * "window end ≤ max event time over the whole stream".
+    *
+    * Revenue aggregates in integer cents (per-row `round(value·100)` cast
+    * to long before the sum — the q72/q86 rule: merge order can never
+    * change a cent). */
+  def enrichedWindowedAgg(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String, tsCol: String, segCol: String,
+      valueCol: String, windowDur: String,
+      watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .join(broadcast(dim), col(streamKey) === col(dimKey))
+      .groupBy(window(col(tsCol), windowDur, windowDur), col(segCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr(s"cast(round($valueCol * 100, 0) as bigint)"))
+          .as("revenue_cents"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(segCol),
+        col("n_events"), col("revenue_cents"))
 }

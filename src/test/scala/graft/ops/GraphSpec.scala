@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // undirected path 1—2—3, symmetrized: outdeg 1:1, 2:2, 3:1
+  private def pathEdges = Seq(
+    (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)
+  ).toDF("src", "dst")
+
+  test("two hand-computed rounds on the 3-node path (damping 0.85)") {
+    val out = Graph.pageRank(pathEdges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r0 = 1e9 each. round 1: contrib(1→2)=850000000, (2→*)=425000000,
+    // (3→2)=850000000 → r1 = (575000000, 1850000000, 575000000).
+    // round 2: (1→2)=(85·575000000)//100=488750000,
+    // (2→*)=(85·1850000000)//200=786250000, (3→2)=488750000
+    // → r2 = (936250000, 1127500000, 936250000).
+    assert(out == Map(1L -> 936250000L, 2L -> 1127500000L, 3L -> 936250000L))
+  }
+
+  test("center of a star outranks leaves; leaves tie exactly") {
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L),
+      (1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L)).toDF("src", "dst")
+    val out = Graph.pageRank(star, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val leaves = Seq(1L, 2L, 3L, 4L).map(out)
+    assert(leaves.distinct.size == 1)
+    assert(out(10L) > leaves.head)
+  }
+
+  test("bit-identical across partitionings (integer arithmetic)") {
+    val edges = (1L to 40L).flatMap { i =>
+      val j = i % 40 + 1
+      Seq((i, j), (j, i))
+    }.toDF("src", "dst")
+    val a = Graph.pageRank(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRank(edges.repartition(7, col("dst")), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("rank mass is conserved up to quantization loss (ring graph)") {
+    // on a 1-regular directed ring every node has outdeg 1 and indeg 1, so
+    // (85·r)//100 loses <1 nano per edge per round: total mass stays within
+    // rounds × nodes nanos of n·1e9
+    val n = 20L
+    val ring = (1L to n).map(i => (i, i % n + 1)).toDF("src", "dst")
+    val total = Graph.pageRank(ring, iters = 3)
+      .agg(sum("rank_nano")).head().getLong(0)
+    assert(total <= n * 1000000000L && total > n * 1000000000L - 3 * n)
+  }
+}

@@ -121,4 +121,24 @@ class TemporalSpec extends SparkSpec {
       .select("id", "session_id").as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("ewma folds in time order, seeded with the first observation") {
+    // series 1, 2, 4 at α=0.5: acc = 1 → 1.5 → 2.75; rows arrive shuffled
+    val ev = Seq((1L, 3L, 4.0), (1L, 1L, 1.0), (1L, 2L, 2.0), (2L, 9L, 7.0))
+      .toDF("k", "t", "v")
+    val got = Temporal.ewma(ev, "k", Seq("t"), "v", alpha = 0.5)
+      .select("k", "n_obs", "ewma").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(1L -> ((3L, 2.75)), 2L -> ((1L, 7.0))))
+  }
+
+  test("ewma is partition-invariant (order pinned by sort, not arrival)") {
+    val ev = (1L to 200L).map(i => (i % 5, i, (i * 37 % 11).toDouble))
+      .toDF("k", "t", "v")
+    val a = Temporal.ewma(ev, "k", Seq("t"), "v", 0.25)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Temporal.ewma(ev.repartition(13), "k", Seq("t"), "v", 0.25)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a === b)
+  }
 }

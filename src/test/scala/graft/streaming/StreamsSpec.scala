@@ -78,6 +78,37 @@ class StreamsSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 00:00:00.0", "a", 2L)))
   }
 
+  test("enrichedWindowedAgg: joins the dim, drops unmatched keys, sums cents") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "AUTO"), (2L, "HOME")).toDF("ck", "seg")
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val q = Streams.enrichedWindowedAgg(
+        input.toDS().toDF("ts", "uid", "value"), dim,
+        streamKey = "uid", dimKey = "ck", tsCol = "ts", segCol = "seg",
+        valueCol = "value", windowDur = "1 minute",
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // uid=9 has no dim row → dropped by the inner join, but its event
+    // time must still advance the flush clock (watermark sits pre-join)
+    input.addData(
+      (ts("2024-01-01 00:00:10"), 1L, 1.25),
+      (ts("2024-01-01 00:00:20"), 1L, 2.00),
+      (ts("2024-01-01 00:00:30"), 2L, 5.00))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 00:02:00"), 9L, 99.0))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 00:05:00"), 9L, 99.0))
+    q.processAllAvailable()
+    val rows = spark.table("enrich_out").collect()
+      .map(r => (r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    q.stop()
+    assert(rows === Set(("AUTO", 2L, 325L), ("HOME", 1L, 500L)))
+  }
+
   test("sessionWindows: gap merge/split semantics and watermark emission") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
