@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // inequality-only interval joins → binned equi-joins (opt-in via
     // spark.graft.rangejoin.binwidth; inert otherwise)
     ext.injectOptimizerRule(_ => RangeJoinRule)
+    // fact-table aggregates → Incremental partials reads (opt-in via the
+    // spark.graft.mv.* conf set; inert otherwise)
+    ext.injectOptimizerRule(_ => MvRewriteRule)
   }
 }
 
