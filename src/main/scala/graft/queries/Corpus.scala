@@ -39,7 +39,32 @@ object Corpus {
 
   private val bm25Terms = Seq("spark", "query", "join")
 
+  /** Shannon entropy of each language's SOURCE distribution — the
+    * corpus-balance diagnostic a data-mixing pipeline watches (entropy
+    * collapsing toward 0 = one source dominating a language). Per-term
+    * `p·ln p` is computed identically in both engines from exact integer
+    * counts, then folded in source order with seed 0.0 — the q70
+    * fixed-order float discipline, so the oracle hash-matches. */
+  def q93SourceEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+    val withP = counts
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+      .withColumn("v", (col("c").cast("double") / col("n").cast("double")) *
+        log(col("c").cast("double") / col("n").cast("double")))
+    withP.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sort_array(collect_list(struct(col("source"), col("v")))).as("arr"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        round(negate(aggregate(
+          transform(col("arr"), e => e.getField("v")),
+          lit(0.0), (a, x) => a + x)), 6).as("entropy"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_source_entropy" -> q93SourceEntropy,
     "q83_semantic_dedup" -> q83SemanticDedup,
     "q84_line_dedup" -> q84LineDedup,
     "q85_bm25" -> q85Bm25
@@ -52,6 +77,21 @@ object Corpus {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q93_source_entropy" ->
+      """WITH c AS (SELECT lang, source, count(*) c
+        |           FROM documents GROUP BY 1, 2),
+        |w AS (SELECT lang, source,
+        |        (c::DOUBLE / sum(c) OVER (PARTITION BY lang)::DOUBLE) *
+        |          ln(c::DOUBLE / sum(c) OVER (PARTITION BY lang)::DOUBLE) v,
+        |        c
+        |      FROM c),
+        |g AS (SELECT lang, sum(c)::BIGINT n_docs, count(*) n_sources,
+        |        array_agg(v ORDER BY source) vs
+        |      FROM w GROUP BY lang)
+        |SELECT lang, n_docs, n_sources,
+        |  round(-list_reduce(list_prepend(0.0::DOUBLE, vs),
+        |    (a, b) -> a + b), 6) AS entropy
+        |FROM g""".stripMargin,
     // q30's pair CTE (same blocking, threshold, rounding-free compare)
     // + q42's transitive closure + keep-min labeling
     "q83_semantic_dedup" ->

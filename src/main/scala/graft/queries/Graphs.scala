@@ -84,10 +84,25 @@ object Graphs {
           .as("cosine"))
   }
 
+  /** Triangle count over the co-purchase graph (edges = part pairs
+    * co-bought in ≥2 orders): the affinity graph's clustering signal.
+    * Edges are canonical by construction (basket arrays are sorted, so
+    * part_a < part_b). */
+  def q92Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = baskets(spark, dir)
+      .select(explode(pairsFromBasket).as("p"))
+      .groupBy(col("p.part_a").as("src"), col("p.part_b").as("dst"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= 2)
+      .select(col("src"), col("dst"))
+    Graph.triangleCount(edges)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_pagerank" -> q87PageRank,
     "q90_copurchase" -> q90CoPurchase,
-    "q91_item_sim" -> q91ItemSim
+    "q91_item_sim" -> q91ItemSim,
+    "q92_triangles" -> q92Triangles
   )
 
   // Fixed-iteration PageRank unrolled as CTEs; `//` (DuckDB integral
@@ -142,6 +157,15 @@ object Graphs {
         |SELECT co.part_a, co.part_b, co.co,
         |  round(co.co / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6) AS cosine
         |FROM co JOIN n na ON co.part_a = na.part
-        |JOIN n nb ON co.part_b = nb.part""".stripMargin
+        |JOIN n nb ON co.part_b = nb.part""".stripMargin,
+    "q92_triangles" ->
+      """WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey src, b.l_partkey dst
+        |      FROM bp a JOIN bp b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT count(*) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        |JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin
   )
 }

@@ -44,6 +44,16 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("triangleCount: counts each triangle once, ignores open wedges") {
+    // K4 on {1,2,3,4} minus edge (3,4): triangles 123 and 124 only
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("src", "dst")
+    assert(Graph.triangleCount(edges).head().getLong(0) == 2L)
+    // a square (no chord) has zero triangles
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    assert(Graph.triangleCount(square).head().getLong(0) == 0L)
+  }
+
   test("rank mass is conserved up to quantization loss (ring graph)") {
     // on a 1-regular directed ring every node has outdeg 1 and indeg 1, so
     // (85·r)//100 loses <1 nano per edge per round: total mass stays within
