@@ -100,4 +100,52 @@ object Layout {
       .agg(min(col(key)).cast("long").as("mn"), max(col(key)).cast("long").as("mx"))
       .as[(String, Long, Long)].collect().toSeq.sortBy(_._2)
   }
+
+  /** Write parquet with BLOOM FILTERS on `cols` — the layout lever for
+    * point lookups on a column the file is NOT sorted by. Min/max footer
+    * stats (range clustering, z-order) only skip files when the predicate
+    * column correlates with row order; a bloom filter answers
+    * "key definitely absent from this row group?" for ARBITRARY columns
+    * at ~1 byte/distinct value, so a `WHERE unsorted_key = x` scan skips
+    * row groups wholesale instead of decoding them. `expectedNdv` sizes
+    * each filter (too low → saturated filter, no skipping — the
+    * [[graft.ops.BloomJoin]] lesson at the file layout layer).
+    *
+    * Plain parquet feature flags — any parquet reader (Spark's vectorized
+    * reader included) uses them transparently on equality predicates. */
+  def writeBloomFiltered(df: DataFrame, path: String, cols: Seq[String],
+      expectedNdv: Long, numFiles: Int = 0): Unit = {
+    val out = if (numFiles > 0) df.repartition(numFiles) else df
+    val w = cols.foldLeft(out.write.mode("overwrite")) { (wr, c) =>
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+    }
+    w.parquet(path)
+  }
+
+  /** Which of `path`'s columns carry a bloom filter, per row group —
+    * layout verification (reads footers only, no data pages). */
+  def bloomFilteredColumns(spark: SparkSession, path: String)
+      : Seq[(String, Seq[String])] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    fs.listStatus(new Path(path)).toSeq
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          val cols = reader.getFooter.getBlocks.asScala.flatMap { block =>
+            block.getColumns.asScala
+              .filter(_.getBloomFilterOffset >= 0)
+              .map(_.getPath.toDotString)
+          }.distinct.toSeq
+          (f.getPath.getName, cols)
+        } finally reader.close()
+      }
+  }
 }

@@ -92,4 +92,29 @@ class LayoutSpec extends SparkSpec {
     Layout.writeRangeClustered(df, xonly, numFiles = 16, col("x"))
     assert(hit(xonly, "y") == 16, "x-clustered layout spans all files for a y-slab")
   }
+
+  test("writeBloomFiltered: footers carry bloom filters; lookups stay exact") {
+    import spark.implicits._
+    // high-cardinality unsorted key: exactly what min/max stats can't skip
+    val df = (1L to 5000L).map(i => (i * 2654435761L % 100000L, i))
+      .toDF("k", "v")
+    val out = scratch("bloom")
+    Layout.writeBloomFiltered(df, out, Seq("k"), expectedNdv = 5000L,
+      numFiles = 4)
+    val perFile = Layout.bloomFilteredColumns(spark, out)
+    assert(perFile.nonEmpty && perFile.forall(_._2.contains("k")),
+      s"expected a bloom filter on k in every file, got $perFile")
+    // and only on the requested column
+    assert(perFile.forall(!_._2.contains("v")))
+    // equality lookup through the filtered layout is exact
+    val key = 3L * 2654435761L % 100000L
+    val got = spark.read.parquet(out).where(col("k") === key)
+      .select("v").as[Long].collect().toSet
+    val want = df.where(col("k") === key).select("v").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // negative control: a plain write carries no bloom filters
+    val plain = scratch("plain")
+    df.repartition(4).write.mode("overwrite").parquet(plain)
+    assert(Layout.bloomFilteredColumns(spark, plain).forall(_._2.isEmpty))
+  }
 }
