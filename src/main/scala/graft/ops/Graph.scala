@@ -86,6 +86,46 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_nano"))
   }
 
+  /** Multi-source BFS: minimum hop distance from any source node, up to
+    * `maxHops`. Frontier iteration — each round expands only the nodes
+    * discovered LAST round (one equi-join), drops already-settled nodes
+    * with an anti-join against the distance table, and stops early on an
+    * empty frontier (one O(1) driver boolean per round). Unreached nodes
+    * are absent from the result.
+    *
+    * This is the third member of the iterative-graph family
+    * ([[pageRank]]: fixed-point scores; `TextDedup.connectedComponents`:
+    * label propagation; here: monotone frontier) — all the same 100 TB
+    * shape: per-round equi-join + aggregate, lineage truncated, no
+    * driver-side rows. */
+  def shortestPaths(edges: DataFrame, sources: DataFrame,
+      maxHops: Int = 10): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 100, "maxHops must be in [0, 100]")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = sources.select(col("node")).distinct()
+      .select(col("node"), lit(0).as("dist")).localCheckpoint()
+    var frontier = dist
+    var hop = 0
+    var done = frontier.isEmpty
+    while (!done && hop < maxHops) {
+      hop += 1
+      val next = frontier
+        .join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("dist"))
+        .localCheckpoint()
+      done = next.isEmpty
+      if (!done) {
+        dist = dist.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Triangle count over an undirected graph given CANONICAL edges
     * (src < dst, deduplicated): each triangle x<y<z is counted exactly
     * once by closing the two-hop path (x,y)+(y,z) with the edge (x,z).

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality auditing: named violation queries evaluated in
+  * one pass, returning a compact (rule, n_violations) report — the
+  * constraint layer (PK uniqueness, FK integrity, domain rules) that the
+  * reference's silent-skip ingest policy (SURVEY.md §2.1 S1,
+  * `StageData.usql:21` malformed-doc drop) pushes downstream without ever
+  * materializing.
+  *
+  * Each check is an arbitrary DataFrame of violating rows, so any rule
+  * expressible as a query is auditable; the report unions the per-check
+  * COUNTS (each a 1-row aggregate — the union is metadata-sized no matter
+  * how large the violation sets are). Catalyst evaluates the checks
+  * independently: filters/anti-joins push into each scan as usual.
+  */
+object Quality {
+
+  /** (rule name, violating-row query) pairs → (rule, n_violations), one
+    * row per rule, in the given order (deterministic output). */
+  def audit(checks: Seq[(String, DataFrame)]): DataFrame = {
+    require(checks.nonEmpty, "audit needs at least one check")
+    checks.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Child rows whose `fk` has no matching `pk` parent — referential
+    * integrity as an anti-join (null FKs are not violations, matching SQL
+    * FK semantics). */
+  def orphans(child: DataFrame, parent: DataFrame,
+      fk: String, pk: String): DataFrame =
+    child.where(col(fk).isNotNull)
+      .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+
+  /** Keys appearing more than once — primary-key uniqueness violations,
+    * one row per duplicated key with its multiplicity. */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") > 1)
+}

@@ -98,11 +98,21 @@ object Graphs {
     Graph.triangleCount(edges)
   }
 
+  /** Multi-source BFS hop distances from the lowest-id node over the
+    * trade graph (6-hop horizon). The source set is a 1-row aggregate
+    * DataFrame — nothing collects to the driver. */
+  def q96Bfs(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(spark, dir)
+    val sources = edges.agg(min(col("src")).as("node"))
+    Graph.shortestPaths(edges, sources, maxHops = 6)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_pagerank" -> q87PageRank,
     "q90_copurchase" -> q90CoPurchase,
     "q91_item_sim" -> q91ItemSim,
-    "q92_triangles" -> q92Triangles
+    "q92_triangles" -> q92Triangles,
+    "q96_bfs" -> q96Bfs
   )
 
   // Fixed-iteration PageRank unrolled as CTEs; `//` (DuckDB integral
@@ -166,6 +176,21 @@ object Graphs {
         |      GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT count(*) AS n_triangles
         |FROM e e1 JOIN e e2 ON e1.dst = e2.src
-        |JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin
+        |JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin,
+    // bounded recursive walk; UNION (distinct) over ≤ maxHops+1 distinct
+    // dists per node terminates; min(dist) = BFS distance
+    "q96_bfs" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s, c FROM pairs),
+        |walk(node, dist) AS (
+        |  SELECT min(src), 0 FROM edges
+        |  UNION
+        |  SELECT e.dst, w.dist + 1 FROM walk w
+        |  JOIN edges e ON w.node = e.src WHERE w.dist < 6)
+        |SELECT CAST(node AS BIGINT) AS node, min(dist) AS dist
+        |FROM walk GROUP BY node""".stripMargin
   )
 }

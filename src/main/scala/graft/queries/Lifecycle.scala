@@ -81,13 +81,99 @@ object Lifecycle {
         (col("max_cents") / 100.0).as("max_price"))
   }
 
+  /** Generic MERGE INTO over the orders snapshot: high-value source rows
+    * update (10% discount), source keys absent from the target insert
+    * (negated keys — disjoint by construction), and matched rows above
+    * 400k delete. One full-outer shuffle join ([[graft.ops.MergeInto]]);
+    * the oracle replays the same row-fate CASE. */
+  def q95MergeInto(spark: SparkSession, dir: String): DataFrame = {
+    val target = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val high = table(spark, dir, "orders")
+      .where(col("o_totalprice") > 250000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val source = high.unionByName(
+      high.select((-col("o_orderkey")).as("o_orderkey"), col("o_totalprice")))
+    graft.ops.MergeInto.mergeInto(target, source, Seq("o_orderkey"),
+      // 10% discount in EXACT integer cents ((c·9) div 10), then back to
+      // dollars — `round(p·0.9, 2)` lands on .xx5 boundaries where the
+      // engines' round disagree (the q72 lesson)
+      updates = Map("o_totalprice" -> expr(
+        "(cast(round(src_o_totalprice * 100) as bigint) * 9 div 10) / 100.0")),
+      inserts = Map("o_totalprice" -> col("src_o_totalprice")),
+      deleteWhen = Some(col("src_o_totalprice") > 400000.0))
+  }
+
+  /** Data-quality audit over the warehouse: PK uniqueness, referential
+    * integrity, domain rules — five named checks, one (rule, count) row
+    * each ([[graft.ops.Quality]]). Healthy tables legitimately report 0
+    * for some rules; `customers_no_orders` and `high_quantity` are
+    * non-zero on this data, so the report (and its oracle) is not
+    * vacuous. */
+  def q97DqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+    val lineitem = table(spark, dir, "lineitem")
+    val customer = table(spark, dir, "customer")
+    graft.ops.Quality.audit(Seq(
+      "dup_orderkeys" ->
+        graft.ops.Quality.duplicateKeys(orders, Seq("o_orderkey")),
+      "orphan_lineitems" ->
+        graft.ops.Quality.orphans(lineitem, orders, "l_orderkey", "o_orderkey"),
+      "customers_no_orders" ->
+        graft.ops.Quality.orphans(customer, orders, "c_custkey", "o_custkey"),
+      "nonpositive_price" -> orders.where(col("o_totalprice") <= 0.0),
+      "high_quantity" -> lineitem.where(col("l_quantity") > 45.0)))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_scd2" -> q81Scd2,
     "q82_cdc_diff" -> q82CdcDiff,
-    "q86_incremental_agg" -> q86IncrementalAgg
+    "q86_incremental_agg" -> q86IncrementalAgg,
+    "q95_merge_into" -> q95MergeInto,
+    "q97_dq_audit" -> q97DqAudit
   )
 
   val oracles: Map[String, String] = Map(
+    "q97_dq_audit" ->
+      """SELECT 'dup_orderkeys' AS rule, count(*) AS n_violations FROM (
+        |  SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'orphan_lineitems', count(*) FROM lineitem l
+        |WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'customers_no_orders', count(*) FROM customer c
+        |WHERE c.c_custkey IS NOT NULL AND NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'nonpositive_price', count(*) FROM orders
+        |WHERE o_totalprice <= 0
+        |UNION ALL
+        |SELECT 'high_quantity', count(*) FROM lineitem
+        |WHERE l_quantity > 45""".stripMargin,
+    // the row-fate CASE over one full outer join IS merge semantics:
+    // matched+delete-cond → dropped, matched → update, source-only →
+    // insert (priority null), target-only → verbatim
+    "q95_merge_into" ->
+      """WITH t AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+        |           FROM orders),
+        |h AS (SELECT o_orderkey, o_totalprice FROM orders
+        |      WHERE o_totalprice > 250000),
+        |s AS (SELECT o_orderkey k, o_totalprice p FROM h
+        |      UNION ALL SELECT -o_orderkey, o_totalprice FROM h),
+        |j AS (SELECT t.o_orderkey, t.o_orderpriority, t.o_totalprice,
+        |        s.k, s.p
+        |      FROM t FULL OUTER JOIN s ON t.o_orderkey = s.k)
+        |SELECT coalesce(o_orderkey, k) AS o_orderkey,
+        |  CASE WHEN o_orderkey IS NULL THEN NULL
+        |       ELSE o_orderpriority END AS o_orderpriority,
+        |  CASE WHEN o_orderkey IS NOT NULL AND k IS NOT NULL
+        |         THEN (CAST(round(p * 100, 0) AS BIGINT) * 9 // 10) / 100.0
+        |       WHEN o_orderkey IS NULL THEN p
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM j
+        |WHERE NOT (o_orderkey IS NOT NULL AND k IS NOT NULL
+        |           AND coalesce(p > 400000, false))""".stripMargin,
     "q81_scd2" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |             epoch_us(ts) ts_us FROM events),

@@ -54,6 +54,27 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCount(square).head().getLong(0) == 0L)
   }
 
+  test("shortestPaths: frontier BFS distances, hop cap, unreachable absent") {
+    // directed path 1→2→3→4 plus an unreachable island 9→10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L)).toDF("src", "dst")
+    val src = Seq(Tuple1(1L)).toDF("node")
+    val full = Graph.shortestPaths(edges, src, maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    val capped = Graph.shortestPaths(edges, src, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped === Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("shortestPaths: multi-source takes the minimum; cycles terminate") {
+    // ring 1→2→3→1 with sources {1, 3}
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val src = Seq(Tuple1(1L), Tuple1(3L)).toDF("node")
+    val got = Graph.shortestPaths(ring, src, maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 3L -> 0, 2L -> 1))
+  }
+
   test("rank mass is conserved up to quantization loss (ring graph)") {
     // on a 1-regular directed ring every node has outdeg 1 and indeg 1, so
     // (85·r)//100 loses <1 nano per edge per round: total mass stays within
