@@ -63,15 +63,20 @@ object Lifecycle {
     val cents = round(col("o_totalprice") * 100).cast("long")
     // build-once, read-many IS the operator's contract: history partials
     // are maintained by daily `refresh` (O(delta)), never rebuilt per
-    // query — so a present, committed table (parquet _SUCCESS marker)
-    // short-circuits straight to the rollup read. Re-running the build
-    // would be idempotent (dynamic overwrite), just pointless.
-    if (!new java.io.File(path + "/_SUCCESS").exists())
+    // query — so a present, committed table short-circuits straight to
+    // the rollup read. The marker is written AFTER the build returns
+    // (dynamic-partition-overwrite commits emit no _SUCCESS; an
+    // underscore-prefixed file is invisible to the parquet FileIndex).
+    // Re-running the build would be idempotent, just pointless.
+    val marker = new java.io.File(path + "/_GRAFT_COMMITTED")
+    if (!marker.exists()) {
       Incremental.writePartials(
         Incremental.buildPartials(table(spark, dir, "orders"),
           date_format(col("o_orderdate"), "yyyy-MM-dd"),
           Seq("o_orderpriority"), cents),
         path)
+      marker.createNewFile()
+    }
     Incremental.rollup(spark, path, substring(col("part"), 1, 7),
         Seq("o_orderpriority"))
       .select(col("grain").as("month"), col("o_orderpriority"),
