@@ -49,4 +49,33 @@ object Profile {
       .select(col("column"), col("__n").as("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_val"), col("max_val"))
   }
+
+  /** Equi-width histogram of a numeric column: `nBuckets` buckets spanning
+    * [min, max], the distribution half of a profile (skew detection,
+    * boundary picks for range partitioning). Two passes over the column:
+    * a 1-row min/max aggregate broadcast onto the scan, then one
+    * hash aggregation on the bucket id — both shapes flat at 100 TB.
+    * The top bucket is closed ([lo, max]) so the max value lands in
+    * bucket nBuckets−1; a constant column degenerates to one bucket.
+    * Empty buckets are absent from the output (it is an aggregation,
+    * not a fill — compose with [[graft.ops.Temporal]] gap-fill if a
+    * dense axis is needed). */
+  def histogram(df: DataFrame, c: String, nBuckets: Int = 20): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val bounds = df.agg(min(col(c).cast("double")).as("__mn"),
+      max(col(c).cast("double")).as("__mx"))
+    val w = (col("__mx") - col("__mn")) / lit(nBuckets)
+    val v = col(c).cast("double")
+    df.join(broadcast(bounds))
+      .select(
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(floor((v - col("__mn")) / w),
+            lit(nBuckets - 1)).cast("long")).as("bucket"),
+        col("__mn"), col("__mx"))
+      .select(col("bucket"),
+        round(col("__mn") + col("bucket") * w, 6).as("lo"),
+        round(col("__mn") + (col("bucket") + 1) * w, 6).as("hi"))
+      .groupBy("bucket", "lo", "hi")
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -258,6 +258,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("score"), col("rank"))
   }
 
+  /** RAG-style document chunking: fixed token windows of `chunkTokens`
+    * words starting every `stride` tokens (overlap = chunkTokens −
+    * stride), the retrieval-corpus prep step. One projection + one
+    * generator — no shuffle, no UDF; chunk starts come from `sequence`
+    * and each window is a map-side `slice`, so the whole op stays inside
+    * whole-stage codegen and scales linearly with corpus bytes. Tail
+    * chunks shorter than `chunkTokens` are kept (standard sliding-window
+    * semantics). Output: one row per chunk with its 0-based index, start
+    * token offset, token count, and text. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 8, stride: Int = 6): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1, "chunkTokens/stride must be >= 1")
+    df.select(col(idCol), words(col(textCol)).as("__ts"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(col("__ts")) - 1, lit(stride)),
+          s => slice(col("__ts"), s + 1, lit(chunkTokens))))
+          .as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("start_tok"),
+        size(col("__c")).cast("long").as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
+  /** Corpus-wide top-`k` word `n`-grams by occurrence count — the
+    * boilerplate-discovery / stopphrase-mining pass run before dedup
+    * threshold tuning. Map-side generator + partial aggregation absorb
+    * the head-heavy skew (hot n-grams combine within each task before
+    * the single shuffle), and the top-k is a TakeOrderedAndProject —
+    * nothing global ever sorts the full n-gram set. Deterministic
+    * tiebreak on the n-gram itself. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int = 2,
+      k: Int = 100): DataFrame = {
+    require(n >= 1 && k >= 1, "n/k must be >= 1")
+    val grams = transform(
+      sequence(lit(1), size(col("__ts")) - (n - 1)),
+      i => array_join(slice(col("__ts"), i, lit(n)), " "))
+    df.select(words(col(textCol)).as("__ts"))
+      .where(size(col("__ts")) >= n)
+      .select(explode(grams).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(k)
+  }
+
   /** The full per-document analysis projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,288 @@
+package graft.queries
+
+import graft.core.Tables.table
+import graft.ops.{Profile, Skyline, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 analytics surface: RAG chunking, corpus n-gram mining,
+  * GROUPING SETS, a distributed skyline, equi-width histograms,
+  * correlated scalar subqueries, and the six-table multi-join flagship.
+  * Oracle conventions follow [[Training]] / [[Corpus]]: money in integer
+  * cents before any group sum, float expressions mirrored literally,
+  * deterministic tiebreaks on every top-k.
+  */
+object Analytics {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+
+  /** RAG document chunking: 8-token windows every 6 tokens (2-token
+    * overlap). [[TextAnalysis.chunkDocs]]. */
+  def q98Chunking(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocs(docs(spark, dir), "doc_id", "text",
+      chunkTokens = 8, stride = 6)
+
+  /** Corpus-wide top-100 bigrams — boilerplate/stopphrase mining.
+    * [[TextAnalysis.topNgrams]]. */
+  def q99NgramFreq(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topNgrams(docs(spark, dir), "text", n = 2, k = 100)
+
+  /** Explicit GROUPING SETS ((nation, priority), (nation), ()) over
+    * orders⋈customer⋈nation with per-set GROUPING flags — the
+    * reference's report-rollup shape generalized beyond ROLLUP/CUBE
+    * (q33/q52). Revenue in integer cents per the q72 discipline. */
+  def q100GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val j = table(spark, dir, "orders")
+      .join(table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+    j.groupingSets(
+        Seq(Seq(col("n_name"), col("o_orderpriority")),
+          Seq(col("n_name")), Seq.empty),
+        col("n_name"), col("o_orderpriority"))
+      .agg(grouping(col("n_name")).cast("long").as("g_nation"),
+        grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+  }
+
+  /** Pareto frontier of parts: minimize retail price, maximize size —
+    * cheapest-per-capability mining. [[Skyline.skyline2d]]; the oracle
+    * spells the same set as the quadratic NOT EXISTS. */
+  def q101Skyline(spark: SparkSession, dir: String): DataFrame =
+    Skyline.skyline2d(
+      table(spark, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+      "p_retailprice", "p_size")
+
+  /** 20-bucket equi-width histogram of order totals.
+    * [[Profile.histogram]]. */
+  def q102Histogram(spark: SparkSession, dir: String): DataFrame =
+    Profile.histogram(table(spark, dir, "orders"), "o_totalprice", 20)
+
+  /** Correlated scalar subquery: orders ≥1.5× their own customer's
+    * average order value (big-ticket detection). Catalyst decorrelates
+    * this into an aggregate + equi-join — asserted in PlanShapeSpec; the
+    * comparison runs on integer-valued cent doubles so the average is
+    * order-independent. */
+  def q103Correlated(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("q103_orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM q103_orders o
+        |WHERE round(o_totalprice * 100) > (
+        |  SELECT 1.5 * avg(round(i.o_totalprice * 100))
+        |  FROM q103_orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
+  /** The six-table flagship (TPC-H Q5 shape): 1996 revenue by ASIA
+    * nation where customer and supplier share the nation. Dimension
+    * chain region→nation broadcasts; the customer/supplier/orders/
+    * lineitem joins shuffle on their keys and the nation filter
+    * propagates through the join graph. Revenue in integer cents. */
+  def q104RegionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val revCents =
+      round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")
+    val nations = broadcast(
+      table(spark, dir, "region").where(col("r_name") === "ASIA")
+        .join(table(spark, dir, "nation"),
+          col("n_regionkey") === col("r_regionkey")))
+    table(spark, dir, "lineitem")
+      .join(table(spark, dir, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(table(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(nations, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revCents).as("rev_cents"), count(lit(1)).as("n_items"))
+  }
+
+  /** Events with the cross-engine µs timestamp (see [[Advanced]]: parquet
+    * TIMESTAMP(NANOS) reads as an epoch-nanos long under `nanosAsLong`;
+    * DuckDB reads µs — all shared arithmetic happens on integral µs). */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events").withColumn("ts_us", expr("ts div 1000L"))
+
+  /** Seasonal (hour-of-day) anomaly detection: per event type, hours
+    * whose count exceeds 2× that type's hourly average. The ops
+    * dashboard's "traffic spike" rule. Pure integer arithmetic — the
+    * compare is `c·n_hours > 2·total`, no division — so the flag is
+    * engine-exact. One aggregation + one per-type window. */
+  def q105SeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    events(spark, dir)
+      .groupBy(col("event_type"),
+        (expr("ts_us div 3600000000") % 24).as("hr"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("spike",
+        col("n_events") * count(lit(1)).over(w) >
+          sum(col("n_events")).over(w) * 2)
+  }
+
+  /** Edit-distance near-dup pairs over the corpus.
+    * [[graft.ops.TextDedup.editDistancePairs]]. */
+  def q106FuzzyDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextDedup.editDistancePairs(docs(spark, dir), "doc_id", "text",
+      prefixLen = 40, maxDist = 10, bandTokens = 2)
+
+  /** UNPIVOT surface: per-returnflag charge components melted to long
+    * format with `Dataset.unpivot` (wide aggregate → (flag, charge,
+    * cents) rows). Charges are per-row integer cents before the group
+    * sum, per the q72 discipline. */
+  def q107Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (c: org.apache.spark.sql.Column) => round(c).cast("long")
+    val wide = table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(cents(col("l_extendedprice") * 100)).as("base_cents"),
+        sum(cents(col("l_extendedprice") * col("l_discount") * 100))
+          .as("disc_cents"),
+        sum(cents(col("l_extendedprice") * col("l_tax") * 100))
+          .as("tax_cents"))
+    wide.unpivot(Array(col("l_returnflag")),
+      Array(col("base_cents"), col("disc_cents"), col("tax_cents")),
+      "charge", "cents")
+  }
+
+  /** First-order event-type transition matrix per user stream (ordered
+    * by time, event id as the tiebreak): the session-flow / Markov-prior
+    * mining pass. One window shuffle on user, one count aggregation —
+    * both integer-exact. */
+  def q108Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_chunking" -> q98Chunking,
+    "q99_ngram_freq" -> q99NgramFreq,
+    "q100_grouping_sets" -> q100GroupingSets,
+    "q101_skyline" -> q101Skyline,
+    "q102_histogram" -> q102Histogram,
+    "q103_correlated" -> q103Correlated,
+    "q104_regional_revenue" -> q104RegionalRevenue,
+    "q105_seasonal_anomaly" -> q105SeasonalAnomaly,
+    "q106_fuzzy_dedup" -> q106FuzzyDedup,
+    "q107_unpivot" -> q107Unpivot,
+    "q108_transitions" -> q108Transitions
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q98_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |s AS (SELECT doc_id, u.i AS start_tok, ts[(u.i + 1):(u.i + 8)] AS c
+        |      FROM t, UNNEST(generate_series(0, len(ts) - 1, 6)) AS u(i))
+        |SELECT doc_id, start_tok // 6 AS chunk_idx, start_tok,
+        |  len(c)::BIGINT AS n_tokens, array_to_string(c, ' ') AS chunk_text
+        |FROM s""".stripMargin,
+    "q99_ngram_freq" ->
+      """WITH t AS (SELECT string_split(text, ' ') ts FROM documents),
+        |g AS (SELECT array_to_string(ts[u.i:(u.i + 1)], ' ') AS ngram
+        |      FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+        |      WHERE len(ts) >= 2)
+        |SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY ngram
+        |ORDER BY n_occurrences DESC, ngram ASC LIMIT 100""".stripMargin,
+    "q100_grouping_sets" ->
+      """SELECT n_name, o_orderpriority,
+        |  GROUPING(n_name)::BIGINT AS g_nation,
+        |  GROUPING(o_orderpriority)::BIGINT AS g_prio,
+        |  count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ())""".stripMargin,
+    "q101_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |      OR q.p_size > p.p_size))""".stripMargin,
+    "q102_histogram" ->
+      """WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |           FROM orders),
+        |v AS (SELECT CASE WHEN mx = mn THEN 0
+        |        ELSE CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 20)),
+        |                        19) AS BIGINT) END AS bucket, mn, mx
+        |      FROM orders CROSS JOIN b)
+        |SELECT bucket,
+        |  round(mn + bucket * ((mx - mn) / 20), 6) AS lo,
+        |  round(mn + (bucket + 1) * ((mx - mn) / 20), 6) AS hi,
+        |  count(*) AS n
+        |FROM v GROUP BY bucket, mn, mx""".stripMargin,
+    "q103_correlated" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders o
+        |WHERE round(o_totalprice * 100) > (
+        |  SELECT 1.5 * avg(round(i.o_totalprice * 100))
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin,
+    "q104_regional_revenue" ->
+      """SELECT n_name,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS rev_cents,
+        |  count(*) AS n_items
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q105_seasonal_anomaly" ->
+      """WITH c AS (SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hr,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hr, n_events,
+        |  n_events * count(*) OVER (PARTITION BY event_type) >
+        |    sum(n_events) OVER (PARTITION BY event_type) * 2 AS spike
+        |FROM c""".stripMargin,
+    "q106_fuzzy_dedup" ->
+      """WITH d AS (SELECT doc_id, split_part(text, ' ', 1) AS ft,
+        |    len(string_split(text, ' ')) AS nt,
+        |    substr(text, 1, 40) AS pfx
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(a.pfx, b.pfx)::BIGINT AS edit_dist
+        |FROM d a JOIN d b ON a.ft = b.ft AND a.doc_id < b.doc_id
+        |WHERE abs(a.nt - b.nt) <= 2
+        |  AND levenshtein(a.pfx, b.pfx) <= 10""".stripMargin,
+    "q107_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS base_cents,
+        |    sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+        |      AS disc_cents,
+        |    sum(CAST(round(l_extendedprice * l_tax * 100) AS BIGINT))
+        |      AS tax_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, charge, cents FROM w
+        |UNPIVOT (cents FOR charge IN (base_cents, disc_cents, tax_cents))""".stripMargin,
+    "q108_transitions" ->
+      """WITH x AS (SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, count(*) AS n_transitions
+        |FROM x WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type""".stripMargin
+  )
+}

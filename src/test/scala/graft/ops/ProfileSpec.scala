@@ -46,4 +46,25 @@ class ProfileSpec extends SparkSpec {
         f"(err $err%.3f) outside tolerance")
     }
   }
+
+  test("histogram: buckets partition [min,max], counts sum to row count") {
+    val h = Profile.histogram(orders, "o_totalprice", 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(h.map(_._1).forall(b => b >= 0 && b < 20))
+    assert(h.map(_._4).sum == orders.count())
+    // contiguous bucket bounds: each hi equals the next bucket's lo when
+    // adjacent ids are present
+    h.sliding(2).foreach {
+      case Array(a, b) if b._1 == a._1 + 1 =>
+        assert(math.abs(a._3 - b._2) < 1e-6, s"gap between ${a._1} and ${b._1}")
+      case _ => ()
+    }
+  }
+
+  test("histogram: constant column degenerates to a single bucket") {
+    import spark.implicits._
+    val h = Profile.histogram(Seq(5.0, 5.0, 5.0).toDF("v"), "v", 20).collect()
+    assert(h.length == 1 && h.head.getLong(0) == 0L && h.head.getLong(3) == 3L)
+  }
 }

@@ -119,6 +119,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.groupBy(_._1).values.forall(_.length == 2))
   }
 
+  test("chunkDocs: windows tile the doc, overlap by chunk−stride, rebuild it") {
+    val text = ('a' to 'z').map(_.toString).mkString(" ") // 26 tokens
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocs(df, "doc_id", "text",
+        chunkTokens = 8, stride = 6)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // starts every 6 tokens while any token remains: 0,6,12,18,24
+    assert(chunks.map(_._2).toSeq == Seq(0L, 6L, 12L, 18L, 24L))
+    // full windows are 8 tokens; the tail (starting at 24 of 26) is short
+    assert(chunks.init.forall(_._3 == 8L) && chunks.last._3 == 2L)
+    // consecutive chunks overlap by exactly chunkTokens − stride = 2
+    chunks.sliding(2).foreach { case Array(a, b) =>
+      val at = a._4.split(" ").takeRight(2).toSeq
+      assert(b._4.split(" ").take(2).toSeq == at, "overlap broken")
+    case _ => ()
+    }
+    // de-overlapped concatenation rebuilds the document exactly
+    val rebuilt = (chunks.head._4 +:
+      chunks.tail.map(_._4.split(" ").drop(2).mkString(" ")).toSeq)
+      .filter(_.nonEmpty).mkString(" ")
+    assert(rebuilt == text)
+  }
+
+  test("chunkDocs: short doc yields one short chunk; pure projection plan") {
+    val df = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(df, "doc_id", "text", 8, 6)
+    val rows = out.collect()
+    assert(rows.length == 1 && rows.head.getLong(3) == 3L &&
+      rows.head.getString(4) == "x y z")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("topNgrams counts across docs with deterministic tiebreak") {
+    val df = Seq("a b c", "a b", "b c a b", "z").map(Tuple1(_)).toDF("text")
+    // bigrams: "a b"×3, "b c"×2, "c a"×1 — "z" (1 token) contributes none
+    val out = TextAnalysis.topNgrams(df, "text", n = 2, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a b", 3L), ("b c", 2L)))
+    // tie at the cut: k=3 over equal counts resolves by n-gram order
+    val tied = TextAnalysis.topNgrams(df, "text", 2, 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(tied == Seq("a b", "b c", "c a"))
+  }
+
+  test("topNgrams plans as TakeOrdered, never a global sort of all n-grams") {
+    val df = Seq("a b c d e f g").map(Tuple1(_)).toDF("text")
+    val out = TextAnalysis.topNgrams(df, "text", 2, 5)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k sorted globally:\n$p")
+  }
+
   test("analyze attaches the full projection") {
     val cols = TextAnalysis.analyze(Seq((1L, "the a b")).toDF("id", "text"), "text").columns
     assert(Seq("pred_lang", "lang_score", "n_tokens", "n_bpe_tokens",

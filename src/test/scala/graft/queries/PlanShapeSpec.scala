@@ -142,6 +142,28 @@ class PlanShapeSpec extends SparkSpec {
       s"extra exchanges:\n$p")
   }
 
+  test("six-table flagship broadcasts the dim chain, no cartesian anywhere") {
+    val p = plan("q104_regional_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      s"region→nation chain did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"join graph degenerated:\n$p")
+    // the ASIA filter reaches the region scan, not a post-join Filter
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(r_name,ASIA)"),
+      s"region filter not pushed:\n$p")
+  }
+
+  test("correlated scalar subquery decorrelates to an aggregate equi-join") {
+    val p = plan("q103_correlated")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated subquery re-evaluated per row:\n$p")
+    assert(p.contains("HashAggregate") &&
+      (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin")),
+      s"no decorrelated agg-join:\n$p")
+  }
+
   test("staging scans prune by partition columns") {
     val root = scratch("plan-staging")
     import spark.implicits._
