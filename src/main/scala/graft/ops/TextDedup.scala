@@ -449,6 +449,39 @@ object TextDedup {
     * window shuffle partitioned by the 60-bit chunk hash — 8-byte keys,
     * not chunk text; the rebuild is one groupBy back on doc_id. No
     * driver-side state, no cross join. */
+  /** Edit-distance near-dup pairs: candidate pairs blocked on the first
+    * token, pre-filtered to a ±`bandTokens` token-count band, then scored
+    * with `levenshtein` over the first `prefixLen` chars (bounding the
+    * O(prefixLen²) DP — full-text edit distance is quadratic in document
+    * length and never the right tool at corpus scale). Returns ordered
+    * (doc_a < doc_b) pairs with `edit_dist` ≤ `maxDist`.
+    *
+    * Scale shape: one equi-join on the block key — no cross join; the
+    * token-band and distance predicates run inside the join. Blocking on
+    * a single leading token is the classic skew hazard when a corpus
+    * shares boilerplate openers — for such corpora widen the key (first
+    * two tokens, or first token + length band the q44 bin way); the
+    * fingerprint/LSH family here is the better recall/cost point when
+    * prefixes alone can't block. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 40, maxDist: Int = 10, bandTokens: Int = 2): DataFrame = {
+    require(prefixLen >= 1 && maxDist >= 0 && bandTokens >= 0)
+    val base = df.select(col(idCol).as("__id"),
+      split(col(textCol), " ").getItem(0).as("__ft"),
+      size(split(col(textCol), " ")).as("__nt"),
+      substring(col(textCol), 1, prefixLen).as("__pfx"))
+    val a = base.select(col("__id").as("doc_a"), col("__ft"),
+      col("__nt").as("__nt_a"), col("__pfx").as("__pfx_a"))
+    val b = base.select(col("__id").as("doc_b"), col("__ft"),
+      col("__nt").as("__nt_b"), col("__pfx").as("__pfx_b"))
+    a.join(b, Seq("__ft"))
+      .where(col("doc_a") < col("doc_b") &&
+        abs(col("__nt_a") - col("__nt_b")) <= bandTokens)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__pfx_a"), col("__pfx_b")).cast("long").as("edit_dist"))
+      .where(col("edit_dist") <= maxDist)
+  }
+
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 10): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be positive, got $chunkTokens")

@@ -226,6 +226,32 @@ class TextDedupSpec extends SparkSpec {
         s"driver/column hash mismatch for '$t'")
   }
 
+  test("editDistancePairs: blocking, band, threshold, and ordering") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delto"),     // 1 edit from doc 1
+      (3L, "alpha beta gamma delta"),     // exact dup of doc 1
+      (4L, "omega beta gamma delta"),     // different first token — never paired
+      (5L, "alpha b c d e f g h i j k l") // same block, outside ±2 token band
+    ).toDF("doc_id", "text")
+    val got = TextDedup.editDistancePairs(docs, "doc_id", "text",
+        prefixLen = 40, maxDist = 10, bandTokens = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L)))
+    // every pair is ordered and within threshold
+    assert(got.forall { case (a, b, d) => a < b && d <= 10 })
+  }
+
+  test("editDistancePairs joins on the block key — no cartesian product") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextDedup.editDistancePairs(corpus, "doc_id", "text")
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"fuzzy dedup went quadratic:\n$p")
+  }
+
   test("verification joins never broadcast shingle arrays (bounded at scale)") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     import org.apache.spark.sql.types.ArrayType
