@@ -166,6 +166,82 @@ object Analytics {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Cumulative distinct users by day — growth accounting WITHOUT a
+    * distinct-over-window (which re-scans the full history per day at
+    * scale): each user contributes once at their first-seen day (one
+    * aggregation), then a running sum over the tiny per-day frame. */
+  def q109RunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(expr("ts_us div 86400000000")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+  }
+
+  /** Benford first-digit screen over order totals — the forensic
+    * data-quality check. Digit histogram is integer-exact; observed and
+    * expected shares are one float division / log10 each, rounded to 6.
+    * A 9-row result from one aggregation at any scale. */
+  def q110Benford(spark: SparkSession, dir: String): DataFrame = {
+    val digit = substring(floor(col("o_totalprice")).cast("long")
+      .cast("string"), 1, 1).cast("long")
+    val n = table(spark, dir, "orders")
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val total = n.agg(sum(col("n")).as("__total"))
+    n.join(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("__total").cast("double"), 6)
+          .as("observed"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("benford"))
+  }
+
+  /** 7-day moving median of daily order counts — the robust trend line
+    * (medians shrug off the spikes q105 flags). Exact median over the
+    * bounded 7-row frame via sorted collect; interpolation (mean of the
+    * middle two on even frames) matches `quantile_cont(0.5)`. */
+  def q111MovingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    val daily = table(spark, dir, "orders")
+      .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    daily
+      .withColumn("__s", sort_array(collect_list(col("n_orders")).over(w)))
+      .select(col("day"), col("n_orders"),
+        ((element_at(col("__s"), ((size(col("__s")) + 1) / 2).cast("int")) +
+          element_at(col("__s"), (size(col("__s")) / 2).cast("int") + 1))
+          .cast("double") / 2.0).as("med7"))
+  }
+
+  /** Golden-record survivorship: per user, the latest non-null value of
+    * each (sparsely populated) profile field — the entity-resolution
+    * merge step. Fields are synthesized deterministically from the event
+    * props (k%7/k%5/k%3, 0 → null) so both engines see identical sparsity.
+    * One window shuffle; `first(…, ignoreNulls)` over the full frame in
+    * recency order is the IGNORE NULLS FIRST_VALUE idiom. */
+  def q112Survivorship(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    def field(m: Int, p: String) =
+      when(k % m === 0, lit(null)).otherwise(concat(lit(p), (k % m).cast("string")))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        field(7, "d").as("__dev"), field(5, "c").as("__cty"),
+        field(3, "p").as("__pln"))
+      .withColumn("device", first(col("__dev"), ignoreNulls = true).over(full))
+      .withColumn("country", first(col("__cty"), ignoreNulls = true).over(full))
+      .withColumn("plan", first(col("__pln"), ignoreNulls = true).over(full))
+      .withColumn("__rn", row_number().over(ord))
+      .where(col("__rn") === 1)
+      .select(col("user_id"), col("device"), col("country"), col("plan"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_chunking" -> q98Chunking,
     "q99_ngram_freq" -> q99NgramFreq,
@@ -177,7 +253,11 @@ object Analytics {
     "q105_seasonal_anomaly" -> q105SeasonalAnomaly,
     "q106_fuzzy_dedup" -> q106FuzzyDedup,
     "q107_unpivot" -> q107Unpivot,
-    "q108_transitions" -> q108Transitions
+    "q108_transitions" -> q108Transitions,
+    "q109_running_distinct" -> q109RunningDistinct,
+    "q110_benford" -> q110Benford,
+    "q111_moving_median" -> q111MovingMedian,
+    "q112_survivorship" -> q112Survivorship
   )
 
   val oracles: Map[String, String] = Map(
@@ -283,6 +363,50 @@ object Analytics {
         |  FROM events)
         |SELECT prev_type, event_type, count(*) AS n_transitions
         |FROM x WHERE prev_type IS NOT NULL
-        |GROUP BY prev_type, event_type""".stripMargin
+        |GROUP BY prev_type, event_type""".stripMargin,
+    "q109_running_distinct" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_users
+        |FROM d""".stripMargin,
+    "q110_benford" ->
+      """WITH n AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit, count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM n)
+        |SELECT digit, n, round(n::DOUBLE / total::DOUBLE, 6) AS observed,
+        |  round(log10(1.0 + 1.0 / digit::DOUBLE), 6) AS benford
+        |FROM n CROSS JOIN t""".stripMargin,
+    "q111_moving_median" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT day, n_orders,
+        |  quantile_cont(n_orders, 0.5) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+        |FROM d""".stripMargin,
+    "q112_survivorship" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |f AS (SELECT user_id, ts_us, event_id,
+        |    CASE WHEN k % 7 = 0 THEN NULL ELSE 'd' || (k % 7) END AS dev,
+        |    CASE WHEN k % 5 = 0 THEN NULL ELSE 'c' || (k % 5) END AS cty,
+        |    CASE WHEN k % 3 = 0 THEN NULL ELSE 'p' || (k % 3) END AS pln
+        |  FROM e),
+        |g AS (SELECT user_id,
+        |    first_value(dev IGNORE NULLS) OVER w AS device,
+        |    first_value(cty IGNORE NULLS) OVER w AS country,
+        |    first_value(pln IGNORE NULLS) OVER w AS plan,
+        |    row_number() OVER wo AS rn
+        |  FROM f
+        |  WINDOW
+        |    w AS (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |    wo AS (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC))
+        |SELECT user_id, device, country, plan FROM g WHERE rn = 1""".stripMargin
   )
 }
