@@ -77,6 +77,9 @@ object Docs {
     else
       try {
         val root = mapper.readTree(json)
+        // blank/whitespace input parses to null or MissingNode depending
+        // on the Jackson version — both are "no document", not {}
+        if (root == null || root.isMissingNode) return null
         val out = mutable.LinkedHashMap.empty[String, String]
         def walk(node: JsonNode, prefix: String): Unit =
           if (node.isObject) {
