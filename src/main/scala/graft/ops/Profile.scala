@@ -60,6 +60,29 @@ object Profile {
     * Empty buckets are absent from the output (it is an aggregation,
     * not a fill — compose with [[graft.ops.Temporal]] gap-fill if a
     * dense axis is needed). */
+  /** Equi-depth (equal-frequency) histogram: `nBuckets` buckets holding
+    * ~equal row counts, boundaries at the k/nBuckets quantiles — the CBO
+    * statistic for skewed columns where equi-width buckets collapse.
+    * Two passes, NO global sort: one exact-percentile aggregate (1 row,
+    * broadcast) then one comparison-vector bin + hash agg — the same
+    * 100 TB shape as [[histogram]]. A value equal to a boundary bins
+    * upward; heavy single values may straddle fewer distinct buckets
+    * than requested (their count shows the skew — that is the point). */
+  def equiDepthHistogram(df: DataFrame, c: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    val v = col(c).cast("double")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = df.agg(percentile(v, lit(probs)).as("__qs"))
+    df.join(broadcast(bounds))
+      .select(v.as("__v"),
+        size(filter(col("__qs"), q => col("__v") >= q)).cast("long")
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+  }
+
   def histogram(df: DataFrame, c: String, nBuckets: Int = 20): DataFrame = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
     val bounds = df.agg(min(col(c).cast("double")).as("__mn"),

@@ -242,6 +242,43 @@ object Analytics {
       .select(col("user_id"), col("device"), col("country"), col("plan"))
   }
 
+  /** Multiset set operations — INTERSECT ALL / EXCEPT ALL keep
+    * multiplicity (how many customers per nation survive the supplier
+    * overlap), where q53's distinct variants collapse it. Grouping the
+    * multiset makes the multiplicities the visible result. */
+  def q113SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"))
+    val s = table(spark, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey"))
+    c.intersectAll(s).groupBy("nationkey")
+      .agg(count(lit(1)).as("n")).withColumn("side", lit("intersect_all"))
+      .unionByName(c.exceptAll(s).groupBy("nationkey")
+        .agg(count(lit(1)).as("n")).withColumn("side", lit("except_all")))
+  }
+
+  /** LATERAL correlated subquery: each urgent order joined to its own
+    * top-2 line items by value — the per-row-subplan SQL surface
+    * Catalyst decorrelates into a ranked window join. */
+  def q114Lateral(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("q114_orders")
+    table(spark, dir, "lineitem").createOrReplaceTempView("q114_lineitem")
+    spark.sql(
+      """SELECT o.o_orderkey, t.l_linenumber, t.cents
+        |FROM q114_orders o, LATERAL (
+        |  SELECT l_linenumber,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM q114_lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY cents DESC, l_linenumber LIMIT 2) t
+        |WHERE o.o_orderpriority = '1-URGENT'""".stripMargin)
+  }
+
+  /** Equi-depth deciles of line-item value. [[Profile.equiDepthHistogram]]. */
+  def q115EquiDepth(spark: SparkSession, dir: String): DataFrame =
+    Profile.equiDepthHistogram(
+      table(spark, dir, "lineitem"), "l_extendedprice", 10)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_chunking" -> q98Chunking,
     "q99_ngram_freq" -> q99NgramFreq,
@@ -257,7 +294,10 @@ object Analytics {
     "q109_running_distinct" -> q109RunningDistinct,
     "q110_benford" -> q110Benford,
     "q111_moving_median" -> q111MovingMedian,
-    "q112_survivorship" -> q112Survivorship
+    "q112_survivorship" -> q112Survivorship,
+    "q113_set_ops_all" -> q113SetOpsAll,
+    "q114_lateral" -> q114Lateral,
+    "q115_equidepth" -> q115EquiDepth
   )
 
   val oracles: Map[String, String] = Map(
@@ -407,6 +447,35 @@ object Analytics {
         |    w AS (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
         |    wo AS (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC))
-        |SELECT user_id, device, country, plan FROM g WHERE rn = 1""".stripMargin
+        |SELECT user_id, device, country, plan FROM g WHERE rn = 1""".stripMargin,
+    "q113_set_ops_all" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+        |s AS (SELECT s_nationkey AS nationkey FROM supplier),
+        |ia AS (SELECT nationkey FROM c INTERSECT ALL SELECT nationkey FROM s),
+        |ea AS (SELECT nationkey FROM c EXCEPT ALL SELECT nationkey FROM s)
+        |SELECT nationkey, count(*) AS n, 'intersect_all' AS side
+        |FROM ia GROUP BY nationkey
+        |UNION ALL
+        |SELECT nationkey, count(*) AS n, 'except_all' AS side
+        |FROM ea GROUP BY nationkey""".stripMargin,
+    "q114_lateral" ->
+      """SELECT o.o_orderkey, t.l_linenumber, t.cents
+        |FROM orders o
+        |JOIN LATERAL (
+        |  SELECT l_linenumber,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY cents DESC, l_linenumber LIMIT 2) t ON true
+        |WHERE o.o_orderpriority = '1-URGENT'""".stripMargin,
+    "q115_equidepth" ->
+      """WITH b AS (SELECT quantile_cont(l_extendedprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        |  FROM lineitem),
+        |v AS (SELECT l_extendedprice AS v,
+        |    len(list_filter(qs, q -> v >= q))::BIGINT AS bucket
+        |  FROM lineitem CROSS JOIN b)
+        |SELECT bucket, count(*) AS n, min(v) AS lo, max(v) AS hi
+        |FROM v GROUP BY bucket""".stripMargin
   )
 }

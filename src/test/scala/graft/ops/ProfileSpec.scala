@@ -62,6 +62,25 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("equi-depth: buckets hold ~equal counts, ranges tile without overlap") {
+    val h = Profile.equiDepthHistogram(orders, "o_totalprice", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(h.map(_._1).toSeq == (0L to 9L))
+    val total = orders.count()
+    assert(h.map(_._2).sum == total)
+    // equal frequency within the quantile-boundary rounding (±1 row of N/10)
+    h.foreach { case (b, n, _, _) =>
+      assert(math.abs(n - total / 10.0) <= total / 10.0 * 0.05 + 2,
+        s"bucket $b holds $n of $total — not equi-depth")
+    }
+    // ranges ordered and non-overlapping
+    h.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3 && a._3 <= a._4)
+      case _ => ()
+    }
+  }
+
   test("histogram: constant column degenerates to a single bucket") {
     import spark.implicits._
     val h = Profile.histogram(Seq(5.0, 5.0, 5.0).toDF("v"), "v", 20).collect()

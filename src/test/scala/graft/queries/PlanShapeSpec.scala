@@ -164,6 +164,15 @@ class PlanShapeSpec extends SparkSpec {
       s"no decorrelated agg-join:\n$p")
   }
 
+  test("lateral top-2 subquery decorrelates to a group-limited window join") {
+    val p = plan("q114_lateral")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral subquery re-ran per outer row:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-order LIMIT 2 did not become a group limit:\n$p")
+  }
+
   test("staging scans prune by partition columns") {
     val root = scratch("plan-staging")
     import spark.implicits._
