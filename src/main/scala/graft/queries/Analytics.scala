@@ -279,6 +279,55 @@ object Analytics {
     Profile.equiDepthHistogram(
       table(spark, dir, "lineitem"), "l_extendedprice", 10)
 
+  /** Chi-square independence test of lang × source — the statistical
+    * "is my corpus mix biased" check behind q93's entropy diagnostic.
+    * Observed counts are exact integers; each cell's (o−e)²/e term is
+    * the same few float ops in both engines (no `pow` — libm-free), and
+    * the final sum folds in (lang, source) order with seed 0.0 per the
+    * q70/q93 fixed-order discipline. */
+  def q116ChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = docs(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val w = o
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("lang"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("source"))))
+      .withColumn("n", sum(col("o")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val e = col("r") * col("c") / col("n")
+    w.select(col("lang"), col("source"),
+        ((col("o") - e) * (col("o") - e) / e).as("v"))
+      .agg(
+        round(aggregate(
+          transform(
+            sort_array(collect_list(struct(col("lang"), col("source"),
+              col("v")))),
+            s => s.getField("v")),
+          lit(0.0), (a, x) => a + x), 6).as("chi2"),
+        ((size(collect_set(col("lang"))) - 1) *
+          (size(collect_set(col("source"))) - 1)).cast("long").as("dof"))
+  }
+
+  /** Gaps-and-islands: runs of consecutive ship days per part (the
+    * classic `day − row_number()` grouping). One window shuffle on the
+    * part key, one aggregation — no self-join, no sequence generation;
+    * the global-date variant is the same plan with a degenerate key. */
+  def q117GapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("p")).orderBy(col("day"))
+    table(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"),
+        col("l_shipdate").cast("date").as("day"))
+      .distinct()
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("p"), col("grp"))
+      .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+        count(lit(1)).as("len"))
+      .drop("grp")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_chunking" -> q98Chunking,
     "q99_ngram_freq" -> q99NgramFreq,
@@ -297,7 +346,9 @@ object Analytics {
     "q112_survivorship" -> q112Survivorship,
     "q113_set_ops_all" -> q113SetOpsAll,
     "q114_lateral" -> q114Lateral,
-    "q115_equidepth" -> q115EquiDepth
+    "q115_equidepth" -> q115EquiDepth,
+    "q116_chisquare" -> q116ChiSquare,
+    "q117_gaps_islands" -> q117GapsIslands
   )
 
   val oracles: Map[String, String] = Map(
@@ -476,6 +527,32 @@ object Analytics {
         |    len(list_filter(qs, q -> v >= q))::BIGINT AS bucket
         |  FROM lineitem CROSS JOIN b)
         |SELECT bucket, count(*) AS n, min(v) AS lo, max(v) AS hi
-        |FROM v GROUP BY bucket""".stripMargin
+        |FROM v GROUP BY bucket""".stripMargin,
+    "q116_chisquare" ->
+      """WITH o AS (SELECT lang, source, count(*)::DOUBLE AS o
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (SELECT lang, source, o,
+        |    sum(o) OVER (PARTITION BY lang) AS r,
+        |    sum(o) OVER (PARTITION BY source) AS c,
+        |    sum(o) OVER () AS n
+        |  FROM o),
+        |t AS (SELECT lang, source,
+        |    ((o - r * c / n) * (o - r * c / n)) / (r * c / n) AS v
+        |  FROM w),
+        |g AS (SELECT array_agg(v ORDER BY lang, source) AS vs FROM t),
+        |d AS (SELECT count(DISTINCT lang) AS nl,
+        |    count(DISTINCT source) AS ns FROM o)
+        |SELECT round(list_reduce(list_prepend(0.0::DOUBLE, vs),
+        |    (a, b) -> a + b), 6) AS chi2,
+        |  ((nl - 1) * (ns - 1))::BIGINT AS dof
+        |FROM g CROSS JOIN d""".stripMargin,
+    "q117_gaps_islands" ->
+      """WITH d AS (SELECT DISTINCT l_partkey AS p,
+        |    CAST(l_shipdate AS DATE) AS day FROM lineitem),
+        |x AS (SELECT p, day,
+        |    row_number() OVER (PARTITION BY p ORDER BY day) AS rn FROM d)
+        |SELECT p, min(day) AS start_day, max(day) AS end_day,
+        |  count(*) AS len
+        |FROM x GROUP BY p, day - to_days(rn::INTEGER)""".stripMargin
   )
 }
