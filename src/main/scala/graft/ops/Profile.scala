@@ -69,11 +69,17 @@ object Profile {
     * upward; heavy single values may straddle fewer distinct buckets
     * than requested (their count shows the skew — that is the point). */
   def equiDepthHistogram(df: DataFrame, c: String,
-      nBuckets: Int = 10): DataFrame = {
+      nBuckets: Int = 10, exact: Boolean = true): DataFrame = {
     require(nBuckets >= 2, "nBuckets must be >= 2")
     val v = col(c).cast("double")
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bounds = df.agg(percentile(v, lit(probs)).as("__qs"))
+    // exact `percentile` buffers the column per aggregation group — fine
+    // to ~10^8 rows; beyond that pass exact = false for the t-digest
+    // sketch (`percentile_approx`): boundaries shift within sketch error
+    // but the two-pass bin shape is identical
+    val bounds =
+      if (exact) df.agg(percentile(v, lit(probs)).as("__qs"))
+      else df.agg(percentile_approx(v, lit(probs), lit(10000)).as("__qs"))
     df.join(broadcast(bounds))
       .select(v.as("__v"),
         size(filter(col("__qs"), q => col("__v") >= q)).cast("long")
