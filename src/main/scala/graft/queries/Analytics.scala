@@ -328,6 +328,39 @@ object Analytics {
       .drop("grp")
   }
 
+  /** Spark 4 VARIANT surface: the modern engine-native answer to the
+    * reference's path→bytes document model (SURVEY §1.2) — `parse_json`
+    * once into a binary variant, then typed `variant_get` path access
+    * (q28's `get_json_object` re-expressed through the type system; same
+    * synthesized document, same null-on-absent semantics). The oracle
+    * replays the JSON paths — VARIANT is the encoding, not the result. */
+  def q118Variant(spark: SparkSession, dir: String): DataFrame = {
+    val j = concat(
+      lit("""{"order":{"id":"""), col("o_orderkey").cast("string"),
+      lit(""","status":""""), col("o_orderstatus"),
+      lit("""","tags":["a","b"]}}"""))
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"), parse_json(j).as("v"))
+      .select(col("o_orderkey"),
+        variant_get(col("v"), "$.order.id", "bigint").as("id_ext"),
+        variant_get(col("v"), "$.order.status", "string").as("status_ext"),
+        variant_get(col("v"), "$.order.tags[1]", "string").as("tag1_ext"),
+        variant_get(col("v"), "$.order.missing", "string").as("missing_ext"))
+  }
+
+  /** FILTER-clause conditional aggregation — one pass computing N
+    * differently-predicated aggregates (the idiom that replaces N
+    * self-joins or CASE pyramids in report queries). */
+  def q119FilterAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        expr("count(*) FILTER (WHERE l_returnflag = 'R')").as("n_returned"),
+        expr("count(*) FILTER (WHERE l_quantity >= 25)").as("n_bulk"),
+        expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT)) " +
+          "FILTER (WHERE l_discount > 0.05)").as("disc_cents"),
+        count(lit(1)).as("n_total"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_chunking" -> q98Chunking,
     "q99_ngram_freq" -> q99NgramFreq,
@@ -348,7 +381,9 @@ object Analytics {
     "q114_lateral" -> q114Lateral,
     "q115_equidepth" -> q115EquiDepth,
     "q116_chisquare" -> q116ChiSquare,
-    "q117_gaps_islands" -> q117GapsIslands
+    "q117_gaps_islands" -> q117GapsIslands,
+    "q118_variant" -> q118Variant,
+    "q119_filter_agg" -> q119FilterAgg
   )
 
   val oracles: Map[String, String] = Map(
@@ -553,6 +588,24 @@ object Analytics {
         |    row_number() OVER (PARTITION BY p ORDER BY day) AS rn FROM d)
         |SELECT p, min(day) AS start_day, max(day) AS end_day,
         |  count(*) AS len
-        |FROM x GROUP BY p, day - to_days(rn::INTEGER)""".stripMargin
+        |FROM x GROUP BY p, day - to_days(rn::INTEGER)""".stripMargin,
+    "q118_variant" ->
+      """SELECT o_orderkey,
+        |  CAST(json_extract_string(j, '$.order.id') AS BIGINT) AS id_ext,
+        |  json_extract_string(j, '$.order.status') AS status_ext,
+        |  json_extract_string(j, '$.order.tags[1]') AS tag1_ext,
+        |  json_extract_string(j, '$.order.missing') AS missing_ext
+        |FROM (SELECT o_orderkey,
+        |        '{"order":{"id":' || o_orderkey || ',"status":"'
+        |          || o_orderstatus || '","tags":["a","b"]}}' AS j
+        |      FROM orders)""".stripMargin,
+    "q119_filter_agg" ->
+      """SELECT l_linestatus,
+        |  count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+        |  count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    FILTER (WHERE l_discount > 0.05) AS disc_cents,
+        |  count(*) AS n_total
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin
   )
 }
