@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -105,7 +106,8 @@ class FlatJsonTable(paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"flatjson(${paths.mkString(",")})"
   override def schema(): StructType = FlatJsonTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FlatJsonScanBuilder(paths)
 }
@@ -167,6 +169,66 @@ class FlatJsonScan(paths: Seq[String], required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FlatJsonReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new FlatJsonMicroBatchStream(paths, required, fileNameKeep)
+}
+
+/** Offset = how many files of the (mtime, path)-sorted listing have been
+  * processed. */
+case class FlatJsonOffset(fileCount: Int) extends Offset {
+  override def json(): String = s"""{"fileCount":$fileCount}"""
+}
+
+/** Structured Streaming over the crawler feed: `readStream.format
+  * ("flatjson")` turns the daily file drops into micro-batches with the
+  * SAME schema, flatten, and pushdowns as the batch scan — the
+  * `Trigger.AvailableNow` ingest mode SURVEY §1.4 names as the staging
+  * extension.
+  *
+  * Offset model (simplified deliberately): files sorted by
+  * (modification time, path); an offset is a PREFIX LENGTH of that
+  * listing. Correct for append-only feeds whose new files carry later
+  * mtimes — exactly the crawler drop pattern (one immutable directory
+  * per day). A mutable feed needs the seen-files-map bookkeeping of
+  * Spark's FileStreamSource; that complexity is out of scope here and
+  * the limitation is part of this connector's contract. */
+class FlatJsonMicroBatchStream(paths: Seq[String], required: StructType,
+    fileNameKeep: Option[Set[String]]) extends MicroBatchStream {
+
+  private def listing(): Seq[(String, Long)] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      Option(fs.globStatus(path)).toSeq.flatten.filter(_.isFile)
+        .map(s => (s.getPath.toString, s.getModificationTime, s.getLen))
+    }.sortBy(s => (s._2, s._1)).map(s => (s._1, s._3))
+  }
+
+  override def initialOffset(): Offset = FlatJsonOffset(0)
+  override def latestOffset(): Offset = FlatJsonOffset(listing().size)
+  override def deserializeOffset(json: String): Offset =
+    FlatJsonOffset("\"fileCount\":(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FlatJsonOffset].fileCount
+    val e = end.asInstanceOf[FlatJsonOffset].fileCount
+    val slice = listing().slice(s, e)
+    val kept = fileNameKeep.fold(slice) { keep =>
+      slice.filter { case (p, _) => keep(FlatJsonTable.fileNameOf(p)) }
+    }
+    kept.map { case (p, len) =>
+      FlatJsonInputPartition(p, len): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FlatJsonReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class FlatJsonReaderFactory(required: StructType)
