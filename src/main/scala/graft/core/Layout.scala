@@ -27,6 +27,39 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Small-file compaction — the nightly maintenance op that keeps a
+    * 100 TB table scannable: a partition that accumulated thousands of
+    * tiny files (streaming sinks, per-day appends) rereads into
+    * `ceil(bytes / targetFileBytes)` right-sized files. Row-identical by
+    * construction (read → repartition → overwrite-aside); sizing comes
+    * from the file listing, not a data scan. Returns (filesBefore,
+    * filesAfter). Compact one partition directory at a time — the unit
+    * of atomicity is the directory swap. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(s => s.isFile &&
+      s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val target = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    if (files.length <= target) return (files.length, files.length)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s".${p.getName}.compact.tmp")
+    spark.read.parquet(path).repartition(target)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap: rename old aside, tmp into place, drop old (same discipline
+    // as Pipelines.overwriteCurated — no delete-before-rename window)
+    val old = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.old")
+    fs.delete(old, true)
+    require(fs.rename(p, old), s"compact: could not move $p aside")
+    require(fs.rename(tmp, p), s"compact: could not move $tmp into place")
+    fs.delete(old, true)
+    val after = fs.listStatus(p).count(s => s.isFile &&
+      s.getPath.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
+
   /** Write `df` range-clustered by `keys`: `repartitionByRange` samples
     * the key distribution and assigns each of `numFiles` partitions a
     * contiguous key range (skew-adaptive — equal ROWS per file, not

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-level PII governance — the engine-side half of the reference's
+  * `GetPiiString` convention (ProcessDaily.usql:109-114,3159-3167 marks
+  * exactly which curated columns carry emails/names; `entities.Specs`
+  * preserves those flags as `Field(pii = true)`).
+  *
+  * Masking is deterministic pseudonymization, not redaction: equal
+  * inputs map to equal tokens, so masked tables still JOIN on identity
+  * (the property analytics needs) while exposing nothing readable.
+  * Every function is a codegen'd column expression — masking a 100 TB
+  * table is a projection at scan speed.
+  */
+object Governance {
+
+  /** Deterministic pseudonym: first 16 hex chars of salted SHA-256 —
+    * linkable within one salt epoch, unlinkable across epochs (rotate
+    * the salt to sever history). */
+  def pseudonym(c: Column, salt: String = ""): Column =
+    substring(sha2(concat(lit(salt), c.cast("string")), 256), 1, 16)
+
+  /** Email mask that preserves the domain (the analytically useful
+    * part): local part → pseudonym, domain kept. Non-email values mask
+    * whole. */
+  def maskEmail(c: Column, salt: String = ""): Column = {
+    val at = instr(c, "@")
+    when(at > 1, concat(pseudonym(substring_index(c, "@", 1), salt),
+      lit("@"), substring_index(c, "@", -1)))
+      .otherwise(pseudonym(c, salt))
+  }
+
+  /** IPv4 mask preserving the /24 network (geo/abuse analytics keep
+    * working): last octet → x. */
+  def maskIp(c: Column): Column =
+    regexp_replace(c, "(\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})\\.\\d{1,3}\\b", "$1.x")
+
+  /** Mask every listed column of `df` in one projection; non-listed
+    * columns pass through untouched. Drives from `entities.Specs`'
+    * `pii = true` flags:
+    * {{{
+    *   Governance.maskColumns(commit, Specs.commit.fields.filter(_.pii).map(_.out))
+    * }}} */
+  def maskColumns(df: DataFrame, piiCols: Seq[String],
+      salt: String = ""): DataFrame = {
+    require(piiCols.forall(df.columns.contains),
+      s"unknown pii columns: ${piiCols.filterNot(df.columns.contains).mkString(",")}")
+    val pii = piiCols.toSet
+    df.select(df.columns.map { c =>
+      if (pii(c))
+        when(col(c).isNull, lit(null))
+          .otherwise(maskEmail(col(c), salt)).as(c)
+      else col(c)
+    }: _*)
+  }
+}

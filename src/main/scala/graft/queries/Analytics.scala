@@ -361,6 +361,23 @@ object Analytics {
           "FILTER (WHERE l_discount > 0.05)").as("disc_cents"),
         count(lit(1)).as("n_total"))
 
+  /** Deterministic PII pseudonymization ([[graft.ops.Governance]]):
+    * synthesized emails/IPs (the q46 convention — the corpus itself is
+    * PII-free) masked with domain-preserving salted-SHA pseudonyms and
+    * /24-preserving IP masks. Equal identities keep equal tokens, so the
+    * masked table still joins. */
+  def q120Pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    val email = concat(lit("user"), col("doc_id").cast("string"), lit("@mail"),
+      pmod(col("doc_id"), lit(7)).cast("string"), lit(".example"))
+    val ip = concat(lit("10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit("."), pmod(col("doc_id"), lit(100)).cast("string"))
+    docs(spark, dir).select(col("doc_id"),
+      graft.ops.Governance.maskEmail(email, salt = "s1").as("masked_email"),
+      graft.ops.Governance.maskIp(ip).as("masked_ip"),
+      graft.ops.Governance.pseudonym(col("source"), salt = "s1")
+        .as("source_token"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_chunking" -> q98Chunking,
     "q99_ngram_freq" -> q99NgramFreq,
@@ -383,7 +400,8 @@ object Analytics {
     "q116_chisquare" -> q116ChiSquare,
     "q117_gaps_islands" -> q117GapsIslands,
     "q118_variant" -> q118Variant,
-    "q119_filter_agg" -> q119FilterAgg
+    "q119_filter_agg" -> q119FilterAgg,
+    "q120_pseudonymize" -> q120Pseudonymize
   )
 
   val oracles: Map[String, String] = Map(
@@ -606,6 +624,18 @@ object Analytics {
         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))
         |    FILTER (WHERE l_discount > 0.05) AS disc_cents,
         |  count(*) AS n_total
-        |FROM lineitem GROUP BY l_linestatus""".stripMargin
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q120_pseudonymize" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    'user' || doc_id || '@mail' || (doc_id % 7) || '.example' AS email,
+        |    '10.0.' || (doc_id % 256) || '.' || (doc_id % 100) AS ip
+        |  FROM documents)
+        |SELECT doc_id,
+        |  substr(sha256('s1' || split_part(email, '@', 1)), 1, 16)
+        |    || '@' || split_part(email, '@', 2) AS masked_email,
+        |  regexp_replace(ip,
+        |    '(\b\d{1,3}\.\d{1,3}\.\d{1,3})\.\d{1,3}\b', '\1.x') AS masked_ip,
+        |  substr(sha256('s1' || source), 1, 16) AS source_token
+        |FROM s""".stripMargin
   )
 }

@@ -117,4 +117,18 @@ class LayoutSpec extends SparkSpec {
     df.repartition(4).write.mode("overwrite").parquet(plain)
     assert(Layout.bloomFilteredColumns(spark, plain).forall(_._2.isEmpty))
   }
+
+  test("compact: many small files become few, rows identical, idempotent") {
+    import spark.implicits._
+    val dir = scratch("compact") + "/t"
+    val df = (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    df.repartition(40).write.parquet(dir)
+    val rowsBefore = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    val (before, after) = Layout.compact(spark, dir, targetFileBytes = 1L << 20)
+    assert(before == 40 && after < 40 && after >= 1)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == rowsBefore)
+    // already-compact partition is a no-op
+    val (b2, a2) = Layout.compact(spark, dir, targetFileBytes = 1L << 20)
+    assert(b2 == after && a2 == after)
+  }
 }

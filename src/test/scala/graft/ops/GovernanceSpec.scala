@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PII governance: deterministic linkability, domain/network
+  * preservation, salt rotation, and the Specs-driven table mask.
+  */
+class GovernanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pseudonym is deterministic, salt rotation severs linkage") {
+    val df = Seq("alice", "alice", "bob").toDF("v")
+    val out = df.select(
+      Governance.pseudonym(col("v"), "e1").as("a"),
+      Governance.pseudonym(col("v"), "e1").as("b"),
+      Governance.pseudonym(col("v"), "e2").as("c")).collect()
+    assert(out(0).getString(0) == out(1).getString(0), "same input same token")
+    assert(out(0).getString(0) == out(0).getString(1), "deterministic")
+    assert(out(0).getString(0) != out(0).getString(2), "salt rotates linkage")
+    assert(out(0).getString(0) != out(2).getString(0), "distinct inputs differ")
+    assert(out(0).getString(0).matches("[0-9a-f]{16}"))
+  }
+
+  test("maskEmail keeps the domain, maskIp keeps the /24") {
+    val r = Seq(("a.user@corp.example", "192.168.1.77"))
+      .toDF("email", "ip")
+      .select(Governance.maskEmail(col("email")).as("e"),
+        Governance.maskIp(col("ip")).as("i")).head()
+    assert(r.getString(0).endsWith("@corp.example") &&
+      !r.getString(0).contains("a.user"))
+    assert(r.getString(1) == "192.168.1.x")
+  }
+
+  test("maskColumns: Specs pii flags drive the mask, others untouched") {
+    val piiCols = graft.entities.Specs.commit.fields.filter(_.pii).map(_.name)
+    assert(piiCols.nonEmpty, "Commit spec must flag pii columns")
+    val df = Seq((1L, "dev@x.example", "Dev Name"))
+      .toDF("id", piiCols.head, "other")
+    val masked = Governance.maskColumns(df, Seq(piiCols.head))
+    val r = masked.head()
+    assert(r.getLong(0) == 1L && r.getString(2) == "Dev Name")
+    assert(r.getString(1).endsWith("@x.example") &&
+      !r.getString(1).startsWith("dev@"))
+    // nulls stay null (absent fields in the reference model)
+    val withNull = Seq((2L, null.asInstanceOf[String], "n"))
+      .toDF("id", piiCols.head, "other")
+    assert(Governance.maskColumns(withNull, Seq(piiCols.head))
+      .head().isNullAt(1))
+    // unknown column is an error, not a silent no-op
+    intercept[IllegalArgumentException] {
+      Governance.maskColumns(df, Seq("nope"))
+    }
+  }
+}
