@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FloatVecDot, Int8Pack, Int8VecDot, NGramShingles, TopKByScore}
+import graft.functions.{FlatJsonMap, FloatVecDot, Int8Pack, Int8VecDot, NGramShingles, TopKByScore}
 import org.apache.spark.sql.{GraftSqlShim, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -85,6 +85,12 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         require(es.length == 2, "int8_dot(a, b) takes two binary args")
         Int8VecDot(es.head, es(1))
+      }),
+    ("flat_json",
+      new ExpressionInfo(classOf[FlatJsonMap].getName, "flat_json"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1, "flat_json(json) takes one string arg")
+        FlatJsonMap(es.head)
       })
   )
 

@@ -10,7 +10,6 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
@@ -273,19 +272,15 @@ class FlatJsonPartitionReader(part: FlatJsonInputPartition,
 
   private def toRow(line: String): InternalRow = {
     if (line.trim.isEmpty) return null
-    val m = Docs.flatten(line)
-    if (m == null) return null // silent: true
+    // one definition of the flatten, shared with the flat_json native
+    // expression (and therefore the SQL surface); pruned scans still
+    // validity-parse but skip the MapData materialization
     val flat = if (needData) {
-      val keys = new Array[AnyRef](m.size)
-      val vals = new Array[AnyRef](m.size)
-      var i = 0
-      m.foreach { case (k, v) =>
-        keys(i) = UTF8String.fromString(k)
-        vals(i) = UTF8String.fromString(v)
-        i += 1
-      }
-      new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
-    } else null
+      graft.functions.FlatJsonMap.compute(UTF8String.fromString(line))
+    } else {
+      if (Docs.flatten(line) == null) return null else null
+    }
+    if (needData && flat == null) return null // silent: true
     val values = required.fieldNames.map {
       case "file_name" => fileName
       case "line_no" => java.lang.Long.valueOf(lineNo)
