@@ -378,6 +378,28 @@ object Analytics {
         .as("source_token"))
   }
 
+  /** The native `flat_json` expression, oracle-gated: synthesized order
+    * documents (tag count varies with the key) flattened to the
+    * reference's path→value map, then accessed by flattened key. The
+    * oracle replays each key as a JSON path and the map cardinality as
+    * arithmetic — 1:1 by the flatten's definition. */
+  def q121FlatJson(spark: SparkSession, dir: String): DataFrame = {
+    val tags = when(pmod(col("o_orderkey"), lit(3)) === 0, lit("""["a"]"""))
+      .when(pmod(col("o_orderkey"), lit(3)) === 1, lit("""["a","b"]"""))
+      .otherwise(lit("""["a","b","c"]"""))
+    val j = concat(lit("""{"order":{"id":"""), col("o_orderkey").cast("string"),
+      lit(""","status":""""), col("o_orderstatus"), lit("""","tags":"""),
+      tags, lit("}}"))
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        graft.functions.FlatJsonMap.flatJson(j).as("m"))
+      .select(col("o_orderkey"),
+        col("m").getItem("order.id").as("id_txt"),
+        col("m").getItem("order.status").as("status_txt"),
+        col("m").getItem("order.tags[2]").as("tag2"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_chunking" -> q98Chunking,
     "q99_ngram_freq" -> q99NgramFreq,
@@ -401,7 +423,8 @@ object Analytics {
     "q117_gaps_islands" -> q117GapsIslands,
     "q118_variant" -> q118Variant,
     "q119_filter_agg" -> q119FilterAgg,
-    "q120_pseudonymize" -> q120Pseudonymize
+    "q120_pseudonymize" -> q120Pseudonymize,
+    "q121_flat_json" -> q121FlatJson
   )
 
   val oracles: Map[String, String] = Map(
@@ -636,6 +659,22 @@ object Analytics {
         |  regexp_replace(ip,
         |    '(\b\d{1,3}\.\d{1,3}\.\d{1,3})\.\d{1,3}\b', '\1.x') AS masked_ip,
         |  substr(sha256('s1' || source), 1, 16) AS source_token
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    "q121_flat_json" ->
+      """WITH s AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE o_orderkey % 3 WHEN 0 THEN '["a"]'
+        |      WHEN 1 THEN '["a","b"]' ELSE '["a","b","c"]' END AS tags
+        |  FROM orders),
+        |j AS (SELECT o_orderkey,
+        |    '{"order":{"id":' || o_orderkey || ',"status":"' || o_orderstatus
+        |      || '","tags":' || tags || '}}' AS doc,
+        |    (o_orderkey % 3) AS m3
+        |  FROM s)
+        |SELECT o_orderkey,
+        |  json_extract_string(doc, '$.order.id') AS id_txt,
+        |  json_extract_string(doc, '$.order.status') AS status_txt,
+        |  json_extract_string(doc, '$.order.tags[2]') AS tag2,
+        |  (2 + m3 + 1)::BIGINT AS n_keys
+        |FROM j""".stripMargin
   )
 }
