@@ -10,12 +10,14 @@ object SparkEntry {
     graft.queries.Relational.defs ++ graft.queries.Training.defs ++
       graft.queries.StreamingQueries.defs ++ graft.queries.Advanced.defs ++
       graft.queries.Lifecycle.defs ++ graft.queries.Corpus.defs ++
-      graft.queries.Graphs.defs ++ graft.queries.Analytics.defs
+      graft.queries.Graphs.defs ++ graft.queries.Analytics.defs ++
+      graft.queries.Mining.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Training.oracles ++
       graft.queries.StreamingQueries.oracles ++ graft.queries.Advanced.oracles ++
       graft.queries.Lifecycle.oracles ++ graft.queries.Corpus.oracles ++
-      graft.queries.Graphs.oracles ++ graft.queries.Analytics.oracles
+      graft.queries.Graphs.oracles ++ graft.queries.Analytics.oracles ++
+      graft.queries.Mining.oracles
 }

@@ -174,4 +174,33 @@ object Temporal {
     df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_obs"), fold.as("ewma"))
   }
+
+  /** Peak concurrency per key: the classic +1/−1 interval sweep over
+    * half-open intervals [startCol, endCol). Deltas are aggregated per
+    * (key, timestamp) BEFORE the prefix sum, so (a) the running-sum
+    * window orders by unique timestamps — no tie-order ambiguity,
+    * deterministic on any engine — and (b) map-side combine collapses
+    * the fact table to |distinct endpoints| rows before the one shuffle.
+    * The per-key prefix sum then runs over each key's endpoint series
+    * (bounded by key activity, not corpus size — the same argument as
+    * [[ewma]]; salt via [[Skew]] if one key dominates).
+    *
+    * Output: key, `peak` (max simultaneous intervals), `peak_at` (the
+    * earliest timestamp at which the peak is reached).
+    */
+  def peakConcurrency(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val deltas = df.select(col(keyCol).as("__k"), col(startCol).as("__t"),
+        lit(1L).as("__d"))
+      .unionByName(df.select(col(keyCol).as("__k"), col(endCol).as("__t"),
+        lit(-1L).as("__d")))
+      .groupBy(col("__k"), col("__t")).agg(sum(col("__d")).as("__d"))
+    val byT = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    val run = deltas.withColumn("__run", sum(col("__d"))
+      .over(byT.rowsBetween(Window.unboundedPreceding, 0)))
+    run.withColumn("__mx", max(col("__run")).over(Window.partitionBy(col("__k"))))
+      .where(col("__run") === col("__mx"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(max(col("__mx")).as("peak"), min(col("__t")).as("peak_at"))
+  }
 }

@@ -303,6 +303,36 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** One round of byte-pair-encoding statistics (Sennrich et al., "Neural
+    * Machine Translation of Rare Words with Subword Units" — the merge-
+    * candidate count): whitespace pre-tokenization, each word read as its
+    * character sequence, adjacent character pairs counted weighted by word
+    * frequency. The top pair is what a BPE trainer would merge next; the
+    * full ranked table is the vocabulary-induction diagnostic.
+    *
+    * Scale shape: the corpus collapses to a word histogram first (one
+    * map-side-combined shuffle); the pair explosion then runs over the
+    * DISTINCT-WORD frame (|vocab|, not corpus tokens), and the final
+    * top-k is a TakeOrderedAndProject — no global sort materializes.
+    * Deterministic tiebreak on the pair string.
+    */
+  def bpePairs(df: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    val vocab = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val pairs = vocab.select(col("wc"), explode(
+      transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+    val top = pairs.groupBy(col("pair"))
+      .agg(sum(col("wc")).as("freq"))
+      .orderBy(col("freq").desc, col("pair").asc)
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("pair").asc)).cast("long"))
+  }
+
   /** The full per-document analysis projection. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

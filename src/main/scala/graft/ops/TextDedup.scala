@@ -619,4 +619,56 @@ object TextDedup {
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** Exact duplicated-SPAN detection — substring-level dedup in the sense
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (§4.1 ExactSubstr), re-expressed relationally: every
+    * position-aligned `n`-token window whose 60-bit hash occurs ≥ 2 times
+    * CORPUS-WIDE marks its half-open token span [pos, pos+n) as
+    * duplicated; overlapping marked spans within a document merge into
+    * islands (running-max gaps-and-islands), and the per-document report
+    * says how much of the document is corpus-repeated boilerplate. This
+    * is finer-grained than [[exactDedup]] (whole doc) or [[lineDedup]]
+    * (fixed chunks): it catches licenses, headers, and templated
+    * paragraphs at arbitrary offsets.
+    *
+    * Scale shape: one shuffle keyed on the window hash (the count-≥-2
+    * mark is a window aggregate, no second join against the big frame),
+    * then one per-document window ordered by position. Rows between the
+    * two are (doc, pos, 8-byte hash) — fixed width, no shingle strings.
+    * Only documents containing at least one duplicated span are returned.
+    *
+    * Output: id, `n_dup_windows` (marked windows), `n_islands` (merged
+    * spans), `dup_tokens` (tokens covered by any duplicated span).
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__t"))
+      .where(size(col("__t")) >= n)
+    val wins = toks
+      .select(col("__id"), posexplode(
+        transform(sequence(lit(0), size(col("__t")) - n),
+          i => hash60(array_join(slice(col("__t"), i + 1, lit(n)), " ")))))
+      .withColumnRenamed("pos", "__s").withColumnRenamed("col", "__h")
+    val marked = wins
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .where(col("__cnt") >= 2)
+      .select(col("__id"), col("__s"), (col("__s") + n).as("__e"))
+    val byPos = Window.partitionBy(col("__id")).orderBy(col("__s"))
+    val isl = marked
+      .withColumn("__pmax",
+        max(col("__e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("__new"))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+    isl.groupBy(col("__id"), col("island"))
+      .agg(count(lit(1)).as("__w"), (max(col("__e")) - min(col("__s"))).as("__len"))
+      .groupBy(col("__id").as(idCol))
+      .agg(sum(col("__w")).as("n_dup_windows"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__len")).as("dup_tokens"))
+  }
 }

@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.core.Tables.table
+import graft.ops.{Stats, Temporal, TextAnalysis, TextDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 statistical-mining surface: substring-level span dedup, the
+  * interval concurrency sweep, Welch's t-test, RFM segmentation, BPE
+  * pair statistics, and PSI drift screening. Oracle conventions follow
+  * [[Training]] / [[Corpus]]: integer quantization before any group sum,
+  * float formulas mirrored literally, fixed-order folds for float
+  * reductions, deterministic tiebreaks on every ranking.
+  */
+object Mining {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+
+  /** Corpus-repeated 5-token spans per document (ExactSubstr-style
+    * substring dedup). [[TextDedup.duplicatedSpans]]. */
+  def q122SpanDedup(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.duplicatedSpans(docs(spark, dir), "doc_id", "text", n = 5)
+
+  /** Peak simultaneous events per event type: each event holds an
+    * interval [epoch-second(ts), +max(1s, round(value)) s); the +1/−1
+    * sweep finds the concurrency high-water mark — the capacity-planning
+    * query. [[Temporal.peakConcurrency]]. */
+  def q123PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    // ts arrives as an epoch-nanos long (`nanosAsLong`, see [[Advanced]]);
+    // the oracle's floor(epoch(ts)) matches `div 1e9` for positive epochs.
+    val iv = table(spark, dir, "events").select(col("event_type"),
+        expr("ts div 1000000000L").as("start_s"),
+        (expr("ts div 1000000000L") +
+          greatest(lit(1L), round(col("value")).cast("long"))).as("end_s"))
+    Temporal.peakConcurrency(iv, "event_type", "start_s", "end_s")
+  }
+
+  /** Welch's unequal-variance t-test: does `value` differ between click
+    * and error events? [[Stats.welchTTest]]. */
+  def q124WelchTTest(spark: SparkSession, dir: String): DataFrame =
+    Stats.welchTTest(table(spark, dir, "events"), "event_type", "value",
+      groupA = "click", groupB = "error")
+
+  /** RFM customer segmentation over orders. [[Stats.rfm]]. */
+  def q125Rfm(spark: SparkSession, dir: String): DataFrame =
+    Stats.rfm(table(spark, dir, "orders"), "o_custkey", "o_orderdate",
+      "o_totalprice")
+
+  /** Top-50 BPE merge candidates over the document corpus.
+    * [[TextAnalysis.bpePairs]]. */
+  def q126BpePairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairs(docs(spark, dir), "text", k = 50)
+
+  /** PSI drift of each source's document-length distribution against the
+    * corpus, 10 equal-width bins over [0, 600). [[Stats.psiDrift]]. */
+  def q127PsiDrift(spark: SparkSession, dir: String): DataFrame =
+    Stats.psiDrift(docs(spark, dir), "source", "n_chars",
+        lo = 0.0, hi = 600.0, bins = 10)
+      .select(col("slice").as("source"), col("n_rows"), col("psi"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_span_dedup" -> q122SpanDedup,
+    "q123_peak_concurrency" -> q123PeakConcurrency,
+    "q124_welch_ttest" -> q124WelchTTest,
+    "q125_rfm" -> q125Rfm,
+    "q126_bpe_pairs" -> q126BpePairs,
+    "q127_psi_drift" -> q127PsiDrift
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q122_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |w AS (SELECT doc_id, i AS s,
+        |        ('0x' || substr(md5(array_to_string(ts[(i+1):(i+5)], ' ')),
+        |          1, 15))::BIGINT h
+        |      FROM t, UNNEST(generate_series(0, len(ts) - 5)) AS u(i)
+        |      WHERE len(ts) >= 5),
+        |m AS (SELECT doc_id, s, s + 5 AS e FROM (
+        |        SELECT doc_id, s, count(*) OVER (PARTITION BY h) cnt FROM w)
+        |      WHERE cnt >= 2),
+        |x AS (SELECT doc_id, s, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pmax
+        |      FROM m),
+        |y AS (SELECT doc_id, s, e,
+        |        sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY s
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) island
+        |      FROM x),
+        |pi AS (SELECT doc_id, island, count(*) nw, max(e) - min(s) len
+        |       FROM y GROUP BY 1, 2)
+        |SELECT doc_id, sum(nw)::BIGINT AS n_dup_windows,
+        |  count(*)::BIGINT AS n_islands, sum(len)::BIGINT AS dup_tokens
+        |FROM pi GROUP BY 1""".stripMargin,
+    "q123_peak_concurrency" ->
+      """WITH iv AS (SELECT event_type,
+        |        CAST(floor(epoch(ts)) AS BIGINT) s,
+        |        CAST(floor(epoch(ts)) AS BIGINT) +
+        |          greatest(1, CAST(round("value") AS BIGINT)) e
+        |      FROM events),
+        |d AS (SELECT event_type, s AS t, 1 AS d FROM iv
+        |      UNION ALL SELECT event_type, e, -1 FROM iv),
+        |g AS (SELECT event_type, t, sum(d) d FROM d GROUP BY 1, 2),
+        |r AS (SELECT event_type, t, sum(d) OVER (PARTITION BY event_type
+        |        ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        run FROM g),
+        |mx AS (SELECT event_type, max(run) mxr FROM r GROUP BY 1)
+        |SELECT r.event_type, mx.mxr::BIGINT AS peak,
+        |  min(r.t)::BIGINT AS peak_at
+        |FROM r JOIN mx ON r.event_type = mx.event_type AND r.run = mx.mxr
+        |GROUP BY 1, 2""".stripMargin,
+    "q124_welch_ttest" ->
+      """WITH q AS (SELECT event_type g, CAST(round("value" * 1000) AS BIGINT) x
+        |           FROM events WHERE event_type IN ('click', 'error')),
+        |a AS (SELECT count(*) n1, sum(x)::BIGINT s1, sum(x*x)::BIGINT ss1
+        |      FROM q WHERE g = 'click'),
+        |b AS (SELECT count(*) n2, sum(x)::BIGINT s2, sum(x*x)::BIGINT ss2
+        |      FROM q WHERE g = 'error'),
+        |m AS (SELECT n1, n2,
+        |        s1 / n1::DOUBLE / 1000.0 m1, s2 / n2::DOUBLE / 1000.0 m2,
+        |        (ss1 - s1 * s1 / n1::DOUBLE) / (n1::DOUBLE - 1) / 1000000.0 v1,
+        |        (ss2 - s2 * s2 / n2::DOUBLE) / (n2::DOUBLE - 1) / 1000000.0 v2
+        |      FROM a CROSS JOIN b),
+        |z AS (SELECT *, v1 / n1::DOUBLE + v2 / n2::DOUBLE se2 FROM m)
+        |SELECT 'click' AS group_a, 'error' AS group_b, n1, n2,
+        |  round(m1, 6) AS mean_a, round(m2, 6) AS mean_b,
+        |  round(v1, 6) AS var_a, round(v2, 6) AS var_b,
+        |  round((m1 - m2) / sqrt(se2), 6) AS t_stat,
+        |  round(se2 * se2 /
+        |    ((v1 / n1::DOUBLE) * (v1 / n1::DOUBLE) / (n1::DOUBLE - 1) +
+        |     (v2 / n2::DOUBLE) * (v2 / n2::DOUBLE) / (n2::DOUBLE - 1)), 6)
+        |    AS df
+        |FROM z""".stripMargin,
+    "q125_rfm" ->
+      """WITH pc AS (SELECT o_custkey custkey, max(o_orderdate) last_order,
+        |        count(*) n_orders,
+        |        sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT cents
+        |      FROM orders GROUP BY 1),
+        |s AS (SELECT *,
+        |        6 - ntile(5) OVER (ORDER BY last_order DESC, custkey ASC)
+        |          r_score,
+        |        6 - ntile(5) OVER (ORDER BY n_orders DESC, custkey ASC)
+        |          f_score,
+        |        6 - ntile(5) OVER (ORDER BY cents DESC, custkey ASC)
+        |          m_score
+        |      FROM pc)
+        |SELECT custkey, last_order, n_orders, cents,
+        |  r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+        |  m_score::BIGINT AS m_score,
+        |  r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+        |FROM s""".stripMargin,
+    "q126_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) w FROM documents),
+        |v AS (SELECT w, count(*) wc FROM tok WHERE len(w) >= 2 GROUP BY 1),
+        |p AS (SELECT substring(w, i, 2) pair, wc
+        |      FROM v, UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+        |g AS (SELECT pair, sum(wc)::BIGINT freq FROM p GROUP BY 1)
+        |SELECT pair, freq,
+        |  row_number() OVER (ORDER BY freq DESC, pair ASC) AS "rank"
+        |FROM g ORDER BY freq DESC, pair ASC LIMIT 50""".stripMargin,
+    "q127_psi_drift" ->
+      """WITH b AS (SELECT source, least(9, greatest(0,
+        |        CAST(floor((n_chars - 0.0) / 60.0) AS INT))) bin
+        |      FROM documents),
+        |c AS (SELECT source, bin, count(*) c FROM b GROUP BY 1, 2),
+        |s AS (SELECT source, sum(c)::BIGINT n_s FROM c GROUP BY 1),
+        |g AS (SELECT bin, sum(c)::BIGINT c_g FROM c GROUP BY 1),
+        |t AS (SELECT sum(c_g)::BIGINT n_g FROM g),
+        |bins AS (SELECT unnest(generate_series(0, 9))::INT bin),
+        |d AS (SELECT s.source, s.n_s, bins.bin, coalesce(c.c, 0)::BIGINT c,
+        |        g.c_g, t.n_g
+        |      FROM s CROSS JOIN bins
+        |      LEFT JOIN c ON c.source = s.source AND c.bin = bins.bin
+        |      JOIN g ON g.bin = bins.bin CROSS JOIN t),
+        |v AS (SELECT source, n_s, bin,
+        |        ((c::DOUBLE + 0.5) / (n_s::DOUBLE + 5.0) -
+        |         (c_g::DOUBLE + 0.5) / (n_g::DOUBLE + 5.0)) *
+        |          ln(((c::DOUBLE + 0.5) / (n_s::DOUBLE + 5.0)) /
+        |             ((c_g::DOUBLE + 0.5) / (n_g::DOUBLE + 5.0))) v
+        |      FROM d),
+        |a AS (SELECT source, n_s n_rows, array_agg(v ORDER BY bin) vs
+        |      FROM v GROUP BY 1, 2)
+        |SELECT source, n_rows,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE, vs), (a, b) -> a + b),
+        |    6) AS psi
+        |FROM a""".stripMargin
+  )
+}

@@ -141,4 +141,33 @@ class TemporalSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(a === b)
   }
+
+  test("peakConcurrency: half-open sweep, earliest peak timestamp") {
+    // key A: [0,10) [5,15) [10,20) → overlap of 2 on [5,10) and [10,15);
+    // an interval ENDING at 10 does not overlap one starting at 10
+    // (half-open), so the peak is 2, first reached at t=5.
+    // key B: [0,5) [0,5) [0,5) → peak 3 at 0.
+    val iv = Seq(("A", 0L, 10L), ("A", 5L, 15L), ("A", 10L, 20L),
+      ("B", 0L, 5L), ("B", 0L, 5L), ("B", 0L, 5L)).toDF("k", "s", "e")
+    val got = Temporal.peakConcurrency(iv, "k", "s", "e")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map("A" -> ((2L, 5L)), "B" -> ((3L, 0L))))
+  }
+
+  test("peakConcurrency matches a brute-force sweep on random intervals") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 400).map { _ =>
+      val s = rnd.nextInt(1000).toLong
+      (s"k${rnd.nextInt(3)}", s, s + 1 + rnd.nextInt(50))
+    }
+    val expected = rows.groupBy(_._1).map { case (k, ivs) =>
+      val peaks = (0L to 1060L).map(t =>
+        t -> ivs.count(iv => iv._2 <= t && t < iv._3))
+      val mx = peaks.map(_._2).max
+      k -> ((mx.toLong, peaks.find(_._2 == mx).get._1))
+    }
+    val got = Temporal.peakConcurrency(rows.toDF("k", "s", "e"), "k", "s", "e")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected)
+  }
 }

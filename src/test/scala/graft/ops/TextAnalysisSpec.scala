@@ -173,6 +173,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k sorted globally:\n$p")
   }
 
+  test("bpePairs counts adjacent char pairs weighted by word frequency") {
+    // "abab" ×2 and "ba" ×1 → pairs: ab(2·2)=4... per word "abab":
+    // ab, ba, ab → ab 2, ba 1 each occurrence; two occurrences → ab 4,
+    // ba 2; plus the standalone "ba" → ba 3. Single chars drop out.
+    val df = Seq("abab ba x abab").map(Tuple1(_)).toDF("text")
+    val got = TextAnalysis.bpePairs(df, "text", k = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("ab", 4L, 1L), ("ba", 3L, 2L)))
+  }
+
+  test("bpePairs explodes the vocabulary frame, not the corpus") {
+    // 1000 repetitions of one word must not multiply the pair counts' cost
+    // driver: the word histogram collapses first. Verify the counts weight
+    // by frequency and the plan takes top-k without a global sort.
+    val df = Seq.fill(1000)("hello").map(Tuple1(_)).toDF("text")
+    val out = TextAnalysis.bpePairs(df, "text", k = 3)
+    val got = out.as[(String, Long, Long)].collect().toSeq
+    // pairs of "hello": he el ll lo, all ×1000; rank = (freq desc, pair asc)
+    assert(got == Seq(("el", 1000L, 1L), ("he", 1000L, 2L), ("ll", 1000L, 3L)))
+    assert(out.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("analyze attaches the full projection") {
     val cols = TextAnalysis.analyze(Seq((1L, "the a b")).toDF("id", "text"), "text").columns
     assert(Seq("pred_lang", "lang_score", "n_tokens", "n_bpe_tokens",

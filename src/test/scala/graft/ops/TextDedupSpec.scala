@@ -275,4 +275,29 @@ class TextDedupSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("duplicatedSpans marks corpus-repeated windows and merges overlaps") {
+    // docs 1 and 2 share the 6-token run "p q r s t u": with n=5 that is
+    // two overlapping duplicated windows per doc → one island of 6 tokens.
+    // doc 3 has no 5-gram in common with anything → absent from output.
+    val docs = Seq(
+      (1L, "a b c p q r s t u x y z"),
+      (2L, "m n p q r s t u o w"),
+      (3L, "entirely different words with no repeats at all")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.duplicatedSpans(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(1L -> ((2L, 1L, 6L)), 2L -> ((2L, 1L, 6L))))
+  }
+
+  test("duplicatedSpans: within-document repetition also counts") {
+    // "h1 h2 h3 h4 h5" occurs twice INSIDE one doc (positions 0 and 7) —
+    // corpus-wide count 2 → both windows marked, two disjoint islands
+    val docs = Seq((9L, "h1 h2 h3 h4 h5 gap x h1 h2 h3 h4 h5"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.duplicatedSpans(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((9L, 2L, 2L, 10L)))
+  }
 }
