@@ -42,4 +42,29 @@ object Quality {
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
       .where(col("n_rows") > 1)
+
+  /** Order-independent table checksum for cross-engine/cross-copy
+    * reconciliation: did the rows survive a migration bit-for-bit,
+    * without sorting or shipping either side?
+    *
+    * Each row is rendered to a canonical `|`-joined string (the CALLER
+    * pre-normalizes floats/dates to canonical columns — rendering rules
+    * are engine-specific, canonical strings are not), md5-hashed to 60
+    * bits, and folded two ways: XOR (order-independent, overflow-free)
+    * and a modular SUM (catches the duplicated+dropped row pair that XOR
+    * cancels; modulus 2^20·prime keeps ANSI-mode sums overflow-safe past
+    * 10^12 rows). Equal (n_rows, xor_sig, sum_sig) across two engines is
+    * a practically-certain row-multiset match.
+    *
+    * One narrow scan, one 3-long aggregate — nothing shuffles but the
+    * partial aggregates.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "checksum needs at least one column")
+    val rowStr = concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+    val h = TextDedup.hash60(rowStr)
+    df.agg(count(lit(1)).as("n_rows"),
+      bit_xor(h).as("xor_sig"),
+      sum(pmod(h, lit(1048573L))).as("sum_sig"))
+  }
 }

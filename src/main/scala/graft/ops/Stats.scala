@@ -110,6 +110,236 @@ object Stats {
           lit(0.0), (a, x) => a + x), 6).as("psi"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test between two groups of a metric:
+    * D = max over values of |ECDF_a − ECDF_b|, the standard
+    * distribution-equality screen between experiment arms (complements
+    * [[welchTTest]], which only compares means).
+    *
+    * Values are quantized to integer thousandths first; the per-value
+    * group counts and their running sums are exact longs, so each ECDF
+    * step is an exact-integer division and D is bit-identical across
+    * engines. The cumulative window runs over DISTINCT quantized values
+    * (not rows) with no partition key — fine to millions of distinct
+    * values; for a truly unbounded domain, pre-bin into quantile buckets
+    * (the [[Profile]] equi-depth machinery) first.
+    *
+    * Output: one row — n1, n2, `d_stat`, and `d_at` (the metric value
+    * where the max gap occurs; lowest such value on ties).
+    */
+  def ksTest(df: DataFrame, groupCol: String, metricCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val q = df.where(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("g"),
+        round(col(metricCol) * 1000).cast("long").as("x"))
+    val perVal = q.groupBy(col("x")).agg(
+      sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("g") === groupB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perVal.select(col("x"),
+      sum(col("ca")).over(w).as("cum_a"),
+      sum(col("cb")).over(w).as("cum_b"))
+    val tot = q.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val n1f = tot.where(col("g") === groupA).select(col("n").as("n1"))
+    val n2f = tot.where(col("g") === groupB).select(col("n").as("n2"))
+    cum.crossJoin(broadcast(n1f)).crossJoin(broadcast(n2f))
+      .select(col("n1"), col("n2"),
+        abs(col("cum_a") / col("n1").cast("double") -
+          col("cum_b") / col("n2").cast("double")).as("d"),
+        col("x"))
+      // max d, then the LOWEST x achieving it: struct max with negated x
+      .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+        max(struct(col("d"), (-col("x")).as("nx"))).as("m"))
+      .select(lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+        col("n1"), col("n2"),
+        round(col("m.d"), 6).as("d_stat"),
+        round(-col("m.nx") / 1000.0, 6).as("d_at"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) test between two groups of a
+    * metric — the non-parametric alternative to [[welchTTest]] when the
+    * metric is heavy-tailed (latencies, revenues). Tied values receive
+    * their average rank; the normal approximation's variance carries the
+    * standard tie correction.
+    *
+    * Exactness: ranks are computed per DISTINCT quantized value from
+    * running integer counts, and the rank-sum is accumulated in HALF-UNIT
+    * integers (`2·cumprev + c + 1` is always integral), so U is exact and
+    * only the closing z formula touches floats. Same distinct-value
+    * window ceiling as [[ksTest]].
+    *
+    * Output: one row — n1, n2, `u_stat` (U of group A), `z` (tie-corrected
+    * normal approximation, positive when A stochastically dominates).
+    */
+  def mannWhitneyU(df: DataFrame, groupCol: String, metricCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val q = df.where(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("g"),
+        round(col(metricCol) * 1000).cast("long").as("x"))
+    val perVal = q.groupBy(col("x")).agg(
+      sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("g") === groupB, 1L).otherwise(0L)).as("cb"))
+      .withColumn("c", col("ca") + col("cb"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perVal.select(col("ca"), col("cb"), col("c"),
+      coalesce(sum(col("c")).over(w), lit(0L)).as("cumprev"))
+    // rank-sum of group A in half-units: avg rank = cumprev + (c+1)/2,
+    // so 2·R1 = Σ ca·(2·cumprev + c + 1) — an exact integer sum; the tie
+    // term Σ(t³−t) is likewise integral.
+    val agg = ranked.agg(
+      sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
+      sum(col("ca") * (col("cumprev") * 2 + col("c") + 1)).as("r1x2"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val nT = n1 + n2
+    val u1 = col("r1x2") / 2.0 - n1 * (n1 + 1) / 2.0
+    val sigma2 = n1 * n2 / 12.0 *
+      ((nT + 1) - col("ties").cast("double") / (nT * (nT - 1)))
+    agg.select(lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+      col("n1"), col("n2"),
+      round(u1, 6).as("u_stat"),
+      round((u1 - n1 * n2 / 2.0) / sqrt(sigma2), 6).as("z"))
+  }
+
+  /** Decile lift-and-gains table for a scoring model: rank rows by score
+    * (best first, deterministic id tiebreak), cut into `buckets` ntiles,
+    * and report per-bucket and cumulative response — the standard model-
+    * evaluation report (lift 1.0 = no better than random targeting).
+    *
+    * All rates derive from exact integer counts, so the one division per
+    * output row is deterministic. The ntile is a total-order window (same
+    * documented ceiling and same at-scale remedy as [[rfm]]: swap for
+    * boundary-join scoring against pre-computed score quantiles).
+    *
+    * Output: one row per bucket — n, pos, `rate`, `cum_gain` (fraction of
+    * all positives captured through this bucket), `lift` (cumulative rate
+    * over base rate).
+    */
+  def liftGains(df: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String, buckets: Int = 10): DataFrame = {
+    val d = df.select(col(idCol).as("id"), col(scoreCol).as("score"),
+      col(labelCol).cast("long").as("y"))
+    val dec = d.withColumn("bucket", ntile(buckets).over(
+      Window.orderBy(col("score").desc, col("id").asc)))
+    val per = dec.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.select(col("bucket"), col("n"), col("pos"),
+      sum(col("n")).over(w).as("cum_n"),
+      sum(col("pos")).over(w).as("cum_pos"))
+    val tot = per.agg(sum(col("n")).as("nt"), sum(col("pos")).as("pt"))
+    cum.crossJoin(broadcast(tot)).select(
+      col("bucket"), col("n"), col("pos"),
+      round(col("pos") / col("n").cast("double"), 6).as("rate"),
+      round(col("cum_pos") / col("pt").cast("double"), 6).as("cum_gain"),
+      round((col("cum_pos") / col("cum_n").cast("double")) /
+        (col("pt") / col("nt").cast("double")), 6).as("lift"))
+  }
+
+  /** Deterministic multiplier-bootstrap confidence interval for the mean
+    * of `valueCol`: each of `resamples` replicas reweights every row by a
+    * hash-derived multiplier in {0, 1, 2} (mean 1 — an online-bootstrap
+    * weighting in the Oza–Russell style, made reproducible by drawing the
+    * weight from `md5(id:replica)` instead of an RNG), and the interval
+    * is the nearest-rank 2.5th/97.5th percentile of the replica means.
+    *
+    * Everything sums in exact integers (values quantized to thousandths,
+    * weights integral), replica means fold from a sorted array — the
+    * result is bit-identical on any engine and any partitioning, which an
+    * RNG bootstrap can never be.
+    *
+    * Scale shape: one groupBy(replica) over an n×R exploded frame —
+    * map-side combine collapses each task's slice to R partial rows, so
+    * the shuffle is O(R·tasks) however large n is. R multiplies scan CPU;
+    * at 100 TB keep R ≲ 100 or bootstrap a sampled tier instead.
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+      resamples: Int = 100): DataFrame = {
+    require(resamples >= 2, s"need ≥2 resamples, got $resamples")
+    val q = df.select(col(idCol).cast("string").as("id"),
+      round(col(valueCol) * 1000).cast("long").as("x"))
+    val point = q.agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .select((col("sx") / col("n").cast("double") / 1000.0).as("mean"),
+        col("n"))
+    val reps = q.select(col("id"), col("x"),
+        explode(sequence(lit(0), lit(resamples - 1))).as("r"))
+      .withColumn("w", pmod(
+        TextDedup.hash60(concat(col("id"), lit(":"), col("r"))), lit(3L)))
+      .groupBy(col("r"))
+      .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+      .select(col("r"),
+        (col("swx") / col("sw").cast("double") / 1000.0).as("m"))
+    val lo = math.max(1, math.ceil(0.025 * resamples).toInt)
+    val hi = math.max(1, math.ceil(0.975 * resamples).toInt)
+    reps.agg(sort_array(collect_list(col("m"))).as("ms"))
+      .crossJoin(broadcast(point))
+      .select(col("n"), lit(resamples).as("n_resamples"),
+        round(col("mean"), 6).as("mean"),
+        round(element_at(col("ms"), lo), 6).as("ci_lo"),
+        round(element_at(col("ms"), hi), 6).as("ci_hi"))
+  }
+
+  /** Leave-one-out target encoding with additive smoothing — the standard
+    * high-cardinality categorical feature for gradient-boosted models:
+    *
+    *   enc(row) = (pos(cat) − y(row) + m·prior) / (n(cat) − 1 + m)
+    *
+    * Excluding the row's own label (leave-one-out) prevents target
+    * leakage; the `m`-weighted global prior shrinks rare categories
+    * toward the population rate. All counts are exact integers, the
+    * prior and one division are the only float ops — deterministic on
+    * any engine.
+    *
+    * Scale shape: one aggregate to category grain, then a broadcast join
+    * of that tiny frame back onto the facts — the big table is scanned
+    * once and never shuffled.
+    */
+  def targetEncode(df: DataFrame, idCol: String, catCol: String,
+      labelCol: String, smoothing: Int = 10): DataFrame = {
+    val d = df.select(col(idCol).as("id"), col(catCol).as("category"),
+      col(labelCol).cast("long").as("y"))
+    val g = d.groupBy(col("category"))
+      .agg(count(lit(1)).as("n_cat"), sum(col("y")).as("pos_cat"))
+    val tot = d.agg(count(lit(1)).as("nt"), sum(col("y")).as("pt"))
+    d.join(broadcast(g), Seq("category")).crossJoin(broadcast(tot))
+      .select(col("id"), col("category"), col("y"),
+        round((col("pos_cat") - col("y") +
+            lit(smoothing.toDouble) * col("pt") / col("nt").cast("double")) /
+          (col("n_cat") - 1 + smoothing).cast("double"), 6).as("enc"))
+  }
+
+  /** Key-skew diagnostic: the Gini coefficient of the per-key row-count
+    * distribution plus the hottest key's share — the number that says
+    * whether a groupBy/join on this key needs salting ([[Skew]]) before
+    * it needs a bigger cluster. 0 = perfectly uniform, →1 = one key owns
+    * the table.
+    *
+    * Gini = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) over counts sorted ascending —
+    * the numerator accumulates in exact integers (a float sum would be
+    * partition-order-dependent), so the single closing division is
+    * deterministic. The rank window runs over KEY GRAIN (one row per
+    * distinct key), not the fact table; fine to tens of millions of
+    * keys.
+    *
+    * Output: one row — n_keys, n_rows, `gini`, `top_share`.
+    */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val cnt = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("x"))
+    val ranked = cnt.withColumn("i",
+      row_number().over(Window.orderBy(col("x").asc, col("k").asc)))
+    ranked.agg(
+        count(lit(1)).as("n_keys"), sum(col("x")).as("n_rows"),
+        sum((col("i") * 2 - 1) * col("x")).as("num2"), // Σ(2i−1)x
+        max(col("x")).as("mx"))
+      .select(col("n_keys"), col("n_rows"),
+        // Σ(2i−n−1)x = Σ(2i−1)x − n·Σx, all integral
+        round((col("num2") - col("n_keys") * col("n_rows")).cast("double") /
+          (col("n_keys") * col("n_rows")).cast("double"), 6).as("gini"),
+        round(col("mx") / col("n_rows").cast("double"), 6).as("top_share"))
+  }
+
   /** RFM segmentation: per-customer Recency (latest order date),
     * Frequency (order count), Monetary (lifetime cents), each scored into
     * `quantiles` ntile buckets with 5 = best and a deterministic

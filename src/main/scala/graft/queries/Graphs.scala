@@ -88,15 +88,9 @@ object Graphs {
     * co-bought in ≥2 orders): the affinity graph's clustering signal.
     * Edges are canonical by construction (basket arrays are sorted, so
     * part_a < part_b). */
-  def q92Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val edges = baskets(spark, dir)
-      .select(explode(pairsFromBasket).as("p"))
-      .groupBy(col("p.part_a").as("src"), col("p.part_b").as("dst"))
-      .agg(count(lit(1)).as("co"))
-      .where(col("co") >= 2)
-      .select(col("src"), col("dst"))
-    Graph.triangleCount(edges)
-  }
+  def q92Triangles(spark: SparkSession, dir: String): DataFrame =
+    Graph.triangleCount(
+      affinityEdges(spark, dir).select(col("src"), col("dst")))
 
   /** Multi-source BFS hop distances from the lowest-id node over the
     * trade graph (6-hop horizon). The source set is a 1-row aggregate
@@ -107,12 +101,59 @@ object Graphs {
     Graph.shortestPaths(edges, sources, maxHops = 6)
   }
 
+  /** Co-purchase affinity edges (co-bought in ≥2 orders), canonical
+    * part_a < part_b by construction — shared by q92/q132/q133. */
+  private def affinityEdges(spark: SparkSession, dir: String): DataFrame =
+    baskets(spark, dir)
+      .select(explode(pairsFromBasket).as("p"))
+      .groupBy(col("p.part_a").as("src"), col("p.part_b").as("dst"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= 2)
+
+  /** Local clustering coefficient per part over the co-purchase graph:
+    * which products sit in tightly-knit "bought-together" communities vs
+    * hub products bridging unrelated baskets. [[Graph.localClustering]]. */
+  def q132ClusteringCoef(spark: SparkSession, dir: String): DataFrame =
+    Graph.localClustering(affinityEdges(spark, dir).select(col("src"),
+      col("dst")))
+
+  /** Association rules from the co-purchase graph: both directions of
+    * every supported pair with confidence co/n(antecedent) and lift
+    * co·N/(n_a·n_c) over N baskets — top 100 by lift (deterministic
+    * part-key tiebreak). All inputs exact integers; one float division
+    * per measure, so DuckDB replays the ordering bit-for-bit. */
+  def q133AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val b = baskets(spark, dir)
+    val nb = b.agg(count(lit(1)).as("nb"))
+    val co = affinityEdges(spark, dir)
+    val n = b.select(explode(col("parts")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n"))
+    val rules = co.select(col("src").as("ante"), col("dst").as("cons"),
+        col("co"))
+      .unionByName(co.select(col("dst").as("ante"), col("src").as("cons"),
+        col("co")))
+    rules
+      .join(n.select(col("part"), col("n").as("n_ante")),
+        col("ante") === col("part")).drop("part")
+      .join(n.select(col("part"), col("n").as("n_cons")),
+        col("cons") === col("part")).drop("part")
+      .crossJoin(broadcast(nb))
+      .select(col("ante"), col("cons"), col("co"),
+        round(col("co") / col("n_ante").cast("double"), 6).as("confidence"),
+        round(col("co") * col("nb") /
+          (col("n_ante") * col("n_cons")).cast("double"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("ante"), col("cons"))
+      .limit(100)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_pagerank" -> q87PageRank,
     "q90_copurchase" -> q90CoPurchase,
     "q91_item_sim" -> q91ItemSim,
     "q92_triangles" -> q92Triangles,
-    "q96_bfs" -> q96Bfs
+    "q96_bfs" -> q96Bfs,
+    "q132_clustering_coef" -> q132ClusteringCoef,
+    "q133_assoc_rules" -> q133AssocRules
   )
 
   // Fixed-iteration PageRank unrolled as CTEs; `//` (DuckDB integral
@@ -191,6 +232,41 @@ object Graphs {
         |  SELECT e.dst, w.dist + 1 FROM walk w
         |  JOIN edges e ON w.node = e.src WHERE w.dist < 6)
         |SELECT CAST(node AS BIGINT) AS node, min(dist) AS dist
-        |FROM walk GROUP BY node""".stripMargin
+        |FROM walk GROUP BY node""".stripMargin,
+    "q132_clustering_coef" ->
+      """WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey src, b.l_partkey dst
+        |      FROM bp a JOIN bp b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, count(*)::BIGINT degree FROM (
+        |        SELECT src node FROM e UNION ALL SELECT dst FROM e)
+        |      GROUP BY 1),
+        |tn AS (SELECT unnest([e1.src, e1.dst, e2.dst]) node
+        |      FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        |      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |tri AS (SELECT node, count(*)::BIGINT n_tri FROM tn GROUP BY 1)
+        |SELECT d.node, d.degree, coalesce(t.n_tri, 0)::BIGINT AS n_tri,
+        |  CASE WHEN d.degree < 2 THEN 0.0
+        |       ELSE round(coalesce(t.n_tri, 0) * 2 /
+        |         CAST(d.degree * (d.degree - 1) AS DOUBLE), 6) END AS coef
+        |FROM deg d LEFT JOIN tri t ON d.node = t.node""".stripMargin,
+    "q133_assoc_rules" ->
+      """WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |nb AS (SELECT count(DISTINCT l_orderkey)::BIGINT nb FROM lineitem),
+        |co AS (SELECT a.l_partkey part_a, b.l_partkey part_b,
+        |         count(*)::BIGINT co
+        |       FROM bp a JOIN bp b ON a.l_orderkey = b.l_orderkey
+        |         AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |n AS (SELECT l_partkey part, count(*)::BIGINT n FROM bp GROUP BY 1),
+        |r AS (SELECT part_a ante, part_b cons, co FROM co
+        |      UNION ALL SELECT part_b, part_a, co FROM co)
+        |SELECT r.ante, r.cons, r.co,
+        |  round(r.co / na.n::DOUBLE, 6) AS confidence,
+        |  round(r.co * nb.nb / CAST(na.n * nc.n AS DOUBLE), 6) AS lift
+        |FROM r JOIN n na ON r.ante = na.part
+        |JOIN n nc ON r.cons = nc.part CROSS JOIN nb
+        |ORDER BY lift DESC, ante, cons LIMIT 100""".stripMargin
   )
 }

@@ -59,7 +59,38 @@ object Mining {
         lo = 0.0, hi = 600.0, bins = 10)
       .select(col("slice").as("source"), col("n_rows"), col("psi"))
 
+  /** Two-sample Kolmogorov–Smirnov: click vs error `value`
+    * distributions. [[Stats.ksTest]]. */
+  def q128KsTest(spark: SparkSession, dir: String): DataFrame =
+    Stats.ksTest(table(spark, dir, "events"), "event_type", "value",
+      groupA = "click", groupB = "error")
+
+  /** Mann–Whitney U rank-sum: click vs error `value` — the heavy-tail-
+    * robust companion to q124's Welch test. [[Stats.mannWhitneyU]]. */
+  def q129Mwu(spark: SparkSession, dir: String): DataFrame =
+    Stats.mannWhitneyU(table(spark, dir, "events"), "event_type", "value",
+      groupA = "click", groupB = "error")
+
+  /** Decile lift-and-gains: treat `o_totalprice` as a model score for
+    * predicting finished orders (`o_orderstatus = 'F'`).
+    * [[Stats.liftGains]]. */
+  def q130Lift(spark: SparkSession, dir: String): DataFrame =
+    Stats.liftGains(
+      table(spark, dir, "orders")
+        .withColumn("y", col("o_orderstatus") === "F"),
+      idCol = "o_orderkey", scoreCol = "o_totalprice", labelCol = "y")
+
+  /** Deterministic multiplier-bootstrap 95% CI for mean document length.
+    * [[Stats.bootstrapMeanCI]]. */
+  def q131BootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    Stats.bootstrapMeanCI(docs(spark, dir), "doc_id", "n_chars",
+      resamples = 100)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_ks_test" -> q128KsTest,
+    "q129_mwu" -> q129Mwu,
+    "q130_lift" -> q130Lift,
+    "q131_bootstrap_ci" -> q131BootstrapCi,
     "q122_span_dedup" -> q122SpanDedup,
     "q123_peak_concurrency" -> q123PeakConcurrency,
     "q124_welch_ttest" -> q124WelchTTest,
@@ -69,6 +100,91 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    "q128_ks_test" ->
+      """WITH q AS (SELECT event_type g, CAST(round("value" * 1000) AS BIGINT) x
+        |           FROM events WHERE event_type IN ('click', 'error')),
+        |pv AS (SELECT x,
+        |        sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::BIGINT ca,
+        |        sum(CASE WHEN g = 'error' THEN 1 ELSE 0 END)::BIGINT cb
+        |      FROM q GROUP BY 1),
+        |n AS (SELECT sum(ca)::BIGINT n1, sum(cb)::BIGINT n2 FROM pv),
+        |c AS (SELECT x,
+        |        sum(ca) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) cum_a,
+        |        sum(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) cum_b
+        |      FROM pv),
+        |d AS (SELECT x, abs(cum_a / n.n1::DOUBLE - cum_b / n.n2::DOUBLE) d
+        |      FROM c CROSS JOIN n),
+        |m AS (SELECT max(d) dm FROM d)
+        |SELECT 'click' AS group_a, 'error' AS group_b, n.n1, n.n2,
+        |  round(m.dm, 6) AS d_stat, round(min(d.x) / 1000.0, 6) AS d_at
+        |FROM d CROSS JOIN m CROSS JOIN n
+        |WHERE d.d = m.dm GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+    "q129_mwu" ->
+      """WITH q AS (SELECT event_type g, CAST(round("value" * 1000) AS BIGINT) x
+        |           FROM events WHERE event_type IN ('click', 'error')),
+        |pv AS (SELECT x,
+        |        sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::BIGINT ca,
+        |        sum(CASE WHEN g = 'error' THEN 1 ELSE 0 END)::BIGINT cb
+        |      FROM q GROUP BY 1),
+        |r AS (SELECT ca, cb, ca + cb c,
+        |        coalesce(sum(ca + cb) OVER (ORDER BY x
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          cumprev
+        |      FROM pv),
+        |a AS (SELECT sum(ca)::BIGINT n1, sum(cb)::BIGINT n2,
+        |        sum(ca * (2 * cumprev + c + 1))::BIGINT r1x2,
+        |        sum(c * c * c - c)::BIGINT tie_sum
+        |      FROM r)
+        |SELECT 'click' AS group_a, 'error' AS group_b, n1, n2,
+        |  round(r1x2 / 2.0 - n1::DOUBLE * (n1::DOUBLE + 1) / 2.0, 6)
+        |    AS u_stat,
+        |  round((r1x2 / 2.0 - n1::DOUBLE * (n1::DOUBLE + 1) / 2.0 -
+        |      n1::DOUBLE * n2::DOUBLE / 2.0) /
+        |    sqrt(n1::DOUBLE * n2::DOUBLE / 12.0 *
+        |      ((n1::DOUBLE + n2::DOUBLE + 1) -
+        |       tie_sum::DOUBLE / ((n1::DOUBLE + n2::DOUBLE) *
+        |                       (n1::DOUBLE + n2::DOUBLE - 1)))), 6) AS z
+        |FROM a""".stripMargin,
+    "q130_lift" ->
+      """WITH d AS (SELECT o_orderkey id, o_totalprice score,
+        |        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END y
+        |      FROM orders),
+        |t AS (SELECT y, ntile(10) OVER (ORDER BY score DESC, id ASC) bucket
+        |      FROM d),
+        |p AS (SELECT bucket, count(*) n, sum(y)::BIGINT pos
+        |      FROM t GROUP BY 1),
+        |c AS (SELECT bucket, n, pos,
+        |        sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW)::BIGINT cum_n,
+        |        sum(pos) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW)::BIGINT cum_pos
+        |      FROM p),
+        |tt AS (SELECT sum(n)::BIGINT nt, sum(pos)::BIGINT pt FROM p)
+        |SELECT CAST(bucket AS INT) AS bucket, n, pos,
+        |  round(pos / n::DOUBLE, 6) AS rate,
+        |  round(cum_pos / tt.pt::DOUBLE, 6) AS cum_gain,
+        |  round((cum_pos / cum_n::DOUBLE) / (tt.pt / tt.nt::DOUBLE), 6)
+        |    AS lift
+        |FROM c CROSS JOIN tt""".stripMargin,
+    "q131_bootstrap_ci" ->
+      """WITH q AS (SELECT doc_id id,
+        |        CAST(round(n_chars * 1000) AS BIGINT) x FROM documents),
+        |p AS (SELECT sum(x)::BIGINT sx, count(*) n FROM q),
+        |e AS (SELECT id, x, r FROM q,
+        |        UNNEST(generate_series(0, 99)) AS u(r)),
+        |w AS (SELECT r,
+        |        ('0x' || substr(md5(id || ':' || r), 1, 15))::BIGINT % 3 w,
+        |        x FROM e),
+        |g AS (SELECT r, sum(w * x)::BIGINT swx, sum(w)::BIGINT sw
+        |      FROM w GROUP BY 1),
+        |m AS (SELECT r, swx / sw::DOUBLE / 1000.0 m FROM g),
+        |arr AS (SELECT array_agg(m ORDER BY m) ms FROM m)
+        |SELECT p.n, 100 AS n_resamples,
+        |  round(p.sx / p.n::DOUBLE / 1000.0, 6) AS mean,
+        |  round(arr.ms[3], 6) AS ci_lo, round(arr.ms[98], 6) AS ci_hi
+        |FROM arr CROSS JOIN p""".stripMargin,
     "q122_span_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
         |w AS (SELECT doc_id, i AS s,

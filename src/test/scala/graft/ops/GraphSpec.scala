@@ -75,6 +75,30 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> 0, 3L -> 0, 2L -> 1))
   }
 
+  test("localClustering: triangle-plus-pendant hand check") {
+    // triangle 1-2-3 with pendant 4 hanging off 3 (canonical src < dst)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.localClustering(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L)._1 == 3L && got(3L)._2 == 1L)
+    assert(math.abs(got(3L)._3 - 0.333333) < 1e-9) // 2·1/(3·2), rounded
+    assert(got(4L) == ((1L, 0L, 0.0))) // degree-1 node: defined as 0
+  }
+
+  test("localClustering: clique is all-1.0, star center is 0.0") {
+    val k4 = (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b))
+      .toDF("src", "dst")
+    assert(Graph.localClustering(k4).collect()
+      .forall(_.getDouble(3) == 1.0))
+    val star = (2L to 5L).map(l => (1L, l)).toDF("src", "dst")
+    val s = Graph.localClustering(star).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(s(1L) == 0.0, "hub of a star has no closed wedges")
+  }
+
   test("rank mass is conserved up to quantization loss (ring graph)") {
     // on a 1-regular directed ring every node has outdeg 1 and indeg 1, so
     // (85·r)//100 loses <1 nano per edge per round: total mass stays within

@@ -33,4 +33,32 @@ class QualitySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 2L, 3L -> 3L))
   }
+
+  test("tableChecksum: order/partition-invariant; any cell change detected") {
+    val rows = (1 to 300).map(i => (i.toLong, s"name$i", i * 7 % 13))
+    val a = Quality.tableChecksum(
+      rows.toDF("id", "name", "x").repartition(1), Seq("id", "name", "x"))
+      .collect().head
+    val b = Quality.tableChecksum(
+      scala.util.Random.shuffle(rows).toDF("id", "name", "x")
+        .repartition(17), Seq("id", "name", "x"))
+      .collect().head
+    assert(a == b, "row order and partitioning must not matter")
+    val mutated = rows.updated(150, (151L, "nameX", 151 * 7 % 13))
+    val c = Quality.tableChecksum(
+      mutated.toDF("id", "name", "x"), Seq("id", "name", "x")).collect().head
+    assert(a != c, "single-cell change must flip the signature")
+  }
+
+  test("tableChecksum: sum_sig catches the double+drop swap XOR misses") {
+    // {r1, r1} vs {r2, r2}: every even-multiplicity row XORs to 0, so
+    // xor_sig ties (0 = 0) even though the tables share no rows at all —
+    // sum_sig differs, the documented reason for carrying both signatures
+    val d1 = Seq((1L, "a"), (1L, "a")).toDF("id", "v")
+    val d2 = Seq((2L, "b"), (2L, "b")).toDF("id", "v")
+    val s1 = Quality.tableChecksum(d1, Seq("id", "v")).collect().head
+    val s2 = Quality.tableChecksum(d2, Seq("id", "v")).collect().head
+    assert(s1.getAs[Long]("xor_sig") == s2.getAs[Long]("xor_sig"))
+    assert(s1.getAs[Long]("sum_sig") != s2.getAs[Long]("sum_sig"))
+  }
 }

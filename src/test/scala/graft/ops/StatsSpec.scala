@@ -66,6 +66,116 @@ class StatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ksTest: hand-computed D and earliest argmax value") {
+    // a: 1 2 3 4, b: 3 4 5 6 — ECDF gap is 0.5 at x ∈ {2,3,4}; the
+    // reported location is the LOWEST such value
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "x")
+    val r = Stats.ksTest(df, "g", "x", "a", "b").collect().head
+    assert(r.getAs[Long]("n1") == 4 && r.getAs[Long]("n2") == 4)
+    assert(r.getAs[Double]("d_stat") == 0.5)
+    assert(r.getAs[Double]("d_at") == 2.0)
+  }
+
+  test("ksTest: identical samples give D = 0; result partition-invariant") {
+    val rnd = new scala.util.Random(3)
+    val same = (1 to 800).flatMap { _ =>
+      val v = rnd.nextInt(1000) / 10.0; Seq(("a", v), ("b", v))
+    }
+    assert(Stats.ksTest(same.toDF("g", "x"), "g", "x", "a", "b")
+      .collect().head.getAs[Double]("d_stat") == 0.0)
+    val mixed = (1 to 1500).map(i =>
+      (if (i % 3 == 0) "a" else "b", rnd.nextInt(500) / 7.0))
+    val p1 = Stats.ksTest(mixed.toDF("g", "x").repartition(1),
+      "g", "x", "a", "b").collect().head
+    val p32 = Stats.ksTest(mixed.toDF("g", "x").repartition(32),
+      "g", "x", "a", "b").collect().head
+    assert(p1 == p32)
+  }
+
+  test("mannWhitneyU: tied ranks averaged, tie-corrected z") {
+    // a: 1 2 3, b: 2 3 4 → ranks 1, 2.5, 2.5, 4.5, 4.5, 6
+    // R1 = 1 + 2.5 + 4.5 = 8 → U1 = 8 − 6 = 2; ties Σ(t³−t) = 12
+    // σ² = (9/12)·(7 − 12/30) = 4.95; z = (2 − 4.5)/√4.95
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "x")
+    val r = Stats.mannWhitneyU(df, "g", "x", "a", "b").collect().head
+    assert(r.getAs[Long]("n1") == 3 && r.getAs[Long]("n2") == 3)
+    assert(r.getAs[Double]("u_stat") == 2.0)
+    assert(math.abs(r.getAs[Double]("z") - (-2.5 / math.sqrt(4.95))) < 1e-6)
+  }
+
+  test("mannWhitneyU: symmetric samples give U = n1·n2/2 and z = 0") {
+    val df = Seq(("a", 1.0), ("a", 4.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "x")
+    val r = Stats.mannWhitneyU(df, "g", "x", "a", "b").collect().head
+    // R1 = 1 + 4 = 5, U1 = 5 − 3 = 2 = n1·n2/2 → z = 0
+    assert(r.getAs[Double]("u_stat") == 2.0)
+    assert(r.getAs[Double]("z") == 0.0)
+  }
+
+  test("liftGains: two-bucket hand check (rates, gains, lift)") {
+    // scores 10..1; top-5 rows hold 4 of the 5 positives
+    val rows = (1 to 10).map(i =>
+      (i.toLong, (11 - i).toDouble, i <= 4 || i == 10))
+    val out = Stats.liftGains(rows.toDF("id", "score", "y"),
+        "id", "score", "y", buckets = 2)
+      .collect().map(r => r.getAs[Int]("bucket") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("pos"), r.getAs[Double]("rate"),
+          r.getAs[Double]("cum_gain"), r.getAs[Double]("lift")))).toMap
+    assert(out(1) == ((5L, 4L, 0.8, 0.8, 1.6)))
+    assert(out(2) == ((5L, 1L, 0.2, 1.0, 1.0)))
+  }
+
+  test("bootstrapMeanCI: brackets the mean, deterministic across runs") {
+    val rows = (1 to 500).map(i => (s"d$i", 50.0 + (i % 100)))
+    val df = rows.toDF("id", "x")
+    val a = Stats.bootstrapMeanCI(df, "id", "x", resamples = 100)
+      .collect().head
+    assert(a.getAs[Long]("n") == 500 && a.getAs[Int]("n_resamples") == 100)
+    val mean = a.getAs[Double]("mean")
+    assert(math.abs(mean - (50.0 + 99.0 / 2 + 0.3)) < 1.0) // ≈ mean of 50..149
+    assert(a.getAs[Double]("ci_lo") <= mean && mean <= a.getAs[Double]("ci_hi"))
+    assert(a.getAs[Double]("ci_lo") < a.getAs[Double]("ci_hi"))
+    // hash-derived weights: same result on any partitioning, every run
+    val b = Stats.bootstrapMeanCI(df.repartition(23), "id", "x", 100)
+      .collect().head
+    assert(a == b)
+  }
+
+  test("targetEncode: leave-one-out with smoothing, hand-checked") {
+    // cat "a": rows y=1,1,0 ; cat "b": rows y=0,0 ; prior = 2/5, m = 10
+    val df = Seq((1L, "a", true), (2L, "a", true), (3L, "a", false),
+      (4L, "b", false), (5L, "b", false)).toDF("id", "c", "y")
+    val out = Stats.targetEncode(df, "id", "c", "y", smoothing = 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("enc"))
+      .toMap
+    val prior = 2.0 / 5
+    // row 1 (a, y=1): (2−1 + 10·prior)/(3−1+10) = 5/12
+    assert(math.abs(out(1L) - (1 + 10 * prior) / 12) < 1e-6)
+    // row 3 (a, y=0): (2−0 + 10·prior)/12 = 6/12
+    assert(math.abs(out(3L) - (2 + 10 * prior) / 12) < 1e-6)
+    // row 4 (b, y=0): (0−0 + 10·prior)/(2−1+10) = 4/11
+    assert(math.abs(out(4L) - 10 * prior / 11) < 1e-6)
+    // leakage check: rows 1 and 3 share a category but get DIFFERENT
+    // encodings because each excludes its own label
+    assert(out(1L) != out(3L))
+  }
+
+  test("keySkew: uniform keys ≈ 0, one hot key dominates; exact Gini") {
+    // counts 1,1,1,1 → Gini 0
+    val uniform = (1 to 4).map(k => (k.toLong, "r")).toDF("k", "v")
+    val u = Stats.keySkew(uniform, "k").collect().head
+    assert(u.getAs[Long]("n_keys") == 4 && u.getAs[Double]("gini") == 0.0)
+    // counts sorted 1,1,2,6: Σ(2i−n−1)x = (−3)·1+(−1)·1+1·2+3·6 = 16
+    // Gini = 16/(4·10) = 0.4 ; top_share = 0.6
+    val skew = (Seq.fill(6)(9L) ++ Seq(7L, 7L, 5L, 3L)).map((_, "r"))
+      .toDF("k", "v")
+    val s = Stats.keySkew(skew, "k").collect().head
+    assert(s.getAs[Double]("gini") == 0.4)
+    assert(s.getAs[Double]("top_share") == 0.6)
+  }
+
   test("rfm: ntile bucket sizes follow the SQL rule and scores invert") {
     // 7 customers, distinct on every metric → ntile(5) buckets sized
     // 2,2,1,1,1 (first N mod q buckets get the extra row)
