@@ -400,7 +400,43 @@ object Analytics {
         size(map_keys(col("m"))).cast("long").as("n_keys"))
   }
 
+  /** Last-touch marketing attribution: each purchase is credited to the
+    * user's most recent preceding non-purchase event ('none' if the
+    * purchase is their first event). One window over (user, time) then a
+    * tiny aggregate — the canonical attribution shape; first-touch is the
+    * same plan with `first` over the unbounded-preceding frame. Revenue
+    * in exact cents. */
+  def q134Attribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(round(col("value") * 100).cast("long")).as("rev_cents"))
+  }
+
+  /** Day-of-week × hour-of-day activity grid — the ops-dashboard heatmap.
+    * Both coordinates derive from integral epoch-µs arithmetic (no
+    * calendar functions: engines disagree on week-start conventions;
+    * `(epoch_day + 3) mod 7` pins 0 = Monday everywhere). */
+  def q136ActivityGrid(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .groupBy( // `div` keeps everything integral ( `/` would go double)
+        expr("(ts_us div 1000000L div 86400L + 3) % 7").as("dow"),
+        expr("ts_us div 1000000L % 86400L div 3600L").as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("val_cents"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_attribution" -> q134Attribution,
+    "q136_activity_grid" -> q136ActivityGrid,
     "q98_chunking" -> q98Chunking,
     "q99_ngram_freq" -> q99NgramFreq,
     "q100_grouping_sets" -> q100GroupingSets,
@@ -428,6 +464,23 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q134_attribution" ->
+      """WITH x AS (SELECT event_type, "value",
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type
+        |      END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'none') AS touch,
+        |  count(*) AS n_purchases,
+        |  sum(CAST(round("value" * 100) AS BIGINT))::BIGINT AS rev_cents
+        |FROM x WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    "q136_activity_grid" ->
+      """SELECT (epoch_us(ts) // 1000000 // 86400 + 3) % 7 AS dow,
+        |  epoch_us(ts) // 1000000 % 86400 // 3600 AS hr,
+        |  count(*) AS n_events,
+        |  sum(CAST(round("value" * 100) AS BIGINT))::BIGINT AS val_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q98_chunking" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
         |s AS (SELECT doc_id, u.i AS start_tok, ts[(u.i + 1):(u.i + 8)] AS c

@@ -86,7 +86,40 @@ object Mining {
     Stats.bootstrapMeanCI(docs(spark, dir), "doc_id", "n_chars",
       resamples = 100)
 
+  /** Leave-one-out target encoding of order priority against the
+    * finished-order label — the high-cardinality-categorical feature
+    * builder. [[Stats.targetEncode]]. */
+  def q135TargetEncode(spark: SparkSession, dir: String): DataFrame =
+    Stats.targetEncode(
+      table(spark, dir, "orders")
+        .withColumn("y", col("o_orderstatus") === "F"),
+      idCol = "o_orderkey", catCol = "o_orderpriority", labelCol = "y")
+
+  /** Key-skew diagnostic over the orders fact table's customer key: the
+    * Gini + hottest-key share that decides whether a join on this key
+    * needs [[graft.ops.Skew]] salting. [[Stats.keySkew]]. */
+  def q137KeySkew(spark: SparkSession, dir: String): DataFrame =
+    Stats.keySkew(table(spark, dir, "orders"), "o_custkey")
+
+  /** Cross-engine reconciliation checksum of the orders table: money
+    * pre-quantized to cents and dates pre-rendered to ISO strings (the
+    * canonicalization contract), then the order-independent XOR + modular
+    * SUM signature — DuckDB computes the identical signature from the
+    * identical canonical strings. [[graft.ops.Quality.tableChecksum]]. */
+  def q138TableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val canon = table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+      col("o_orderpriority"))
+    graft.ops.Quality.tableChecksum(canon, Seq("o_orderkey", "o_custkey",
+      "o_orderstatus", "cents", "day", "o_orderpriority"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_target_encode" -> q135TargetEncode,
+    "q137_key_skew" -> q137KeySkew,
+    "q138_table_checksum" -> q138TableChecksum,
     "q128_ks_test" -> q128KsTest,
     "q129_mwu" -> q129Mwu,
     "q130_lift" -> q130Lift,
@@ -100,6 +133,39 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    "q135_target_encode" ->
+      """WITH d AS (SELECT o_orderkey id, o_orderpriority category,
+        |        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END y
+        |      FROM orders),
+        |g AS (SELECT category, count(*)::BIGINT n_cat,
+        |        sum(y)::BIGINT pos_cat FROM d GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT nt, sum(y)::BIGINT pt FROM d)
+        |SELECT d.id, d.category, d.y::BIGINT AS y,
+        |  round((g.pos_cat - d.y + 10.0 * t.pt / t.nt::DOUBLE) /
+        |    (g.n_cat - 1 + 10)::DOUBLE, 6) AS enc
+        |FROM d JOIN g ON d.category = g.category CROSS JOIN t""".stripMargin,
+    "q137_key_skew" ->
+      """WITH c AS (SELECT o_custkey k, count(*)::BIGINT x
+        |      FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x ASC, k ASC) i FROM c),
+        |a AS (SELECT count(*)::BIGINT n_keys, sum(x)::BIGINT n_rows,
+        |        sum((2 * i - 1) * x)::BIGINT num2, max(x)::BIGINT mx
+        |      FROM r)
+        |SELECT n_keys, n_rows,
+        |  round((num2 - n_keys * n_rows)::DOUBLE /
+        |    (n_keys * n_rows)::DOUBLE, 6) AS gini,
+        |  round(mx / n_rows::DOUBLE, 6) AS top_share
+        |FROM a""".stripMargin,
+    "q138_table_checksum" ->
+      """WITH s AS (SELECT
+        |    o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
+        |    o_orderstatus || '|' ||
+        |    CAST(round(o_totalprice * 100) AS BIGINT)::VARCHAR || '|' ||
+        |    strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority rs
+        |  FROM orders),
+        |h AS (SELECT ('0x' || substr(md5(rs), 1, 15))::BIGINT h FROM s)
+        |SELECT count(*) AS n_rows, bit_xor(h)::BIGINT AS xor_sig,
+        |  sum(h % 1048573)::BIGINT AS sum_sig FROM h""".stripMargin,
     "q128_ks_test" ->
       """WITH q AS (SELECT event_type g, CAST(round("value" * 1000) AS BIGINT) x
         |           FROM events WHERE event_type IN ('click', 'error')),
