@@ -173,6 +173,35 @@ class PlanShapeSpec extends SparkSpec {
       s"per-order LIMIT 2 did not become a group limit:\n$p")
   }
 
+  test("target encoding broadcasts the category frame — fact never shuffles") {
+    val p = plan("q135_target_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"category stats should broadcast onto the facts:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"fact table must not shuffle for a tiny category dim:\n$p")
+  }
+
+  test("table checksum is a single scan-and-aggregate — no shuffle but partials") {
+    val p = plan("q138_table_checksum")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window") &&
+      p.contains("HashAggregate"), s"checksum plan grew extra stages:\n$p")
+  }
+
+  test("clustering coefficient wedge join is an equi-join, never cartesian") {
+    val p = plan("q132_clustering_coef")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle enumeration went quadratic:\n$p")
+  }
+
+  test("KS/MWU tests aggregate to distinct-value grain before any window") {
+    // the unpartitioned cumulative window must run AFTER the groupBy —
+    // its input is distinct quantized values, not raw rows
+    val p = plan("q128_ks_test")
+    assert(p.contains("HashAggregate") && p.contains("Window"),
+      s"expected agg-then-window shape:\n$p")
+  }
+
   test("staging scans prune by partition columns") {
     val root = scratch("plan-staging")
     import spark.implicits._
