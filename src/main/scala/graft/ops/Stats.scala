@@ -281,6 +281,67 @@ object Stats {
         round(element_at(col("ms"), hi), 6).as("ci_hi"))
   }
 
+  /** Winsorized mean per group: clamp each value into the group's
+    * [pLo, pHi] exact-percentile band, then average — the outlier-robust
+    * mean a metrics pipeline reports when a single whale order would
+    * otherwise move the KPI.
+    *
+    * Values are quantized to integer cents; the percentile bounds (exact,
+    * linearly interpolated — both engines share the definition) are
+    * rounded back to integer cents so the clamped column stays integral
+    * and its group sum is order-independent. Two aggregates over group
+    * grain with a broadcast join between them; the exact `percentile`
+    * buffers each group's values — beyond ~10⁸ rows per group swap in
+    * the t-digest sketch ([[Sketches]]) for the bounds.
+    */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"bad band [$pLo, $pHi]")
+    val q = df.select(col(groupCol).as("g"),
+      round(col(valueCol) * 100).cast("long").as("cents"))
+    val bounds = q.groupBy(col("g")).agg(
+      round(percentile(col("cents"), lit(pLo))).cast("long").as("lo_c"),
+      round(percentile(col("cents"), lit(pHi))).cast("long").as("hi_c"))
+    q.join(broadcast(bounds), Seq("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(least(greatest(col("cents"), col("lo_c")), col("hi_c")))
+          .as("wsum"),
+        first(col("lo_c")).as("lo_c"), first(col("hi_c")).as("hi_c"))
+      .select(col("g").as(groupCol), col("n"),
+        round(col("lo_c") / 100.0, 6).as("p_lo"),
+        round(col("hi_c") / 100.0, 6).as("p_hi"),
+        round(col("wsum") / col("n").cast("double") / 100.0, 6)
+          .as("winsorized_mean"))
+  }
+
+  /** Theil–Sen robust trend per group: the median slope over all pairs of
+    * (x, y) points — the regression line outliers can't drag (breakdown
+    * point 29%), the standard robust alternative to [[q59-style]] OLS.
+    *
+    * Pairs come from a per-group self-join on x1 < x2 — O(n²) in GROUP
+    * size, which is the algorithm (fine for per-entity time series of
+    * hundreds–thousands of points; for bigger groups sample pairs or use
+    * the repeated-median variant). Each slope is one exact division of
+    * integer deltas; the median interpolates the sorted slopes — both
+    * engines agree bit-for-bit on identical double sets.
+    */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val pts = df.select(col(groupCol).as("g"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val a = pts.select(col("g"), col("x").as("x1"), col("y").as("y1"))
+    val b = pts.select(col("g"), col("x").as("x2"), col("y").as("y2"))
+    a.join(b, Seq("g")).where(col("x1") < col("x2"))
+      .select(col("g"),
+        ((col("y2") - col("y1")).cast("double") /
+          (col("x2") - col("x1")).cast("double")).as("slope"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(percentile(col("slope"), lit(0.5)), 6).as("trend"))
+      .withColumnRenamed("g", groupCol)
+  }
+
   /** Leave-one-out target encoding with additive smoothing — the standard
     * high-cardinality categorical feature for gradient-boosted models:
     *

@@ -116,7 +116,29 @@ object Mining {
       "o_orderstatus", "cents", "day", "o_orderpriority"))
   }
 
+  /** Winsorized mean event value per type, clamped to the exact
+    * [p5, p95] band — the outlier-robust KPI. [[Stats.winsorizedMean]]. */
+  def q139Winsorized(spark: SparkSession, dir: String): DataFrame =
+    Stats.winsorizedMean(table(spark, dir, "events"), "event_type", "value",
+      pLo = 0.05, pHi = 0.95)
+
+  /** Theil–Sen robust trend of daily order volume per priority: the
+    * median pairwise slope (orders/day per day) an outlier burst can't
+    * bend. [[Stats.theilSen]]. */
+  def q140TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        // o_orderdate is TIMESTAMP_NTZ: cast via TIMESTAMP (session tz is
+        // pinned UTC) to reach epoch seconds — matches DuckDB's epoch()
+        expr("cast(cast(o_orderdate as timestamp) as long) div 86400L")
+          .as("day"))
+      .agg(count(lit(1)).as("y"))
+    Stats.theilSen(daily, "o_orderpriority", "day", "y")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_winsorized" -> q139Winsorized,
+    "q140_theil_sen" -> q140TheilSen,
     "q135_target_encode" -> q135TargetEncode,
     "q137_key_skew" -> q137KeySkew,
     "q138_table_checksum" -> q138TableChecksum,
@@ -133,6 +155,31 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    "q139_winsorized" ->
+      """WITH q AS (SELECT event_type g,
+        |        CAST(round("value" * 100) AS BIGINT) cents FROM events),
+        |b AS (SELECT g,
+        |        CAST(round(quantile_cont(cents, 0.05)) AS BIGINT) lo_c,
+        |        CAST(round(quantile_cont(cents, 0.95)) AS BIGINT) hi_c
+        |      FROM q GROUP BY 1),
+        |m AS (SELECT q.g, count(*) n,
+        |        sum(least(greatest(cents, lo_c), hi_c))::BIGINT wsum,
+        |        min(lo_c) lo_c, min(hi_c) hi_c
+        |      FROM q JOIN b ON q.g = b.g GROUP BY 1)
+        |SELECT g AS event_type, n,
+        |  round(lo_c / 100.0, 6) AS p_lo, round(hi_c / 100.0, 6) AS p_hi,
+        |  round(wsum / n::DOUBLE / 100.0, 6) AS winsorized_mean
+        |FROM m""".stripMargin,
+    "q140_theil_sen" ->
+      """WITH d AS (SELECT o_orderpriority g,
+        |        CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 x,
+        |        count(*)::BIGINT y
+        |      FROM orders GROUP BY 1, 2),
+        |p AS (SELECT a.g, (b.y - a.y)::DOUBLE / (b.x - a.x)::DOUBLE slope
+        |      FROM d a JOIN d b ON a.g = b.g AND a.x < b.x)
+        |SELECT g AS o_orderpriority, count(*) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5), 6) AS trend
+        |FROM p GROUP BY 1""".stripMargin,
     "q135_target_encode" ->
       """WITH d AS (SELECT o_orderkey id, o_orderpriority category,
         |        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END y

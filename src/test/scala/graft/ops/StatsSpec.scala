@@ -143,6 +143,41 @@ class StatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("winsorizedMean: clamps exactly at the percentile band") {
+    // group g: 1..10 plus outlier 1000; p10/p90 of {1..10,1000} cents
+    val vals = ((1 to 10).map(_.toDouble) :+ 1000.0).map(("g", _))
+    val r = Stats.winsorizedMean(vals.toDF("k", "v"), "k", "v",
+      pLo = 0.1, pHi = 0.9).collect().head
+    // cents sorted: 100..1000(, 100000); p10 = interp(idx 1.0) = 200,
+    // p90 = interp(idx 9.0) = 1000 ⇒ clamp 100000→1000, 100→200
+    assert(r.getAs[Double]("p_lo") == 2.0 && r.getAs[Double]("p_hi") == 10.0)
+    // clamped: 2,2,3,4,5,6,7,8,9,10,10 → mean 66/11 = 6.0
+    assert(r.getAs[Double]("winsorized_mean") == 6.0)
+    assert(r.getAs[Long]("n") == 11)
+  }
+
+  test("winsorizedMean: integral clamped sum is partition-invariant") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 4000).map(i =>
+      (s"g${i % 3}", rnd.nextInt(100000) / 100.0))
+    val a = Stats.winsorizedMean(rows.toDF("k", "v").repartition(1), "k", "v")
+      .collect().sortBy(_.getString(0)).toSeq
+    val b = Stats.winsorizedMean(rows.toDF("k", "v").repartition(29), "k", "v")
+      .collect().sortBy(_.getString(0)).toSeq
+    assert(a == b)
+  }
+
+  test("theilSen: median pairwise slope resists a wild outlier") {
+    // y = 3x + noise-free except one spike; OLS would bend, Theil–Sen not
+    val pts = (1 to 21).map(x => ("g", x.toLong,
+      if (x == 11) 10000L else 3L * x))
+    val r = Stats.theilSen(pts.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") == 210)
+    assert(r.getAs[Double]("trend") == 3.0,
+      s"outlier must not move the median slope: ${r}")
+  }
+
   test("targetEncode: leave-one-out with smoothing, hand-checked") {
     // cat "a": rows y=1,1,0 ; cat "b": rows y=0,0 ; prior = 2/5, m = 10
     val df = Seq((1L, "a", true), (2L, "a", true), (3L, "a", false),
