@@ -145,6 +145,46 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core of an undirected graph: the maximal subgraph where every node
+    * keeps degree ≥ k — the standard "dense community scaffold" extractor
+    * (and a cheap preconditioner before quadratic per-cluster work).
+    * Computed by iterative peeling: drop nodes with degree < k, recompute,
+    * repeat to fixpoint — the result is unique regardless of peel order,
+    * so the operator is deterministic.
+    *
+    * Distributed shape per round: one degree aggregate + two anti-joins
+    * that delete edges touching peeled nodes; `localCheckpoint` truncates
+    * lineage so round N doesn't replay rounds 1..N−1. The only driver
+    * value per round is a 1-row "did anything peel" count — no node set
+    * ever collects. Rounds are bounded by the graph's degeneracy ordering
+    * depth (typically ≪ 50 on real graphs; `maxIters` caps pathological
+    * chains).
+    *
+    * Returns surviving nodes with their in-core degree.
+    */
+  def kCore(pairs: DataFrame, k: Int, maxIters: Int = 50,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    require(k >= 1, s"k must be ≥ 1, got $k")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    var edges = pairs.select(col(src).as("src"), col(dst).as("dst"))
+      .localCheckpoint()
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      val peel = degrees(edges).where(col("degree") < k).select(col("node"))
+      if (peel.limit(1).count() == 0) done = true
+      else edges = edges
+        .join(peel.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
+        .join(peel.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
+        .localCheckpoint()
+      it += 1
+    }
+    degrees(edges)
+  }
+
   /** Local clustering coefficient per node over a canonical undirected
     * edge list (src < dst, deduplicated): coef(v) = 2·T(v) / (d(v)·(d(v)−1))
     * where T(v) is the number of triangles containing v — how tightly each

@@ -434,7 +434,58 @@ object Analytics {
         sum(round(col("value") * 100).cast("long")).as("val_cents"))
   }
 
+  /** Time-weighted average value per event type (TWAP): each reading is
+    * weighted by how long it "held" (µs until the type's next event; the
+    * open-ended last reading is excluded). Weights and cents are exact
+    * longs, so the weighted sum is order-independent; one lead window +
+    * one aggregate. The µs·cents products stay under 2⁶³ for year-scale
+    * spans — decade-plus spans should downshift to ms weights. */
+  def q141Twap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (lead(col("ts_us"), 1).over(w) - col("ts_us")).as("gap_us"))
+      .where(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("gap_us") * col("cents")).as("wsum"),
+        sum(col("gap_us")).as("wtot"))
+      .select(col("event_type"), col("n"),
+        round(col("wsum") / col("wtot").cast("double") / 100.0, 6)
+          .as("twap"),
+        round(col("wtot") / 1000000.0, 6).as("span_s"))
+  }
+
+  /** Sessionized bounce-rate KPI: 30-minute-gap sessions per user, a
+    * bounce = a single-event session. One window pass builds the
+    * session ids (gaps-and-islands), two aggregates roll up — all
+    * counts and duration sums exact integers. */
+  def q142Bounce(spark: SparkSession, dir: String): DataFrame = {
+    val sess = graft.ops.Temporal.sessionize(events(spark, dir),
+        "user_id", "event_id", "ts_us", gap = 1800000000L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+    sess.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("dur_us")).as("dur_us"))
+      .select(col("n_sessions"), col("n_bounce"),
+        round(col("n_bounce") / col("n_sessions").cast("double"), 6)
+          .as("bounce_rate"),
+        round(col("n_events") / col("n_sessions").cast("double"), 6)
+          .as("avg_events"),
+        round(col("dur_us") / col("n_sessions").cast("double") / 1000000.0,
+          6).as("avg_duration_s"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_twap" -> q141Twap,
+    "q142_bounce" -> q142Bounce,
     "q134_attribution" -> q134Attribution,
     "q136_activity_grid" -> q136ActivityGrid,
     "q98_chunking" -> q98Chunking,
@@ -464,6 +515,39 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q141_twap" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(round("value" * 100) AS BIGINT) cents,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) gap_us
+        |  FROM events)
+        |SELECT event_type, count(*) n,
+        |  round(sum(gap_us * cents)::BIGINT /
+        |    sum(gap_us)::BIGINT::DOUBLE / 100.0, 6) AS twap,
+        |  round(sum(gap_us)::BIGINT / 1000000.0, 6) AS span_s
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
+    "q142_bounce" ->
+      """WITH s AS (SELECT user_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END brk, epoch_us(ts) ts_us, event_id
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |i AS (SELECT user_id, ts_us, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY event_id ROWS UNBOUNDED PRECEDING) session_id
+        |  FROM s),
+        |p AS (SELECT user_id, session_id, count(*) n_events,
+        |    max(ts_us) - min(ts_us) dur_us
+        |  FROM i GROUP BY 1, 2),
+        |a AS (SELECT count(*)::BIGINT n_sessions,
+        |    sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT n_bounce,
+        |    sum(n_events)::BIGINT n_events, sum(dur_us)::BIGINT dur_us
+        |  FROM p)
+        |SELECT n_sessions, n_bounce,
+        |  round(n_bounce / n_sessions::DOUBLE, 6) AS bounce_rate,
+        |  round(n_events / n_sessions::DOUBLE, 6) AS avg_events,
+        |  round(dur_us / n_sessions::DOUBLE / 1000000.0, 6)
+        |    AS avg_duration_s
+        |FROM a""".stripMargin,
     "q134_attribution" ->
       """WITH x AS (SELECT event_type, "value",
         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type

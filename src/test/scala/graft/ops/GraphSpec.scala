@@ -99,6 +99,19 @@ class GraphSpec extends SparkSpec {
     assert(s(1L) == 0.0, "hub of a star has no closed wedges")
   }
 
+  test("kCore: peels a tail chain, keeps the clique; cascade works") {
+    // K4 on {1,2,3,4} with a tail 4–5–6
+    val e = ((for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)) ++
+      Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    // k=2: node 6 peels (deg 1), THEN 5 peels (deg now 1) — the cascade
+    val core2 = Graph.kCore(e, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=3: same core; k=4: nothing survives
+    assert(Graph.kCore(e, k = 3).count() == 4)
+    assert(Graph.kCore(e, k = 4).count() == 0)
+  }
+
   test("rank mass is conserved up to quantization loss (ring graph)") {
     // on a 1-regular directed ring every node has outdeg 1 and indeg 1, so
     // (85·r)//100 loses <1 nano per edge per round: total mass stays within
