@@ -136,7 +136,34 @@ object Mining {
     Stats.theilSen(daily, "o_orderpriority", "day", "y")
   }
 
+  /** Quantile-normalization bias screen: each document's length mapped to
+    * its corpus ECDF percentile, averaged per source — 0.5 means the
+    * source looks like the corpus; >0.5 means long-doc bias. The mean of
+    * per-doc percentiles is computed as one exact integer contraction
+    * (Σ cum(v)·c_s(v)) / (n_s·N) over DISTINCT-value grain, so no float
+    * ever sums: engine-exact, and the big table aggregates once. */
+  def q143QuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir).select(col("source"), col("n_chars").as("v"))
+    val vc = d.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = vc.select(col("v"), sum(col("c")).over(
+      Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      .as("cumv"))
+    val n = d.agg(count(lit(1)).as("nn"))
+    d.groupBy(col("source"), col("v")).agg(count(lit(1)).as("cs"))
+      .join(cum, Seq("v"))
+      .groupBy(col("source"))
+      .agg(sum(col("cs")).as("n_docs"),
+        sum(col("cumv") * col("cs")).as("wsum"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_docs"),
+        round(col("wsum") / (col("n_docs") * col("nn")).cast("double"), 6)
+          .as("mean_pct"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_quantile_norm" -> q143QuantileNorm,
     "q139_winsorized" -> q139Winsorized,
     "q140_theil_sen" -> q140TheilSen,
     "q135_target_encode" -> q135TargetEncode,
@@ -155,6 +182,19 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    "q143_quantile_norm" ->
+      """WITH d AS (SELECT source, n_chars v FROM documents),
+        |vc AS (SELECT v, count(*)::BIGINT c FROM d GROUP BY 1),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |          cumv FROM vc),
+        |n AS (SELECT count(*)::BIGINT nn FROM d),
+        |sv AS (SELECT source, v, count(*)::BIGINT cs FROM d GROUP BY 1, 2)
+        |SELECT sv.source, sum(sv.cs)::BIGINT AS n_docs,
+        |  round(sum(cum.cumv * sv.cs)::BIGINT /
+        |    (sum(sv.cs) * n.nn)::DOUBLE, 6) AS mean_pct
+        |FROM sv JOIN cum ON sv.v = cum.v CROSS JOIN n
+        |GROUP BY 1, n.nn""".stripMargin,
     "q139_winsorized" ->
       """WITH q AS (SELECT event_type g,
         |        CAST(round("value" * 100) AS BIGINT) cents FROM events),
