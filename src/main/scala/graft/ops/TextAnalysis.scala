@@ -303,6 +303,54 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Pointwise-mutual-information collocations (Church & Hanks 1990):
+    * adjacent word pairs that co-occur far more than their unigram
+    * frequencies predict — the multi-word-expression miner ("new york",
+    * "machine learning") run before tokenizer training.
+    *
+    * PMI = ln(p(x,y) / (p(x)·p(y))) with p(x,y) = c_xy/B over bigram
+    * positions and p(x) = c_x/T over token positions. All counts are
+    * exact longs; the closing formula multiplies as DOUBLES in a pinned
+    * literal order (`c_xy·T·T / (B·c_x·c_y)`), so the score — and
+    * therefore the top-k cut — is engine-identical. `minCount` suppresses
+    * the low-support noise PMI is infamous for.
+    *
+    * Scale shape: two map-side-combined aggregations (bigram and unigram
+    * grain), a vocab-sized join back, and a TakeOrderedAndProject top-k —
+    * the corpus shuffles nothing but combined counts.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Int = 5,
+      k: Int = 100): DataFrame = {
+    val toks = df.select(words(col(textCol)).as("__ts"))
+      .where(size(col("__ts")) >= 2)
+    val uni = toks.select(explode(col("__ts")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tTot = uni.agg(sum(col("c")).as("t_tot"))
+    val bigrams = toks.select(explode(transform(
+        sequence(lit(1), size(col("__ts")) - 1),
+        i => struct(element_at(col("__ts"), i).as("word_a"),
+          element_at(col("__ts"), i + 1).as("word_b")))).as("p"))
+      .select(col("p.word_a"), col("p.word_b"))
+      .where(col("word_a") =!= "" && col("word_b") =!= "")
+    val bi = bigrams.groupBy(col("word_a"), col("word_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+    val bTot = bigrams.groupBy().agg(count(lit(1)).as("b_tot"))
+    bi.join(uni.select(col("tok"), col("c").as("c_a")),
+        col("word_a") === col("tok")).drop("tok")
+      .join(uni.select(col("tok"), col("c").as("c_b")),
+        col("word_b") === col("tok")).drop("tok")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(bTot))
+      .select(col("word_a"), col("word_b"), col("n_pair"),
+        round(log(col("n_pair").cast("double") * col("t_tot") *
+          col("t_tot") /
+          (col("b_tot").cast("double") * col("c_a") * col("c_b"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("word_a"), col("word_b"))
+      .limit(k)
+  }
+
   /** One round of byte-pair-encoding statistics (Sennrich et al., "Neural
     * Machine Translation of Rare Words with Subword Units" — the merge-
     * candidate count): whitespace pre-tokenization, each word read as its

@@ -483,7 +483,14 @@ object Analytics {
           6).as("avg_duration_s"))
   }
 
+  /** PMI collocations over the corpus: the multi-word-expression miner.
+    * [[TextAnalysis.pmiCollocations]]. */
+  def q144Pmi(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.pmiCollocations(docs(spark, dir), "text",
+      minCount = 5, k = 100)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_pmi" -> q144Pmi,
     "q141_twap" -> q141Twap,
     "q142_bounce" -> q142Bounce,
     "q134_attribution" -> q134Attribution,
@@ -515,6 +522,25 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q144_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') ts FROM documents
+        |      WHERE len(string_split(text, ' ')) >= 2),
+        |uni AS (SELECT tok, count(*)::BIGINT c FROM (
+        |        SELECT unnest(ts) tok FROM t) WHERE tok <> '' GROUP BY 1),
+        |tt AS (SELECT sum(c)::BIGINT t_tot FROM uni),
+        |bgf AS (SELECT ts[i] word_a, ts[i + 1] word_b
+        |      FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+        |      WHERE ts[i] <> '' AND ts[i + 1] <> ''),
+        |bt AS (SELECT count(*)::BIGINT b_tot FROM bgf),
+        |bi AS (SELECT word_a, word_b, count(*)::BIGINT n_pair FROM bgf
+        |      GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT bi.word_a, bi.word_b, bi.n_pair,
+        |  round(ln(bi.n_pair::DOUBLE * tt.t_tot * tt.t_tot /
+        |    (bt.b_tot::DOUBLE * ua.c * ub.c)), 6) AS pmi
+        |FROM bi JOIN uni ua ON bi.word_a = ua.tok
+        |JOIN uni ub ON bi.word_b = ub.tok
+        |CROSS JOIN tt CROSS JOIN bt
+        |ORDER BY pmi DESC, word_a, word_b LIMIT 100""".stripMargin,
     "q141_twap" ->
       """WITH g AS (SELECT event_type,
         |    CAST(round("value" * 100) AS BIGINT) cents,
