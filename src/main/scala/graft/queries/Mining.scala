@@ -162,7 +162,28 @@ object Mining {
           .as("mean_pct"))
   }
 
+  /** Exact-duplicate rate per source: a doc is redundant when an
+    * earlier doc (lowest doc_id keeps) carries byte-identical text
+    * anywhere in the corpus — the "which feed is reselling me the same
+    * pages" procurement metric. One window over md5 grain + one
+    * aggregate. */
+  def q145DupRate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("redundant",
+        when(row_number().over(w) > 1, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("redundant")).as("n_redundant"))
+      .select(col("source"), col("n_docs"), col("n_redundant"),
+        round(col("n_redundant") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_dup_rate" -> q145DupRate,
     "q143_quantile_norm" -> q143QuantileNorm,
     "q139_winsorized" -> q139Winsorized,
     "q140_theil_sen" -> q140TheilSen,
@@ -182,6 +203,15 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    "q145_dup_rate" ->
+      """WITH h AS (SELECT source, doc_id, md5(text) h FROM documents),
+        |r AS (SELECT source,
+        |        CASE WHEN row_number() OVER (PARTITION BY h
+        |          ORDER BY doc_id) > 1 THEN 1 ELSE 0 END red
+        |      FROM h)
+        |SELECT source, count(*) AS n_docs, sum(red)::BIGINT AS n_redundant,
+        |  round(sum(red) / count(*)::DOUBLE, 6) AS dup_rate
+        |FROM r GROUP BY 1""".stripMargin,
     "q143_quantile_norm" ->
       """WITH d AS (SELECT source, n_chars v FROM documents),
         |vc AS (SELECT v, count(*)::BIGINT c FROM d GROUP BY 1),
