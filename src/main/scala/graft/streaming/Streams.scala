@@ -199,6 +199,68 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class TokenEvent(key: String, item: String)
+  final case class HeavyHitter(key: String, item: String, count: Long)
+
+  /** Misra–Gries streaming heavy hitters on `transformWithState`: per
+    * stream key (e.g. per tenant or event type), maintain at most
+    * `capacity` frequent-item counters in a typed `MapState` and emit the
+    * surviving candidate set (count-descending, item tiebreak) after each
+    * micro-batch that touches the key.
+    *
+    * The Misra–Gries guarantee holds per key across batches because the
+    * decrement step is applied to the PERSISTED counter map: any item
+    * whose true frequency exceeds N/capacity (N = items seen for that
+    * key) is guaranteed present, and each reported count undercounts by
+    * at most N/capacity. State is O(capacity) per key — bounded no matter
+    * how many distinct items stream past (the whole point vs an exact
+    * groupBy count at 100 TB/day); RocksDB keeps it off-heap.
+    */
+  class HeavyHittersProcessor(capacity: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, TokenEvent, HeavyHitter] {
+    import org.apache.spark.sql.streaming.{MapState, TimerValues, TimeMode, TTLConfig}
+    @transient private var counters: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counters = getHandle.getMapState[String, Long]("mg",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TokenEvent],
+        timerValues: TimerValues): Iterator[HeavyHitter] = {
+      rows.foreach { e =>
+        if (counters.containsKey(e.item))
+          counters.updateValue(e.item, counters.getValue(e.item) + 1)
+        else if (counters.iterator().size < capacity)
+          counters.updateValue(e.item, 1L)
+        else // Misra–Gries decrement-all; drop counters reaching zero
+          counters.iterator().toSeq.foreach { pair =>
+            if (pair._2 - 1 <= 0) counters.removeKey(pair._1)
+            else counters.updateValue(pair._1, pair._2 - 1)
+          }
+      }
+      counters.iterator().toSeq
+        .sortBy { case (item, c) => (-c, item) }
+        .map { case (item, c) => HeavyHitter(key, item, c) }
+        .iterator
+    }
+  }
+
+  /** [[HeavyHittersProcessor]] over a token stream; requires the RocksDB
+    * state store provider (as any at-scale deployment runs). Emits the
+    * candidate set per key per touched batch — downstream takes the
+    * latest batch per key for the current view. */
+  def heavyHittersStream(tokens: org.apache.spark.sql.Dataset[TokenEvent],
+      capacity: Int): org.apache.spark.sql.Dataset[HeavyHitter] = {
+    import tokens.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    tokens.groupByKey(_.key)
+      .transformWithState(new HeavyHittersProcessor(capacity),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Stream-static enrichment + windowed rollup: join a (small) static
     * dimension onto an event stream, then tumbling-window aggregates per
     * dimension attribute. The stream-static join is STATELESS — the dim

@@ -235,6 +235,47 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersStream: Misra-Gries candidates survive across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Streams.TokenEvent]
+      val q = Streams.heavyHittersStream(input.toDS(), capacity = 3)
+        .writeStream.format("memory").queryName("hh_out")
+        .outputMode("append").start()
+      // batch 1: "a" dominates (6 of 10), b/c/d noise
+      input.addData((Seq.fill(6)("a") ++ Seq("b", "b", "c", "d"))
+        .map(Streams.TokenEvent("k", _)): _*)
+      q.processAllAvailable()
+      val b1 = spark.table("hh_out").as[Streams.HeavyHitter].collect()
+      assert(b1.exists(h => h.item == "a" && h.count >= 4),
+        s"dominant item must survive with count ≥ N/cap error bound: ${b1.toSeq}")
+      // batch 2: "e" takes over; state carries across batches
+      input.addData(Seq.fill(8)("e").map(Streams.TokenEvent("k", _)): _*)
+      q.processAllAvailable()
+      val all = spark.table("hh_out").as[Streams.HeavyHitter].collect()
+      q.stop()
+      val b2 = all.drop(b1.length)
+      assert(b2.exists(h => h.item == "e" && h.count >= 6),
+        s"new dominant item must appear: ${b2.toSeq}")
+      assert(b2.exists(h => h.item == "a"),
+        s"prior heavy item must still be tracked (18 items, cap 3 → " +
+          s"err ≤ 6, a's true count 6 keeps it present): ${b2.toSeq}")
+      // bounded state: never more than capacity candidates per batch
+      assert(b1.length <= 3 && b2.length <= 3)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("latestPerKeyStream state logic emits only newer versions") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
