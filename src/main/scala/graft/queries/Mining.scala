@@ -182,7 +182,76 @@ object Mining {
           .as("dup_rate"))
   }
 
+  /** Seasonal-naive forecast error (MASE, Hyndman & Koehler 2006): per
+    * order priority, the mean |y_t − y_{t−7}| of daily order counts
+    * scaled by the in-sample naive |y_t − y_{t−1}| — < 1 means weekly
+    * seasonality beats persistence, the go/no-go for seasonal models.
+    * Lag alignment is by rowless 7-step shift over the DENSE day spine
+    * (missing days count 0), so both engines see identical series; all
+    * numerators/denominators are exact integer sums. */
+  def q146Mase(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("g"),
+        expr("cast(cast(o_orderdate as timestamp) as long) div 86400L")
+          .as("day"))
+      .agg(count(lit(1)).as("y"))
+    // dense day spine per group from the tiny aggregate's own bounds
+    val span = daily.groupBy(col("g"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = span.select(col("g"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = spine.join(daily, Seq("g", "day"), "left")
+      .na.fill(0L, Seq("y"))
+    val w = Window.partitionBy(col("g")).orderBy(col("day"))
+    val diffs = dense.select(col("g"),
+      abs(col("y") - lag(col("y"), 1).over(w)).as("d1a"),
+      abs(col("y") - lag(col("y"), 7).over(w)).as("d7a"))
+    diffs.groupBy(col("g"))
+      .agg(count(col("d7a")).as("n7"), sum(col("d7a")).as("s7"),
+        count(col("d1a")).as("n1"), sum(col("d1a")).as("s1"))
+      .select(col("g").as("o_orderpriority"),
+        round(col("s7") / col("n7").cast("double"), 6).as("mae_seasonal"),
+        round(col("s1") / col("n1").cast("double"), 6).as("mae_naive"),
+        round((col("s7") / col("n7").cast("double")) /
+          (col("s1") / col("n1").cast("double")), 6).as("mase"))
+  }
+
+  /** Day-of-week seasonality strength per event type: 1 − SS_within/SS_total
+    * over daily event counts grouped by weekday — the classic variance-
+    * explained ratio (≈1: strict weekly rhythm; ≈0: none). Sums of
+    * squares are exact integer arithmetic up to the closing division. */
+  def q147DowStrength(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("ts div 1000000000L div 86400L").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dow", (col("day") + 3) % 7)
+    // SS identities over exact integers: SS_tot = Σy² − (Σy)²/n,
+    // SS_within = Σ_dow (Σy² − (Σy)²/n_dow)
+    val per = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("nd"), sum(col("y")).as("sd"),
+        sum(col("y") * col("y")).as("ssd"))
+    per.groupBy(col("event_type"))
+      .agg(sum(col("nd")).as("n"), sum(col("sd")).as("s"),
+        sum(col("ssd")).as("ss"),
+        // within-group SS: per-dow float terms fold in dow order from a
+        // sorted array (the q127 rule — never a float SUM)
+        sort_array(collect_list(struct(col("dow"),
+          (col("ssd").cast("double") -
+            col("sd").cast("double") * col("sd") / col("nd")).as("t"))))
+          .as("arr"))
+      .select(col("event_type"), col("n"),
+        round(lit(1.0) -
+          aggregate(transform(col("arr"), e => e.getField("t")),
+            lit(0.0), (a, x) => a + x) /
+          (col("ss") - col("s").cast("double") * col("s") / col("n")), 6)
+          .as("dow_strength"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_mase" -> q146Mase,
+    "q147_dow_strength" -> q147DowStrength,
     "q145_dup_rate" -> q145DupRate,
     "q143_quantile_norm" -> q143QuantileNorm,
     "q139_winsorized" -> q139Winsorized,
@@ -203,6 +272,44 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    "q146_mase" ->
+      """WITH daily AS (SELECT o_orderpriority g,
+        |        CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 dy,
+        |        count(*)::BIGINT y
+        |      FROM orders GROUP BY 1, 2),
+        |span AS (SELECT g, min(dy) d0, max(dy) d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT g, unnest(generate_series(d0, d1)) dy FROM span),
+        |dense AS (SELECT s.g, s.dy, coalesce(d.y, 0)::BIGINT y
+        |      FROM spine s LEFT JOIN daily d
+        |        ON s.g = d.g AND s.dy = d.dy),
+        |df AS (SELECT g, abs(y - lag(y, 1) OVER w) d1a,
+        |        abs(y - lag(y, 7) OVER w) d7a
+        |      FROM dense WINDOW w AS (PARTITION BY g ORDER BY dy)),
+        |a AS (SELECT g, count(d7a)::BIGINT n7, sum(d7a)::BIGINT s7,
+        |        count(d1a)::BIGINT n1, sum(d1a)::BIGINT s1
+        |      FROM df GROUP BY 1)
+        |SELECT g AS o_orderpriority,
+        |  round(s7 / n7::DOUBLE, 6) AS mae_seasonal,
+        |  round(s1 / n1::DOUBLE, 6) AS mae_naive,
+        |  round((s7 / n7::DOUBLE) / (s1 / n1::DOUBLE), 6) AS mase
+        |FROM a""".stripMargin,
+    "q147_dow_strength" ->
+      """WITH daily AS (SELECT event_type,
+        |        epoch_us(ts) // 1000000 // 86400 dy, count(*)::BIGINT y
+        |      FROM events GROUP BY 1, 2),
+        |per AS (SELECT event_type, (dy + 3) % 7 dow, count(*)::BIGINT nd,
+        |        sum(y)::BIGINT sd, sum(y * y)::BIGINT ssd
+        |      FROM daily GROUP BY 1, 2),
+        |agg AS (SELECT event_type, sum(nd)::BIGINT n, sum(sd)::BIGINT s,
+        |        sum(ssd)::BIGINT ss,
+        |        array_agg(ssd::DOUBLE - sd::DOUBLE * sd / nd ORDER BY dow)
+        |          ts
+        |      FROM per GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(1.0 - list_reduce(list_prepend(0.0::DOUBLE, ts),
+        |      (acc, x) -> acc + x) /
+        |    (ss - s::DOUBLE * s / n), 6) AS dow_strength
+        |FROM agg""".stripMargin,
     "q145_dup_rate" ->
       """WITH h AS (SELECT source, doc_id, md5(text) h FROM documents),
         |r AS (SELECT source,
