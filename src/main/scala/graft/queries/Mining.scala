@@ -249,7 +249,67 @@ object Mining {
           .as("dow_strength"))
   }
 
+  /** Two-fact reconciliation: daily revenue booked at order grain vs
+    * summed from line items, with the cent-exact difference — the audit
+    * query a finance pipeline runs after every load. Both sides
+    * aggregate independently (no fact-to-fact join of raw rows: each
+    * reduces to day grain first, then a tiny full-outer merge), top-20
+    * worst days. */
+  def q148FactReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val oDay = expr("cast(cast(o_orderdate as timestamp) as long) div 86400L")
+    val o = table(spark, dir, "orders")
+      .groupBy(oDay.as("dy"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("o_cents"))
+    val l = table(spark, dir, "lineitem")
+      .join(table(spark, dir, "orders")
+        .select(col("o_orderkey"), oDay.as("dy")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("dy"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")).as("l_cents"))
+    o.join(l, Seq("dy"), "full_outer")
+      .na.fill(0L, Seq("o_cents", "l_cents"))
+      .select(col("dy"), col("o_cents"), col("l_cents"),
+        abs(col("o_cents") - col("l_cents")).as("diff_cents"))
+      .orderBy(col("diff_cents").desc, col("dy"))
+      .limit(20)
+  }
+
+  /** Conversion lag: per user, µs from their first event to their first
+    * purchase (users who never purchase are absent); distribution stats
+    * per-user-cohort-free — n, median and p90 lag in seconds. Two
+    * conditional aggregates per user then one exact percentile over
+    * user grain. */
+  def q149ConversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val per = table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(expr("ts div 1000L")).as("first_us"),
+        min(when(col("event_type") === "purchase", expr("ts div 1000L")))
+          .as("first_buy_us"))
+      .where(col("first_buy_us").isNotNull)
+      .select(((col("first_buy_us") - col("first_us")) / 1000000L)
+        .cast("long").as("lag_s"))
+    per.agg(count(lit(1)).as("n_converted"),
+      round(percentile(col("lag_s"), lit(0.5)), 6).as("median_lag_s"),
+      round(percentile(col("lag_s"), lit(0.9)), 6).as("p90_lag_s"))
+  }
+
+  /** Exact-dup cluster-size histogram: how many duplicate groups of each
+    * size the corpus carries (size 1 = unique) — the dedup report that
+    * justifies the cascade's cost. Two hash aggregates, both map-side
+    * combined. */
+  def q150ClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("sz") * col("n_clusters"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_fact_reconcile" -> q148FactReconcile,
+    "q149_conversion_lag" -> q149ConversionLag,
+    "q150_cluster_sizes" -> q150ClusterSizes,
     "q146_mase" -> q146Mase,
     "q147_dow_strength" -> q147DowStrength,
     "q145_dup_rate" -> q145DupRate,
@@ -272,6 +332,44 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    "q148_fact_reconcile" ->
+      """WITH o AS (SELECT
+        |        CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 dy,
+        |        sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |          o_cents
+        |      FROM orders GROUP BY 1),
+        |ld AS (SELECT l.l_orderkey,
+        |        CAST(floor(epoch(oo.o_orderdate)) AS BIGINT) // 86400 dy,
+        |        l.l_extendedprice, l.l_discount
+        |      FROM lineitem l JOIN orders oo
+        |        ON l.l_orderkey = oo.o_orderkey),
+        |li AS (SELECT dy, sum(CAST(round(l_extendedprice *
+        |          (1 - l_discount) * 100) AS BIGINT))::BIGINT l_cents
+        |      FROM ld GROUP BY 1)
+        |SELECT coalesce(o.dy, li.dy) AS dy,
+        |  coalesce(o.o_cents, 0)::BIGINT AS o_cents,
+        |  coalesce(li.l_cents, 0)::BIGINT AS l_cents,
+        |  abs(coalesce(o.o_cents, 0) - coalesce(li.l_cents, 0))::BIGINT
+        |    AS diff_cents
+        |FROM o FULL OUTER JOIN li ON o.dy = li.dy
+        |ORDER BY diff_cents DESC, dy LIMIT 20""".stripMargin,
+    "q149_conversion_lag" ->
+      """WITH p AS (SELECT user_id, min(epoch_us(ts)) first_us,
+        |        min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts)
+        |          END) first_buy_us
+        |      FROM events GROUP BY 1),
+        |l AS (SELECT (first_buy_us - first_us) // 1000000 lag_s FROM p
+        |      WHERE first_buy_us IS NOT NULL)
+        |SELECT count(*) AS n_converted,
+        |  round(quantile_cont(lag_s, 0.5), 6) AS median_lag_s,
+        |  round(quantile_cont(lag_s, 0.9), 6) AS p90_lag_s
+        |FROM l""".stripMargin,
+    "q150_cluster_sizes" ->
+      """WITH h AS (SELECT md5(text) h, count(*)::BIGINT sz
+        |      FROM documents GROUP BY 1)
+        |SELECT sz, count(*) AS n_clusters,
+        |  (sz * count(*))::BIGINT AS n_docs
+        |FROM h GROUP BY 1""".stripMargin,
     "q146_mase" ->
       """WITH daily AS (SELECT o_orderpriority g,
         |        CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 dy,
