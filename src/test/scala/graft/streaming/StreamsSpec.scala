@@ -78,6 +78,42 @@ class StreamsSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 00:00:00.0", "a", 2L)))
   }
 
+  test("windowedCounts drops late data behind the watermark, and reports it") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streams.windowedCounts(
+        input.toDS().toDF("ts", "k"), "ts", "k",
+        "1 minute", "1 minute", "10 seconds")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((ts("2024-01-01 00:00:10"), "a"))
+    q.processAllAvailable()
+    // advance watermark far past the first window, closing it
+    input.addData((ts("2024-01-01 00:10:00"), "b"))
+    q.processAllAvailable()
+    // LATE event into the already-closed 00:00 window: must not resurrect
+    // or double-emit the window — the exactly-once append contract
+    input.addData((ts("2024-01-01 00:00:20"), "a"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 00:20:00"), "b"))
+    q.processAllAvailable()
+    val aRows = spark.table("late_out").collect()
+      .filter(_.getString(2) == "a")
+      .map(r => (r.getTimestamp(0).toString, r.getLong(3)))
+    // the engine accounts for the drop in progress metrics — the signal
+    // an ops dashboard alarms on
+    val dropped = q.recentProgress
+      .map(p => Option(p.stateOperators).map(_.map(_.numRowsDroppedByWatermark)
+        .sum).getOrElse(0L)).sum
+    q.stop()
+    assert(aRows.toSeq == Seq(("2024-01-01 00:00:00.0", 1L)),
+      s"closed window must emit once with the on-time count only: ${aRows.toSeq}")
+    assert(dropped >= 1, s"late row must be counted as dropped, got $dropped")
+  }
+
   test("enrichedWindowedAgg: joins the dim, drops unmatched keys, sums cents") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
