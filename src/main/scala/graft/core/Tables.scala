@@ -34,6 +34,17 @@ object Tables {
     ws.saveAsTable(tableName)
   }
 
+  /** Schema-evolution read: a long-lived curated table accumulates files
+    * written under successive schema versions (a column added mid-year);
+    * `mergeSchema` unions the parquet footers so old files surface the
+    * new columns as nulls — the read-side half of additive evolution.
+    * Footer merging touches metadata only (one footer per file, not
+    * row data), so cost scales with file count; at very large file
+    * counts pin a summary schema instead. Renames/retypes are NOT
+    * evolution — they need a rewrite ([[graft.core.Layout.compact]]). */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Register every curated table under `curatedDir` as a temp view, so
     * the warehouse is queryable as plain SQL — the surface the
     * reference's U-SQL users actually write:

@@ -85,4 +85,22 @@ class TablesSpec extends SparkSpec {
         |  FROM documents LIMIT 100)""".stripMargin).head().getLong(0)
     assert(n == 100)
   }
+
+  test("readEvolved surfaces columns added by later writes, nulls for old files") {
+    import spark.implicits._
+    val dir = s"${scratch("evolve")}/t"
+    // v1 files: (id, name); v2 adds score
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 9.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val df = Tables.readEvolved(spark, dir)
+    assert(df.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val byId = df.collect().map(r => r.getAs[Long]("id") ->
+      (if (r.isNullAt(r.fieldIndex("score"))) None
+       else Some(r.getAs[Double]("score")))).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some(9.5)))
+    // plain read may bind to a single footer's schema — readEvolved is
+    // the contract for evolved tables, not the default scan
+  }
 }
