@@ -202,6 +202,23 @@ class PlanShapeSpec extends SparkSpec {
       s"expected agg-then-window shape:\n$p")
   }
 
+  test("fact reconciliation aggregates each side before the day-grain merge") {
+    val p = plan("q148_fact_reconcile")
+    assert(!p.contains("CartesianProduct"), s"fact-fact blowup:\n$p")
+    // order-key join + two HashAggregates + a day-grain outer merge; the
+    // day-grain merge joins aggregate outputs, never raw fact rows
+    assert(p.contains("HashAggregate"), s"missing pre-aggregation:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not global-sort:\n$p")
+  }
+
+  test("PMI joins dictionary-grain counts, top-k never global-sorts") {
+    val p = plan("q144_pmi")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"LIMIT 100 over scores should be a bounded heap:\n$p")
+  }
+
   test("staging scans prune by partition columns") {
     val root = scratch("plan-staging")
     import spark.implicits._
