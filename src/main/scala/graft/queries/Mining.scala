@@ -306,7 +306,34 @@ object Mining {
       .agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("sz") * col("n_clusters"))
 
+  /** ANSI-safe arithmetic surface: Spark 4 runs ANSI mode by default, so
+    * raw `/ 0`, bad casts, and out-of-range array hits THROW; the `try_*`
+    * family is the null-on-error escape a migrating pipeline reaches
+    * for. One projection + one aggregate exercising try_divide /
+    * try_cast / try_element_at over adversarial inputs derived from real
+    * rows; the oracle mirrors with NULLIF and TRY_CAST (DuckDB's
+    * equivalents). */
+  def q151SafeArith(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        expr("try_divide(round(o_totalprice * 100), o_orderkey % 5)")
+          .as("div5"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) as long)")
+          .as("prio_num"),
+        expr("try_cast(o_orderstatus as long)").as("bad_cast"),
+        expr("try_element_at(array(o_orderkey), " +
+          "cast(nullif(o_orderkey % 3, 0) as int))")
+          .as("arr_hit"))
+      .agg(count(lit(1)).as("n"),
+        count(col("div5")).as("n_div_ok"),
+        sum(when(col("div5").isNull, 1L).otherwise(0L)).as("n_div_by_zero"),
+        count(col("prio_num")).as("n_prio_parsed"),
+        min(col("prio_num")).as("prio_min"), max(col("prio_num")).as("prio_max"),
+        count(col("bad_cast")).as("n_bad_cast_ok"),
+        count(col("arr_hit")).as("n_arr_hits"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_safe_arith" -> q151SafeArith,
     "q148_fact_reconcile" -> q148FactReconcile,
     "q149_conversion_lag" -> q149ConversionLag,
     "q150_cluster_sizes" -> q150ClusterSizes,
@@ -332,6 +359,22 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    "q151_safe_arith" ->
+      """WITH t AS (SELECT
+        |    round(o_totalprice * 100) / NULLIF(o_orderkey % 5, 0) div5,
+        |    TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) prio_num,
+        |    TRY_CAST(o_orderstatus AS BIGINT) bad_cast,
+        |    ([o_orderkey])[CAST(NULLIF(o_orderkey % 3, 0) AS INT)] arr_hit
+        |  FROM orders)
+        |SELECT count(*) AS n, count(div5)::BIGINT AS n_div_ok,
+        |  sum(CASE WHEN div5 IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_div_by_zero,
+        |  count(prio_num)::BIGINT AS n_prio_parsed,
+        |  min(prio_num)::BIGINT AS prio_min,
+        |  max(prio_num)::BIGINT AS prio_max,
+        |  count(bad_cast)::BIGINT AS n_bad_cast_ok,
+        |  count(arr_hit)::BIGINT AS n_arr_hits
+        |FROM t""".stripMargin,
     "q148_fact_reconcile" ->
       """WITH o AS (SELECT
         |        CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 dy,
