@@ -154,6 +154,8 @@ object Stats {
         col("n1"), col("n2"),
         round(col("m.d"), 6).as("d_stat"),
         round(-col("m.nx") / 1000.0, 6).as("d_at"))
+      // absent group → empty frame, not a null/NaN row
+      .where(col("n1").isNotNull && col("n2").isNotNull)
   }
 
   /** Mann–Whitney U (Wilcoxon rank-sum) test between two groups of a
@@ -200,6 +202,8 @@ object Stats {
       col("n1"), col("n2"),
       round(u1, 6).as("u_stat"),
       round((u1 - n1 * n2 / 2.0) / sqrt(sigma2), 6).as("z"))
+      // absent group → empty frame, not a zero-count NaN row
+      .where(col("n1") > 0 && col("n2") > 0)
   }
 
   /** Decile lift-and-gains table for a scoring model: rank rows by score

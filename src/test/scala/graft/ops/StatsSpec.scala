@@ -211,6 +211,25 @@ class StatsSpec extends SparkSpec {
     assert(s.getAs[Double]("top_share") == 0.6)
   }
 
+  test("edge cases: absent group → empty result, not a crash") {
+    val df = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "x")
+    assert(Stats.ksTest(df, "g", "x", "a", "missing").count() == 0)
+    assert(Stats.mannWhitneyU(df, "g", "x", "a", "missing").count() == 0)
+    assert(Stats.welchTTest(df, "g", "x", "a", "missing").count() == 0)
+  }
+
+  test("edge cases: keySkew single key; winsorized degenerate band") {
+    val one = Seq((7L, "r"), (7L, "r"), (7L, "r")).toDF("k", "v")
+    val s = Stats.keySkew(one, "k").collect().head
+    assert(s.getAs[Long]("n_keys") == 1 && s.getAs[Double]("gini") == 0.0
+      && s.getAs[Double]("top_share") == 1.0)
+    // all-equal values: percentile band collapses to the point, mean = it
+    val const = Seq.fill(50)(("g", 42.0)).toDF("k", "v")
+    val w = Stats.winsorizedMean(const, "k", "v").collect().head
+    assert(w.getAs[Double]("winsorized_mean") == 42.0)
+    assert(w.getAs[Double]("p_lo") == 42.0 && w.getAs[Double]("p_hi") == 42.0)
+  }
+
   test("rfm: ntile bucket sizes follow the SQL rule and scores invert") {
     // 7 customers, distinct on every metric → ntile(5) buckets sized
     // 2,2,1,1,1 (first N mod q buckets get the extra row)
