@@ -332,7 +332,23 @@ object Mining {
         count(col("bad_cast")).as("n_bad_cast_ok"),
         count(col("arr_hit")).as("n_arr_hits"))
 
+  /** EXACT distinct users per event type via bitmap aggregation — the
+    * mergeable alternative to `count(distinct)`: each (type, 32k-bucket)
+    * partial is a fixed-size bitmap built map-side, buckets then SUM —
+    * re-aggregable across days/partitions like a sketch but exact, and
+    * no Expand plan. The oracle is plain COUNT(DISTINCT) — same number,
+    * different (scale-shaped) plan. */
+  def q152BitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+        .as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_bitmap_distinct" -> q152BitmapDistinct,
     "q151_safe_arith" -> q151SafeArith,
     "q148_fact_reconcile" -> q148FactReconcile,
     "q149_conversion_lag" -> q149ConversionLag,
@@ -359,6 +375,9 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    "q152_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
     "q151_safe_arith" ->
       """WITH t AS (SELECT
         |    round(o_totalprice * 100) / NULLIF(o_orderkey % 5, 0) div5,
