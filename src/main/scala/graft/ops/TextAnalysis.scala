@@ -303,6 +303,63 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Distributed BPE TRAINING (Sennrich et al. 2016), `rounds` merges:
+    * the iterated version of [[bpePairs]] — each round counts adjacent
+    * token pairs over the weighted vocabulary, picks the most frequent
+    * (pair-string tiebreak → fully deterministic), and applies the merge
+    * left-to-right greedily to every word, exactly like a reference BPE
+    * trainer. Returns the merge table (round, left, right, freq) — the
+    * artifact a tokenizer ships.
+    *
+    * Scale shape per round: the corpus collapsed once to a word
+    * histogram (|vocab| rows, NOT corpus tokens); pair counting and
+    * merge application are map-side HOFs over that frame; the winning
+    * pair is a 1-row broadcast joined back — no driver-side collect,
+    * `localCheckpoint` truncates the per-round lineage. Rounds are
+    * inherently sequential (that IS the algorithm); each costs one
+    * vocab-frame aggregate.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var vocab = df.select(explode(words(col(textCol))).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"), split(col("w"), "").as("toks"))
+      .localCheckpoint()
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      val top = vocab
+        // fully-merged single-token words pair with nothing (and
+        // sequence(1,0) would DESCEND, not empty — the Spark gotcha)
+        .where(size(col("toks")) >= 2)
+        .select(col("wc"), explode(transform(
+            sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("left"),
+              element_at(col("toks"), i + 1).as("right")))).as("p"))
+        .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+        .agg(sum(col("wc")).as("freq"))
+        .orderBy(col("freq").desc, col("left"), col("right"))
+        .limit(1)
+        .withColumn("round", lit(r.toLong))
+      merges = if (merges == null) top else merges.unionByName(top)
+      // apply the winning merge greedily left-to-right to every word:
+      // fold the token array, replacing the trailing `left` with
+      // `left||right` whenever `right` follows it
+      vocab = vocab.crossJoin(broadcast(
+          top.select(col("left").as("__l"), col("right").as("__r"))))
+        .select(col("wc"), aggregate(col("toks"),
+          array().cast("array<string>"),
+          (acc, t) => when(
+            size(acc) > 0 &&
+              element_at(acc, -1) === col("__l") && t === col("__r"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(col("__l"), col("__r")))))
+            .otherwise(concat(acc, array(t)))).as("toks"))
+        .localCheckpoint()
+    }
+    merges.select(col("round"), col("left"), col("right"), col("freq"))
+  }
+
   /** Pointwise-mutual-information collocations (Church & Hanks 1990):
     * adjacent word pairs that co-occur far more than their unigram
     * frequencies predict — the multi-word-expression miner ("new york",

@@ -202,4 +202,35 @@ class TextAnalysisSpec extends SparkSpec {
       "avg_word_len", "punct_ratio", "stopword_ratio", "quality")
       .forall(cols.contains))
   }
+
+  test("bpeTrain: merges chain across rounds exactly like a BPE trainer") {
+    import spark.implicits._
+    // corpus: "low" ×5, "lower" ×2 → chars l o w (e r)
+    // round 1: pairs lo×7, ow×7, we×2, er×2 → tie lo/ow broken by pair
+    //   string: "lo" wins (l<o). words become [lo,w]×5, [lo,w,e,r]×2
+    // round 2: (lo,w)×7 wins → [low]×5, [low,e,r]×2
+    // round 3: (low,e)×2 vs (e,r)×2 → "e"<"low"? left compare: ("e","r")
+    //   vs ("low","e"): "e" < "low" → (e,r) wins
+    val df = (Seq.fill(5)("low") ++ Seq.fill(2)("lower"))
+      .map(Tuple1(_)).toDF("text")
+    val merges = TextAnalysis.bpeTrain(df, "text", rounds = 3)
+      .collect().map(r => r.getAs[Long]("round") ->
+        ((r.getString(1), r.getString(2), r.getAs[Long]("freq")))).toMap
+    assert(merges(1L) == (("l", "o", 7L)))
+    assert(merges(2L) == (("lo", "w", 7L)))
+    assert(merges(3L) == (("e", "r", 2L)))
+  }
+
+  test("bpeTrain greedy apply is left-to-right non-overlapping") {
+    import spark.implicits._
+    // "aaa" ×3: round 1 pairs (a,a)×2 per word ⇒ freq 6, merge (a,a);
+    // apply greedily: [a,a,a] → [aa,a] (the merged token does not re-pair
+    // with the consumed char). round 2 then sees (aa,a)×3.
+    val df = Seq.fill(3)("aaa").map(Tuple1(_)).toDF("text")
+    val merges = TextAnalysis.bpeTrain(df, "text", rounds = 2)
+      .collect().map(r => r.getAs[Long]("round") ->
+        ((r.getString(1), r.getString(2), r.getAs[Long]("freq")))).toMap
+    assert(merges(1L) == (("a", "a", 6L)))
+    assert(merges(2L) == (("aa", "a", 3L)))
+  }
 }
