@@ -147,6 +147,40 @@ object MergeOnRead {
     if (fs.exists(dp)) fs.delete(dp, true)
   }
 
+  /** TIME-TRAVEL read: the snapshot as it stood after ingesting
+    * `asOfDay` — base ∪ only the delta partitions with
+    * `ingest_date <= asOfDay`. The filter hits the delta PARTITION
+    * column, so the scan prunes to exactly the ≤ asOfDay directories
+    * (a metadata decision, no data read for later days).
+    *
+    * Horizon: compaction folds deltas into base, so travel reaches back
+    * only to the last [[compact]] — the standard MOR trade (keep more
+    * delta days ↔ deeper history; a real deployment tiers old deltas to
+    * cold storage instead of deleting). Reading a pre-compaction day
+    * raises rather than silently returning newer state: callers pass
+    * `compactedThrough` (their compaction watermark) when they track
+    * one. */
+  def readSnapshotAsOf(spark: SparkSession, dir: String, table: String,
+      keys: Seq[String], order: Seq[Column], asOfDay: String,
+      like: Option[DataFrame] = None,
+      compactedThrough: Option[String] = None): DataFrame = {
+    compactedThrough.foreach { ct =>
+      require(asOfDay >= ct,
+        s"as-of $asOfDay predates the compaction horizon $ct — " +
+          "that history was folded into base")
+    }
+    val base = readOpt(spark, basePath(dir, table))
+    val deltas = readOpt(spark, deltaPath(dir, table))
+      .map(_.where(col("ingest_date") <= asOfDay).drop("ingest_date"))
+    val schema = base.orElse(deltas).map(_.schema).orElse(like.map(_.schema))
+      .getOrElse(throw new IllegalStateException(
+        s"$table has no base, no deltas, and no schema template"))
+    def orEmpty(d: Option[DataFrame]) = d.getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    Merges.snapshotMerge(orEmpty(base), orEmpty(deltas), keys, order)
+  }
+
   /** Distinct delta days currently awaiting compaction (partition listing
     * only — a metadata read, no data scan). */
   def pendingDeltaDays(spark: SparkSession, dir: String, table: String): Seq[String] = {

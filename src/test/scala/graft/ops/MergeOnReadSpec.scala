@@ -59,6 +59,41 @@ class MergeOnReadSpec extends SparkSpec {
     assert(afterCompact == fullDay2)
   }
 
+  test("readSnapshotAsOf time-travels to each day; horizon guard raises") {
+    val dir = scratch("graft-mor-asof")
+    Fixtures.writeStandardFixture(s"$dir/raw/v1")
+    for (d <- Seq(Fixtures.day1, Fixtures.day2))
+      Staging.stageDay(spark, s"$dir/raw/v1", s"$dir/staging", d)
+    // full-rewrite states per day = the time-travel oracle
+    val day1 = Staging.readStaging(spark, s"$dir/staging", "2017-03-01")
+    val day2 = Staging.readStaging(spark, s"$dir/staging", "2017-03-02")
+    Pipelines.runSnapshot(spark, day1, s"$dir/curated", Specs.commit)
+    val stateDay1 = rows(spark.read.parquet(s"$dir/curated/commit"))
+    Pipelines.runSnapshot(spark, day2, s"$dir/curated", Specs.commit)
+    val stateDay2 = rows(spark.read.parquet(s"$dir/curated/commit"))
+
+    MergeOnRead.appendDelta(freshFor(s"$dir/staging", "2017-03-01"),
+      s"$dir/mor", "commit")
+    MergeOnRead.appendDelta(freshFor(s"$dir/staging", "2017-03-02"),
+      s"$dir/mor", "commit")
+    val asOf1 = rows(MergeOnRead.readSnapshotAsOf(spark, s"$dir/mor",
+      "commit", Seq("etl_source_id"), order, asOfDay = "2017-03-01"))
+    val asOf2 = rows(MergeOnRead.readSnapshotAsOf(spark, s"$dir/mor",
+      "commit", Seq("etl_source_id"), order, asOfDay = "2017-03-02"))
+    assert(asOf1 == stateDay1,
+      "as-of day1 must reproduce the day1 full-rewrite state")
+    assert(asOf2 == stateDay2)
+    // current view ≡ latest as-of
+    assert(asOf2 == rows(MergeOnRead.readSnapshot(spark, s"$dir/mor",
+      "commit", Seq("etl_source_id"), order)))
+    // horizon guard: travel before the declared compaction watermark
+    intercept[IllegalArgumentException] {
+      MergeOnRead.readSnapshotAsOf(spark, s"$dir/mor", "commit",
+        Seq("etl_source_id"), order, asOfDay = "2017-03-01",
+        compactedThrough = Some("2017-03-02"))
+    }
+  }
+
   test("re-appending the same day replaces its delta partition (idempotent)") {
     val dir = scratch("graft-mor-idem")
     Fixtures.writeStandardFixture(s"$dir/raw/v1")
