@@ -219,6 +219,14 @@ class PlanShapeSpec extends SparkSpec {
       s"LIMIT 100 over scores should be a bounded heap:\n$p")
   }
 
+  test("bitmap exact-distinct has no Expand and combines map-side") {
+    val p = plan("q152_bitmap_distinct")
+    assert(!p.contains("Expand"),
+      s"bitmap path must not pay the count-distinct Expand:\n$p")
+    assert(p.contains("partial_bitmap_construct_agg"),
+      s"bitmaps must partial-aggregate map-side:\n$p")
+  }
+
   test("staging scans prune by partition columns") {
     val root = scratch("plan-staging")
     import spark.implicits._
