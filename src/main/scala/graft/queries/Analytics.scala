@@ -489,7 +489,27 @@ object Analytics {
     graft.ops.TextAnalysis.pmiCollocations(docs(spark, dir), "text",
       minCount = 5, k = 100)
 
+  /** OHLC downsampling: per (event type, hour) the opening/closing/
+    * high/low value — the telemetry resample that turns an unbounded
+    * event stream into a bounded time series. Open/close pick the value
+    * at the min/max (ts, event_id) via struct-ordered MIN/MAX — one
+    * aggregate, no window, exact integers throughout. */
+  def q153Ohlc(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        expr("ts_us div 3600000000L").as("hr"),
+        col("ts_us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("ts_us"), col("event_id"), col("cents")))
+          .getField("cents").as("open_c"),
+        max(struct(col("ts_us"), col("event_id"), col("cents")))
+          .getField("cents").as("close_c"),
+        max(col("cents")).as("high_c"), min(col("cents")).as("low_c"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_ohlc" -> q153Ohlc,
     "q144_pmi" -> q144Pmi,
     "q141_twap" -> q141Twap,
     "q142_bounce" -> q142Bounce,
@@ -522,6 +542,18 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q153_ohlc" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 hr,
+        |    epoch_us(ts) ts_us, event_id,
+        |    CAST(round("value" * 100) AS BIGINT) cents
+        |  FROM events)
+        |SELECT event_type, hr, count(*) AS n,
+        |  (min(struct_pack(t := ts_us, e := event_id, c := cents))).c
+        |    ::BIGINT AS open_c,
+        |  (max(struct_pack(t := ts_us, e := event_id, c := cents))).c
+        |    ::BIGINT AS close_c,
+        |  max(cents)::BIGINT AS high_c, min(cents)::BIGINT AS low_c
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "q144_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') ts FROM documents
         |      WHERE len(string_split(text, ' ')) >= 2),
