@@ -92,6 +92,35 @@ object Warehouse {
   def listTables(spark: SparkSession, root: String): Seq[Entry] =
     readManifest(spark, root)
 
+  /** ALTER TABLE ... ADD COLUMNS, the additive-evolution half: after new
+    * files landed with a WIDER schema (e.g. `saveTable(mode = "append")`
+    * with extra columns), re-bind the catalog entry to the
+    * footer-merged union schema so `db.table` SQL sees the new columns —
+    * old files surface them as nulls (the parquet reader fills missing
+    * columns per file once the table schema declares them). Data files
+    * are untouched; this is a metadata operation. Renames/retypes are
+    * rewrites, not evolution ([[Layout.compact]]).
+    *
+    * Returns the merged schema. Call again after [[open]] in a fresh
+    * session — the manifest stores layout, not schema, so evolution is
+    * re-derived from footers (self-healing, never stale). */
+  def evolveTable(spark: SparkSession, root: String, db: String,
+      name: String): org.apache.spark.sql.types.StructType = {
+    requireIdent(db); requireIdent(name)
+    val e = readManifest(spark, root)
+      .find(x => x.db == db && x.table == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown table $db.$name"))
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(e.location(root)).schema
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")
+    spark.catalog.createTable(e.qualified, e.format, merged,
+      Map("path" -> e.location(root)))
+    if (e.partitionCols.nonEmpty)
+      spark.catalog.recoverPartitions(e.qualified)
+    merged
+  }
+
   // ------------------------------------------------------------ internals
 
   private def register(spark: SparkSession, root: String, e: Entry): Unit = {

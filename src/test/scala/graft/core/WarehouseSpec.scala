@@ -95,6 +95,26 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("evolveTable: appended wider files surface via db.table, old rows null") {
+    import spark.implicits._
+    val root = scratch("wh-evolve")
+    Warehouse.saveTable(spark, root, "lake", "ev",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    // schema v2 lands via append with an extra column
+    Warehouse.saveTable(spark, root, "lake", "ev",
+      Seq((3L, "c", 7.5)).toDF("id", "name", "score"), mode = "append")
+    val merged = Warehouse.evolveTable(spark, root, "lake", "ev")
+    assert(merged.fieldNames.sorted.toSeq == Seq("id", "name", "score"))
+    val got = spark.sql("SELECT id, score FROM lake.ev ORDER BY id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.toSeq == Seq(1L -> None, 2L -> None, 3L -> Some(7.5)))
+    // dropping the binding and re-deriving after open() is self-healing
+    Warehouse.open(spark, root)
+    Warehouse.evolveTable(spark, root, "lake", "ev")
+    assert(spark.sql("SELECT count(score) FROM lake.ev").head().getLong(0) == 1)
+  }
+
   test("identifiers are restricted to the safe charset") {
     val root = scratch("wh-ident")
     val region = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
