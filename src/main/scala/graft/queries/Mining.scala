@@ -347,7 +347,92 @@ object Mining {
       .groupBy(col("event_type"))
       .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
 
+  /** Burstiness (Fano factor) of daily event counts per type:
+    * variance/mean over the dense day spine — 1 ≈ Poisson arrivals,
+    * ≫1 bursty. Σ, Σ² exact integers; two float ops at the end. */
+  def q154Fano(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("ts div 1000000000L div 86400L").as("dy"))
+      .agg(count(lit(1)).as("y"))
+    val span = daily.groupBy(col("event_type"))
+      .agg(min(col("dy")).as("d0"), max(col("dy")).as("d1"))
+    val dense = span.select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("dy"))
+      .join(daily, Seq("event_type", "dy"), "left")
+      .na.fill(0L, Seq("y"))
+    dense.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("s"),
+        sum(col("y") * col("y")).as("ss"))
+      .select(col("event_type"), col("n_days"),
+        // population variance / mean, exact-integer numerators
+        round(((col("ss") - col("s").cast("double") * col("s") /
+            col("n_days")) / col("n_days")) /
+          (col("s") / col("n_days").cast("double")), 6).as("fano"))
+  }
+
+  /** Lag-7 autocorrelation of daily event counts per type — the weekly-
+    * rhythm detector (complements q147's variance decomposition with the
+    * signed correlation). Pearson r over (y_t, y_{t−7}) pairs on the
+    * dense spine; every sum is an exact integer, the closing formula is
+    * literal. */
+  def q155Autocorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = table(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("ts div 1000000000L div 86400L").as("dy"))
+      .agg(count(lit(1)).as("y"))
+    val span = daily.groupBy(col("event_type"))
+      .agg(min(col("dy")).as("d0"), max(col("dy")).as("d1"))
+    val dense = span.select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("dy"))
+      .join(daily, Seq("event_type", "dy"), "left")
+      .na.fill(0L, Seq("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("dy"))
+    val pairs = dense.select(col("event_type"), col("y"),
+        lag(col("y"), 7).over(w).as("x"))
+      .where(col("x").isNotNull)
+    val a = pairs.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val nD = col("n").cast("double")
+    a.select(col("event_type"), col("n"),
+      round((nD * col("sxy") - col("sx").cast("double") * col("sy")) /
+        sqrt((nD * col("sxx") - col("sx").cast("double") * col("sx")) *
+          (nD * col("syy") - col("sy").cast("double") * col("sy"))), 6)
+        .as("acf7"))
+  }
+
+  /** Inter-event gap statistics per type: mean, median, and p95 waiting
+    * time in seconds — the arrival-process profile (capacity planning's
+    * other half, next to q123's concurrency peak). Gaps are exact
+    * integer µs from a lead window; exact percentiles over gap grain. */
+  def q156GapStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 1000L").as("ts_us"),
+        col("event_id"))
+      .select(col("event_type"),
+        (lead(col("ts_us"), 1).over(w) - col("ts_us")).as("gap_us"))
+      .where(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum(col("gap_us")) / count(lit(1)).cast("double") / 1e6, 6)
+          .as("mean_gap_s"),
+        round(percentile(col("gap_us"), lit(0.5)) / 1e6, 6)
+          .as("median_gap_s"),
+        round(percentile(col("gap_us"), lit(0.95)) / 1e6, 6)
+          .as("p95_gap_s"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_fano" -> q154Fano,
+    "q155_autocorr" -> q155Autocorr,
+    "q156_gap_stats" -> q156GapStats,
     "q152_bitmap_distinct" -> q152BitmapDistinct,
     "q151_safe_arith" -> q151SafeArith,
     "q148_fact_reconcile" -> q148FactReconcile,
@@ -375,6 +460,58 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    "q154_fano" ->
+      """WITH daily AS (SELECT event_type,
+        |        epoch_us(ts) // 1000000 // 86400 dy, count(*)::BIGINT y
+        |      FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(dy) d0, max(dy) d1 FROM daily
+        |      GROUP BY 1),
+        |spine AS (SELECT s.event_type, u.dy
+        |      FROM span s, UNNEST(generate_series(s.d0, s.d1)) AS u(dy)),
+        |dense AS (SELECT sp.event_type, sp.dy, coalesce(d.y, 0)::BIGINT y
+        |      FROM spine sp LEFT JOIN daily d
+        |        ON d.event_type = sp.event_type AND d.dy = sp.dy),
+        |a AS (SELECT event_type, count(*)::BIGINT n_days,
+        |        sum(y)::BIGINT s, sum(y * y)::BIGINT ss
+        |      FROM dense GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round(((ss - s::DOUBLE * s / n_days) / n_days) /
+        |    (s / n_days::DOUBLE), 6) AS fano
+        |FROM a""".stripMargin,
+    "q155_autocorr" ->
+      """WITH daily AS (SELECT event_type,
+        |        epoch_us(ts) // 1000000 // 86400 dy, count(*)::BIGINT y
+        |      FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(dy) d0, max(dy) d1 FROM daily
+        |      GROUP BY 1),
+        |spine AS (SELECT s.event_type, u.dy
+        |      FROM span s, UNNEST(generate_series(s.d0, s.d1)) AS u(dy)),
+        |dense AS (SELECT sp.event_type, sp.dy, coalesce(d.y, 0)::BIGINT y
+        |      FROM spine sp LEFT JOIN daily d
+        |        ON d.event_type = sp.event_type AND d.dy = sp.dy),
+        |p AS (SELECT event_type, y,
+        |        lag(y, 7) OVER (PARTITION BY event_type ORDER BY dy) x
+        |      FROM dense),
+        |a AS (SELECT event_type, count(*)::BIGINT n, sum(x)::BIGINT sx,
+        |        sum(y)::BIGINT sy, sum(x * x)::BIGINT sxx,
+        |        sum(y * y)::BIGINT syy, sum(x * y)::BIGINT sxy
+        |      FROM p WHERE x IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((n::DOUBLE * sxy - sx::DOUBLE * sy) /
+        |    sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx) *
+        |         (n::DOUBLE * syy - sy::DOUBLE * sy)), 6) AS acf7
+        |FROM a""".stripMargin,
+    "q156_gap_stats" ->
+      """WITH g AS (SELECT event_type,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) gap_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(sum(gap_us)::BIGINT / count(*)::DOUBLE / 1e6, 6)
+        |    AS mean_gap_s,
+        |  round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS median_gap_s,
+        |  round(quantile_cont(gap_us, 0.95) / 1e6, 6) AS p95_gap_s
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
     "q152_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1""".stripMargin,
