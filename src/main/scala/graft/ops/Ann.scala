@@ -87,6 +87,33 @@ object Ann {
     * approximate (quantization error ≲1%), so treat it as a CANDIDATE
     * stage and re-rank the top-k' with full precision when exact order
     * matters — [[graft.functions.VectorFunctions.int8Cosine]]. */
+  /** Hard-negative mining for contrastive training (the in-batch-negative
+    * upgrade): for each query vector, the top-k most-similar corpus
+    * vectors with a DIFFERENT label — maximally confusing negatives, the
+    * pairs a contrastive loss learns most from. Same broadcast + native
+    * dot + bounded-heap shape as [[cosineTopK]], one extra label column
+    * through the plan and one pair predicate; at IVF scale run it over
+    * probed clusters instead of the broadcast corpus. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, dim: Int, k: Int): DataFrame = {
+    def prep(df: DataFrame) =
+      df.select(col(idCol).as("__vid"), col(vecCol).as("__vec"),
+        col(labelCol).as("__lbl"), norm(col(vecCol), dim).as("__nrm"))
+    val q = prep(queries)
+    val c = prep(corpus)
+    val pairs = q.select(col("__vid").as("vec_id"), col("__vec").as("__qv"),
+        col("__lbl").as("__ql"), col("__nrm").as("__qn"))
+      .crossJoin(broadcast(c.select(col("__vid").as("neighbor_id"),
+        col("__vec").as("__cv"), col("__lbl").as("__cl"),
+        col("__nrm").as("__cn"))))
+      .where(col("vec_id") =!= col("neighbor_id") &&
+        col("__ql") =!= col("__cl"))
+      .select(col("vec_id"), col("neighbor_id"),
+        (dot(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
+          .as("cosine"))
+    topKPerKey(pairs, k)
+  }
+
   def cosineTopKInt8(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int): DataFrame = {
     import graft.functions.VectorFunctions._

@@ -376,7 +376,18 @@ object Training {
 
   private def stopIn(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** Hard-negative mining: top-3 most-similar OTHER-label vectors per
+    * query — the contrastive-training negative sampler.
+    * [[Ann.hardNegatives]]. */
+  def q157HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Ann.hardNegatives(e.where(col("vec_id") < 100), e, "vec_id",
+        "embedding", "label", Dim, 3)
+      .withColumn("cosine", round(col("cosine"), 6))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_hard_negatives" -> q157HardNegatives,
     "q17_dedup_exact" -> q17DedupExact,
     "q18_ngram_jaccard" -> q18NgramJaccard,
     "q19_minhash_lsh" -> q19MinhashLsh,
@@ -504,6 +515,18 @@ object Training {
          |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS "rank"
          |  FROM p) WHERE "rank" <= 5""".stripMargin
     },
+    "q157_hard_negatives" ->
+      s"""WITH nl AS (SELECT vec_id, embedding, label,
+         |        sqrt(${dotSql("e", "e")}) nrm FROM embeddings e),
+         |p AS (SELECT a.vec_id vec_id, b.vec_id neighbor_id,
+         |        (${dotSql("a", "b")}) / (a.nrm * b.nrm) cosine
+         |      FROM nl a JOIN nl b
+         |        ON a.vec_id <> b.vec_id AND a.label <> b.label
+         |      WHERE a.vec_id < 100)
+         |SELECT vec_id, neighbor_id, round(cosine, 6) AS cosine, "rank"
+         |FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id)
+         |    AS "rank" FROM p) WHERE "rank" <= 3""".stripMargin,
     "q21_cosine_topk" ->
       s"""WITH $normCte,
          |p AS (SELECT a.vec_id vec_id, b.vec_id neighbor_id,
