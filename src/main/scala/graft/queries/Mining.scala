@@ -429,7 +429,48 @@ object Mining {
           .as("p95_gap_s"))
   }
 
+  /** Effective sample size under value-weighting per event type:
+    * ESS = (Σw)²/Σw² and the design effect n/ESS — how much a weighted
+    * estimator REALLY knows (Kish 1965); the sanity gate before any
+    * weighted corpus mix ships. Weights are exact integer cents. */
+  def q158Ess(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("w"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+        sum(col("w") * col("w")).as("sww"))
+      .select(col("event_type"), col("n"),
+        round(col("sw").cast("double") * col("sw") /
+          col("sww").cast("double"), 6).as("ess"),
+        round(col("n").cast("double") * col("sww") /
+          (col("sw").cast("double") * col("sw")), 6).as("design_effect"))
+
+  /** Monthly churn: users active in month m and absent in m+1, over the
+    * consecutive-month pairs the data spans — the retention KPI. Month
+    * = integral epoch-day ÷ 30 bucket (calendar-free: engines disagree
+    * on month arithmetic; fixed 30-day buckets are engine-exact). */
+  def q159Churn(spark: SparkSession, dir: String): DataFrame = {
+    val am = table(spark, dir, "events")
+      .select(col("user_id"),
+        expr("ts div 1000000000L div 86400L div 30L").as("m"))
+      .distinct()
+    val next = am.select(col("user_id"), (col("m") - 1).as("m"),
+      lit(1L).as("__next"))
+    am.join(next, Seq("user_id", "m"), "left")
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("__next").isNull, 1L).otherwise(0L)).as("n_churned"))
+      .crossJoin(broadcast(am.agg(max(col("m")).as("__mx"))))
+      .where(col("m") < col("__mx")) // last month has no m+1 to churn into
+      .select(col("m"), col("n_active"), col("n_churned"),
+        round(col("n_churned") / col("n_active").cast("double"), 6)
+          .as("churn_rate"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_ess" -> q158Ess,
+    "q159_churn" -> q159Churn,
     "q154_fano" -> q154Fano,
     "q155_autocorr" -> q155Autocorr,
     "q156_gap_stats" -> q156GapStats,
@@ -460,6 +501,27 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    "q158_ess" ->
+      """WITH q AS (SELECT event_type,
+        |        CAST(round("value" * 100) AS BIGINT) w FROM events),
+        |a AS (SELECT event_type, count(*)::BIGINT n, sum(w)::BIGINT sw,
+        |        sum(w * w)::BIGINT sww FROM q GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(sw::DOUBLE * sw / sww::DOUBLE, 6) AS ess,
+        |  round(n::DOUBLE * sww / (sw::DOUBLE * sw), 6) AS design_effect
+        |FROM a""".stripMargin,
+    "q159_churn" ->
+      """WITH am AS (SELECT DISTINCT user_id,
+        |        epoch_us(ts) // 1000000 // 86400 // 30 m FROM events),
+        |mx AS (SELECT max(m) mxm FROM am),
+        |j AS (SELECT a.m, a.user_id,
+        |        CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END churned
+        |      FROM am a LEFT JOIN am b
+        |        ON b.user_id = a.user_id AND b.m = a.m + 1)
+        |SELECT j.m, count(*) AS n_active,
+        |  sum(churned)::BIGINT AS n_churned,
+        |  round(sum(churned) / count(*)::DOUBLE, 6) AS churn_rate
+        |FROM j CROSS JOIN mx WHERE j.m < mx.mxm GROUP BY 1""".stripMargin,
     "q154_fano" ->
       """WITH daily AS (SELECT event_type,
         |        epoch_us(ts) // 1000000 // 86400 dy, count(*)::BIGINT y
