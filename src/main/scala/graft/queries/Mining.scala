@@ -468,7 +468,27 @@ object Mining {
           .as("churn_rate"))
   }
 
+  /** Lexical diversity per source: type–token ratio and hapax-legomena
+    * share — the corpus-linguistics vocabulary-richness screen (template
+    * farms score low TTR; OCR noise scores high hapax). Two exact-count
+    * aggregations, token grain then type grain. */
+  def q160LexDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val types = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    types.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types") / col("n_tokens").cast("double"), 6).as("ttr"),
+        round(col("n_hapax") / col("n_types").cast("double"), 6)
+          .as("hapax_share"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_lex_diversity" -> q160LexDiversity,
     "q158_ess" -> q158Ess,
     "q159_churn" -> q159Churn,
     "q154_fano" -> q154Fano,
@@ -501,6 +521,19 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    "q160_lex_diversity" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) tok
+        |      FROM documents),
+        |ty AS (SELECT source, tok, count(*)::BIGINT c FROM t
+        |      WHERE tok <> '' GROUP BY 1, 2),
+        |a AS (SELECT source, sum(c)::BIGINT n_tokens,
+        |        count(*)::BIGINT n_types,
+        |        sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT n_hapax
+        |      FROM ty GROUP BY 1)
+        |SELECT source, n_tokens, n_types,
+        |  round(n_types / n_tokens::DOUBLE, 6) AS ttr,
+        |  round(n_hapax / n_types::DOUBLE, 6) AS hapax_share
+        |FROM a""".stripMargin,
     "q158_ess" ->
       """WITH q AS (SELECT event_type,
         |        CAST(round("value" * 100) AS BIGINT) w FROM events),
