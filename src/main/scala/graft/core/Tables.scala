@@ -13,7 +13,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   /** Load one test table, e.g. table(spark, "/root/testdata/sf0.01", "lineitem"). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeEventTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Engine contract for the events stream: `ts` is an epoch-NANOS long.
+    *
+    * The corpus has shipped `ts` both as parquet TIMESTAMP(NANOS) — which
+    * Spark reads as a long under `nanosAsLong` (it has no nanos type) —
+    * and as TIMESTAMP(MICROS), which reads as TIMESTAMP_NTZ. Normalizing
+    * at the read edge keeps every downstream `ts div 1000` / window /
+    * as-of plan (and its DuckDB oracle, which reads the same file as a
+    * native timestamp and replays via `epoch_us`/`epoch_ns`) identical
+    * across corpus drops. µs→ns is exact integer arithmetic; sessions pin
+    * UTC, so the NTZ→instant cast moves no wall-clock. A projection only —
+    * pushdown and pruning on the other columns are unaffected. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    if (!df.columns.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts").cast("timestamp")) * 1000L)
+      case _: org.apache.spark.sql.types.TimestampType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts")) * 1000L)
+      case t => throw new IllegalArgumentException(
+        s"events.ts must be long or timestamp, got $t")
+    }
 
   /** S7 physical-layout fidelity: the reference's CTAS
     * `DISTRIBUTE HASH(keys) INTO n` + clustered index

@@ -56,11 +56,13 @@ object StreamingQueries {
       withStatePartitions(spark, 8) {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    // ts arrives as epoch NANOS (long) under nanosAsLong; integer DIV
+    // normalizeEventTs pins ts to the epoch-NANOS-long contract whatever
+    // the corpus drop shipped (ns-as-long or µs timestamp); integer DIV
     // truncates to micros exactly like DuckDB's ns->us read does
     // file streaming sources list a DIRECTORY; the glob pins the one table
     val events = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.core.Tables.normalizeEventTs)
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
     val counts = Streams.windowedCounts(events, "event_ts", "event_type",
       windowDur = "6 hours", slideDur = "6 hours", watermarkDelay = "0 seconds")
@@ -94,6 +96,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(path).schema
     val events = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.core.Tables.normalizeEventTs)
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
     val dim = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -133,6 +136,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(path).schema
     val events = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.core.Tables.normalizeEventTs)
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
     val sessions = Streams.sessionWindows(events, "event_ts", "user_id",
       gap = "12 hours", watermarkDelay = "0 seconds")
@@ -164,6 +168,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val events = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.core.Tables.normalizeEventTs)
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
     val deduped = Streams.dedupStream(events, "event_ts",
       Seq("user_id", "event_type"), watermarkDelay = "1 hour")
@@ -189,6 +194,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def stream() = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.core.Tables.normalizeEventTs)
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
     val clicks = stream().where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
@@ -212,15 +218,49 @@ object StreamingQueries {
     spark.table(sink)
   }
 
+  /** Exactly-once streaming MERGE INTO run to completion: the events file
+    * stream upserts into a scratch warehouse table keyed by user, newest
+    * (ts, event_id) version wins — so the finished table is the latest
+    * event per user. The version-aware merge is order-insensitive across
+    * micro-batches (an older version arriving later never regresses a
+    * row), so the result is deterministic however the file source splits
+    * batches, and the oracle replays it as one rank-1 window. */
+  def q161StreamUpsert(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.core.Tables.normalizeEventTs)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val root = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft_q161_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = Streams.upsertSink(events, root, "user_latest",
+      keys = Seq("user_id"), versionCols = Seq("ts", "event_id"),
+      checkpoint = s"$root/_ckpt")
+    q.awaitTermination()
+    spark.read.parquet(s"$root/user_latest")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_stream_window" -> q37StreamWindow,
     "q51_stream_session" -> q51StreamSession,
     "q60_stream_dedup" -> q60StreamDedup,
     "q61_stream_join" -> q61StreamJoin,
-    "q89_stream_enrich" -> q89StreamEnrich
+    "q89_stream_enrich" -> q89StreamEnrich,
+    "q161_stream_upsert" -> q161StreamUpsert
   )
 
   val oracles: Map[String, String] = Map(
+    "q161_stream_upsert" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, "value",
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) rn
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  "value" AS last_value
+        |FROM r WHERE rn = 1""".stripMargin,
     "q60_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     // flush clock = max(ts) over ALL events (watermark precedes the join),

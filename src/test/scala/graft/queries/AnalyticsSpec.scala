@@ -56,7 +56,7 @@ class AnalyticsSpec extends SparkSpec {
     assert(golden.groupBy("user_id").count()
       .where(col("count") > 1).isEmpty)
     // differential: brute-force latest non-null per field for one user
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.core.Tables.table(spark, dir, "events")
       .withColumn("ts_us", expr("ts div 1000L"))
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .select("user_id", "ts_us", "event_id", "k")
