@@ -290,4 +290,83 @@ object Streams {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col(segCol),
         col("n_events"), col("revenue_cents"))
+
+  // -- exactly-once streaming MERGE INTO -------------------------------------
+
+  /** Apply one micro-batch as a version-aware MERGE into the parquet table
+    * at `<tableDir>/<table>` — the reusable body of [[upsertSink]], exposed
+    * so retry semantics are testable without a streaming runtime.
+    *
+    * Exactly-once: `foreachBatch` is AT-LEAST-once (a batch is re-run if
+    * the driver dies between the sink action and the checkpoint commit),
+    * so each applied batch is recorded in a commit ledger
+    * (`<tableDir>/_graft_commits_<table>/<batchId>`) and a replayed
+    * batchId is a no-op. The marker lands AFTER the table swap; a crash
+    * inside that window re-applies the merge, which is safe because the
+    * merge itself is idempotent — newest-version-wins compares the source
+    * row against what is already in the table, so replaying the same rows
+    * reproduces the same table byte-for-byte.
+    *
+    * Version-aware update: a source row overwrites its matched target row
+    * only when its `versionCols` tuple is >= the target's — out-of-order
+    * arrivals (an older version surfacing after a newer one was applied)
+    * never regress the table, the same latest-effective-ts rule as the
+    * reference's snapshot merge (ProcessDaily.usql:98-177) generalized to
+    * any key/version columns. Within the batch, rank-1 per key keeps
+    * MERGE's one-source-row-per-key contract.
+    *
+    * 100 TB shape: one window shuffle over the (small) batch + the
+    * full-outer merge join, where AQE broadcasts the batch side; the
+    * rewrite is [[Pipelines.overwriteCurated]]'s rename-aside swap. A
+    * table too large to rewrite per batch pairs this same merge with
+    * [[graft.ops.MergeOnRead]]'s O(delta) log instead. `deleteWhen`
+    * (over `src_*` columns) emits tombstone deletes. */
+  def upsertBatch(tableDir: String, table: String, keys: Seq[String],
+      versionCols: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None)
+      (batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$tableDir/_graft_commits_$table/$batchId")
+    if (fs.exists(marker)) return // replayed batch — already applied
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(versionCols.map(col(_).desc): _*)
+    val src = batch.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val tgtPath = Pipelines.tablePath(tableDir, table)
+    val merged =
+      if (!fs.exists(new Path(tgtPath))) src
+      else {
+        val target = spark.read.parquet(tgtPath)
+        val srcNewer =
+          struct(versionCols.map(c => col(s"src_$c")): _*) >=
+            struct(versionCols.map(target(_)): _*)
+        val nonKeys = batch.columns.filterNot(keys.contains)
+        val updates = nonKeys.map(c =>
+          c -> when(srcNewer, col(s"src_$c")).otherwise(target(c))).toMap
+        val inserts = batch.columns.map(c => c -> col(s"src_$c")).toMap
+        graft.ops.MergeInto.mergeInto(target, src, keys, updates, inserts,
+          deleteWhen)
+      }
+    Pipelines.overwriteCurated(merged, tableDir, table)
+    fs.mkdirs(marker) // commit point: this batchId is now a no-op
+  }
+
+  /** Exactly-once streaming upsert: every micro-batch MERGEs into the
+    * warehouse table through [[upsertBatch]] — the streaming twin of a
+    * nightly MERGE INTO job, with the commit ledger upgrading
+    * foreachBatch's at-least-once replay to exactly-once table state. */
+  def upsertSink(stream: DataFrame, tableDir: String, table: String,
+      keys: Seq[String], versionCols: Seq[String], checkpoint: String,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(upsertBatch(tableDir, table, keys, versionCols,
+        deleteWhen) _)
+      .start()
 }

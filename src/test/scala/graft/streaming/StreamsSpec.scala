@@ -333,4 +333,67 @@ class StreamsSpec extends SparkSpec {
     // first batch emits the max (p3); the stale p2 must NOT re-emit
     assert(out.map(_.payload).toSeq == Seq("p3"))
   }
+
+  // -- upsertSink / upsertBatch ----------------------------------------------
+
+  private def upsertFixture(rows: Seq[(Long, Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("id", "ver", "val")
+  }
+
+  private def readTable(dir: String): Map[Long, (Long, String)] =
+    spark.read.parquet(s"$dir/t").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+
+  test("upsertBatch: insert, newer-version update, stale row ignored") {
+    val dir = scratch("upsert")
+    val apply = Streams.upsertBatch(dir, "t", Seq("id"), Seq("ver")) _
+    apply(upsertFixture(Seq((1L, 10L, "a1"), (2L, 10L, "b1"))), 0L)
+    // batch 1: newer version of 1, stale version of 2, new key 3
+    apply(upsertFixture(Seq((1L, 20L, "a2"), (2L, 5L, "bSTALE"),
+      (3L, 1L, "c1"))), 1L)
+    assert(readTable(dir) ==
+      Map(1L -> (20L, "a2"), 2L -> (10L, "b1"), 3L -> (1L, "c1")))
+  }
+
+  test("upsertBatch: replayed batchId is a no-op even with different data") {
+    val dir = scratch("upsert-replay")
+    val apply = Streams.upsertBatch(dir, "t", Seq("id"), Seq("ver")) _
+    apply(upsertFixture(Seq((1L, 10L, "a1"))), 0L)
+    // foreachBatch retry delivers the same batchId — must not re-apply
+    apply(upsertFixture(Seq((1L, 99L, "MUST_NOT_LAND"))), 0L)
+    assert(readTable(dir) == Map(1L -> (10L, "a1")))
+  }
+
+  test("upsertBatch: intra-batch rank-1 per key; deleteWhen tombstones") {
+    import org.apache.spark.sql.functions.col
+    val dir = scratch("upsert-del")
+    val apply = Streams.upsertBatch(dir, "t", Seq("id"), Seq("ver"),
+      deleteWhen = Some(col("src_val") === "DEAD")) _
+    // two versions of key 1 in ONE batch: rank-1 (ver=20) must win
+    apply(upsertFixture(Seq((1L, 10L, "a1"), (1L, 20L, "a2"),
+      (2L, 1L, "b1"))), 0L)
+    assert(readTable(dir) == Map(1L -> (20L, "a2"), 2L -> (1L, "b1")))
+    apply(upsertFixture(Seq((1L, 30L, "DEAD"))), 1L)
+    assert(readTable(dir) == Map(2L -> (1L, "b1")))
+  }
+
+  test("upsertSink end-to-end: multi-batch stream converges to latest-wins") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = scratch("upsert-e2e")
+    val ckpt = scratch("upsert-ckpt")
+    val input = MemoryStream[(Long, Long, String)]
+    val q = Streams.upsertSink(input.toDF().toDF("id", "ver", "val"),
+      dir, "t", Seq("id"), Seq("ver"), ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    input.addData((1L, 10L, "a1"), (2L, 10L, "b1"))
+    q.processAllAvailable()
+    input.addData((1L, 20L, "a2"), (2L, 5L, "bSTALE"))
+    q.processAllAvailable()
+    q.stop()
+    assert(readTable(dir) ==
+      Map(1L -> (20L, "a2"), 2L -> (10L, "b1")))
+  }
 }
