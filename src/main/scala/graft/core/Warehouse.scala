@@ -121,6 +121,36 @@ object Warehouse {
     merged
   }
 
+  /** ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS …] — feed the
+    * cost-based optimizer. Table stats give Catalyst exact row counts
+    * (file size alone over-estimates selective scans); column stats add
+    * ndv/min/max/null counts, which is what CBO join reordering and
+    * stats-based broadcast decisions consume
+    * (`spark.sql.cbo.enabled` + `spark.sql.cbo.joinReorder.enabled`).
+    * At 100 TB this is the difference between a planned broadcast and a
+    * sort-merge join that shuffles the fact table because the planner
+    * only had raw file bytes to size a filtered dimension with.
+    *
+    * Stats live in the catalog entry, so like schema evolution they are
+    * per-session state over the manifest-replayed warehouse: re-run
+    * after [[open]] in a fresh session (cheap — stats scans are
+    * column-pruned aggregates, no shuffle). Returns the recorded
+    * (rowCount, sizeInBytes). */
+  def analyze(spark: SparkSession, db: String, name: String,
+      columns: Seq[String] = Nil): (BigInt, BigInt) = {
+    requireIdent(db); requireIdent(name)
+    spark.sql(s"ANALYZE TABLE `$db`.`$name` COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE `$db`.`$name` COMPUTE STATISTICS " +
+        s"FOR COLUMNS ${columns.map(c => s"`$c`").mkString(", ")}")
+    val st = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        name, Some(db))).stats
+      .getOrElse(throw new IllegalStateException(
+        s"ANALYZE recorded no stats for $db.$name"))
+    (st.rowCount.getOrElse(BigInt(-1)), st.sizeInBytes)
+  }
+
   // ------------------------------------------------------------ internals
 
   private def register(spark: SparkSession, root: String, e: Entry): Unit = {

@@ -115,6 +115,34 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.sql("SELECT count(score) FROM lake.ev").head().getLong(0) == 1)
   }
 
+  test("analyze records exact row counts and column ndv for the CBO") {
+    val root = scratch("wh-stats")
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    try {
+      Warehouse.saveTable(spark, root, "whstats", "nation", nation)
+      val (rows, bytes) = Warehouse.analyze(spark, "whstats", "nation",
+        columns = Seq("n_nationkey", "n_regionkey"))
+      assert(rows == nation.count())
+      assert(bytes > 0)
+      // column stats are in the catalog (ndv for the join-reorder CBO)
+      val desc = spark.sql(
+        "DESCRIBE EXTENDED whstats.nation n_regionkey").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc("distinct_count").toLong == 5L)
+      // with CBO on, the optimized plan carries the exact rowCount
+      val prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val st = spark.table("whstats.nation")
+          .queryExecution.optimizedPlan.stats
+        assert(st.rowCount.contains(BigInt(nation.count())))
+      } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS whstats.nation")
+      spark.sql("DROP DATABASE IF EXISTS whstats")
+    }
+  }
+
   test("identifiers are restricted to the safe charset") {
     val root = scratch("wh-ident")
     val region = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
