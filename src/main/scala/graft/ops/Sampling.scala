@@ -114,4 +114,31 @@ object Sampling {
     df.withColumn("cum_before", coalesce(sum(tokens).over(w), lit(0L)))
       .where(col("cum_before") < budget)
   }
+
+  /** Deterministic global shuffle — the reproducible random ordering a
+    * training run reads the corpus in. Epoch-salted md5 over the row key
+    * gives every row a pseudo-random rank that is a pure function of
+    * (key, epoch): re-runs, repartitionings, and other engines produce
+    * the SAME order, and each epoch a DIFFERENT one — `ORDER BY
+    * md5(key)` is exactly how the oracle replays it.
+    *
+    * 100 TB shape: `repartitionByRange` + intra-partition sort — a
+    * range-partitioned TOTAL order (each output file is a contiguous
+    * slice of the global shuffle; file i is read before file i+1), not a
+    * single-task global sort. `shuffle_pos` (dense 0..n-1 would need a
+    * second pass; the hash itself is the position key) lets a reader
+    * verify order or seek. Collision note: 60-bit hash over ≤2^30 keys
+    * makes ties astronomically rare; the key itself tie-breaks them
+    * deterministically. */
+  def deterministicShuffle(df: DataFrame, keyCol: String, epoch: Int,
+      numPartitions: Int = 0): DataFrame = {
+    val pos = TextDedup.hash60(
+      concat(col(keyCol).cast("string"), lit(s":epoch$epoch")))
+    val withPos = df.withColumn("shuffle_pos", pos)
+    val n = if (numPartitions > 0) numPartitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    withPos
+      .repartitionByRange(n, col("shuffle_pos"), col(keyCol))
+      .sortWithinPartitions(col("shuffle_pos"), col(keyCol))
+  }
 }

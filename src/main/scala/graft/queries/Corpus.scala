@@ -63,11 +63,49 @@ object Corpus {
           lit(0.0), (a, x) => a + x)), 6).as("entropy"))
   }
 
+  /** Deterministic epoch shuffle: the reproducible random order a
+    * training run reads the corpus in ([[graft.ops.Sampling
+    * .deterministicShuffle]]). The oracle replays the position key —
+    * md5-derived, a pure function of (doc_id, epoch) — so the assigned
+    * order is proven engine-independent; the spec covers the
+    * range-partitioned mechanics (global sortedness without a global
+    * sort). */
+  def q162Shuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.deterministicShuffle(
+      docs(spark, dir).select(col("doc_id")), "doc_id", epoch = 1)
+
+  /** Dictionary encoding of the source column ([[graft.ops.Encode]]):
+    * codes by sorted value order (reproducible on any partitioning /
+    * engine), dictionary broadcast back onto the corpus — the big table
+    * never shuffles. */
+  def q163DictEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val dict = graft.ops.Encode.dictionary(d, "source")
+    graft.ops.Encode.encode(d.select(col("doc_id"), col("source")),
+      dict, "source")
+  }
+
+  /** Length-bucketed batching ([[graft.ops.Packing.lengthBuckets]]):
+    * power-of-two token-length bands, longest-first batches of 32, and
+    * the per-document padding waste a serving pipeline minimizes. Band
+    * is computed via bit length, not float log2 — integer-exact in both
+    * engines. */
+  def q164LengthBatches(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("toks"))
+    graft.ops.Packing.lengthBuckets(d, "doc_id", col("toks"), batchSize = 32)
+      .select(col("doc_id"), col("band"), col("batch_idx"),
+        col("batch_max"), col("pad_waste"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_source_entropy" -> q93SourceEntropy,
     "q83_semantic_dedup" -> q83SemanticDedup,
     "q84_line_dedup" -> q84LineDedup,
-    "q85_bm25" -> q85Bm25
+    "q85_bm25" -> q85Bm25,
+    "q162_shuffle" -> q162Shuffle,
+    "q163_dict_encode" -> q163DictEncode,
+    "q164_length_batches" -> q164LengthBatches
   )
 
   /** Fixed left-associated Σ a[i]·b[i] (1-based DuckDB lists) — the same
@@ -77,6 +115,30 @@ object Corpus {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q163_dict_encode" ->
+      """WITH dict AS (SELECT source,
+        |    (row_number() OVER (ORDER BY source) - 1)::INT AS code
+        |  FROM (SELECT DISTINCT source FROM documents))
+        |SELECT d.doc_id, d.source, dict.code AS source_code
+        |FROM documents d JOIN dict USING (source)""".stripMargin,
+    "q164_length_batches" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS toks FROM documents),
+        |b AS (SELECT doc_id, toks,
+        |        (len(bin(greatest(toks, 1))) - 1)::INT AS band FROM t),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY band
+        |        ORDER BY toks DESC, doc_id) rn FROM b)
+        |SELECT doc_id, band, ((rn - 1) // 32)::BIGINT AS batch_idx,
+        |  max(toks) OVER (PARTITION BY band, (rn - 1) // 32)::BIGINT
+        |    AS batch_max,
+        |  (max(toks) OVER (PARTITION BY band, (rn - 1) // 32)
+        |    - toks)::BIGINT AS pad_waste
+        |FROM r""".stripMargin,
+    "q162_shuffle" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(doc_id::VARCHAR || ':epoch1'), 1, 15))::BIGINT
+        |    AS shuffle_pos
+        |FROM documents""".stripMargin,
     "q93_source_entropy" ->
       """WITH c AS (SELECT lang, source, count(*) c
         |           FROM documents GROUP BY 1, 2),

@@ -102,6 +102,30 @@ class SamplingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("deterministicShuffle: partition-invariant total order, epochs differ") {
+    val df = (0L until 200L).map(i => (i, s"t$i")).toDF("id", "payload")
+    def order(d: org.apache.spark.sql.DataFrame, epoch: Int): Seq[Long] = {
+      val out = Sampling.deterministicShuffle(d, "id", epoch, numPartitions = 4)
+      // rows read partition 0..n-1, in partition order = the global order
+      out.select(col("id"), spark_partition_id().as("p"),
+          col("shuffle_pos"))
+        .collect()
+        .sortBy(r => (r.getInt(1), r.getLong(2), r.getLong(0)))
+        .map(_.getLong(0)).toSeq
+    }
+    val e1 = order(df, 1)
+    // same epoch over a differently-partitioned input: identical order
+    assert(order(df.repartition(7), 1) == e1)
+    // range partitioning means partition-major read order IS hash order
+    val byHash = Sampling.deterministicShuffle(df, "id", 1, 4)
+      .select("id", "shuffle_pos").collect()
+      .sortBy(r => (r.getLong(1), r.getLong(0))).map(_.getLong(0)).toSeq
+    assert(e1 == byHash)
+    // a different epoch produces a genuinely different permutation
+    assert(order(df, 2) != e1)
+    assert(order(df, 2).toSet == e1.toSet)
+  }
+
   test("tokenBudgetPerGroup fills greedily, keeps the boundary doc, per group") {
     val df = Seq(
       // s1 ordered by quality desc: 1 (60 toks), 2 (50), 3 (10)
