@@ -482,6 +482,31 @@ object TextDedup {
       .where(col("edit_dist") <= maxDist)
   }
 
+  /** Jaro–Winkler near-dup pairs — [[editDistancePairs]]' blocked shape
+    * with the transposition-tolerant scorer ([[graft.functions
+    * .JaroWinkler]], native codegen'd expression): first-token equi-join
+    * blocking bounds candidates, the O(len²) similarity runs only on
+    * survivors over a fixed prefix. Same skew caveat as edit distance —
+    * a corpus where one first token dominates widens the key (first two
+    * tokens) or pre-salts. */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 30, minSim: Double = 0.9): DataFrame = {
+    require(prefixLen >= 1 && minSim >= 0.0 && minSim <= 1.0)
+    val base = df.select(col(idCol).as("__id"),
+      split(col(textCol), " ").getItem(0).as("__ft"),
+      substring(col(textCol), 1, prefixLen).as("__pfx"))
+    val a = base.select(col("__id").as("doc_a"), col("__ft"),
+      col("__pfx").as("__pfx_a"))
+    val b = base.select(col("__id").as("doc_b"), col("__ft"),
+      col("__pfx").as("__pfx_b"))
+    a.join(b, Seq("__ft"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(graft.functions.JaroWinkler.jaroWinklerCol(
+          col("__pfx_a"), col("__pfx_b")), 6).as("jw_sim"))
+      .where(col("jw_sim") >= minSim)
+  }
+
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 10): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be positive, got $chunkTokens")

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FlatJsonMap, FloatVecDot, Int8Pack, Int8VecDot, NGramShingles, TopKByScore}
+import graft.functions.{FlatJsonMap, FloatVecDot, Int8Pack, Int8VecDot, JaroWinkler, NGramShingles, TopKByScore}
 import org.apache.spark.sql.{GraftSqlShim, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -91,6 +91,12 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         require(es.length == 1, "flat_json(json) takes one string arg")
         FlatJsonMap(es.head)
+      }),
+    ("jaro_winkler",
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "jaro_winkler(a, b) takes two string args")
+        JaroWinkler(es.head, es(1))
       })
   )
 

@@ -98,6 +98,15 @@ object Corpus {
         col("batch_max"), col("pad_waste"))
   }
 
+  /** Jaro–Winkler near-dup pairs over first-token-blocked prefixes —
+    * the native [[graft.functions.JaroWinkler]] expression against
+    * DuckDB's built-in `jaro_winkler_similarity` (same standard
+    * definition: 0.7 boost threshold, ≤4-char prefix bonus). The q106
+    * edit-distance complement for transposition-heavy near-dups. */
+  def q165JaroWinkler(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.jaroWinklerPairs(docs(spark, dir), "doc_id", "text",
+      prefixLen = 30, minSim = 0.9)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_source_entropy" -> q93SourceEntropy,
     "q83_semantic_dedup" -> q83SemanticDedup,
@@ -105,7 +114,8 @@ object Corpus {
     "q85_bm25" -> q85Bm25,
     "q162_shuffle" -> q162Shuffle,
     "q163_dict_encode" -> q163DictEncode,
-    "q164_length_batches" -> q164LengthBatches
+    "q164_length_batches" -> q164LengthBatches,
+    "q165_jaro_winkler" -> q165JaroWinkler
   )
 
   /** Fixed left-associated Σ a[i]·b[i] (1-based DuckDB lists) — the same
@@ -115,6 +125,13 @@ object Corpus {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q165_jaro_winkler" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ')[1] ft,
+        |    substr(text, 1, 30) pfx FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(jaro_winkler_similarity(a.pfx, b.pfx), 6) AS jw_sim
+        |FROM base a JOIN base b ON a.ft = b.ft AND a.doc_id < b.doc_id
+        |WHERE round(jaro_winkler_similarity(a.pfx, b.pfx), 6) >= 0.9""".stripMargin,
     "q163_dict_encode" ->
       """WITH dict AS (SELECT source,
         |    (row_number() OVER (ORDER BY source) - 1)::INT AS code
