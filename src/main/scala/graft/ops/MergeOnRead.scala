@@ -181,6 +181,32 @@ object MergeOnRead {
     Merges.snapshotMerge(orEmpty(base), orEmpty(deltas), keys, order)
   }
 
+  /** VACUUM: remove stranded maintenance artifacts — `.base_staging_*`
+    * dirs from a compaction that died before its swap and `.base_old_*`
+    * dirs from one that died between swap and cleanup. Both are invisible
+    * to readers (the dot prefix keeps them out of every scan), but at
+    * 100 TB a stranded old-base copy doubles the table's storage bill, so
+    * a retention job has to reap them. Only artifacts older than
+    * `olderThanMs` go (default 24 h): a CONCURRENT compaction's live
+    * staging dir is younger than any sane retention window, which is the
+    * same age-guard Delta's VACUUM uses against in-flight writers.
+    * Returns the deleted paths. Live `base/` and `delta/` are never
+    * touched. */
+  def vacuum(spark: SparkSession, dir: String, table: String,
+      olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val root = new Path(s"$dir/$table")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    fs.listStatus(root).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        (n.startsWith(".base_staging_") || n.startsWith(".base_old_")) &&
+          s.getModificationTime < cutoff
+      }
+      .map { s => fs.delete(s.getPath, true); s.getPath.toString }
+  }
+
   /** Distinct delta days currently awaiting compaction (partition listing
     * only — a metadata read, no data scan). */
   def pendingDeltaDays(spark: SparkSession, dir: String, table: String): Seq[String] = {

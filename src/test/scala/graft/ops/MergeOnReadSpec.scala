@@ -109,6 +109,31 @@ class MergeOnReadSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/mor/commit/delta").count() == f1.count())
   }
 
+  test("vacuum reaps stranded staging/old dirs, never live base or young dirs") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val dir = scratch("graft-mor-vac")
+    val df = Seq((1L, "2024-01-01", "a")).toDF("id", "effective", "v")
+    MergeOnRead.appendDelta(
+      df.withColumn("etl_ingest_date", lit("2024-01-01")), dir, "t")
+    MergeOnRead.compact(spark, dir, "t", Seq("id"), Seq(col("effective")))
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // two stranded artifacts (one old, one fresh) + the live base
+    val stale = new Path(s"$dir/t/.base_staging_123")
+    val fresh = new Path(s"$dir/t/.base_old_456")
+    fs.mkdirs(stale); fs.mkdirs(fresh)
+    fs.setTimes(stale, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
+    val deleted = MergeOnRead.vacuum(spark, dir, "t")
+    assert(deleted.size == 1 && deleted.head.endsWith(".base_staging_123"))
+    assert(fs.exists(fresh) && !fs.exists(stale))
+    // live table still reads
+    assert(MergeOnRead.readSnapshot(spark, dir, "t", Seq("id"),
+      Seq(col("effective"))).count() == 1)
+    // age 0 retention reaps the fresh one too
+    assert(MergeOnRead.vacuum(spark, dir, "t", olderThanMs = -1000).size == 1)
+  }
+
   test("job-level runMor ≡ classic ProcessDaily across every merge kind") {
     val dir = scratch("graft-mor-job")
     Fixtures.writeStandardFixture(s"$dir/raw/v1")
