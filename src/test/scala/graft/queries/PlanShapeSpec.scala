@@ -227,6 +227,47 @@ class PlanShapeSpec extends SparkSpec {
       s"bitmaps must partial-aggregate map-side:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    import org.apache.spark.sql.functions.col
+    // force the shuffle-join path (no broadcast) so the optimizer's only
+    // lever is a runtime bloom filter built from the filtered dim side —
+    // at 100 TB this is what spares the fact scan from shuffling rows the
+    // join will drop anyway
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      // default guards target 10GB+ fact scans; drop them so the sf0.001
+      // fixture qualifies — the PLAN SHAPE is what scales, not the fixture
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    try {
+      val fact = graft.core.Tables.table(spark, dir, "lineitem")
+      val dim = graft.core.Tables.table(spark, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(org.apache.spark.sql.functions.sum(col("l_quantity")))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$p")
+      // the filter must sit on the FACT scan side, before its exchange
+      assert(p.linesIterator.exists(l =>
+        l.contains("might_contain") && l.contains("l_orderkey")),
+        s"bloom filter not applied to the fact key:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("staging scans prune by partition columns") {
     val root = scratch("plan-staging")
     import spark.implicits._
