@@ -218,6 +218,35 @@ object StreamingQueries {
     spark.table(sink)
   }
 
+  /** Exact distinct users per 6-hour window on the event stream —
+    * [[Streams.windowedUniqueKeys]]' dedup-then-count shape (the only
+    * exact streaming spelling of count(DISTINCT); chained aggregates are
+    * unsupported and approx_count_distinct is inexact), run to
+    * completion; oracle = SELECT DISTINCT + GROUP BY + the q37 flush
+    * rule. */
+  def q167StreamUniques(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.core.Tables.normalizeEventTs)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val uniq = Streams.windowedUniqueKeys(events, "event_ts", "user_id",
+      windowDur = "6 hours", watermarkDelay = "0 seconds")
+    val sink = s"q167_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = uniq.writeStream
+      .format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-$sink")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).select(
+      date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+      date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+      col("n_unique"))
+  }
+
   /** Exactly-once streaming MERGE INTO run to completion: the events file
     * stream upserts into a scratch warehouse table keyed by user, newest
     * (ts, event_id) version wins — so the finished table is the latest
@@ -249,10 +278,20 @@ object StreamingQueries {
     "q60_stream_dedup" -> q60StreamDedup,
     "q61_stream_join" -> q61StreamJoin,
     "q89_stream_enrich" -> q89StreamEnrich,
-    "q161_stream_upsert" -> q161StreamUpsert
+    "q161_stream_upsert" -> q161StreamUpsert,
+    "q167_stream_uniques" -> q167StreamUniques
   )
 
   val oracles: Map[String, String] = Map(
+    "q167_stream_uniques" ->
+      """WITH e AS (SELECT DISTINCT time_bucket(INTERVAL '6 hours', ts) ws,
+        |             user_id FROM events),
+        |b AS (SELECT ws, count(*) AS n_unique FROM e GROUP BY ws),
+        |m AS (SELECT max(ts) mx FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(ws + INTERVAL '6 hours', '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  n_unique
+        |FROM b, m WHERE ws + INTERVAL '6 hours' <= mx""".stripMargin,
     "q161_stream_upsert" ->
       """WITH r AS (SELECT user_id, event_id, event_type, "value",
         |    row_number() OVER (PARTITION BY user_id

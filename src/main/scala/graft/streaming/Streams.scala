@@ -291,6 +291,27 @@ object Streams {
         col("window.end").as("window_end"), col(segCol),
         col("n_events"), col("revenue_cents"))
 
+  /** Exact windowed DISTINCT-count — `count(DISTINCT user)` per window,
+    * which streaming aggregation cannot express directly (chained
+    * aggregates are unsupported; `approx_count_distinct` trades
+    * exactness). The legal shape is dedup-then-count: watermarked
+    * `dropDuplicates` on (window, key) — state one row per distinct pair,
+    * evicted with the watermark because the window column carries event
+    * time — feeding ONE windowed aggregate. Same append-emission rule as
+    * [[windowedCounts]] (window flushes when the watermark passes its
+    * end), so the oracle replays it as `SELECT DISTINCT` + GROUP BY. */
+  def windowedUniqueKeys(events: DataFrame, tsCol: String, keyCol: String,
+      windowDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(window(col(tsCol), windowDur, windowDur).as("window"),
+        col(keyCol))
+      .dropDuplicates("window", keyCol)
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("n_unique"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_unique"))
+
   // -- exactly-once streaming MERGE INTO -------------------------------------
 
   /** Apply one micro-batch as a version-aware MERGE into the parquet table

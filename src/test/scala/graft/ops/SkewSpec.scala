@@ -32,4 +32,41 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(2)).toMap
     assert(out == Map("hot" -> "v9999", "a" -> "va", "b" -> "vb"))
   }
+
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    import spark.implicits._
+    // manual salting (Skew.*) is for WINDOWS, where AQE can't help; for
+    // JOINS the engine's own answer is AQE skew-join — prove the session
+    // config surface actually triggers it on a hot key
+    val hot = (0 until 20000).map(i => ("hot", s"payload_$i" * 8)) ++
+      (0 until 50).map(i => (s"k$i", "x"))
+    val left = hot.toDF("key", "pay")
+    val right = (Seq("hot") ++ (0 until 50).map(i => s"k$i"))
+      .flatMap(k => (0 until 20).map(j => (k, j))).toDF("key", "n")
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // global aggregate: no downstream requirement of hash(key), so AQE
+      // is FREE to split the hot partition (a groupBy(key) right after
+      // the join would pin the partitioning and legitimately forbid it);
+      // summing over pay keeps the fat column flowing through the join
+      val j = left.join(right, "key")
+        .agg(count(lit(1)).as("n"), sum(length(col("pay"))).as("bytes"))
+      val row = j.collect().head
+      assert(row.getLong(0) == 20000L * 20 + 50L * 20)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

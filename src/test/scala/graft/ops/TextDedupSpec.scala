@@ -300,4 +300,33 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((9L, 2L, 2L, 10L)))
   }
+
+  test("sortedNeighborhoodPairs catches a pair first-token blocking misses") {
+    // docs 1 and 2 differ in their FIRST token (alpha/alpho) — an
+    // equi-block on that token never compares them; sorted by prefix they
+    // are adjacent, so the neighborhood window scores them
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpho beta gamma delta"),
+      (3L, "zzz totally different text")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        sortKey = substring(col("text"), 1, 20))
+      .as[(Long, Long, Double)].collect().toSet
+    // JW("alpha beta gamma delta", "alpho beta gamma delta") = 0.905628
+    // under greedy Jaro matching (the o/a mismatch cross-matches later
+    // a's → transpositions) — DuckDB-parity value, oracle-verified
+    assert(got == Set((1L, 2L, 0.905628)))
+  }
+
+  test("sortedNeighborhoodPairs generates candidates with zero joins") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextDedup.sortedNeighborhoodPairs(corpus, "doc_id", "text",
+      sortKey = substring(col("text"), 1, 20))
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"),
+      s"sorted-neighborhood pair generation should be window+explode only:\n$p")
+    assert(p.contains("Window"), s"expected a lead() window:\n$p")
+  }
 }

@@ -206,6 +206,35 @@ class StreamsSpec extends SparkSpec {
     assert(ks.count(_ == "a") == 2 && ks.count(_ == "b") == 1)
   }
 
+  test("windowedUniqueKeys: exact distinct per window, deduped across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streams.windowedUniqueKeys(
+        input.toDS().toDF("ts", "k"), "ts", "k", "1 minute", "10 seconds")
+      .writeStream.format("memory").queryName("uniq_out")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((ts("2024-01-01 00:00:10"), "a"),
+      (ts("2024-01-01 00:00:20"), "a"), (ts("2024-01-01 00:00:50"), "b"))
+    q.processAllAvailable()
+    // window [00:00,00:01) still open — nothing emitted
+    assert(spark.table("uniq_out").count() == 0)
+    // "a" again in a LATER batch: state from batch 1 must absorb it, and
+    // the closing event advances the watermark past 00:01 → flush
+    input.addData((ts("2024-01-01 00:00:55"), "a"),
+      (ts("2024-01-01 00:02:00"), "c"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 00:05:00"), "d"))
+    q.processAllAvailable()
+    val rows = spark.table("uniq_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+    q.stop()
+    // 3 events, 2 distinct users — the cross-batch duplicate counted once
+    assert(rows("2024-01-01 00:00:00.0") == 2L)
+  }
+
   test("intervalJoin: matches only key-equal pairs inside the time interval") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
