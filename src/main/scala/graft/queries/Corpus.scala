@@ -107,7 +107,53 @@ object Corpus {
     TextDedup.jaroWinklerPairs(docs(spark, dir), "doc_id", "text",
       prefixLen = 30, minSim = 0.9)
 
+  /** Sorted-neighborhood linkage candidates: corpus sorted by a 20-char
+    * text prefix, each record scored (Jaro–Winkler) against its 3
+    * successors — pair generation is lead() over ONE window, zero joins
+    * ([[TextDedup.sortedNeighborhoodPairs]]). Catches near-dup pairs
+    * whose first token differs, which first-token equi-blocking (q165)
+    * structurally misses. */
+  def q166SortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.sortedNeighborhoodPairs(docs(spark, dir), "doc_id", "text",
+      sortKey = substring(col("text"), 1, 20), windowSize = 3,
+      prefixLen = 30, minSim = 0.9)
+
+  /** End-to-end entity resolution: candidate pairs from BOTH blocking
+    * families — first-token equi-blocks (q165) and sorted-neighborhood
+    * (q166), each sound where the other is blind — unioned,
+    * canonicalized, transitively closed into entities
+    * ([[TextDedup.connectedComponentsStar]], O(log n) rounds); every doc
+    * labeled with its entity, cluster size via ONE window over the
+    * assignment (no join-back), canonical = lowest id. Same composition
+    * discipline as q50/q83: every stage a verified distributed
+    * primitive, no collect. */
+  def q168EntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val block = TextDedup.jaroWinklerPairs(d, "doc_id", "text",
+      prefixLen = 30, minSim = 0.9).select(col("doc_a"), col("doc_b"))
+    // sorted-neighborhood emits pairs in SORT order — canonicalize to
+    // id order before the union so the two families dedup against each
+    // other
+    val sn = TextDedup.sortedNeighborhoodPairs(d, "doc_id", "text",
+        sortKey = substring(col("text"), 1, 20), windowSize = 3,
+        prefixLen = 30, minSim = 0.9)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    val pairs = block.unionByName(sn).distinct()
+    val comp = TextDedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+    val assigned = d.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("entity_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("entity_id")
+    assigned.select(col("doc_id"), col("entity_id"),
+      count(lit(1)).over(w).as("cluster_size"),
+      (col("doc_id") === col("entity_id")).as("is_canonical"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_entity_resolution" -> q168EntityResolution,
+    "q166_sorted_neighborhood" -> q166SortedNeighborhood,
     "q93_source_entropy" -> q93SourceEntropy,
     "q83_semantic_dedup" -> q83SemanticDedup,
     "q84_line_dedup" -> q84LineDedup,
@@ -125,6 +171,40 @@ object Corpus {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q168_entity_resolution" ->
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, string_split(text, ' ')[1] ft,
+        |    substr(text, 1, 30) pfx, substr(text, 1, 20) sk FROM documents),
+        |blk AS (SELECT a.doc_id doc_a, b.doc_id doc_b
+        |  FROM base a JOIN base b ON a.ft = b.ft AND a.doc_id < b.doc_id
+        |  WHERE round(jaro_winkler_similarity(a.pfx, b.pfx), 6) >= 0.9),
+        |o AS (SELECT *, row_number() OVER (ORDER BY sk, doc_id) rn FROM base),
+        |sn AS (SELECT least(a.doc_id, b.doc_id) doc_a,
+        |         greatest(a.doc_id, b.doc_id) doc_b
+        |  FROM o a JOIN o b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+        |  WHERE round(jaro_winkler_similarity(a.pfx, b.pfx), 6) >= 0.9),
+        |p AS (SELECT * FROM blk UNION SELECT * FROM sn),
+        |und AS (SELECT doc_a u, doc_b v FROM p
+        |        UNION SELECT doc_b, doc_a FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+        |comp AS (SELECT u doc_id, min(v) entity FROM reach GROUP BY u),
+        |asg AS (SELECT d.doc_id, coalesce(c.entity, d.doc_id) entity_id
+        |  FROM documents d LEFT JOIN comp c USING (doc_id))
+        |SELECT doc_id, entity_id,
+        |  count(*) OVER (PARTITION BY entity_id) AS cluster_size,
+        |  doc_id = entity_id AS is_canonical
+        |FROM asg""".stripMargin,
+    "q166_sorted_neighborhood" ->
+      """WITH base AS (SELECT doc_id AS doc_a, substr(text, 1, 30) pfx,
+        |    substr(text, 1, 20) sk FROM documents),
+        |o AS (SELECT *, row_number() OVER (ORDER BY sk, doc_a) rn FROM base)
+        |SELECT a.doc_a, b.doc_a AS doc_b,
+        |  round(jaro_winkler_similarity(a.pfx, b.pfx), 6) AS jw_sim
+        |FROM o a JOIN o b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+        |WHERE round(jaro_winkler_similarity(a.pfx, b.pfx), 6) >= 0.9""".stripMargin,
     "q165_jaro_winkler" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ')[1] ft,
         |    substr(text, 1, 30) pfx FROM documents)
