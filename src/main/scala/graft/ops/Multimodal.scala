@@ -192,6 +192,61 @@ object Multimodal {
           ImageIO.write(scaled(img, w, h), "png", bos)
           bos.toByteArray
       }
+
+    /** 64-bit perceptual hash (pHash): decode → 32×32 bilinear grayscale
+      * → 2-D DCT-II (separable, pure JDK) → the 8×8 low-frequency corner
+      * → bit set iff coefficient > median (DC term excluded from the
+      * median so a flat image doesn't hash to all-ones). Visually-near
+      * images land hamming-near — robust to re-encode, resize, and small
+      * edits, where byte hashing (exact dedup) is blind. Undecodable →
+      * None (silent-skip policy). */
+    def phash(payload: Array[Byte]): Option[Long] =
+      readImage(payload).map { img =>
+        val g = 32
+        // box-average resample (NOT drawImage bilinear: minification
+        // there point-samples and aliases, so the same scene at two
+        // sizes would hash apart) — every source pixel contributes to
+        // exactly one cell, scale-robust by construction
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sums = Array.ofDim[Double](g, g)
+        val cnts = Array.ofDim[Int](g, g)
+        var y = 0
+        while (y < h) {
+          val cy = math.min(g - 1, y * g / h)
+          var x = 0
+          while (x < w) {
+            val cx = math.min(g - 1, x * g / w)
+            val rgb = img.getRGB(x, y)
+            sums(cy)(cx) +=
+              0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                0.114 * (rgb & 0xff)
+            cnts(cy)(cx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val lum = Array.tabulate(g, g)((cy, cx) =>
+          if (cnts(cy)(cx) == 0) 0.0 else sums(cy)(cx) / cnts(cy)(cx))
+        def dct1(v: Array[Double]): Array[Double] = Array.tabulate(g) { k =>
+          var acc = 0.0; var i = 0
+          while (i < g) { acc += v(i) * math.cos(math.Pi * (i + 0.5) * k / g); i += 1 }
+          acc
+        }
+        val rowT = lum.map(dct1)                     // DCT over x per row
+        val coef = Array.tabulate(8) { u =>          // DCT over y per column
+          val colU = Array.tabulate(g)(y => rowT(y)(u))
+          dct1(colU).take(8)                         // coef(u)(v): freq (u=x, v=y)
+        }
+        val offDc = (for { u <- 0 until 8; v <- 0 until 8
+          if u != 0 || v != 0 } yield coef(u)(v)).sorted
+        val median = offDc(offDc.length / 2)
+        var bits = 0L
+        for (u <- 0 until 8; v <- 0 until 8) {
+          bits <<= 1
+          if (coef(u)(v) > median) bits |= 1L
+        }
+        bits
+      }
   }
 
   /** ======== REAL AUDIO CODEC (pure JDK) ========
@@ -359,6 +414,67 @@ object Multimodal {
           codec.embed(r.getAs[Array[Byte]](payloadIdx), dim).toSeq)
       }
     }(enc)
+  }
+
+  /** Perceptual-hash column: payload → 64-bit pHash
+    * ([[JdkImageCodec.phash]]), same per-partition batch shape as
+    * [[extractFeatures]]; emits only (media_id, phash) — the binary
+    * never travels past this projection. Undecodable/non-image → null. */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val h =
+          if (r.getString(kindIdx) != "image") None
+          else JdkImageCodec.phash(r.getAs[Array[Byte]](payloadIdx))
+        Row(r.getLong(idIdx), h.map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate pairs by pHash hamming distance ≤ `maxHamming`
+    * — multi-index hamming blocking (Norouzi et al.): split the 64-bit
+    * hash into `maxHamming + 1` disjoint blocks; by pigeonhole, any pair
+    * within distance k agrees EXACTLY on ≥1 of the k+1 blocks, so an
+    * equi-join per (block idx, block value) finds every candidate —
+    * lossless, no cross join, the same banding shape as MinHash LSH.
+    * Exact `bit_count(a XOR b)` then filters false positives. One
+    * explode (k+1 rows/hash) + one equi-join; at 100 TB the block
+    * columns are 8-byte ints, and a degenerate block value (e.g. all
+    * zeros from flat images) is a key-skew to salt like any hot join
+    * key. */
+  def phashDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val nBlocks = maxHamming + 1
+    val width = (64 + nBlocks - 1) / nBlocks
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    val blocked = hashes.where(col("phash").isNotNull)
+      .select(col("media_id"), col("phash"),
+        explode(array((0 until nBlocks).map { i =>
+          struct(lit(i).as("blk"),
+            shiftrightunsigned(col("phash"), i * width)
+              .bitwiseAND(lit(mask)).as("blkval"))
+        }: _*)).as("__b"))
+      .select(col("media_id"), col("phash"),
+        col("__b.blk").as("blk"), col("__b.blkval").as("blkval"))
+    val a = blocked.select(col("blk"), col("blkval"),
+      col("media_id").as("media_a"), col("phash").as("__ha"))
+    val b = blocked.select(col("blk"), col("blkval"),
+      col("media_id").as("media_b"), col("phash").as("__hb"))
+    a.join(b, Seq("blk", "blkval"))
+      .where(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int")
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Resize images/video frames to fit a `maxW`×`maxH` box preserving

@@ -175,6 +175,46 @@ object Temporal {
       .agg(count(lit(1)).as("n_obs"), fold.as("ewma"))
   }
 
+  /** Holt linear-trend smoothing per key (double exponential smoothing):
+    * `l_i = α·x_i + (1−α)·(l_{i−1} + t_{i−1})`,
+    * `t_i = β·(l_i − l_{i−1}) + (1−β)·t_{i−1}`, seeded `(x_0, 0)` —
+    * [[ewma]] plus a trend state, for per-entity series with drift.
+    * Returns one row per key: final level, trend, and the one-step-ahead
+    * forecast `level + trend`.
+    *
+    * Determinism: the same order-pinned fold as [[ewma]], with the
+    * coupled two-field recurrence riding a STRUCT accumulator — the IEEE
+    * op sequence is fixed (l_i's expression is repeated verbatim inside
+    * t_i: same ops, same result), so a rank-indexed recursive-CTE replay
+    * is bit-identical. (A DuckDB `list_reduce` struct accumulator is NOT
+    * a valid replay: v1.0 overwrites accumulator fields sequentially, so
+    * the trend lambda reads the already-updated level.) Same one-shuffle
+    * / per-key-bounded-state shape as [[ewma]]; pick α/β with exact
+    * binary representations (0.5, 0.25) when cross-engine comparison
+    * matters. */
+  def holt(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0, 1], got $beta")
+    val fields = orderCols.map(col) :+ col(valueCol).as("__x")
+    val arr = sort_array(collect_list(struct(fields: _*)))
+    val fold = aggregate(
+      transform(arr, e => e.getField("__x").cast("double")),
+      struct(lit(null).cast("double").as("l"),
+        lit(null).cast("double").as("t")),
+      (acc, x) => {
+        val lPrev = acc.getField("l")
+        val tPrev = acc.getField("t")
+        val lNew = lit(alpha) * x + lit(1.0 - alpha) * (lPrev + tPrev)
+        val tNew = lit(beta) * (lNew - lPrev) + lit(1.0 - beta) * tPrev
+        when(lPrev.isNull, struct(x.as("l"), lit(0.0).as("t")))
+          .otherwise(struct(lNew.as("l"), tNew.as("t")))
+      })
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        fold.getField("l").as("level"), fold.getField("t").as("trend"))
+  }
+
   /** Peak concurrency per key: the classic +1/−1 interval sweep over
     * half-open intervals [startCol, endCol). Deltas are aggregated per
     * (key, timestamp) BEFORE the prefix sum, so (a) the running-sum

@@ -256,6 +256,19 @@ object Advanced {
         Seq("ts_us", "event_id"), "value", alpha = 0.5)
       .select(col("user_id"), col("n_obs"), round(col("ewma"), 6).as("ewma"))
 
+  /** Holt linear-trend smoothing of each user's value series: q88's EWMA
+    * with a trend state — level, trend, and one-step forecast per user.
+    * Struct-accumulator ordered fold, bit-identical to DuckDB's
+    * `list_reduce` replay ([[graft.ops.Temporal.holt]]); α=0.5, β=0.25
+    * are exactly-representable doubles. */
+  def q169Holt(spark: SparkSession, dir: String): DataFrame =
+    Temporal.holt(events(spark, dir), "user_id",
+        Seq("ts_us", "event_id"), "value", alpha = 0.5, beta = 0.25)
+      .select(col("user_id"), col("n_obs"),
+        round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("level") + col("trend"), 6).as("forecast"))
+
   /** Robust z-score outliers: orders whose price deviates from their
     * priority group's MEDIAN by more than 1.9× the group's MAD (median
     * absolute deviation) — the quartile-free anomaly rule that, unlike
@@ -282,6 +295,7 @@ object Advanced {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_catalog" -> q80Catalog,
     "q88_ewma" -> q88Ewma,
+    "q169_holt" -> q169Holt,
     "q94_robust_outliers" -> q94RobustOutliers,
     "q73_funnel" -> q73Funnel,
     "q74_cohort" -> q74Cohort,
@@ -326,6 +340,28 @@ object Advanced {
     // list_reduce seeds with the first element and folds left — exactly
     // the engine's null-seeded first-observation fold; 0.5 is exact in
     // binary so both lambdas run the same IEEE sequence
+    // recursive CTE, NOT a struct-accumulator list_reduce: DuckDB v1.0
+    // updates a struct accumulator FIELD-BY-FIELD, so the trend
+    // expression would read the already-overwritten level (verified
+    // empirically). The CTE advances (l, t) one rank per user with
+    // honest snapshot semantics; l_i's expression is repeated verbatim
+    // inside t_i — same IEEE ops as the Spark fold, bit-identical.
+    "q169_holt" ->
+      """WITH RECURSIVE
+        |s AS (SELECT user_id, value::DOUBLE x, row_number()
+        |        OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) rn
+        |      FROM events),
+        |n AS (SELECT user_id, max(rn) mx FROM s GROUP BY user_id),
+        |it(uid, rn, l, t) AS (
+        |  SELECT user_id, 1, x, 0.0::DOUBLE FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn,
+        |    0.5*s.x + 0.5*(it.l + it.t),
+        |    0.25*(0.5*s.x + 0.5*(it.l + it.t) - it.l) + 0.75*it.t
+        |  FROM it JOIN s ON s.user_id = it.uid AND s.rn = it.rn + 1)
+        |SELECT it.uid AS user_id, n.mx AS n_obs, round(l, 6) AS level,
+        |  round(t, 6) AS trend, round(l + t, 6) AS forecast
+        |FROM it JOIN n ON n.user_id = it.uid AND it.rn = n.mx""".stripMargin,
     "q88_ewma" ->
       """SELECT user_id, count(*) AS n_obs,
         |  round(list_reduce(list(value ORDER BY epoch_us(ts), event_id),

@@ -198,6 +198,78 @@ class MultimodalSpec extends SparkSpec {
     assert(viaDispatch.format == "audio/wav" && viaDispatch.ok)
   }
 
+  test("pHash: stable under re-encode/resize, separates different images") {
+    import spark.implicits._
+    // a scene with real low-frequency structure (proportional rectangles
+    // over a base tone) — a plain gradient would be a degenerate fixture:
+    // its separable spectrum zeroes 49 of the 63 off-DC coefficients and
+    // the median threshold becomes numerical noise
+    def scene(w: Int, h: Int, mark: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      def grey(v: Int) = (v << 16) | (v << 8) | v
+      for (x <- 0 until w; y <- 0 until h) {
+        val (fx, fy) = (x.toDouble / w, y.toDouble / h)
+        val v =
+          if (fx > 0.1 && fx < 0.4 && fy > 0.1 && fy < 0.3) 240
+          else if (fx > 0.5 && fx < 0.9 && fy > 0.4 && fy < 0.8) 120
+          else if (fx > 0.2 && fx < 0.35 && fy > 0.6 && fy < 0.9) 30
+          else 70
+        img.setRGB(x, y, grey(v))
+      }
+      if (mark) for (x <- 0 until 4; y <- 0 until 4)
+        img.setRGB(x, y, grey(255)) // small local edit
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def diagonal(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, if (x * h > y * w) 0xffffff else 0)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, "image", scene(64, 64, mark = false), "s"),
+      (2L, "image", scene(96, 96, mark = false), "s"),   // same scene, resized
+      (3L, "image", scene(64, 64, mark = true), "s"),    // small edit
+      (4L, "image", diagonal(64, 64), "s"),              // different scene
+      (5L, "image", Array[Byte](1, 2, 3), "corrupt"),
+      (6L, "audio", Array[Byte](9), "a")
+    ).toDF("media_id", "kind", "payload", "source_url")
+    val h = Multimodal.imagePhash(media).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(h(5L).isEmpty && h(6L).isEmpty) // corrupt / non-image → null
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // near: resize and a 4×4 edit barely move the low-frequency spectrum
+    assert(ham(h(1L).get, h(2L).get) <= 6,
+      s"resize moved pHash ${ham(h(1L).get, h(2L).get)} bits")
+    assert(ham(h(1L).get, h(3L).get) <= 6,
+      s"small edit moved pHash ${ham(h(1L).get, h(3L).get)} bits")
+    // far: a different scene disagrees on a large share of the 64 bits
+    assert(ham(h(1L).get, h(4L).get) >= 16,
+      s"different images only ${ham(h(1L).get, h(4L).get)} bits apart")
+  }
+
+  test("phashDupPairs: pigeonhole blocking is lossless, exact filter is tight") {
+    import spark.implicits._
+    val hashes = Seq(
+      (1L, Some(0L)),
+      (2L, Some(7L)),                  // hamming 3 from id 1 — all in ONE block
+      (3L, Some(0xfL)),                // hamming 4 from id 1 — over threshold
+      (4L, Some(-1L)),                 // far from everything
+      (5L, None: Option[Long])         // undecodable: excluded
+    ).toDF("media_id", "phash")
+    val got = Multimodal.phashDupPairs(hashes, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // (1,2) h=3 kept; (2,3) h=1 kept; (1,3) h=4 dropped; 4/5 pair with no one
+    assert(got == Set((1L, 2L, 3), (2L, 3L, 1)))
+  }
+
   test("sizeBuckets gives big rows dedicated buckets, bounds small buckets") {
     import spark.implicits._
     val skewed = Multimodal.synthetic(spark, 20).unionByName(

@@ -142,6 +142,29 @@ class TemporalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("holt: hand-computed level/trend series, seeded (x0, 0)") {
+    // series 10, 12, 15, 13 at α=0.5, β=0.25 (all values exact binary):
+    // (10,0) → (11,0.25) → (13.125,0.71875) → (13.421875,0.61328125)
+    val ev = Seq((1L, 4L, 13.0), (1L, 1L, 10.0), (1L, 3L, 15.0),
+      (1L, 2L, 12.0), (2L, 9L, 7.0)).toDF("k", "t", "v")
+    val got = Temporal.holt(ev, "k", Seq("t"), "v", alpha = 0.5, beta = 0.25)
+      .select("k", "n_obs", "level", "trend")
+      .as[(Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(1L -> ((4L, 13.421875, 0.61328125)),
+      2L -> ((1L, 7.0, 0.0))))
+  }
+
+  test("holt is partition-invariant (order pinned by sort, not arrival)") {
+    val ev = (1L to 200L).map(i => (i % 5, i, (i * 37 % 11).toDouble))
+      .toDF("k", "t", "v")
+    val a = Temporal.holt(ev, "k", Seq("t"), "v", 0.5, 0.25)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val b = Temporal.holt(ev.repartition(13), "k", Seq("t"), "v", 0.5, 0.25)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(a === b)
+  }
+
   test("peakConcurrency: half-open sweep, earliest peak timestamp") {
     // key A: [0,10) [5,15) [10,20) → overlap of 2 on [5,10) and [10,15);
     // an interval ENDING at 10 does not overlap one starting at 10
