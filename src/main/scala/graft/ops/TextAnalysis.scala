@@ -81,6 +81,25 @@ object TextAnalysis {
     round((lenOk + punctOk + stopOk) / 3.0, 6)
   }
 
+  /** Flesch reading-ease score from cheap structural proxies: sentences =
+    * terminator runs (`[.!?]+`, min 1), syllables = vowel-group runs per
+    * document (the standard heuristic). `206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/words)` — one division, one multiply, one subtract
+    * per term in fixed order, so an engine replaying the same expression
+    * is bit-identical even though the constants aren't exact binary.
+    * Projection-only: scan-speed over any corpus size. */
+  def fleschScore(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    val sentences = greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+      .cast("double")
+    val syllables =
+      size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+        .cast("double")
+    round(lit(206.835) - lit(1.015) * (w / sentences)
+      - lit(84.6) * (syllables / w), 6)
+  }
+
   /** Bottom-k sketch fingerprint: the `k` smallest engine-independent
     * 60-bit hashes of the document's distinct word `n`-grams, sorted and
     * comma-joined. Two documents share most of the sketch iff they share

@@ -151,7 +151,18 @@ object Corpus {
       (col("doc_id") === col("entity_id")).as("is_canonical"))
   }
 
+  /** Flesch reading-ease per document from structural proxies
+    * ([[TextAnalysis.fleschScore]]): projection-only, with the word /
+    * syllable-run counts exposed for auditability. */
+  def q171Readability(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_words"),
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+        .as("n_syllables"),
+      TextAnalysis.fleschScore(col("text")).as("flesch"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_readability" -> q171Readability,
     "q168_entity_resolution" -> q168EntityResolution,
     "q166_sorted_neighborhood" -> q166SortedNeighborhood,
     "q93_source_entropy" -> q93SourceEntropy,
@@ -171,6 +182,15 @@ object Corpus {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q171_readability" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+        |  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * (len(string_split(text, ' '))::DOUBLE
+        |        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE)
+        |    - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
+        |        / len(string_split(text, ' '))::DOUBLE), 6) AS flesch
+        |FROM documents""".stripMargin,
     "q168_entity_resolution" ->
       """WITH RECURSIVE
         |base AS (SELECT doc_id, string_split(text, ' ')[1] ft,

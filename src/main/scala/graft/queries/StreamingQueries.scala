@@ -218,6 +218,42 @@ object StreamingQueries {
     spark.table(sink)
   }
 
+  /** Streaming LEFT OUTER interval join, run to completion: every click
+    * with its same-user purchases inside [click, click+1h] — and clicks
+    * with NO such purchase as null-padded rows once the watermark proves
+    * no match can arrive ([[Streams.intervalJoinOuter]]). The oracle
+    * replays the batch left join plus the eviction rule: null rows only
+    * for clicks whose 1-hour deadline the final watermark (min of the
+    * two stream maxima) passed. */
+  def q170StreamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def stream() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.core.Tables.normalizeEventTs)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = stream().where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_ts").as("click_ts"))
+    val purchases = stream().where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("event_ts").as("purchase_ts"))
+    val joined = Streams.intervalJoinOuter(clicks, purchases, "user_id",
+      "click_ts", "purchase_ts", intervalUpper = "1 HOUR",
+      watermarkDelay = "0 seconds")
+      .select(col("click_id"), col("l.user_id").as("user_id"),
+        col("purchase_id"))
+    val sink = s"q170_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream
+      .format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-$sink")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** Exact distinct users per 6-hour window on the event stream —
     * [[Streams.windowedUniqueKeys]]' dedup-then-count shape (the only
     * exact streaming spelling of count(DISTINCT); chained aggregates are
@@ -279,10 +315,30 @@ object StreamingQueries {
     "q61_stream_join" -> q61StreamJoin,
     "q89_stream_enrich" -> q89StreamEnrich,
     "q161_stream_upsert" -> q161StreamUpsert,
-    "q167_stream_uniques" -> q167StreamUniques
+    "q167_stream_uniques" -> q167StreamUniques,
+    "q170_stream_outer_join" -> q170StreamOuterJoin
   )
 
   val oracles: Map[String, String] = Map(
+    // matched rows stream through unconditionally; null-padded rows only
+    // for clicks whose match deadline (click + 1h) the final watermark —
+    // the MIN of the two per-stream maxima, delay 0 — strictly passed
+    "q170_stream_outer_join" ->
+      """WITH c AS (SELECT event_id click_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT event_id purchase_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase'),
+        |m AS (SELECT least((SELECT max(ts) FROM c),
+        |                   (SELECT max(ts) FROM p)) wm),
+        |j AS (SELECT c.click_id, c.user_id, p.purchase_id
+        |      FROM c JOIN p ON c.user_id = p.user_id
+        |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'),
+        |u AS (SELECT c.click_id, c.user_id, NULL::BIGINT AS purchase_id
+        |      FROM c, m WHERE c.ts + INTERVAL '1 hour' < m.wm
+        |        AND NOT EXISTS (SELECT 1 FROM p
+        |          WHERE p.user_id = c.user_id AND p.ts >= c.ts
+        |            AND p.ts <= c.ts + INTERVAL '1 hour'))
+        |SELECT * FROM j UNION ALL SELECT * FROM u""".stripMargin,
     "q167_stream_uniques" ->
       """WITH e AS (SELECT DISTINCT time_bucket(INTERVAL '6 hours', ts) ws,
         |             user_id FROM events),

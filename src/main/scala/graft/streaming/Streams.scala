@@ -115,6 +115,26 @@ object Streams {
       "inner")
   }
 
+  /** LEFT OUTER [[intervalJoin]]: matched pairs stream through like the
+    * inner join; an unmatched left row emits ONCE, null-padded, when the
+    * watermark passes `leftTs + intervalUpper` (the point where a match
+    * is provably impossible and the row's state evicts). Both sides need
+    * the watermark — the eviction clock is the MIN of the two stream
+    * watermarks. Run to completion, the null-padded set is exactly the
+    * unmatched left rows whose deadline the final watermark passed — the
+    * replayable flush rule the oracle uses. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, intervalUpper: String,
+      watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $intervalUpper"),
+      "leftOuter")
+  }
+
   /** Per-key latest-version state: the snapshot-merge idiom as
     * flatMapGroupsWithState. Emits a row only when the incoming version is
     * newer than the stored one (effective-timestamp comparison, the P6

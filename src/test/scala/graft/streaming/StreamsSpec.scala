@@ -263,6 +263,43 @@ class StreamsSpec extends SparkSpec {
     assert(pairs == Set("c1" -> "b1"))
   }
 
+  test("intervalJoinOuter: matches stream through, unmatched null-pads on watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, String, String)]
+    val buys = MemoryStream[(java.sql.Timestamp, String, String)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val joined = Streams.intervalJoinOuter(
+      clicks.toDS().toDF("cts", "user", "click_id"),
+      buys.toDS().toDF("bts", "user", "buy_id"),
+      "user", "cts", "bts", "1 HOUR", "0 seconds")
+      .select(col("click_id"), col("buy_id"))
+    val q = joined.writeStream.format("memory").queryName("ijo_out")
+      .outputMode("append").start()
+    clicks.addData(
+      (ts("2024-01-01 10:00:00"), "u1", "c1"),
+      (ts("2024-01-01 10:00:00"), "u2", "c2"))
+    buys.addData((ts("2024-01-01 10:30:00"), "u1", "b1"))
+    q.processAllAvailable()
+    // match emits immediately; c2's deadline (11:00) not yet provably past
+    val early = spark.table("ijo_out").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(early == Set("c1" -> Some("b1")))
+    // both watermarks past 11:00 → c2's state evicts, null row emits
+    clicks.addData((ts("2024-01-01 13:00:00"), "u9", "c9"))
+    buys.addData((ts("2024-01-01 13:00:00"), "u8", "b8"))
+    q.processAllAvailable()
+    clicks.addData((ts("2024-01-01 15:00:00"), "u9", "c9b"))
+    buys.addData((ts("2024-01-01 15:00:00"), "u8", "b8b"))
+    q.processAllAvailable()
+    val late = spark.table("ijo_out").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    q.stop()
+    assert(late.contains("c2" -> None), s"unmatched click never emitted: $late")
+    assert(!late.contains("c1" -> None), "matched click must not ALSO null-pad")
+  }
+
   test("latestPerKeyTws (transformWithState + RocksDB) matches the fMGWS semantics") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
