@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -341,6 +341,64 @@ object TextDedup {
     sets
       .select(col("__id").as("doc_b"), col("__shs").as("__sb"))
       .join(broadcast(withA), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Persisted MinHash signature index: build once over the corpus —
+    * signatures only, 8·`numHashes` bytes per doc (a 100 TB text corpus
+    * indexes to ~tens of GB) — so every daily increment dedups against
+    * the corpus WITHOUT re-reading or re-hashing corpus text. */
+  def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 3, numHashes: Int = 16): Unit =
+    minhashSignatures(df, idCol, textCol, n, numHashes)
+      .write.mode("overwrite").parquet(path)
+
+  /** Near-dup pairs between an indexed corpus and a (small) increment —
+    * the daily-ingest shape: the increment's band keys BROADCAST against
+    * ONE scan of the signature index, so the corpus side never shuffles
+    * and the daily cost is O(increment) + one index scan, not a corpus
+    * re-shuffle. Verification then computes shingles fresh only for the
+    * few corpus docs the bands proposed (candidate-pruned text lookup)
+    * and for the increment. Returns (corpus `doc_a`, increment `doc_b`,
+    * exact `jaccard` ≥ threshold) — same S-curve and verify semantics as
+    * [[minhashDedupPairs]] restricted to cross pairs. */
+  def incrementalDupPairs(spark: SparkSession, indexPath: String,
+      corpus: DataFrame, increment: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rpb = numHashes / bands
+    def banded(sigs: DataFrame, out: String): DataFrame =
+      sigs.select(
+        col("__id").as(out) +:
+          (0 until bands).map { bi =>
+            concat_ws(":",
+              (0 until rpb).map(r => col(s"m${bi * rpb + r}")): _*)
+              .as(s"band$bi")
+          }: _*)
+        .select(col(out),
+          posexplode(array((0 until bands).map(bi => col(s"band$bi")): _*))
+            .as(Seq("__band_idx", "__band_key")))
+    val idx = banded(spark.read.parquet(indexPath), "doc_a")
+    val inc = banded(
+      minhashSignatures(increment, idCol, textCol, n, numHashes), "doc_b")
+    val cands = idx.join(broadcast(inc), Seq("__band_idx", "__band_key"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // candidate-pruned corpus text lookup (skinny pair keys broadcast,
+    // never the shingle arrays — the jaccardPairs discipline)
+    val corpusSets = corpus
+      .select(col(idCol).as("doc_a"), shingleHashes(col(textCol), n).as("__sa"))
+      .join(broadcast(cands.select("doc_a").distinct()), Seq("doc_a"))
+    increment
+      .select(col(idCol).as("doc_b"), shingleHashes(col(textCol), n).as("__sb"))
+      .join(broadcast(cands), Seq("doc_b"))
+      .join(corpusSets, Seq("doc_a"))
       .withColumn("jaccard",
         size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
           size(array_union(col("__sa"), col("__sb"))))

@@ -366,6 +366,27 @@ object Training {
   }
   private lazy val minhashCtes: String = minhashCtesOver("documents")
 
+  /** [[minhashCtesOver]] with candidates restricted to corpus × increment
+    * (doc_id % 10 (!)= 0) — the q172 incremental-dedup replay. */
+  private lazy val minhashIncCtes: String = {
+    val perms = TextDedup.permutations(16)
+    val mins = perms.zipWithIndex
+      .map { case ((a, b), i) => s"min(($a * x + $b) % $P) m$i" }
+      .mkString(", ")
+    val bandEq = (0 until 4).map { bi =>
+      (0 until 4).map(r => s"a.m${bi * 4 + r} = b.m${bi * 4 + r}").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""${hashedShingleCtesOver("documents")},
+       |e AS (SELECT doc_id, unnest(shs) sh FROM s),
+       |hx AS (SELECT doc_id, sh % $P x FROM e),
+       |sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
+       |cand AS (SELECT a.doc_id doc_a, b.doc_id doc_b
+       |         FROM sig a JOIN sig b
+       |         ON a.doc_id % 10 != 0 AND b.doc_id % 10 = 0 AND ($bandEq)),
+       |j AS (SELECT doc_a, doc_b, $jacExpr jac
+       |      FROM cand JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b)""".stripMargin
+  }
+
   /** Fixed left-associated Σ a[i]·b[i] (1-based DuckDB lists). */
   private def dotSql(a: String, b: String): String =
     (1 to Dim).map(i => s"$a.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE")
@@ -386,8 +407,26 @@ object Training {
       .withColumn("cosine", round(col("cosine"), 6))
   }
 
+  /** Incremental corpus dedup — the daily-ingest shape: docs ending in 0
+    * play the "new day" increment, the rest the indexed corpus. The
+    * corpus's MinHash signatures are PERSISTED once
+    * ([[TextDedup.buildMinhashIndex]]); the increment's band keys
+    * broadcast against one index scan (corpus never reshuffles), exact
+    * Jaccard verifies ([[TextDedup.incrementalDupPairs]]). */
+  def q172IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val corpus = d.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    val inc = d.where(pmod(col("doc_id"), lit(10)) === 0)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-mhidx-" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    TextDedup.buildMinhashIndex(corpus, "doc_id", "text", path)
+    TextDedup.incrementalDupPairs(spark, path, corpus, inc, "doc_id", "text")
+      .withColumn("jaccard", round(col("jaccard"), 6))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_hard_negatives" -> q157HardNegatives,
+    "q172_incremental_dedup" -> q172IncrementalDedup,
     "q17_dedup_exact" -> q17DedupExact,
     "q18_ngram_jaccard" -> q18NgramJaccard,
     "q19_minhash_lsh" -> q19MinhashLsh,
@@ -434,6 +473,11 @@ object Training {
          |      FROM s x JOIN s y ON x.doc_id < y.doc_id
          |      WHERE len(x.shs) > 0 AND len(y.shs) > 0)
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.8""".stripMargin,
+    // same signature/band/verify chain as q19, with candidates
+    // restricted to (corpus a = doc_id%10!=0) x (increment b = %10=0)
+    "q172_incremental_dedup" ->
+      s"""WITH $minhashIncCtes
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8""".stripMargin,
     "q19_minhash_lsh" ->
       s"""WITH $minhashCtes
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8""".stripMargin,

@@ -301,6 +301,31 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq((9L, 2L, 2L, 10L)))
   }
 
+  test("incrementalDupPairs ≡ full MinHash pairs restricted to cross pairs") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val old = corpus.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    val inc = corpus.where(pmod(col("doc_id"), lit(10)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    TextDedup.buildMinhashIndex(old, "doc_id", "text", dir)
+    val incr = TextDedup.incrementalDupPairs(spark, dir, old, inc, "doc_id", "text")
+    val got = incr.as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    // ground truth: the all-at-once MinHash dedup, keeping only pairs that
+    // straddle the corpus/increment split
+    val full = TextDedup.minhashDedupPairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    assert(got.nonEmpty, "fixture produced no cross pairs — vacuous test")
+    assert(got == full)
+    // the band join must broadcast the increment side — the index (the
+    // 100 TB stand-in) streams through a BroadcastHashJoin, never a
+    // shuffle of its own
+    val p = incr.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"increment bands not broadcast against the index scan:\n$p")
+  }
+
   test("sortedNeighborhoodPairs catches a pair first-token blocking misses") {
     // docs 1 and 2 differ in their FIRST token (alpha/alpho) — an
     // equi-block on that token never compares them; sorted by prefix they
