@@ -380,4 +380,164 @@ object Ann {
         coalesce(col("component"), col(idCol)).as("component"))
       .withColumn("keep", col(idCol) === col("component"))
   }
+
+  // ------------------------------------------------- product quantization
+
+  /** PQ codebook: subspace `j`'s centroids are the first `k` vectors'
+    * j-th subvectors (deterministic seeding — the [[ivfTopK]] id<K
+    * discipline, SQL-replayable; per-subspace [[kmeansCentroids]] is the
+    * trained-quality swap). Returned driver-side: k·m rows of dim/m
+    * floats — a few KB that become plan LITERALS, the same standing as
+    * any constant in the query (this is the one collect, and it is
+    * O(k·m·dim/m) = O(k·dim), corpus-independent). `|c|²` is folded
+    * left-associated over doubles, mirroring [[dot]]'s exact order. */
+  def pqCodebook(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, k: Int): Seq[(Int, Int, Array[Float], Double)] = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val sub = dim / m
+    val rows = df.where(col(idCol) < k)
+      .select(col(idCol).cast("int").as("cid"), col(vecCol))
+      .collect()
+    for { r <- rows.toSeq; j <- 0 until m } yield {
+      val full = r.getSeq[Float](1).toArray
+      val s = java.util.Arrays.copyOfRange(full, j * sub, (j + 1) * sub)
+      var cc = 0.0
+      var i = 0
+      while (i < sub) { cc += s(i).toDouble * s(i).toDouble; i += 1 }
+      (j, r.getInt(0), s, cc)
+    }
+  }
+
+  /** Trained PQ codebooks: per-subspace Lloyd iterations under L2,
+    * seeded from [[pqCodebook]]. All m subspace problems train in ONE
+    * distributed job per round — subvector rows explode once (persisted),
+    * assignment is a broadcast argmin, and the new centroids are
+    * per-(subspace, code, component) means; only the k·m·(dim/m)
+    * aggregated centroid components (a few KB, corpus-independent) come
+    * back to the driver each round. Empty cells keep their previous
+    * centroid. Trained codebooks raise ADC recall well above the
+    * deterministic seeds — use the seeds when an engine-replayable query
+    * matters (float means are partial-sum-order dependent), trained for
+    * production recall. */
+  def pqTrainCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int): Seq[(Int, Int, Array[Float], Double)] = {
+    require(iters >= 0)
+    val sub = dim / m
+    var cb = pqCodebook(df, idCol, vecCol, dim, m, k)
+    if (iters == 0) return cb
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idCol).as("__vid"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"),
+            slice(col(vecCol), j * sub + 1, sub).as("sv"))): _*)).as("__e"))
+      .select(col("__vid"), col("__e.j").as("j"), col("__e.sv").as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to iters) {
+        val cbDf = broadcast(cb.map { case (j, cid, cv, cc) =>
+          (j, cid, cv.toSeq, cc)
+        }.toDF("j", "cid", "cv", "cc"))
+        val assigned = rows.join(cbDf, Seq("j"))
+          .withColumn("__d2",
+            dot(col("sv"), col("sv"), sub) - lit(2.0) * dot(col("sv"), col("cv"), sub)
+              + col("cc"))
+          .groupBy(col("__vid"), col("j"))
+          .agg(min_by(col("cid"), struct(col("__d2"), col("cid"))).as("cid"),
+            first(col("sv")).as("sv"))
+        val means = assigned
+          .select(col("j"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy(col("j"), col("cid"), col("pos"))
+          .agg(avg(col("x")).as("mx"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case ((j, cid), rs) =>
+            val v = new Array[Float](sub)
+            rs.foreach(r => v(r.getInt(2)) = r.getDouble(3).toFloat)
+            (j, cid) -> v
+          }
+        cb = cb.map { case (j, cid, oldV, _) =>
+          val v = means.getOrElse((j, cid), oldV)
+          var cc = 0.0
+          var i = 0
+          while (i < sub) { cc += v(i).toDouble * v(i).toDouble; i += 1 }
+          (j, cid, v, cc)
+        }
+      }
+      cb
+    } finally rows.unpersist()
+  }
+
+  /** PQ encoding: `dim` float32s → `m` codes (one per subspace, each
+    * < `k`) + the codes packed into ONE long — 32× compression at
+    * dim=64/m=8/k=16. A PURE PROJECTION: the codebook rides in the plan
+    * as literals, each subspace's code is `array_min` over k exact
+    * (dist², cid) structs (squared L2 via `dot(s,s) − 2·dot(s,c) + |c|²`,
+    * ties → lowest cid) — no shuffle, no join, embarrassingly parallel
+    * over any corpus size. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int = 8, k: Int = 16,
+      codebook: Seq[(Int, Int, Array[Float], Double)] = Seq.empty): DataFrame = {
+    require(k >= 1 && k <= 16, s"k must fit 4-bit packing, got $k")
+    val cb =
+      if (codebook.nonEmpty) codebook
+      else pqCodebook(df, idCol, vecCol, dim, m, k)
+    val sub = dim / m
+    val codes = (0 until m).map { j =>
+      val sv = slice(col(vecCol), j * sub + 1, sub)
+      val ss = dot(sv, sv, sub)
+      val cands = cb.filter(_._1 == j).sortBy(_._2).map {
+        case (_, cid, cv, cc) =>
+          struct(
+            (ss - lit(2.0) * dot(sv, typedlit(cv.toSeq), sub) + lit(cc)).as("d"),
+            lit(cid).as("cid"))
+      }
+      array_min(array(cands: _*)).getField("cid")
+    }
+    val packed = codes.zipWithIndex
+      .map { case (c, j) => c.cast("long") * lit(1L << (4 * j)) }
+      .reduce(_ + _)
+    df.select(col(idCol).as("vec_id"), array(codes: _*).as("codes"),
+      packed.as("packed_code"))
+  }
+
+  /** ADC (asymmetric distance) top-k over a PQ-encoded corpus: per query,
+    * a (subspace, centroid) → distance² table replaces all corpus float
+    * reads — scoring touches ONLY the 8-byte codes. Table distances are
+    * quantized to exact 1e-6 units (longs), so the per-(vector, query)
+    * sum over subspaces is order-independent integer arithmetic —
+    * partial aggregation can combine in any order, and the oracle
+    * replays it exactly. One broadcast (queries × m·k lookup rows), one
+    * (vid, qid) partial agg, bounded-heap top-k ([[graft.functions
+    * .TopKByScore]]); self-pairs excluded. */
+  def pqTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int,
+      codebook: Seq[(Int, Int, Array[Float], Double)], topK: Int): DataFrame = {
+    val m = codebook.map(_._1).max + 1
+    val sub = dim / m
+    val dtabStructs = codebook.map { case (j, cid, cv, cc) =>
+      val qs = slice(col(vecCol), j * sub + 1, sub)
+      struct(lit(j).as("j"), lit(cid).as("code"),
+        round((dot(qs, qs, sub) - lit(2.0) * dot(qs, typedlit(cv.toSeq), sub)
+          + lit(cc)) * lit(1e6), 0).cast("long").as("dq"))
+    }
+    val dtab = queries
+      .select(col(idCol).as("qid"), explode(array(dtabStructs: _*)).as("__e"))
+      .select(col("qid"), col("__e.j").as("j"), col("__e.code").as("code"),
+        col("__e.dq").as("dq"))
+    encoded
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(dtab), Seq("j", "code"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dq")).as("adist"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKByScore.topK(
+        -col("adist").cast("double"), col("vec_id"), topK).as("__top"))
+      .select(col("qid").as("vec_id"),
+        posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("vec_id"), col("__e.id").as("neighbor_id"),
+        (-col("__e.score")).cast("long").as("approx_dist_1e6"),
+        (col("__i") + 1).cast("int").as("rank"))
+  }
 }

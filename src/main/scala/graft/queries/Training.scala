@@ -387,6 +387,39 @@ object Training {
        |      FROM cand JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b)""".stripMargin
   }
 
+  /** q173 PQ replay: per-subspace dot products in the native
+    * expression's exact left-associated order; codes by (dist, cid)
+    * argmin; ADC sums over 1e-6-quantized BIGINTs. */
+  private lazy val pqCtes: String = {
+    val m = 8; val sub = 8
+    def dotSub(a: String, b: String, j: Int): String =
+      (1 to sub).map(i =>
+        s"$a.embedding[${j * sub + i}]::DOUBLE * $b.embedding[${j * sub + i}]::DOUBLE")
+        .mkString(" + ")
+    val branches = (0 until m).map { j =>
+      s"""SELECT v.vec_id, $j AS j, c.cid,
+         |  ((${dotSub("v", "v", j)}) - 2*(${dotSub("v", "c", j)})
+         |    + (${dotSub("c", "c", j)})) AS dist
+         |FROM embeddings v CROSS JOIN cb c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""cb AS (SELECT vec_id cid, embedding FROM embeddings WHERE vec_id < 16),
+       |ad AS ($branches),
+       |codes AS (SELECT vec_id, j, cid AS code FROM (
+       |  SELECT vec_id, j, cid,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) rn
+       |  FROM ad) WHERE rn = 1),
+       |qd AS (SELECT vec_id qid, j, cid,
+       |         CAST(round(dist * 1e6) AS BIGINT) dq
+       |       FROM ad WHERE vec_id < 40),
+       |sc AS (SELECT q.qid, e.vec_id vid, sum(q.dq)::BIGINT adist
+       |       FROM codes e JOIN qd q
+       |         ON q.j = e.j AND q.cid = e.code AND q.qid != e.vec_id
+       |       GROUP BY 1, 2),
+       |r AS (SELECT qid, vid, adist,
+       |        row_number() OVER (PARTITION BY qid ORDER BY adist, vid) rn
+       |      FROM sc)""".stripMargin
+  }
+
   /** Fixed left-associated Σ a[i]·b[i] (1-based DuckDB lists). */
   private def dotSql(a: String, b: String): String =
     (1 to Dim).map(i => s"$a.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE")
@@ -424,9 +457,23 @@ object Training {
       .withColumn("jaccard", round(col("jaccard"), 6))
   }
 
+  /** PQ-compressed ANN: 64 float32s → 8 four-bit codes in ONE long (32×
+    * compression) via deterministic per-subspace codebooks
+    * ([[Ann.pqEncode]] — a pure projection, no shuffle), then ADC top-3
+    * per query from the codes alone ([[Ann.pqTopK]] — integer-exact
+    * distance-table lookups). The billion-vector search memory shape. */
+  def q173PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val cb = Ann.pqCodebook(e, "vec_id", "embedding", Dim, m = 8, k = 16)
+    val enc = Ann.pqEncode(e, "vec_id", "embedding", Dim, m = 8, k = 16)
+    Ann.pqTopK(enc, e.where(col("vec_id") < 40), "vec_id", "embedding",
+      Dim, cb, topK = 3)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_hard_negatives" -> q157HardNegatives,
     "q172_incremental_dedup" -> q172IncrementalDedup,
+    "q173_pq_ann" -> q173PqAnn,
     "q17_dedup_exact" -> q17DedupExact,
     "q18_ngram_jaccard" -> q18NgramJaccard,
     "q19_minhash_lsh" -> q19MinhashLsh,
@@ -464,6 +511,11 @@ object Training {
     pat.replaceAll("\\\\u([0-9a-fA-F]{4})", "\\\\x{$1}")
 
   val oracles: Map[String, String] = Map(
+    "q173_pq_ann" ->
+      s"""WITH $pqCtes
+         |SELECT qid AS vec_id, vid AS neighbor_id, adist AS approx_dist_1e6,
+         |  rn::INT AS rank
+         |FROM r WHERE rn <= 3""".stripMargin,
     "q17_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, row_number}
 
 class AnnSpec extends SparkSpec {
   import spark.implicits._
@@ -73,7 +73,7 @@ class AnnSpec extends SparkSpec {
 
   test("int8 pack/dot: exact integer arithmetic, deterministic packing") {
     import graft.functions.VectorFunctions._
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit, row_number}
     val df = Seq((1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
       (2L, Array(0.5f, 0.5f, -1.0f, 0.1f))).toDF("id", "v")
       .withColumn("sc", int8Scale(col("v")))
@@ -238,5 +238,66 @@ class AnnSpec extends SparkSpec {
     assert(viaIndex == brute,
       s"k-means index nprobe=1 recall ${
         (viaIndex intersect brute).size.toDouble / brute.size}")
+  }
+
+  test("pqEncode: 4-bit packing round-trips, encoding is a pure projection") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val enc = Ann.pqEncode(corpus, "vec_id", "embedding", 64, m = 8, k = 16)
+    val rows = enc.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      val packed = r.getLong(2)
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+      val unpacked = (0 until 8).map(j => ((packed >>> (4 * j)) & 0xf).toInt)
+      assert(unpacked == codes, s"packed $packed != codes $codes")
+    }
+    // the whole encode is map-side: literals + array_min, no exchange
+    val p = enc.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"PQ encode should not shuffle:\n$p")
+  }
+
+  test("pqTopK: trained codebooks beat seeds; shortlist retains exact top-k") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = corpus.where(col("vec_id") < 20)
+    // exact L2 top-3 (the metric PQ approximates)
+    val d2 = {
+      val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("cv"))
+      q.crossJoin(c).where(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          (Ann.dot(col("qv"), col("qv"), 64)
+            - lit(2.0) * Ann.dot(col("qv"), col("cv"), 64)
+            + Ann.dot(col("cv"), col("cv"), 64)).as("d2"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d2").asc, col("nid").asc)
+    val exact = d2.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // PQ is a CANDIDATE stage (like int8): the gate is how much of the
+    // exact top-3 a 20-deep ADC shortlist retains for the re-ranker,
+    // m=16 (4-dim subspaces — the finer split this 64-dim corpus needs)
+    def recallOf(cb: Seq[(Int, Int, Array[Float], Double)]): Double = {
+      val enc = Ann.pqEncode(corpus, "vec_id", "embedding", 64, 16, 16, cb)
+      val pq = Ann.pqTopK(enc, queries, "vec_id", "embedding", 64, cb,
+          topK = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (pq intersect exact).size.toDouble / exact.size
+    }
+    val seedCb = Ann.pqCodebook(corpus, "vec_id", "embedding", 64, 16, 16)
+    val trainedCb = Ann.pqTrainCodebooks(corpus, "vec_id", "embedding", 64,
+      m = 16, k = 16, iters = 4)
+    val (seedRecall, trainedRecall) = (recallOf(seedCb), recallOf(trainedCb))
+    assert(trainedRecall >= seedRecall,
+      s"training hurt recall: $trainedRecall < $seedRecall")
+    assert(trainedRecall >= 0.7, s"trained PQ shortlist recall = $trainedRecall")
+    // deterministic under repartitioning
+    val enc = Ann.pqEncode(corpus, "vec_id", "embedding", 64, 16, 16, trainedCb)
+    val a = Ann.pqTopK(enc, queries, "vec_id", "embedding", 64, trainedCb, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Ann.pqTopK(enc.repartition(7), queries, "vec_id", "embedding",
+        64, trainedCb, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
   }
 }
