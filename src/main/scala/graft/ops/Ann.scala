@@ -510,9 +510,10 @@ object Ann {
     * replays it exactly. One broadcast (queries × m·k lookup rows), one
     * (vid, qid) partial agg, bounded-heap top-k ([[graft.functions
     * .TopKByScore]]); self-pairs excluded. */
-  def pqTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, dim: Int,
-      codebook: Seq[(Int, Int, Array[Float], Double)], topK: Int): DataFrame = {
+  /** Per-query ADC lookup table: (qid, subspace, code) → distance² in
+    * exact 1e-6 long units. */
+  private def adcTable(queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, codebook: Seq[(Int, Int, Array[Float], Double)]): DataFrame = {
     val m = codebook.map(_._1).max + 1
     val sub = dim / m
     val dtabStructs = codebook.map { case (j, cid, cv, cc) =>
@@ -521,13 +522,22 @@ object Ann {
         round((dot(qs, qs, sub) - lit(2.0) * dot(qs, typedlit(cv.toSeq), sub)
           + lit(cc)) * lit(1e6), 0).cast("long").as("dq"))
     }
-    val dtab = queries
+    queries
       .select(col(idCol).as("qid"), explode(array(dtabStructs: _*)).as("__e"))
       .select(col("qid"), col("__e.j").as("j"), col("__e.code").as("code"),
         col("__e.dq").as("dq"))
-    encoded
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
-      .join(broadcast(dtab), Seq("j", "code"))
+  }
+
+  /** (qid, vec_id, codes) candidate rows → ADC-summed top-k result frame. */
+  private def adcTopK(cands: DataFrame, dtab: DataFrame, topK: Int,
+      joinQid: Boolean): DataFrame = {
+    val exploded = cands.select(
+      (if (joinQid) Seq(col("qid")) else Seq.empty) ++
+        Seq(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code"))): _*)
+    val joined =
+      if (joinQid) exploded.join(broadcast(dtab), Seq("qid", "j", "code"))
+      else exploded.join(broadcast(dtab), Seq("j", "code"))
+    joined
       .where(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("dq")).as("adist"))
@@ -539,5 +549,50 @@ object Ann {
       .select(col("vec_id"), col("__e.id").as("neighbor_id"),
         (-col("__e.score")).cast("long").as("approx_dist_1e6"),
         (col("__i") + 1).cast("int").as("rank"))
+  }
+
+  def pqTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int,
+      codebook: Seq[(Int, Int, Array[Float], Double)], topK: Int): DataFrame =
+    adcTopK(encoded.select(col("vec_id"), col("codes")),
+      adcTable(queries, idCol, vecCol, dim, codebook), topK, joinQid = false)
+
+  /** IVF-PQ (the billion-vector index architecture, Jégou et al. 2011,
+    * "Product quantization for nearest neighbor search"): coarse IVF
+    * cells prune the corpus, integer-exact ADC over PQ codes scores only
+    * the probed cells. Corpus membership = nearest of the first
+    * `numCentroids` vectors (cosine, ties → lowest cid — the [[ivfTopK]]
+    * discipline); each query probes its `nprobe` nearest cells. Both the
+    * bytes read and the distance computations scale with
+    * nprobe/numCentroids of the corpus, and what IS read per candidate
+    * is the 8-byte code word, not `dim` floats — the two levers
+    * composed. Deterministic end to end; oracle-replayable. */
+  def ivfPqTopK(df: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, numCentroids: Int, nprobe: Int,
+      codebook: Seq[(Int, Int, Array[Float], Double)], topK: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= numCentroids)
+    val m = codebook.map(_._1).max + 1
+    val k = codebook.map(_._2).max + 1
+    val centroids = df.where(col(idCol) < numCentroids)
+    val cells = assignClusters(df, centroids, idCol, vecCol, dim)
+      .select(col("__vid").as("vec_id"), col("__cid"))
+    val enc = pqEncode(df, idCol, vecCol, dim, m, k, codebook)
+      .join(cells, Seq("vec_id"))
+    val v = withNorm(queries, idCol, vecCol, dim)
+    val c = withNorm(centroids, idCol, vecCol, dim)
+      .select(col("__vid").as("__cid"), col("__vec").as("__cv"),
+        col("__nrm").as("__cn"))
+    val probes = v.crossJoin(broadcast(c))
+      .withColumn("__sim",
+        dot(col("__vec"), col("__cv"), dim) / (col("__nrm") * col("__cn")))
+      .groupBy("__vid")
+      .agg(graft.functions.TopKByScore.topK(col("__sim"), col("__cid"), nprobe)
+        .as("__top"))
+      .select(col("__vid").as("qid"),
+        explode(col("__top").getField("id")).as("__cid"))
+    val cands = enc.join(broadcast(probes), Seq("__cid"))
+      .select(col("qid"), col("vec_id"), col("codes"))
+    adcTopK(cands, adcTable(queries, idCol, vecCol, dim, codebook), topK,
+      joinQid = true)
   }
 }

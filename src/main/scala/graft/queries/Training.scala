@@ -387,10 +387,11 @@ object Training {
        |      FROM cand JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b)""".stripMargin
   }
 
-  /** q173 PQ replay: per-subspace dot products in the native
+  /** q173/q174 PQ replay: per-subspace dot products in the native
     * expression's exact left-associated order; codes by (dist, cid)
-    * argmin; ADC sums over 1e-6-quantized BIGINTs. */
-  private lazy val pqCtes: String = {
+    * argmin; ADC sums over 1e-6-quantized BIGINTs. Base chain ends at
+    * `qd` (the per-query distance table). */
+  private lazy val pqBaseCtes: String = {
     val m = 8; val sub = 8
     def dotSub(a: String, b: String, j: Int): String =
       (1 to sub).map(i =>
@@ -410,7 +411,11 @@ object Training {
        |  FROM ad) WHERE rn = 1),
        |qd AS (SELECT vec_id qid, j, cid,
        |         CAST(round(dist * 1e6) AS BIGINT) dq
-       |       FROM ad WHERE vec_id < 40),
+       |       FROM ad WHERE vec_id < 40)""".stripMargin
+  }
+
+  private lazy val pqCtes: String =
+    s"""$pqBaseCtes,
        |sc AS (SELECT q.qid, e.vec_id vid, sum(q.dq)::BIGINT adist
        |       FROM codes e JOIN qd q
        |         ON q.j = e.j AND q.cid = e.code AND q.qid != e.vec_id
@@ -418,7 +423,32 @@ object Training {
        |r AS (SELECT qid, vid, adist,
        |        row_number() OVER (PARTITION BY qid ORDER BY adist, vid) rn
        |      FROM sc)""".stripMargin
-  }
+
+  /** q174 IVF-PQ replay: [[pqBaseCtes]] + cosine cell assignment (q83's
+    * asg discipline: sim DESC, cid ASC) + nprobe=4 probes + ADC restricted
+    * to probed cells. */
+  private lazy val ivfPqCtes: String =
+    s"""$pqBaseCtes,
+       |$normCte,
+       |c16 AS (SELECT vec_id cid, embedding, nrm FROM n WHERE vec_id < 16),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+       |    ORDER BY (${dotSql("v", "c")}) / (v.nrm * c.nrm) DESC, c.cid) rn
+       |  FROM n v CROSS JOIN c16 c) WHERE rn = 1),
+       |probes AS (SELECT vec_id qid, cid FROM (
+       |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+       |    ORDER BY (${dotSql("v", "c")}) / (v.nrm * c.nrm) DESC, c.cid) rn
+       |  FROM n v CROSS JOIN c16 c WHERE v.vec_id < 40) WHERE rn <= 4),
+       |sc AS (SELECT q.qid, e.vec_id vid, sum(q.dq)::BIGINT adist
+       |       FROM codes e
+       |         JOIN asg av ON av.vec_id = e.vec_id
+       |         JOIN qd q
+       |           ON q.j = e.j AND q.cid = e.code AND q.qid != e.vec_id
+       |         JOIN probes p ON p.qid = q.qid AND p.cid = av.cid
+       |       GROUP BY 1, 2),
+       |r AS (SELECT qid, vid, adist,
+       |        row_number() OVER (PARTITION BY qid ORDER BY adist, vid) rn
+       |      FROM sc)""".stripMargin
 
   /** Fixed left-associated Σ a[i]·b[i] (1-based DuckDB lists). */
   private def dotSql(a: String, b: String): String =
@@ -470,10 +500,21 @@ object Training {
       Dim, cb, topK = 3)
   }
 
+  /** IVF-PQ composed: coarse cells prune (nprobe=4 of 16), integer-exact
+    * ADC over packed PQ codes scores only the probed cells
+    * ([[Ann.ivfPqTopK]]) — the two billion-scale levers in one plan. */
+  def q174IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val cb = Ann.pqCodebook(e, "vec_id", "embedding", Dim, m = 8, k = 16)
+    Ann.ivfPqTopK(e, e.where(col("vec_id") < 40), "vec_id", "embedding",
+      Dim, numCentroids = 16, nprobe = 4, cb, topK = 3)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_hard_negatives" -> q157HardNegatives,
     "q172_incremental_dedup" -> q172IncrementalDedup,
     "q173_pq_ann" -> q173PqAnn,
+    "q174_ivfpq_ann" -> q174IvfPqAnn,
     "q17_dedup_exact" -> q17DedupExact,
     "q18_ngram_jaccard" -> q18NgramJaccard,
     "q19_minhash_lsh" -> q19MinhashLsh,
@@ -511,6 +552,11 @@ object Training {
     pat.replaceAll("\\\\u([0-9a-fA-F]{4})", "\\\\x{$1}")
 
   val oracles: Map[String, String] = Map(
+    "q174_ivfpq_ann" ->
+      s"""WITH $ivfPqCtes
+         |SELECT qid AS vec_id, vid AS neighbor_id, adist AS approx_dist_1e6,
+         |  rn::INT AS rank
+         |FROM r WHERE rn <= 3""".stripMargin,
     "q173_pq_ann" ->
       s"""WITH $pqCtes
          |SELECT qid AS vec_id, vid AS neighbor_id, adist AS approx_dist_1e6,

@@ -257,6 +257,25 @@ class AnnSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"PQ encode should not shuffle:\n$p")
   }
 
+  test("ivfPqTopK: exhaustive probe degrades to plain PQ; pruning executes") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = corpus.where(col("vec_id") < 20)
+    val cb = Ann.pqCodebook(corpus, "vec_id", "embedding", 64, 8, 16)
+    val enc = Ann.pqEncode(corpus, "vec_id", "embedding", 64, 8, 16, cb)
+    val plain = Ann.pqTopK(enc, queries, "vec_id", "embedding", 64, cb, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nprobe = numCentroids ⇒ every cell probed ⇒ identical to plain ADC
+    val exhaustive = Ann.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        64, numCentroids = 8, nprobe = 8, cb, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exhaustive == plain)
+    // selective probe still returns k rows per query (pruned, not broken)
+    val pruned = Ann.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        64, numCentroids = 8, nprobe = 2, cb, topK = 3)
+      .collect()
+    assert(pruned.length == 20 * 3)
+  }
+
   test("pqTopK: trained codebooks beat seeds; shortlist retains exact top-k") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = corpus.where(col("vec_id") < 20)
