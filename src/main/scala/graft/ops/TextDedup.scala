@@ -369,6 +369,16 @@ object TextDedup {
   def incrementalDupPairs(spark: SparkSession, indexPath: String,
       corpus: DataFrame, increment: DataFrame, idCol: String,
       textCol: String, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame =
+    incrementalDupPairsFrom(spark.read.parquet(indexPath), corpus,
+      increment, idCol, textCol, n, numHashes, bands, threshold)
+
+  /** [[incrementalDupPairs]] over an already-loaded (possibly filtered)
+    * signature frame — the streaming path filters the index to batches
+    * STRICTLY BEFORE the current one so replays are deterministic. */
+  def incrementalDupPairsFrom(index: DataFrame,
+      corpus: DataFrame, increment: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
@@ -384,7 +394,7 @@ object TextDedup {
         .select(col(out),
           posexplode(array((0 until bands).map(bi => col(s"band$bi")): _*))
             .as(Seq("__band_idx", "__band_key")))
-    val idx = banded(spark.read.parquet(indexPath), "doc_a")
+    val idx = banded(index, "doc_a")
     val inc = banded(
       minhashSignatures(increment, idCol, textCol, n, numHashes), "doc_b")
     val cands = idx.join(broadcast(inc), Seq("__band_idx", "__band_key"))

@@ -396,6 +396,64 @@ object Streams {
     fs.mkdirs(marker) // commit point: this batchId is now a no-op
   }
 
+  /** Streaming near-duplicate detection — the streaming face of
+    * [[graft.ops.TextDedup.incrementalDupPairs]]: each micro-batch is
+    * LSH-matched against the PERSISTED MinHash signature index of
+    * everything seen before (increment bands broadcast, index scanned
+    * once, exact-Jaccard verify against the stored corpus text), plus
+    * within-batch pairs via [[graft.ops.TextDedup.minhashDedupPairs]];
+    * then the batch's own signatures and text append to the state dirs.
+    * State grows O(batch) per batch and prior text is never re-shingled.
+    *
+    * Exactly-once: every append writes `batch=<id>` hive partitions with
+    * mode=overwrite, so a replayed foreachBatch rewrites its own
+    * partitions byte-for-byte instead of duplicating — idempotence by
+    * layout, no commit ledger needed. Output partitions under
+    * `stateDir/pairs`; signatures under `stateDir/sigs`; text under
+    * `stateDir/docs`. */
+  def nearDupBatch(stateDir: String, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.ops.TextDedup
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val (sigs, docs, pairs) =
+      (s"$stateDir/sigs", s"$stateDir/docs", s"$stateDir/pairs")
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val within = TextDedup
+        .minhashDedupPairs(b, idCol, textCol, n, numHashes, bands, threshold)
+      // index and corpus reads exclude this batchId and anything later:
+      // a replayed batch sees EXACTLY the state it saw the first time,
+      // so its partition overwrites are byte-deterministic
+      val cross =
+        if (fs.exists(new Path(sigs)))
+          TextDedup.incrementalDupPairsFrom(
+            spark.read.parquet(sigs).where(col("batch") < batchId),
+            spark.read.parquet(docs).where(col("batch") < batchId),
+            b, idCol, textCol, n, numHashes, bands, threshold)
+        else within.limit(0) // first batch: no prior index, same schema
+      within.unionByName(cross)
+        .write.mode("overwrite").parquet(s"$pairs/batch=$batchId")
+      TextDedup.minhashSignatures(b, idCol, textCol, n, numHashes)
+        .write.mode("overwrite").parquet(s"$sigs/batch=$batchId")
+      b.select(col(idCol), col(textCol))
+        .write.mode("overwrite").parquet(s"$docs/batch=$batchId")
+    } finally b.unpersist()
+  }
+
+  /** [[nearDupBatch]] wired as a foreachBatch sink. */
+  def nearDupSink(stream: DataFrame, stateDir: String, idCol: String,
+      textCol: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(nearDupBatch(stateDir, idCol, textCol) _)
+      .start()
+
   /** Exactly-once streaming upsert: every micro-batch MERGEs into the
     * warehouse table through [[upsertBatch]] — the streaming twin of a
     * nightly MERGE INTO job, with the commit ledger upgrading

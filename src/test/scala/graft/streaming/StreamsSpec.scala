@@ -300,6 +300,41 @@ class StreamsSpec extends SparkSpec {
     assert(!late.contains("c1" -> None), "matched click must not ALSO null-pad")
   }
 
+  test("nearDupSink: cross-batch pairs via the persisted index, replay idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val state = Files.createTempDirectory("graft-neardup").toString
+    val ckpt = Files.createTempDirectory("graft-neardup-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = Streams.nearDupSink(input.toDS().toDF("doc_id", "text"),
+        state, "doc_id", "text", ckpt)
+      q.awaitTermination()
+    }
+    val textA = "alpha beta gamma delta epsilon zeta"
+    val textB = "one two three four five six seven"
+    input.addData((1L, textA), (2L, textB))
+    run() // batch 0: nothing seen before, no dups
+    assert(spark.read.parquet(s"$state/pairs").count() == 0)
+    assert(spark.read.parquet(s"$state/sigs").count() == 2)
+    // batch 1: 3 duplicates doc 1 (cross-batch), 4 and 5 duplicate each
+    // other (within-batch)
+    input.addData((3L, textA), (4L, "x y z w v u t"), (5L, "x y z w v u t"))
+    run()
+    val got = spark.read.parquet(s"$state/pairs")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L), (4L, 5L)), s"pairs: $got")
+    assert(spark.read.parquet(s"$state/sigs").count() == 5)
+    assert(spark.read.parquet(s"$state/docs").count() == 5)
+    // replaying batch 1 by hand must rewrite, not duplicate
+    Streams.nearDupBatch(state, "doc_id", "text")(
+      Seq((3L, textA), (4L, "x y z w v u t"), (5L, "x y z w v u t"))
+        .toDF("doc_id", "text"), 1L)
+    assert(spark.read.parquet(s"$state/pairs").count() == 2)
+    assert(spark.read.parquet(s"$state/sigs").count() == 5)
+  }
+
   test("latestPerKeyTws (transformWithState + RocksDB) matches the fMGWS semantics") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
