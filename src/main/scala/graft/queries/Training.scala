@@ -510,11 +510,32 @@ object Training {
       Dim, numCentroids = 16, nprobe = 4, cb, topK = 3)
   }
 
+  /** Training-batch assembly, composed end to end: quality gate (q23's
+    * score ≥ 0.5) → exact-dedup survivors (q17's min-id keepers) →
+    * power-of-2 length bands and longest-first 16-doc batches with exact
+    * pad-waste (q164's batching) — the "make batches out of a raw
+    * corpus" pipeline as ONE declarative plan, oracle-gated as a unit
+    * (the composition, not just the stages, is what the hash checks). */
+  def q175TrainingBatches(spark: SparkSession, dir: String): DataFrame = {
+    val kept = docs(spark, dir)
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .where(col("quality") >= 0.5)
+    val keepers = TextDedup.exactDedup(kept, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val survivors = kept.join(keepers, Seq("doc_id"))
+      .select(col("doc_id"), size(split(col("text"), " ")).as("toks"))
+    graft.ops.Packing.lengthBuckets(survivors, "doc_id", col("toks"),
+        batchSize = 16)
+      .select(col("doc_id"), col("band"), col("batch_idx"),
+        col("batch_max"), col("pad_waste"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_hard_negatives" -> q157HardNegatives,
     "q172_incremental_dedup" -> q172IncrementalDedup,
     "q173_pq_ann" -> q173PqAnn,
     "q174_ivfpq_ann" -> q174IvfPqAnn,
+    "q175_training_batches" -> q175TrainingBatches,
     "q17_dedup_exact" -> q17DedupExact,
     "q18_ngram_jaccard" -> q18NgramJaccard,
     "q19_minhash_lsh" -> q19MinhashLsh,
@@ -552,6 +573,31 @@ object Training {
     pat.replaceAll("\\\\u([0-9a-fA-F]{4})", "\\\\x{$1}")
 
   val oracles: Map[String, String] = Map(
+    "q175_training_batches" -> {
+      val en = stopIn(TextAnalysis.stopwords.head._2)
+      s"""WITH f AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents),
+         |m AS (SELECT doc_id, text, ws,
+         |  round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text), 6) punct_ratio,
+         |  round(len(list_filter(ws, t -> t IN $en))::DOUBLE / len(ws), 6) stopword_ratio,
+         |  length(text) n_chars FROM f),
+         |kept AS (SELECT doc_id, text, ws FROM m
+         |  WHERE round(((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN stopword_ratio > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) >= 0.5),
+         |keepers AS (SELECT min(doc_id) doc_id FROM kept GROUP BY md5(text)),
+         |t AS (SELECT k.doc_id, len(kept.ws)::BIGINT AS toks
+         |      FROM keepers k JOIN kept ON kept.doc_id = k.doc_id),
+         |b AS (SELECT doc_id, toks,
+         |        (len(bin(greatest(toks, 1))) - 1)::INT AS band FROM t),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY band
+         |        ORDER BY toks DESC, doc_id) rn FROM b)
+         |SELECT doc_id, band, ((rn - 1) // 16)::BIGINT AS batch_idx,
+         |  max(toks) OVER (PARTITION BY band, (rn - 1) // 16)::BIGINT
+         |    AS batch_max,
+         |  (max(toks) OVER (PARTITION BY band, (rn - 1) // 16)
+         |    - toks)::BIGINT AS pad_waste
+         |FROM r""".stripMargin
+    },
     "q174_ivfpq_ann" ->
       s"""WITH $ivfPqCtes
          |SELECT qid AS vec_id, vid AS neighbor_id, adist AS approx_dist_1e6,
