@@ -49,4 +49,35 @@ object Sketches {
     df.groupBy(groupCols.map(col): _*)
       .agg(percentile_approx(valueCol,
         array(percentiles.map(lit): _*), lit(accuracy)).as("percentiles"))
+
+  /** Count-min frequency sketch of a key column: `d` deterministic
+    * md5-derived hash rows × `w` buckets, materialized as a (row, bucket,
+    * cnt) frame of ≤ d·w rows. Mergeable by summing `cnt` — daily
+    * sketches union into monthly like [[hllRollup]]; one narrow scan of
+    * the input. */
+  def countMin(df: DataFrame, key: Column, d: Int = 5, w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 1)
+    df.select(posexplode(array((0 until d).map(i =>
+        pmod(TextDedup.hash60(concat(key.cast("string"), lit(s":$i"))),
+          lit(w.toLong))): _*))
+        .as(Seq("row", "bucket")))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Join-cardinality estimate `|A ⋈_key B|` WITHOUT running the join:
+    * the inner product of the two sides' count-min sketches, minimized
+    * over hash rows (Cormode & Muthukrishnan's inner-product estimator —
+    * never underestimates, overestimates by ≲ N_a·N_b/w per row, the min
+    * over d rows concentrates). Two narrow scans + a ≤ d·w-row sketch
+    * join: the planning-time "will this join explode / should I salt or
+    * broadcast" number, next to [[graft.ops.Stats.keySkew]]. The single
+    * returned scalar is the one driver-side value. */
+  def joinSizeEstimate(a: DataFrame, aKey: Column, b: DataFrame,
+      bKey: Column, d: Int = 5, w: Int = 1024): Long = {
+    val sa = countMin(a, aKey, d, w).withColumnRenamed("cnt", "ca")
+    val sb = countMin(b, bKey, d, w).withColumnRenamed("cnt", "cb")
+    sa.join(sb, Seq("row", "bucket"))
+      .groupBy("row").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(coalesce(min(col("ip")), lit(0L))).head().getLong(0)
+  }
 }

@@ -530,12 +530,35 @@ object Training {
         col("batch_max"), col("pad_waste"))
   }
 
+  /** Dataset card: the per-source corpus report every released training
+    * set ships with — docs, whitespace tokens, exact-dup rate (1 −
+    * distinct md5 / docs), language spread, mean quality — plus the
+    * corpus-total ROLLUP row. Mean quality stays engine-exact because
+    * q23's score is k/3 (k ∈ 0..3): summing round(quality·3) longs and
+    * dividing ONCE is order-independent where avg(double) is not. */
+  def q176DatasetCard(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("q3",
+        round(TextAnalysis.qualityScore(col("text")) * 3, 0).cast("long"))
+      .rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(sum(col("q3")).cast("double") / (lit(3.0) * count(lit(1))), 6)
+          .as("mean_quality"))
+      .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+        col("n_docs"), col("n_tokens"), col("n_distinct"), col("n_langs"),
+        col("mean_quality"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_hard_negatives" -> q157HardNegatives,
     "q172_incremental_dedup" -> q172IncrementalDedup,
     "q173_pq_ann" -> q173PqAnn,
     "q174_ivfpq_ann" -> q174IvfPqAnn,
     "q175_training_batches" -> q175TrainingBatches,
+    "q176_dataset_card" -> q176DatasetCard,
     "q17_dedup_exact" -> q17DedupExact,
     "q18_ngram_jaccard" -> q18NgramJaccard,
     "q19_minhash_lsh" -> q19MinhashLsh,
@@ -573,6 +596,26 @@ object Training {
     pat.replaceAll("\\\\u([0-9a-fA-F]{4})", "\\\\x{$1}")
 
   val oracles: Map[String, String] = Map(
+    "q176_dataset_card" -> {
+      val en = stopIn(TextAnalysis.stopwords.head._2)
+      s"""WITH f AS (SELECT doc_id, text, source, lang,
+         |    string_split(text, ' ') ws FROM documents),
+         |m AS (SELECT *, round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+         |    / length(text), 6) punct_ratio,
+         |  round(len(list_filter(ws, t -> t IN $en))::DOUBLE / len(ws), 6) stopword_ratio,
+         |  length(text) n_chars, len(ws)::BIGINT toks FROM f),
+         |g AS (SELECT *, CAST(round(
+         |    round(((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN stopword_ratio > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6)
+         |    * 3) AS BIGINT) q3 FROM m)
+         |SELECT coalesce(source, 'TOTAL') AS source, count(*) AS n_docs,
+         |  sum(toks)::BIGINT AS n_tokens,
+         |  count(DISTINCT md5(text)) AS n_distinct,
+         |  count(DISTINCT lang) AS n_langs,
+         |  round(sum(q3)::DOUBLE / (3.0 * count(*)), 6) AS mean_quality
+         |FROM g GROUP BY ROLLUP(source)""".stripMargin
+    },
     "q175_training_batches" -> {
       val en = stopIn(TextAnalysis.stopwords.head._2)
       s"""WITH f AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents),

@@ -68,4 +68,23 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(ps(0) - 5001.0) <= 10, s"p50: ${ps(0)}")
     assert(math.abs(ps(1) - 9001.0) <= 10, s"p90: ${ps(1)}")
   }
+
+  test("joinSizeEstimate: never under, tight with enough buckets, merge-safe") {
+    import spark.implicits._
+    // skewed: key "hot" appears 100× on A and 50× on B — true join size
+    // is dominated by the hot key's 5000-row blowup
+    val a = ((1 to 100).map(_ => "hot") ++ (1 to 40).map(i => s"a$i"))
+      .toDF("k")
+    val b = ((1 to 50).map(_ => "hot") ++ (1 to 20).map(i => s"a$i"))
+      .toDF("k")
+    val exact = a.join(b, "k").count()
+    assert(exact == 100L * 50 + 20) // hot blowup + 20 singleton matches
+    val est = graft.ops.Sketches.joinSizeEstimate(a, col("k"), b, col("k"))
+    assert(est >= exact, s"CM inner product must never underestimate: $est")
+    assert(est <= (exact * 1.2).toLong, s"estimate too loose: $est vs $exact")
+    // disjoint keys → near-zero estimate (collisions only)
+    val c = (1 to 30).map(i => s"z$i").toDF("k")
+    val estDisjoint = graft.ops.Sketches.joinSizeEstimate(a, col("k"), c, col("k"))
+    assert(estDisjoint <= exact / 10, s"disjoint estimate: $estDisjoint")
+  }
 }
