@@ -552,6 +552,23 @@ object Training {
         col("n_docs"), col("n_tokens"), col("n_distinct"), col("n_langs"),
         col("mean_quality"))
 
+  /** Retrieval evaluation over the q26 IVF index: per-query Recall@3,
+    * MRR, NDCG@3 against same-label ground truth
+    * ([[graft.ops.Ranking.rankingMetrics]]) — the numbers that tell you
+    * whether nprobe/numCentroids are tuned right, computed for every
+    * query at once. */
+  def q177RetrievalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val results = Ann.ivfTopK(e, "vec_id", "embedding", Dim, 3, 16)
+    val lbl = e.select(col("vec_id"), col("label"))
+    val rel = lbl.join(
+        lbl.select(col("vec_id").as("neighbor_id"), col("label")), "label")
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select("vec_id", "neighbor_id")
+    graft.ops.Ranking.rankingMetrics(results, rel,
+      "vec_id", "neighbor_id", "rank", k = 3)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_hard_negatives" -> q157HardNegatives,
     "q172_incremental_dedup" -> q172IncrementalDedup,
@@ -559,6 +576,7 @@ object Training {
     "q174_ivfpq_ann" -> q174IvfPqAnn,
     "q175_training_batches" -> q175TrainingBatches,
     "q176_dataset_card" -> q176DatasetCard,
+    "q177_retrieval_metrics" -> q177RetrievalMetrics,
     "q17_dedup_exact" -> q17DedupExact,
     "q18_ngram_jaccard" -> q18NgramJaccard,
     "q19_minhash_lsh" -> q19MinhashLsh,
@@ -596,6 +614,49 @@ object Training {
     pat.replaceAll("\\\\u([0-9a-fA-F]{4})", "\\\\x{$1}")
 
   val oracles: Map[String, String] = Map(
+    // DCG folds rel/log2(rank+1) in rank order: DuckDB list_reduce seeds
+    // with the first TERM — IEEE 0.0 + t1 = t1, so the fold sequences
+    // identically to the engine's zero-seeded ordered fold
+    "q177_retrieval_metrics" ->
+      s"""WITH $normCte,
+         |c AS (SELECT vec_id cid, embedding, nrm FROM n WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, embedding, nrm, cid FROM (
+         |  SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      (${dotSql("v", "c")}) / (v.nrm * c.nrm) DESC, c.cid) rn
+         |  FROM n v CROSS JOIN c) WHERE rn = 1),
+         |p AS (SELECT a.vec_id vec_id, b.vec_id neighbor_id,
+         |        (${dotSql("a", "b")}) / (a.nrm * b.nrm) cosine
+         |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |res AS (SELECT vec_id, neighbor_id, rnk FROM (
+         |  SELECT vec_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) rnk
+         |  FROM p) WHERE rnk <= 3),
+         |el AS (SELECT vec_id, label FROM embeddings),
+         |rel AS (SELECT a.vec_id, b.vec_id neighbor_id FROM el a
+         |        JOIN el b ON a.label = b.label AND a.vec_id != b.vec_id),
+         |nr AS (SELECT vec_id, count(*) n_relevant FROM rel GROUP BY 1),
+         |j AS (SELECT r.vec_id, r.rnk,
+         |        CASE WHEN rel.neighbor_id IS NULL THEN 0 ELSE 1 END relv
+         |      FROM res r LEFT JOIN rel
+         |        ON rel.vec_id = r.vec_id AND rel.neighbor_id = r.neighbor_id),
+         |pq AS (SELECT vec_id, count(*) n_retrieved, sum(relv)::BIGINT hits,
+         |        min(CASE WHEN relv = 1 THEN rnk END) first_rel,
+         |        list_reduce(list(relv::DOUBLE / log2(rnk::DOUBLE + 1.0)
+         |          ORDER BY rnk), (a, x) -> a + x) dcg
+         |      FROM j GROUP BY 1),
+         |f AS (SELECT pq.*, coalesce(nr.n_relevant, 0) n_relevant,
+         |        least(coalesce(nr.n_relevant, 0), 3) m
+         |      FROM pq LEFT JOIN nr ON nr.vec_id = pq.vec_id)
+         |SELECT vec_id, n_relevant, n_retrieved, hits,
+         |  round(CASE WHEN m > 0 THEN hits::DOUBLE / m ELSE 0.0 END, 6)
+         |    AS recall_at_k,
+         |  round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
+         |  round(CASE WHEN m > 0 THEN dcg / list_reduce(
+         |      list_transform(generate_series(1, m),
+         |        i -> 1.0 / log2(i::DOUBLE + 1.0)), (a, x) -> a + x)
+         |    ELSE 0.0 END, 6) AS ndcg_at_k
+         |FROM f""".stripMargin,
     "q176_dataset_card" -> {
       val en = stopIn(TextAnalysis.stopwords.head._2)
       s"""WITH f AS (SELECT doc_id, text, source, lang,
