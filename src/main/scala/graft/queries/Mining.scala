@@ -487,7 +487,52 @@ object Mining {
           .as("hapax_share"))
   }
 
+  /** One-sided upper CUSUM change-point screen over daily order volumes
+    * per priority: `s_i = max(0, s_{i−1} + (y_i − μ − 0.5σ))` over the
+    * dense day spine, flagged when s crosses the classic 4σ decision
+    * interval. μ/σ derive from exact integer sums (one fixed float
+    * expression each); the recurrence is an ordered float fold with an
+    * ARRAY accumulator (running values, not just the final state —
+    * q169's determinism discipline, replayed by a rank-indexed
+    * recursive CTE). */
+  def q178Cusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("g"),
+        expr("cast(cast(o_orderdate as timestamp) as long) div 86400L")
+          .as("day"))
+      .agg(count(lit(1)).as("y"))
+    val span = daily.groupBy(col("g"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val dense = span.select(col("g"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("g", "day"), "left")
+      .na.fill(0L, Seq("y"))
+    val per = dense.groupBy(col("g")).agg(
+      sort_array(collect_list(struct(col("day"), col("y")))).as("arr"),
+      sum(col("y")).as("sx"), sum(col("y") * col("y")).as("sxx"),
+      count(lit(1)).as("n"))
+    val mu = col("sx").cast("double") / col("n").cast("double")
+    val sigma = sqrt(
+      (col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double")
+          / col("n").cast("double")) / col("n").cast("double"))
+    val folded = aggregate(col("arr"),
+      array().cast("array<struct<day:bigint,s:double>>"),
+      (acc, e) => concat(acc, array(struct(
+        e.getField("day").as("day"),
+        greatest(lit(0.0),
+          coalesce(try_element_at(acc, lit(-1)).getField("s"), lit(0.0))
+            + e.getField("y").cast("double") - mu - lit(0.5) * sigma)
+          .as("s")))))
+    per.select(col("g"), sigma.as("__sigma"),
+        posexplode(folded).as(Seq("__p", "__e")))
+      .select(col("g").as("o_orderpriority"), col("__e.day").as("day"),
+        round(col("__e.s"), 6).as("cusum"),
+        (col("__e.s") > lit(4.0) * col("__sigma")).as("flag"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_cusum" -> q178Cusum,
     "q160_lex_diversity" -> q160LexDiversity,
     "q158_ess" -> q158Ess,
     "q159_churn" -> q159Churn,
@@ -521,6 +566,36 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    // seed row writes 0.0 + y explicitly so the IEEE op sequence matches
+    // the engine's coalesce(last, 0.0) + y fold exactly
+    "q178_cusum" ->
+      """WITH RECURSIVE daily AS (SELECT o_orderpriority g,
+        |        CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 dy,
+        |        count(*)::BIGINT y
+        |      FROM orders GROUP BY 1, 2),
+        |span AS (SELECT g, min(dy) d0, max(dy) d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT g, unnest(generate_series(d0, d1)) dy FROM span),
+        |dense AS (SELECT s.g, s.dy, coalesce(d.y, 0)::BIGINT y
+        |      FROM spine s LEFT JOIN daily d ON s.g = d.g AND s.dy = d.dy),
+        |st AS (SELECT g, sum(y)::BIGINT sx, sum(y * y)::BIGINT sxx,
+        |        count(*)::BIGINT n FROM dense GROUP BY 1),
+        |pr AS (SELECT g, sx::DOUBLE / n::DOUBLE mu,
+        |        sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+        |          / n::DOUBLE) sigma FROM st),
+        |o AS (SELECT g, dy, y,
+        |        row_number() OVER (PARTITION BY g ORDER BY dy) rn FROM dense),
+        |it(g, rn, dy, s) AS (
+        |  SELECT o.g, 1, o.dy,
+        |    greatest(0.0, 0.0 + o.y::DOUBLE - pr.mu - 0.5 * pr.sigma)
+        |  FROM o JOIN pr ON pr.g = o.g WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.g, o.rn, o.dy,
+        |    greatest(0.0, it.s + o.y::DOUBLE - pr.mu - 0.5 * pr.sigma)
+        |  FROM it JOIN o ON o.g = it.g AND o.rn = it.rn + 1
+        |    JOIN pr ON pr.g = o.g)
+        |SELECT it.g AS o_orderpriority, it.dy AS day, round(it.s, 6) AS cusum,
+        |  it.s > 4.0 * pr.sigma AS flag
+        |FROM it JOIN pr ON pr.g = it.g""".stripMargin,
     "q160_lex_diversity" ->
       """WITH t AS (SELECT source, unnest(string_split(text, ' ')) tok
         |      FROM documents),
