@@ -81,6 +81,31 @@ object TextAnalysis {
     round((lenOk + punctOk + stopOk) / 3.0, 6)
   }
 
+  /** Hashing-trick linear text scorer — the fastText/CCNet-style quality
+    * classifier shape LLM pipelines apply corpus-wide: `score = σ(bias +
+    * Σ_tokens w[hash60(token) mod dim])`. `weightOf` maps a bucket-id
+    * column to its weight column (production: `element_at` into a
+    * broadcast weight literal via [[linearScoreWithWeights]]; oracles:
+    * a closed-form pseudo-weight both engines can spell). The token sum
+    * folds in DOCUMENT order (seeded with the bias — DuckDB replays with
+    * `list_prepend` + `list_reduce`), so the float sequence is pinned;
+    * scoring is a pure projection, scan-speed at any corpus size. */
+  def hashedLinearScore(text: Column, dim: Int, weightOf: Column => Column,
+      bias: Double): Column = {
+    val terms = transform(split(text, " "),
+      t => weightOf(pmod(TextDedup.hash60(t), lit(dim.toLong))))
+    val z = aggregate(terms, lit(bias), (acc, w) => acc + w)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** [[hashedLinearScore]] with a concrete trained weight vector riding
+    * the plan as a literal (broadcast to every task — `dim` doubles,
+    * corpus-independent). */
+  def linearScoreWithWeights(text: Column, weights: Seq[Double],
+      bias: Double): Column =
+    hashedLinearScore(text, weights.size,
+      b => element_at(typedlit(weights), (b + 1).cast("int")), bias)
+
   /** Flesch reading-ease score from cheap structural proxies: sentences =
     * terminator runs (`[.!?]+`, min 1), syllables = vowel-group runs per
     * document (the standard heuristic). `206.835 − 1.015·(words/sentences)

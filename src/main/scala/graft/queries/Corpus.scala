@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables.table
 import graft.ops.{Ann, TextAnalysis, TextDedup}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-4 corpus-curation additions: SemDeDup-style semantic dedup over
@@ -161,8 +161,25 @@ object Corpus {
         .as("n_syllables"),
       TextAnalysis.fleschScore(col("text")).as("flesch"))
 
+  /** Quality-classifier scoring pass ([[TextAnalysis.hashedLinearScore]])
+    * — the fastText-style keep/drop gate LLM pipelines run corpus-wide.
+    * Weights here are the closed-form pseudo-model
+    * `w(b) = ((b·2654435761) mod 1000 − 500) / 1000` (so the oracle can
+    * spell the identical model); swap [[TextAnalysis
+    * .linearScoreWithWeights]] + a trained vector in production. */
+  def q179ClassifierScore(spark: SparkSession, dir: String): DataFrame = {
+    val w: Column => Column = b =>
+      ((b * lit(2654435761L)) % lit(1000L) - lit(500L)).cast("double") / lit(1000.0)
+    docs(spark, dir).select(col("doc_id"),
+      round(TextAnalysis.hashedLinearScore(col("text"), 4096, w, bias = 0.1), 6)
+        .as("score"),
+      (TextAnalysis.hashedLinearScore(col("text"), 4096, w, bias = 0.1)
+        >= 0.5).as("keep"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_readability" -> q171Readability,
+    "q179_classifier_score" -> q179ClassifierScore,
     "q168_entity_resolution" -> q168EntityResolution,
     "q166_sorted_neighborhood" -> q166SortedNeighborhood,
     "q93_source_entropy" -> q93SourceEntropy,
@@ -182,6 +199,19 @@ object Corpus {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // bias rides as the fold seed via list_prepend → the IEEE sequence
+    // ((bias + w1) + w2)… matches the engine's seeded fold exactly
+    "q179_classifier_score" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_reduce(list_prepend(0.1::DOUBLE,
+        |    list_transform(string_split(text, ' '),
+        |      t -> (((('0x' || substr(md5(t), 1, 15))::BIGINT % 4096)
+        |             * 2654435761) % 1000 - 500)::DOUBLE / 1000.0)),
+        |    (a, x) -> a + x) z
+        |  FROM documents)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+        |  1.0 / (1.0 + exp(-z)) >= 0.5 AS keep
+        |FROM t""".stripMargin,
     "q171_readability" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
         |  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables,

@@ -221,6 +221,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges(3L) == (("e", "r", 2L)))
   }
 
+  test("hashed linear scorer: weight-vector path ≡ formula path, σ-bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    val dim = 64
+    val wf: Column => Column = b =>
+      ((b * lit(7L)) % lit(5L) - lit(2L)).cast("double") / lit(10.0)
+    val weights = (0 until dim).map(b => ((b.toLong * 7) % 5 - 2).toDouble / 10.0)
+    val df = Seq("alpha beta gamma", "one two three four five", "x")
+      .map(Tuple1(_)).toDF("text")
+    val got = df.select(
+        TextAnalysis.hashedLinearScore(col("text"), dim, wf, bias = 0.2)
+          .as("s1"),
+        TextAnalysis.linearScoreWithWeights(col("text"), weights, bias = 0.2)
+          .as("s2"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"literal-vector path diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      assert(r.getDouble(0) > 0.0 && r.getDouble(0) < 1.0)
+    }
+  }
+
   test("bpeTrain greedy apply is left-to-right non-overlapping") {
     import spark.implicits._
     // "aaa" ×3: round 1 pairs (a,a)×2 per word ⇒ freq 6, merge (a,a);
