@@ -106,6 +106,58 @@ object TextAnalysis {
     hashedLinearScore(text, weights.size,
       b => element_at(typedlit(weights), (b + 1).cast("int")), bias)
 
+  /** Distributed logistic-regression TRAINING for the hashed classifier —
+    * the other half of [[hashedLinearScore]]: full-batch gradient descent,
+    * one corpus pass per round. Per round: score every doc with the
+    * current weights (plan literals), QUANTIZE each doc's residual
+    * `σ(z) − y` to exact 1e-9 longs, and sum residuals per feature
+    * bucket — integer sums are order-independent, so the learned model
+    * is bit-identical on any partitioning or executor count (the
+    * float-gradient spelling drifts a ulp per reduce order and two
+    * "identical" training runs diverge). Only the ≤ dim+1 gradient
+    * cells (corpus-independent) return to the driver each round.
+    * Returns (weights, bias, per-round mean log-loss). */
+  def trainLinearClassifier(df: DataFrame, textCol: String,
+      labelCol: String, dim: Int, rounds: Int, lr: Double):
+      (Array[Double], Double, Seq[Double]) = {
+    require(dim >= 1 && rounds >= 0 && lr > 0)
+    val Q = 1e9
+    val w = Array.fill(dim)(0.0)
+    var bias = 0.0
+    val losses = Seq.newBuilder[Double]
+    val n = df.count().toDouble
+    for (_ <- 1 to rounds) {
+      val z = hashedLinearScore(col(textCol), dim,
+        b => element_at(typedlit(w.toSeq), (b + 1).cast("int")), bias)
+      val scored = df.select(col(textCol).as("__t"),
+        col(labelCol).cast("double").as("__y"), z.as("__p"))
+        .withColumn("__rq", round((col("__p") - col("__y")) * lit(Q), 0)
+          .cast("long"))
+        .withColumn("__lq",
+          round(-(col("__y") * log(col("__p"))
+            + (lit(1.0) - col("__y")) * log(lit(1.0) - col("__p"))) * lit(Q), 0)
+            .cast("long"))
+      val agg = scored.select(
+        explode(concat(
+          transform(split(col("__t"), " "),
+            t => pmod(TextDedup.hash60(t), lit(dim.toLong))),
+          array(lit(-1L)))).as("__b"),
+        col("__rq"), col("__lq"))
+      val cells = agg.groupBy("__b")
+        .agg(sum(col("__rq")).as("__g"), sum(col("__lq")).as("__l"))
+        .collect()
+      var lossSum = 0L
+      cells.foreach { r =>
+        val b = r.getLong(0)
+        val g = r.getLong(1) / Q
+        if (b < 0) { bias -= lr * g / n; lossSum = r.getLong(2) }
+        else w(b.toInt) -= lr * g / n
+      }
+      losses += lossSum / Q / n
+    }
+    (w, bias, losses.result())
+  }
+
   /** Flesch reading-ease score from cheap structural proxies: sentences =
     * terminator runs (`[.!?]+`, min 1), syllables = vowel-group runs per
     * document (the standard heuristic). `206.835 − 1.015·(words/sentences)

@@ -243,6 +243,29 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("trainLinearClassifier: loss falls, separates, partition-invariant") {
+    import spark.implicits._
+    val docs = (0 until 100).map { i =>
+      if (i % 2 == 0) (s"good great fine extra$i", 1)
+      else (s"bad awful poor extra$i", 0)
+    }.toDF("text", "label")
+    val (w, b, losses) = TextAnalysis.trainLinearClassifier(
+      docs, "text", "label", dim = 256, rounds = 20, lr = 2.0)
+    assert(losses.head > losses.last,
+      s"loss did not fall: ${losses.head} -> ${losses.last}")
+    val acc = docs.select(
+        TextAnalysis.linearScoreWithWeights(col("text"), w.toSeq, b).as("p"),
+        col("label"))
+      .collect()
+      .count(r => (r.getDouble(0) >= 0.5) == (r.getInt(1) == 1)) / 100.0
+    assert(acc >= 0.95, s"trained accuracy $acc")
+    // integer-quantized gradients ⇒ training is BIT-IDENTICAL under any
+    // partitioning — the property float gradient sums cannot give
+    val (w2, b2, losses2) = TextAnalysis.trainLinearClassifier(
+      docs.repartition(13), "text", "label", dim = 256, rounds = 20, lr = 2.0)
+    assert(w.toSeq == w2.toSeq && b == b2 && losses == losses2)
+  }
+
   test("bpeTrain greedy apply is left-to-right non-overlapping") {
     import spark.implicits._
     // "aaa" ×3: round 1 pairs (a,a)×2 per word ⇒ freq 6, merge (a,a);
