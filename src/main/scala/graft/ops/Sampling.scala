@@ -115,6 +115,39 @@ object Sampling {
       .where(col("cum_before") < budget)
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual/multi-source
+    * mixing rule (sampling share ∝ groupSize^α): α = 1 reproduces the
+    * natural distribution, α → 0 flattens toward uniform, α = 0.5
+    * (√-scaling, the common compromise — and an EXACT single float op)
+    * is the default. Per-group budgets are `floor(total · s_g / S)` with
+    * `S = Σ s_g` folded over the groups in SORTED order (q93's
+    * fixed-order float discipline — a handful of groups, one row);
+    * member selection is an md5-ranked top-budget per group, so the
+    * drawn set is a pure function of (key, salt) — reproducible across
+    * engines, reruns, and partitionings. Output keeps (rnk, budget) for
+    * audit. */
+  def temperatureMix(df: DataFrame, groupCol: String, keyCol: String,
+      total: Long, salt: String = "t0"): DataFrame = {
+    require(total >= 1)
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__s", sqrt(col("__n").cast("double")))
+    val sTotal = counts
+      .agg(sort_array(collect_list(struct(col(groupCol), col("__s"))))
+        .as("__arr"))
+      .select(aggregate(transform(col("__arr"), e => e.getField("__s")),
+        lit(0.0), (a, x) => a + x).as("__S"))
+    val budgets = counts.crossJoin(broadcast(sTotal))
+      .select(counts(groupCol),
+        floor(lit(total.toDouble) * counts("__s") / sTotal("__S"))
+          .cast("long").as("budget"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(
+      TextDedup.hash60(concat(col(keyCol).cast("string"), lit(":" + salt)))
+        .asc, col(keyCol).asc)
+    df.join(broadcast(budgets), Seq(groupCol))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= col("budget"))
+  }
+
   /** Deterministic global shuffle — the reproducible random ordering a
     * training run reads the corpus in. Epoch-salted md5 over the row key
     * gives every row a pseudo-random rank that is a pure function of

@@ -177,9 +177,20 @@ object Corpus {
         >= 0.5).as("keep"))
   }
 
+  /** Temperature-scaled source mixing (share ∝ n^0.5 — the multilingual
+    * training-mix rule) over languages: √-scaled budgets from one sorted
+    * fold, md5-ranked member selection ([[graft.ops.Sampling
+    * .temperatureMix]]) — reproducible on any engine or partitioning. */
+  def q180TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temperatureMix(
+      docs(spark, dir).select(col("doc_id"), col("lang")),
+      "lang", "doc_id", total = 300)
+      .select(col("doc_id"), col("lang"), col("rnk"), col("budget"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_readability" -> q171Readability,
     "q179_classifier_score" -> q179ClassifierScore,
+    "q180_temperature_mix" -> q180TemperatureMix,
     "q168_entity_resolution" -> q168EntityResolution,
     "q166_sorted_neighborhood" -> q166SortedNeighborhood,
     "q93_source_entropy" -> q93SourceEntropy,
@@ -199,6 +210,20 @@ object Corpus {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q180_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT n FROM documents GROUP BY 1),
+        |s AS (SELECT lang, sqrt(n::DOUBLE) sv FROM c),
+        |tot AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |          list(sv ORDER BY lang)), (a, x) -> a + x) S FROM s),
+        |b AS (SELECT s.lang,
+        |        CAST(floor(300.0 * s.sv / tot.S) AS BIGINT) budget
+        |      FROM s, tot),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |        ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':t0'), 1, 15))::BIGINT,
+        |          doc_id) rnk
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, r.rnk, b.budget
+        |FROM r JOIN b ON b.lang = r.lang WHERE r.rnk <= b.budget""".stripMargin,
     // bias rides as the fold seed via list_prepend → the IEEE sequence
     // ((bias + w1) + w2)… matches the engine's seeded fold exactly
     "q179_classifier_score" ->
