@@ -50,4 +50,21 @@ class ContractSpec extends AnyFunSuite {
       assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
     }
   }
+
+  test("SURVEY.md coverage rows name real queries; README count is honest") {
+    val qs = SparkEntry.queries.keySet
+    val nums = qs.map(_.drop(1).takeWhile(_.isDigit)).filter(_.nonEmpty)
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    // every "→ qNNN" claim in the coverage map must be a registered query
+    val claimed = "(?<=→ q)(\\d+)".r.findAllIn(survey).toSet
+    val dead = claimed -- nums
+    assert(dead.isEmpty, s"SURVEY.md claims unregistered queries: q$dead")
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    "(\\d+) named queries".r.findFirstMatchIn(readme).foreach { m =>
+      assert(m.group(1).toInt == qs.size,
+        s"README claims ${m.group(1)} queries; registry has ${qs.size}")
+    }
+  }
 }

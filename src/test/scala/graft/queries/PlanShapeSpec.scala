@@ -282,4 +282,20 @@ class PlanShapeSpec extends SparkSpec {
       (p.contains("ingest_date") || p.contains("entity_name")),
       s"partition pruning missing:\n$p")
   }
+
+  test("classifier scoring (q179) is a pure projection — zero exchanges") {
+    val p = plan("q179_classifier_score")
+    assert(!p.contains("Exchange"),
+      s"corpus-wide scoring must not shuffle:\n$p")
+  }
+
+  test("temperature mix (q180): budgets broadcast, ONE window shuffle on the corpus") {
+    val p = plan("q180_temperature_mix")
+    assert(p.contains("BroadcastExchange"),
+      s"per-group budgets should broadcast:\n$p")
+    // the corpus side must never sort-merge against the tiny budget/fold
+    // frames (their own exchanges move a handful of group rows)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus shuffled into a join it should broadcast:\n$p")
+  }
 }
