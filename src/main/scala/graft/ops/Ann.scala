@@ -595,4 +595,76 @@ object Ann {
     adcTopK(cands, adcTable(queries, idCol, vecCol, dim, codebook), topK,
       joinQid = true)
   }
+
+  /** RESIDUAL IVF-PQ — the full Jégou et al. design: PQ quantizes
+    * `v − centroid(cell(v))` instead of the raw vector, so the 64 code
+    * bits spend themselves on WITHIN-cell variation (the coarse
+    * quantizer already removed the between-cell part — on clustered
+    * data, most of the energy). Correspondingly the query side builds
+    * ONE distance table PER PROBED CELL from the query's residual
+    * against that cell. Everything else keeps [[ivfPqTopK]]'s shape:
+    * broadcast probes, integer-exact 1e-6 ADC, bounded-heap top-k —
+    * and the whole chain (float residual subtraction included) is
+    * deterministic and oracle-replayable. */
+  def ivfPqResidualTopK(df: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, numCentroids: Int, nprobe: Int,
+      m: Int, k: Int, topK: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= numCentroids)
+    val sub = dim / m
+    val centroids = df.where(col(idCol) < numCentroids)
+    val cvecs = centroids.select(col(idCol).as("__cid"),
+      col(vecCol).as("__centv"))
+    val resid = assignClusters(df, centroids, idCol, vecCol, dim)
+      .join(broadcast(cvecs), Seq("__cid"))
+      .select(col("__vid"), col("__cid"),
+        zip_with(col("__vec"), col("__centv"), (a, b) => a - b).as("__res"))
+    val cb = pqCodebook(resid, "__vid", "__res", dim, m, k)
+    val enc = pqEncode(resid, "__vid", "__res", dim, m, k, cb)
+      .join(resid.select(col("__vid").as("vec_id"), col("__cid")),
+        Seq("vec_id"))
+    val v = withNorm(queries, idCol, vecCol, dim)
+    val c = withNorm(centroids, idCol, vecCol, dim)
+      .select(col("__vid").as("__cid"), col("__vec").as("__cv"),
+        col("__nrm").as("__cn"))
+    val probes = v.crossJoin(broadcast(c))
+      .withColumn("__sim",
+        dot(col("__vec"), col("__cv"), dim) / (col("__nrm") * col("__cn")))
+      .groupBy("__vid")
+      .agg(graft.functions.TopKByScore.topK(col("__sim"), col("__cid"), nprobe)
+        .as("__top"))
+      .select(col("__vid").as("qid"),
+        explode(col("__top").getField("id")).as("__cid"))
+    // per-(query, probed cell) residual → per-cell ADC table
+    val qres = probes
+      .join(queries.select(col(idCol).as("qid"), col(vecCol).as("__qv")),
+        Seq("qid"))
+      .join(broadcast(cvecs), Seq("__cid"))
+      .select(col("qid"), col("__cid"),
+        zip_with(col("__qv"), col("__centv"), (a, b) => a - b).as("__qres"))
+    val dtabStructs = cb.map { case (j, cid, cv, cc) =>
+      val qs = slice(col("__qres"), j * sub + 1, sub)
+      struct(lit(j).as("j"), lit(cid).as("code"),
+        round((dot(qs, qs, sub) - lit(2.0) * dot(qs, typedlit(cv.toSeq), sub)
+          + lit(cc)) * lit(1e6), 0).cast("long").as("dq"))
+    }
+    val dtab = qres
+      .select(col("qid"), col("__cid"), explode(array(dtabStructs: _*)).as("__e"))
+      .select(col("qid"), col("__cid"), col("__e.j").as("j"),
+        col("__e.code").as("code"), col("__e.dq").as("dq"))
+    enc.join(broadcast(probes), Seq("__cid"))
+      .select(col("qid"), col("__cid"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(dtab), Seq("qid", "__cid", "j", "code"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dq")).as("adist"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKByScore.topK(
+        -col("adist").cast("double"), col("vec_id"), topK).as("__top"))
+      .select(col("qid").as("vec_id"),
+        posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("vec_id"), col("__e.id").as("neighbor_id"),
+        (-col("__e.score")).cast("long").as("approx_dist_1e6"),
+        (col("__i") + 1).cast("int").as("rank"))
+  }
 }

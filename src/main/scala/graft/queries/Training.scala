@@ -450,6 +450,63 @@ object Training {
        |        row_number() OVER (PARTITION BY qid ORDER BY adist, vid) rn
        |      FROM sc)""".stripMargin
 
+  /** q181 residual IVF-PQ replay: PQ over `v − centroid(cell(v))` with
+    * per-probed-cell query residual tables; float residual subtraction
+    * mirrors the engine's zip_with exactly (FLOAT in both engines). */
+  private lazy val ivfPqResCtes: String = {
+    val m = 8; val sub = 8
+    def dotR(a: String, b: String, j: Int): String =
+      (1 to sub).map(i =>
+        s"$a.remb[${j * sub + i}]::DOUBLE * $b.remb[${j * sub + i}]::DOUBLE")
+        .mkString(" + ")
+    val radBranches = (0 until m).map { j =>
+      s"""SELECT v.vec_id, $j AS j, b.ccode,
+         |  ((${dotR("v", "v", j)}) - 2*(${dotR("v", "b", j)})
+         |    + (${dotR("b", "b", j)})) AS dist
+         |FROM rd v CROSS JOIN rcb b""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val qdBranches = (0 until m).map { j =>
+      s"""SELECT v.qid, v.cid, $j AS j, b.ccode,
+         |  CAST(round(((${dotR("v", "v", j)}) - 2*(${dotR("v", "b", j)})
+         |    + (${dotR("b", "b", j)})) * 1e6) AS BIGINT) AS dq
+         |FROM qrd v CROSS JOIN rcb b""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$normCte,
+       |c16 AS (SELECT vec_id cid, embedding, nrm FROM n WHERE vec_id < 16),
+       |asgf AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+       |    ORDER BY (${dotSql("v", "c")}) / (v.nrm * c.nrm) DESC, c.cid) rn
+       |  FROM n v CROSS JOIN c16 c) WHERE rn = 1),
+       |rd AS MATERIALIZED (SELECT e.vec_id, a.cid,
+       |    [e.embedding[i] - c.embedding[i] for i in generate_series(1, 64)] remb
+       |  FROM embeddings e JOIN asgf a ON a.vec_id = e.vec_id
+       |    JOIN c16 c ON c.cid = a.cid),
+       |rcb AS MATERIALIZED (SELECT vec_id ccode, remb FROM rd WHERE vec_id < 16),
+       |rad AS ($radBranches),
+       |rcodes AS MATERIALIZED (SELECT vec_id, j, ccode AS code FROM (
+       |  SELECT vec_id, j, ccode,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, ccode) rn
+       |  FROM rad) WHERE rn = 1),
+       |probes AS MATERIALIZED (SELECT vec_id qid, cid FROM (
+       |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+       |    ORDER BY (${dotSql("v", "c")}) / (v.nrm * c.nrm) DESC, c.cid) rn
+       |  FROM n v CROSS JOIN c16 c WHERE v.vec_id < 40) WHERE rn <= 4),
+       |qrd AS MATERIALIZED (SELECT p.qid, p.cid,
+       |    [q.embedding[i] - c.embedding[i] for i in generate_series(1, 64)] remb
+       |  FROM probes p JOIN embeddings q ON q.vec_id = p.qid
+       |    JOIN c16 c ON c.cid = p.cid),
+       |qd AS ($qdBranches),
+       |sc AS MATERIALIZED (SELECT q.qid, e.vec_id vid, sum(q.dq)::BIGINT adist
+       |      FROM rcodes e
+       |        JOIN asgf av ON av.vec_id = e.vec_id
+       |        JOIN qd q ON q.cid = av.cid AND q.j = e.j
+       |          AND q.ccode = e.code AND q.qid != e.vec_id
+       |      GROUP BY 1, 2),
+       |r AS (SELECT qid, vid, adist,
+       |        row_number() OVER (PARTITION BY qid ORDER BY adist, vid) rn
+       |      FROM sc)""".stripMargin
+  }
+
   /** Fixed left-associated Σ a[i]·b[i] (1-based DuckDB lists). */
   private def dotSql(a: String, b: String): String =
     (1 to Dim).map(i => s"$a.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE")
@@ -569,11 +626,22 @@ object Training {
       "vec_id", "neighbor_id", "rank", k = 3)
   }
 
+  /** Residual IVF-PQ ([[Ann.ivfPqResidualTopK]]): codes quantize
+    * `v − centroid(cell(v))`, query tables rebuild per probed cell —
+    * the full Jégou design, byte-for-byte oracle-replayed. */
+  def q181IvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Ann.ivfPqResidualTopK(e, e.where(col("vec_id") < 40), "vec_id",
+      "embedding", Dim, numCentroids = 16, nprobe = 4, m = 8, k = 16,
+      topK = 3)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_hard_negatives" -> q157HardNegatives,
     "q172_incremental_dedup" -> q172IncrementalDedup,
     "q173_pq_ann" -> q173PqAnn,
     "q174_ivfpq_ann" -> q174IvfPqAnn,
+    "q181_ivfpq_residual" -> q181IvfPqResidual,
     "q175_training_batches" -> q175TrainingBatches,
     "q176_dataset_card" -> q176DatasetCard,
     "q177_retrieval_metrics" -> q177RetrievalMetrics,
@@ -702,6 +770,11 @@ object Training {
          |    - toks)::BIGINT AS pad_waste
          |FROM r""".stripMargin
     },
+    "q181_ivfpq_residual" ->
+      s"""WITH $ivfPqResCtes
+         |SELECT qid AS vec_id, vid AS neighbor_id, adist AS approx_dist_1e6,
+         |  rn::INT AS rank
+         |FROM r WHERE rn <= 3""".stripMargin,
     "q174_ivfpq_ann" ->
       s"""WITH $ivfPqCtes
          |SELECT qid AS vec_id, vid AS neighbor_id, adist AS approx_dist_1e6,

@@ -276,6 +276,51 @@ class AnnSpec extends SparkSpec {
     assert(pruned.length == 20 * 3)
   }
 
+  test("ivfPqResidualTopK: exact when every vector is a codeword; invariant") {
+    import spark.implicits._
+    // 16 vectors, k=16 ⇒ every vector IS its own residual codeword, so
+    // ADC distances are EXACT ||q−v||² (up to the 1e-6 quantization):
+    // the whole residual chain — cells, per-cell query tables, code
+    // join, integer sums — must reproduce brute-force L2 top-3 exactly
+    val rnd = new scala.util.Random(11)
+    val centers = Array.tabulate(4) { j =>
+      Array.tabulate(16)(d => if (d / 4 == j) 8f else 0f)
+    }
+    val corpus = (0 until 16).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 8)
+    val got = Ann.ivfPqResidualTopK(corpus, queries, "vec_id", "embedding",
+        16, numCentroids = 4, nprobe = 4, m = 4, k = 16, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("cv"))
+    val d2 = q.crossJoin(c).where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (Ann.dot(col("qv"), col("qv"), 16)
+          - lit(2.0) * Ann.dot(col("qv"), col("cv"), 16)
+          + Ann.dot(col("cv"), col("cv"), 16)).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d2").asc, col("nid").asc)
+    val exact = d2.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == exact,
+      s"codeword-exact ADC diverged from brute force:\n got=$got\n exp=$exact")
+    // deterministic under repartitioning (bigger corpus, coarse codes)
+    val big = (0 until 120).map { i =>
+      val cc = centers(i % 4)
+      (i.toLong, cc.map(x => x + rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val a = Ann.ivfPqResidualTopK(big, big.where(col("vec_id") < 12),
+        "vec_id", "embedding", 16, 4, 1, 4, 16, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Ann.ivfPqResidualTopK(big.repartition(7),
+        big.where(col("vec_id") < 12), "vec_id", "embedding", 16, 4, 1, 4, 16, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.size == 12 * 3)
+  }
+
   test("pqTopK: trained codebooks beat seeds; shortlist retains exact top-k") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = corpus.where(col("vec_id") < 20)
