@@ -596,6 +596,34 @@ object Ann {
       joinQid = true)
   }
 
+  /** Exact L2 re-ranking of a candidate shortlist — the second stage of
+    * the standard serving stack (ADC proposes `shortlist` × deep,
+    * exact re-rank keeps top-k): full-precision vectors are read ONLY
+    * for the shortlist pairs (queries broadcast; the corpus-side lookup
+    * is candidate-pruned), distances quantized to exact 1e-6 longs so
+    * ordering and oracle replay are deterministic. */
+  def rerankL2(shortlist: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int): DataFrame = {
+    val qv = queries.select(col(idCol).as("vec_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"))
+    shortlist.select("vec_id", "neighbor_id")
+      .join(broadcast(qv), Seq("vec_id"))
+      .join(cv, Seq("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round((dot(col("__qv"), col("__qv"), dim)
+          - lit(2.0) * dot(col("__qv"), col("__cv"), dim)
+          + dot(col("__cv"), col("__cv"), dim)) * lit(1e6), 0)
+          .cast("long").as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKByScore.topK(
+        -col("d2").cast("double"), col("neighbor_id"), k).as("__top"))
+      .select(col("vec_id"), posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("vec_id"), col("__e.id").as("neighbor_id"),
+        (-col("__e.score")).cast("long").as("dist_1e6"),
+        (col("__i") + 1).cast("int").as("rank"))
+  }
+
   /** RESIDUAL IVF-PQ — the full Jégou et al. design: PQ quantizes
     * `v − centroid(cell(v))` instead of the raw vector, so the 64 code
     * bits spend themselves on WITHIN-cell variation (the coarse

@@ -636,12 +636,26 @@ object Training {
       topK = 3)
   }
 
+  /** Two-stage ANN serving: IVF-PQ ADC proposes a 20-deep shortlist
+    * (codes only), exact L2 re-ranks to top-3 ([[Ann.rerankL2]] — full
+    * vectors touched ONLY for shortlist pairs). The practitioner-default
+    * stack, hash-gated end to end. */
+  def q182IvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val cb = Ann.pqCodebook(e, "vec_id", "embedding", Dim, m = 8, k = 16)
+    val queries = e.where(col("vec_id") < 40)
+    val shortlist = Ann.ivfPqTopK(e, queries, "vec_id", "embedding", Dim,
+      numCentroids = 16, nprobe = 4, cb, topK = 20)
+    Ann.rerankL2(shortlist, e, queries, "vec_id", "embedding", Dim, k = 3)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_hard_negatives" -> q157HardNegatives,
     "q172_incremental_dedup" -> q172IncrementalDedup,
     "q173_pq_ann" -> q173PqAnn,
     "q174_ivfpq_ann" -> q174IvfPqAnn,
     "q181_ivfpq_residual" -> q181IvfPqResidual,
+    "q182_ivfpq_rerank" -> q182IvfPqRerank,
     "q175_training_batches" -> q175TrainingBatches,
     "q176_dataset_card" -> q176DatasetCard,
     "q177_retrieval_metrics" -> q177RetrievalMetrics,
@@ -770,6 +784,20 @@ object Training {
          |    - toks)::BIGINT AS pad_waste
          |FROM r""".stripMargin
     },
+    "q182_ivfpq_rerank" ->
+      s"""WITH $ivfPqCtes,
+         |sl AS (SELECT qid, vid FROM r WHERE rn <= 20),
+         |rr AS (SELECT sl.qid, sl.vid,
+         |    CAST(round(((${dotSql("q", "q")}) - 2*(${dotSql("q", "v")})
+         |      + (${dotSql("v", "v")})) * 1e6) AS BIGINT) d
+         |  FROM sl JOIN embeddings q ON q.vec_id = sl.qid
+         |    JOIN embeddings v ON v.vec_id = sl.vid),
+         |r2 AS (SELECT qid, vid, d,
+         |        row_number() OVER (PARTITION BY qid ORDER BY d, vid) rn
+         |      FROM rr)
+         |SELECT qid AS vec_id, vid AS neighbor_id, d AS dist_1e6,
+         |  rn::INT AS rank
+         |FROM r2 WHERE rn <= 3""".stripMargin,
     "q181_ivfpq_residual" ->
       s"""WITH $ivfPqResCtes
          |SELECT qid AS vec_id, vid AS neighbor_id, adist AS approx_dist_1e6,
