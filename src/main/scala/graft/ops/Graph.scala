@@ -185,6 +185,113 @@ object Graph {
     degrees(edges)
   }
 
+  /** Personalized PageRank: random-walk-with-restart scores where the
+    * teleport mass returns ONLY to the `sources` set — "importance as seen
+    * from these seeds", the standard related-item / recommendation ranker
+    * over an entity graph (vs [[pageRank]]'s global centrality).
+    *
+    * Same exact integer "nano-rank" arithmetic as [[pageRank]] (see the
+    * object scaladoc): seeds start at 1e9, everyone else at 0; each round a
+    * node keeps `(1e9·(dampDen−dampNum)) div dampDen` restart mass IF it is
+    * a seed, plus the damped integral contributions of its in-neighbors.
+    * Integer sums are order-independent, so the result is bit-identical on
+    * any engine/partitioning and DuckDB can replay the unrolled rounds.
+    *
+    * 100 TB shape: identical to [[pageRank]] — per round one equi-join
+    * (edges⋈ranks on src) + one groupBy(dst); the seed set joins as a
+    * DataFrame (broadcast when small — the common case for "related to
+    * this item" queries), never collected. Nodes with rank 0 after
+    * `iters` rounds (outside the seeds' damped horizon) are dropped.
+    */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+      iters: Int = 3, dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
+    val scale = 1000000000L
+    val base = scale * (dampDen - dampNum) / dampDen
+    val deg = outDegrees(edges)
+    val edgesDeg = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = sources.select(col("node")).distinct()
+      .select(col("node"), lit(1).as("is_seed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .unionByName(edges.select(col("dst").as("node")).distinct())
+      .distinct()
+      .join(seeds, Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes
+      .select(col("node"), (col("is_seed").cast("long") * scale).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(ranks.where(col("r") > 0), col("src") === col("node"))
+        .select(col("dst"),
+          expr(s"($dampNum * r) div ($dampDen * outdeg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (col("is_seed").cast("long") * base +
+            coalesce(col("s"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    edgesDeg.unpersist(); seeds.unpersist(); nodes.unpersist()
+    ranks.where(col("r") > 0).select(col("node"), col("r").as("rank_nano"))
+  }
+
+  /** Synchronous label propagation (community detection): every node starts
+    * labeled with its own id; each round it adopts the most frequent label
+    * among its neighbors (plus, by default, one vote for its own current
+    * label — the self-vote damps the 2-cycle oscillation synchronous LPA
+    * exhibits on bipartite structure), breaking count ties toward the
+    * SMALLEST label. All state is exact integers and the tie-break is
+    * total, so a fixed iteration count is bit-identical on any engine —
+    * the same determinism contract as [[pageRank]].
+    *
+    * Distributed shape per round: edges⋈labels on src (one shuffle) →
+    * groupBy(dst, label) vote count (map-side combined) → per-node argmax
+    * via a `max(struct(votes, −label))` aggregate — no window, no sort,
+    * two exchanges per round, lineage truncated with `localCheckpoint`.
+    * A celebrity node's vote list is its in-degree — absorbed by partial
+    * aggregation; salt via [[Skew]] if one node dominates.
+    *
+    * Returns (node, label) — nodes sharing a label after `iters` rounds
+    * are one community.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3,
+      includeSelf: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node")).distinct()
+      .unionByName(e.select(col("dst").as("node")).distinct())
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val neighborVotes = e
+        .join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      val votes =
+        if (includeSelf) neighborVotes.unionByName(labels) else neighborVotes
+      labels = votes
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        // max(struct) = highest vote count, then smallest label (−label max)
+        .groupBy(col("node"))
+        .agg(max(struct(col("votes"), negate(col("label")).as("neg")))
+          .as("w"))
+        .select(col("node"), negate(col("w.neg")).as("label"))
+        .localCheckpoint()
+    }
+    e.unpersist(); nodes.unpersist()
+    labels
+  }
+
   /** Local clustering coefficient per node over a canonical undirected
     * edge list (src < dst, deduplicated): coef(v) = 2·T(v) / (d(v)·(d(v)−1))
     * where T(v) is the number of triangles containing v — how tightly each

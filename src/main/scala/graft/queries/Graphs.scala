@@ -146,6 +146,23 @@ object Graphs {
       .limit(100)
   }
 
+  /** Label-propagation communities over the trade graph (3 synchronous
+    * rounds, self-vote, min-label tie-break): which customers and
+    * suppliers cluster into one trading community. Exact integer state —
+    * DuckDB replays the unrolled rounds bit-for-bit. */
+  def q183LabelProp(spark: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagation(tradeEdges(spark, dir), iters = 3)
+
+  /** Personalized PageRank from the lowest-id node over the trade graph:
+    * "importance as seen from this seed" — the related-entity ranker.
+    * Teleport mass returns only to the seed; quantized nano-rank units
+    * ([[graft.ops.Graph.personalizedPageRank]]). */
+  def q184Ppr(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(spark, dir)
+    val seed = edges.agg(min(col("src")).as("node"))
+    Graph.personalizedPageRank(edges, seed, iters = 3)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_pagerank" -> q87PageRank,
     "q90_copurchase" -> q90CoPurchase,
@@ -153,7 +170,9 @@ object Graphs {
     "q92_triangles" -> q92Triangles,
     "q96_bfs" -> q96Bfs,
     "q132_clustering_coef" -> q132ClusteringCoef,
-    "q133_assoc_rules" -> q133AssocRules
+    "q133_assoc_rules" -> q133AssocRules,
+    "q183_label_prop" -> q183LabelProp,
+    "q184_ppr" -> q184Ppr
   )
 
   // Fixed-iteration PageRank unrolled as CTEs; `//` (DuckDB integral
@@ -267,6 +286,75 @@ object Graphs {
         |  round(r.co * nb.nb / CAST(na.n * nc.n AS DOUBLE), 6) AS lift
         |FROM r JOIN n na ON r.ante = na.part
         |JOIN n nc ON r.cons = nc.part CROSS JOIN nb
-        |ORDER BY lift DESC, ante, cons LIMIT 100""".stripMargin
+        |ORDER BY lift DESC, ante, cons LIMIT 100""".stripMargin,
+    // three synchronous LPA rounds unrolled; each round = neighbor votes
+    // (+ one self vote) → per-node argmax with (count DESC, label ASC)
+    // tie-break — all integers, so the replay is exact
+    "q183_label_prop" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s, c FROM pairs),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+        |v1 AS (SELECT node, label, count(*) AS c FROM (
+        |         SELECT e.dst AS node, l.label FROM edges e
+        |         JOIN l0 l ON e.src = l.node
+        |         UNION ALL SELECT node, label FROM l0) t GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER (
+        |           PARTITION BY node ORDER BY c DESC, label) AS rn
+        |         FROM v1) t WHERE rn = 1),
+        |v2 AS (SELECT node, label, count(*) AS c FROM (
+        |         SELECT e.dst AS node, l.label FROM edges e
+        |         JOIN l1 l ON e.src = l.node
+        |         UNION ALL SELECT node, label FROM l1) t GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER (
+        |           PARTITION BY node ORDER BY c DESC, label) AS rn
+        |         FROM v2) t WHERE rn = 1),
+        |v3 AS (SELECT node, label, count(*) AS c FROM (
+        |         SELECT e.dst AS node, l.label FROM edges e
+        |         JOIN l2 l ON e.src = l.node
+        |         UNION ALL SELECT node, label FROM l2) t GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER (
+        |           PARTITION BY node ORDER BY c DESC, label) AS rn
+        |         FROM v3) t WHERE rn = 1)
+        |SELECT CAST(node AS BIGINT) AS node,
+        |       CAST(label AS BIGINT) AS label FROM l3""".stripMargin,
+    // personalized PageRank: same unrolled integral rounds as q87, but the
+    // restart mass goes only to the single seed (lowest node id); zero-rank
+    // nodes contribute 0 via `//`, so no r>0 filter is needed mid-round
+    "q184_ppr" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s, c FROM pairs),
+        |seed AS (SELECT min(src) AS node FROM edges),
+        |nodes AS (SELECT DISTINCT src AS node,
+        |            CASE WHEN src = (SELECT node FROM seed)
+        |                 THEN 1 ELSE 0 END AS is_seed FROM edges),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |r0 AS (SELECT node, CAST(is_seed AS BIGINT)*1000000000 AS r
+        |       FROM nodes),
+        |c1 AS (SELECT e.dst AS node, sum((85*r.r)//(100*d.outdeg)) AS s
+        |       FROM edges e JOIN r0 r ON e.src = r.node
+        |       JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node, n.is_seed*150000000 + coalesce(c.s, 0) AS r
+        |       FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+        |c2 AS (SELECT e.dst AS node, sum((85*r.r)//(100*d.outdeg)) AS s
+        |       FROM edges e JOIN r1 r ON e.src = r.node
+        |       JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node, n.is_seed*150000000 + coalesce(c.s, 0) AS r
+        |       FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+        |c3 AS (SELECT e.dst AS node, sum((85*r.r)//(100*d.outdeg)) AS s
+        |       FROM edges e JOIN r2 r ON e.src = r.node
+        |       JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r3 AS (SELECT n.node, n.is_seed*150000000 + coalesce(c.s, 0) AS r
+        |       FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_nano
+        |FROM r3 WHERE r > 0""".stripMargin
   )
 }

@@ -649,7 +649,17 @@ object Training {
     Ann.rerankL2(shortlist, e, queries, "vec_id", "embedding", Dim, k = 3)
   }
 
+  /** Fixed-point second-moment (Gram) matrix of the embedding corpus —
+    * the distributed covariance/PCA building block ([[Ann.secondMoment]]):
+    * d(d+1)/2 upper-triangle cells, generated map-side and reduced by one
+    * tiny 2080-group aggregate. Components quantize to exact 1e-3-unit
+    * longs first, so the sums replay bit-for-bit in DuckDB (which spells
+    * the same semantics as an exploded self-join). */
+  def q185EmbedCov(spark: SparkSession, dir: String): DataFrame =
+    Ann.secondMoment(embs(spark, dir), "embedding", Dim)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_embed_cov" -> q185EmbedCov,
     "q157_hard_negatives" -> q157HardNegatives,
     "q172_incremental_dedup" -> q172IncrementalDedup,
     "q173_pq_ann" -> q173PqAnn,
@@ -813,6 +823,19 @@ object Training {
          |SELECT qid AS vec_id, vid AS neighbor_id, adist AS approx_dist_1e6,
          |  rn::INT AS rank
          |FROM r WHERE rn <= 3""".stripMargin,
+    // the engine generates triangle cells map-side from each row's array
+    // (no self-join); this exploded self-join is the clarity spelling
+    "q185_embed_cov" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q,
+        |    CAST(i - 1 AS INTEGER) AS i
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings) t)
+        |SELECT a.i AS i, b.i AS j, count(*) AS n, sum(a.q * b.q) AS sum_xy
+        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2""".stripMargin,
     "q17_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY md5(text)""".stripMargin,

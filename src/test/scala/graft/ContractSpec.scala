@@ -38,8 +38,10 @@ class ContractSpec extends AnyFunSuite {
     // the same statement — catches typos before the driver does
     val fromRe = "(?is)(?:FROM|JOIN)\\s+([A-Za-z_][A-Za-z0-9_]*)".r
     // allow the recursive-CTE column list form: walk(node, dist) AS (
+    // and DuckDB's `name AS MATERIALIZED (`
     val cteRe =
-      "(?is)([A-Za-z_][A-Za-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+      ("(?is)([A-Za-z_][A-Za-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*" +
+        "(?:MATERIALIZED\\s*)?\\(").r
     SparkEntry.oracleSql.foreach { case (name, sql0) =>
       // `x IS [NOT] DISTINCT FROM y` is a predicate, not a table ref
       val sql = sql0.replaceAll("(?i)IS\\s+(NOT\\s+)?DISTINCT\\s+FROM", "≡")

@@ -364,4 +364,48 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("secondMoment: hand-checked cells, triangle only, partition-invariant") {
+    val df = Seq(
+      (0L, Array(1f, 2f, 3f)),
+      (1L, Array(0.5f, -1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cells = Ann.secondMoment(df, "embedding", 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // q0 = (1000, 2000, 3000), q1 = (500, -1000, 0)
+    assert(cells.size == 6, "upper triangle of a 3×3 has 6 cells")
+    assert(cells((0, 0)) == (2L, 1000L * 1000 + 500L * 500))
+    assert(cells((0, 1)) == (2L, 1000L * 2000 + 500L * -1000))
+    assert(cells((1, 2)) == (2L, 2000L * 3000 + 0L))
+    assert(cells((2, 2)) == (2L, 3000L * 3000 + 0L))
+    val rep = Ann.secondMoment(df.repartition(5), "embedding", 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rep == cells, "integer cells must be partition-invariant")
+  }
+
+  test("pcaTopComponent recovers the dominant direction; pcaProject centers") {
+    // 40 vectors along (1,1,0)/√2 with small orthogonal jitter, offset mean
+    val r = new scala.util.Random(7)
+    val base = Array(1.0, 1.0, 0.0).map(_ / math.sqrt(2))
+    val rows = (0L until 40L).map { i =>
+      val t = r.nextGaussian() * 5
+      val j = r.nextGaussian() * 0.05
+      (i, Array((base(0) * t + j + 2).toFloat, (base(1) * t - j + 2).toFloat,
+        (r.nextGaussian() * 0.05).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pc = Ann.pcaTopComponent(df, "embedding", 3, iters = 60)
+    val cosToBase = math.abs(pc.zip(base).map { case (a, b) => a * b }.sum)
+    assert(cosToBase > 0.99, s"pc1 misaligned: |cos| = $cosToBase")
+    val proj = Ann.pcaProject(df, "vec_id", "embedding", 3, iters = 60)
+    assert(proj.count() == 40)
+    // centered projection: mean ≈ 0 even though the corpus mean is offset
+    val meanProj = proj.agg(org.apache.spark.sql.functions.avg("pc1"))
+      .head().getDouble(0)
+    assert(math.abs(meanProj) < 0.1, s"projection not centered: $meanProj")
+  }
 }

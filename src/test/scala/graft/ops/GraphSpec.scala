@@ -122,4 +122,40 @@ class GraphSpec extends SparkSpec {
       .agg(sum("rank_nano")).head().getLong(0)
     assert(total <= n * 1000000000L && total > n * 1000000000L - 3 * n)
   }
+
+  test("labelPropagation: triangle and pair collapse to min-label communities") {
+    // triangle {1,2,3} plus disconnected pair {10,11}, symmetrized
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val out = Graph.labelPropagation(e, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 is all-ties → min neighbor-or-self label; fixpoint by round 2
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("labelPropagation: bit-identical across partitionings") {
+    val edges = (1L to 30L).flatMap { i =>
+      val j = i % 30 + 1
+      Seq((i, j), (j, i))
+    }.toDF("src", "dst")
+    val a = Graph.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(edges.repartition(7, col("dst")), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("personalizedPageRank: hand-computed rounds on the 3-node path") {
+    val src = Seq(Tuple1(1L)).toDF("node")
+    // r0 = (1e9, 0, 0); round 1: 1→2 contributes 850000000, seed keeps
+    // 150000000, node 3 still 0 (dropped)
+    val r1 = Graph.personalizedPageRank(pathEdges, src, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 150000000L, 2L -> 850000000L))
+    // round 2: 1→2 gives (85·150000000)//100, 2 splits (85·850000000)//200
+    // to 1 and 3; only the seed gets restart mass
+    val r2 = Graph.personalizedPageRank(pathEdges, src, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 511250000L, 2L -> 127500000L, 3L -> 361250000L))
+  }
 }
