@@ -292,6 +292,141 @@ object Graph {
     labels
   }
 
+  /** HITS hubs & authorities over a DIRECTED edge list (Kleinberg):
+    * authority(v) = Σ hub(in-neighbors), hub(u) = Σ authority(out-
+    * neighbors), renormalized each half-round. On a bipartite
+    * buyer→seller graph this separates "big buyers" (hubs) from "widely
+    * bought-from sellers" (authorities) — the two sides PageRank's single
+    * score conflates.
+    *
+    * Determinism: scores live in integer 1e-6 units; each half-round
+    * renormalizes by the CURRENT MAX via integral division
+    * (`s·1e6 div max`) instead of the classic float L2 norm — the max is
+    * a 1-row aggregate crossJoined in (never collected), and integer
+    * sums/divisions replay bit-for-bit on any engine/partitioning.
+    * Headroom: per half-round raw scores are ≤ maxdeg·1e6 < 2⁶³ for any
+    * realistic degree, then renormalize back to ≤1e6.
+    *
+    * 100 TB shape: per half-round one equi-join (edges⋈scores) + one
+    * groupBy + one broadcast-able 1-row max — same partitioning story as
+    * [[pageRank]]; lineage truncated per round. Returns (node, hub_1e6,
+    * auth_1e6) for every node; pure sinks have hub 0, pure sources
+    * auth 0. */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val scale = 1000000L
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node")).distinct()
+      .unionByName(e.select(col("dst").as("node")).distinct())
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def renorm(raw: DataFrame, c: String): DataFrame = {
+      val mx = raw.agg(max(col(c)).as("__mx"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(mx)
+        .select(col("node"),
+          when(col("__mx").isNull || col("__mx") === 0, lit(0L))
+            .otherwise(expr(s"(coalesce($c, 0L) * ${scale}L) div __mx"))
+            .as(c))
+    }
+    var hub = nodes.select(col("node"), lit(scale).as("h"))
+      .localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub, col("src") === col("node"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+        .select(col("node"), col("a"))
+      auth = renorm(aRaw, "a").localCheckpoint()
+      val hRaw = e.join(auth, col("dst") === col("node"))
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
+        .select(col("node"), col("h"))
+      hub = renorm(hRaw, "h").localCheckpoint()
+    }
+    val out = hub.withColumnRenamed("h", "hub_1e6")
+      .join(auth.withColumnRenamed("a", "auth_1e6"), Seq("node"))
+      .localCheckpoint()
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
+  /** Degree assortativity: the Pearson correlation of (deg(src), deg(dst))
+    * across a SYMMETRIZED edge list — positive when hubs attach to hubs
+    * (social-network-like), negative when hubs attach to leaves
+    * (hub-and-spoke/bipartite-like). One degree aggregate, two joins to
+    * decorate edge endpoints, one 6-term moment aggregate; all moments
+    * are exact integers and the closed-form correlation is a fixed IEEE
+    * expression — engine/partition bit-identical (round 6). Degenerate
+    * (zero-variance) graphs report 0.0. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val decorated = edges
+      .join(deg.select(col("src"), col("__d").as("__x")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("__d").as("__y")),
+        Seq("dst"))
+    val m = decorated.agg(count(lit(1)).as("__m"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    m.select((col("__m") / 2).cast("long").as("m_edges"),
+      {
+        val num = (col("__m") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double")
+        val vx = (col("__m") * col("__sxx") - col("__sx") * col("__sx"))
+          .cast("double")
+        val vy = (col("__m") * col("__syy") - col("__sy") * col("__sy"))
+          .cast("double")
+        when(vx * vy === 0.0, lit(0.0))
+          .otherwise(round(num / sqrt(vx * vy), 6)).as("assortativity")
+      })
+  }
+
+  /** Newman modularity of a node→community assignment over a SYMMETRIZED
+    * edge list (both directions present): Q = Σ_c [ e_c/m − (d_c/2m)² ]
+    * — the standard "did the community detector find real structure"
+    * score (Q≈0: random; Q≳0.3: strong communities). Pairs with
+    * [[labelPropagation]] as its evaluation metric.
+    *
+    * Computed as exact integer numerators — intra-edge count, per-label
+    * degree sums, Σd_c² — combined in one final float division
+    * `Q = (intra·2m − Σd_c²) / (2m)²`, so the score is bit-identical on
+    * any engine. Distributed shape: edges join labels twice (shuffle on
+    * node keys), then two tiny aggregates crossJoin'd (1-row frames) —
+    * no driver-side values, no window.
+    *
+    * `labels` must cover every node (e.g. the output of
+    * [[labelPropagation]] on the same edges). Returns one row:
+    * (n_communities, m_edges, modularity). */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val el = edges
+      .join(labels.select(col("node").as("src"), col("label").as("__ls")),
+        Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("label").as("__ld")),
+        Seq("dst"))
+      .select(col("__ls"), col("__ld"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one pass: 2m (symmetrized edge count) + intra-community edge count
+    val stats = el.agg(count(lit(1)).as("__m2"),
+      sum(when(col("__ls") === col("__ld"), 1L).otherwise(0L)).as("__intra"))
+    // d_c = Σ deg(v) over the community = el rows per src-label
+    val sq = el.groupBy(col("__ls"))
+      .agg(count(lit(1)).as("__dc"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("__dc") * col("__dc")).as("__sq"))
+    val out = stats.crossJoin(sq)
+      .select(col("n_communities"),
+        (col("__m2") / 2).cast("long").as("m_edges"),
+        round((col("__intra") * col("__m2") - col("__sq")).cast("double") /
+          (col("__m2").cast("double") * col("__m2").cast("double")), 6)
+          .as("modularity"))
+    // materialize the 1-row result while `el` is still cached (it feeds
+    // both aggregates), then release the cache
+    val r = out.localCheckpoint()
+    el.unpersist()
+    r
+  }
+
   /** Local clustering coefficient per node over a canonical undirected
     * edge list (src < dst, deduplicated): coef(v) = 2·T(v) / (d(v)·(d(v)−1))
     * where T(v) is the number of triangles containing v — how tightly each

@@ -806,4 +806,34 @@ object TextDedup {
         count(lit(1)).as("n_islands"),
         sum(col("__len")).as("dup_tokens"))
   }
+
+  /** Top-k most-similar documents per document by exact n-gram Jaccard —
+    * the "related documents" retrieval surface (vs [[jaccardPairs]]'
+    * dedup-threshold pairs). `floor` bounds the candidate space: the
+    * prefix-filtered pair join runs at that threshold (lossless for any
+    * neighbor scoring ≥ floor), pairs symmetrize, and a bounded-heap
+    * [[graft.functions.TopKByScore]] aggregate keeps each document's k
+    * best — no window sort, exchanges move (id, id, score) triples only.
+    * Neighbors below `floor` are (by design) not ranked; documents with
+    * no neighbor ≥ floor are absent.
+    *
+    * Ties break toward the smaller neighbor id (score DESC, id ASC) —
+    * deterministic on any engine, same contract as the ANN family. */
+  def relatedDocsTopK(df: DataFrame, idCol: String, textCol: String, n: Int,
+      floor: Double, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val pairs = jaccardPairs(df, idCol, textCol, n, floor)
+    val sym = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("__nb"),
+        col("jaccard"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("__nb"), col("jaccard")))
+    sym.groupBy(col("doc_id"))
+      .agg(graft.functions.TopKByScore.topK(col("jaccard"), col("__nb"), k)
+        .as("__top"))
+      .select(col("doc_id"), posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("doc_id"), col("__e.id").as("neighbor_id"),
+        round(col("__e.score"), 6).as("jaccard"),
+        (col("__i") + 1).cast("int").as("rank"))
+  }
 }

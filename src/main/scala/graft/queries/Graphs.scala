@@ -15,13 +15,16 @@ object Graphs {
 
   /** Distinct customer↔supplier edges, symmetrized. Node ids are disjoint
     * by parity: customer c → 2c, supplier s → 2s+1. */
-  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = table(spark, dir, "orders")
+  private def tradePairs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
       .join(table(spark, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"),
         (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
+
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = tradePairs(spark, dir)
     pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
   }
@@ -163,7 +166,33 @@ object Graphs {
     Graph.personalizedPageRank(edges, seed, iters = 3)
   }
 
+  /** Modularity of the q183 label-propagation communities over the trade
+    * graph — the detector's quality score ([[graft.ops.Graph.modularity]]).
+    * Exact integer numerators, one float division. */
+  def q187Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(spark, dir)
+    Graph.modularity(edges, Graph.labelPropagation(edges, iters = 3))
+  }
+
+  /** HITS hubs & authorities over the DIRECTED buyer→seller graph: big
+    * buyers (hubs) vs widely-bought-from sellers (authorities) — the two
+    * roles q87's single symmetric score conflates.
+    * [[graft.ops.Graph.hits]], 2 rounds, integral max-renormalization. */
+  def q188Hits(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = tradePairs(spark, dir)
+    Graph.hits(pairs.select(col("c").as("src"), col("s").as("dst")),
+      iters = 2)
+  }
+
+  /** Degree assortativity of the trade graph — do high-degree customers
+    * trade with high-degree suppliers? (Bipartite commerce is typically
+    * disassortative.) [[graft.ops.Graph.degreeAssortativity]]. */
+  def q189Assortativity(spark: SparkSession, dir: String): DataFrame =
+    Graph.degreeAssortativity(tradeEdges(spark, dir))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_hits" -> q188Hits,
+    "q189_assortativity" -> q189Assortativity,
     "q87_pagerank" -> q87PageRank,
     "q90_copurchase" -> q90CoPurchase,
     "q91_item_sim" -> q91ItemSim,
@@ -172,8 +201,44 @@ object Graphs {
     "q132_clustering_coef" -> q132ClusteringCoef,
     "q133_assoc_rules" -> q133AssocRules,
     "q183_label_prop" -> q183LabelProp,
-    "q184_ppr" -> q184Ppr
+    "q184_ppr" -> q184Ppr,
+    "q187_modularity" -> q187Modularity
   )
+
+  /** Shared q183/q187 replay: three synchronous LPA rounds unrolled; each
+    * round = neighbor votes (+ one self vote) → per-node argmax with
+    * (count DESC, label ASC) tie-break — all integers, exact. */
+  private val lpaCtes =
+    """pairs AS (
+      |  SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT c AS src, s AS dst FROM pairs
+      |          UNION ALL SELECT s, c FROM pairs),
+      |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+      |v1 AS (SELECT node, label, count(*) AS c FROM (
+      |         SELECT e.dst AS node, l.label FROM edges e
+      |         JOIN l0 l ON e.src = l.node
+      |         UNION ALL SELECT node, label FROM l0) t GROUP BY 1, 2),
+      |l1 AS (SELECT node, label FROM (
+      |         SELECT node, label, row_number() OVER (
+      |           PARTITION BY node ORDER BY c DESC, label) AS rn
+      |         FROM v1) t WHERE rn = 1),
+      |v2 AS (SELECT node, label, count(*) AS c FROM (
+      |         SELECT e.dst AS node, l.label FROM edges e
+      |         JOIN l1 l ON e.src = l.node
+      |         UNION ALL SELECT node, label FROM l1) t GROUP BY 1, 2),
+      |l2 AS (SELECT node, label FROM (
+      |         SELECT node, label, row_number() OVER (
+      |           PARTITION BY node ORDER BY c DESC, label) AS rn
+      |         FROM v2) t WHERE rn = 1),
+      |v3 AS (SELECT node, label, count(*) AS c FROM (
+      |         SELECT e.dst AS node, l.label FROM edges e
+      |         JOIN l2 l ON e.src = l.node
+      |         UNION ALL SELECT node, label FROM l2) t GROUP BY 1, 2),
+      |l3 AS (SELECT node, label FROM (
+      |         SELECT node, label, row_number() OVER (
+      |           PARTITION BY node ORDER BY c DESC, label) AS rn
+      |         FROM v3) t WHERE rn = 1)""".stripMargin
 
   // Fixed-iteration PageRank unrolled as CTEs; `//` (DuckDB integral
   // floor-div) ≡ Spark `div` for the all-positive operands here, and
@@ -287,42 +352,91 @@ object Graphs {
         |FROM r JOIN n na ON r.ante = na.part
         |JOIN n nc ON r.cons = nc.part CROSS JOIN nb
         |ORDER BY lift DESC, ante, cons LIMIT 100""".stripMargin,
-    // three synchronous LPA rounds unrolled; each round = neighbor votes
-    // (+ one self vote) → per-node argmax with (count DESC, label ASC)
-    // tie-break — all integers, so the replay is exact
     "q183_label_prop" ->
+      s"""WITH $lpaCtes
+         |SELECT CAST(node AS BIGINT) AS node,
+         |       CAST(label AS BIGINT) AS label FROM l3""".stripMargin,
+    // two HITS rounds unrolled; renormalization is `(s·1e6)//max` per
+    // half-round — non-negative operands, so `//` ≡ Spark `div`
+    "q188_hits" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM pairs),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+        |a1r AS (SELECT e.dst AS node, sum(h.h) AS a FROM e
+        |        JOIN h0 h ON e.src = h.node GROUP BY 1),
+        |a1m AS (SELECT max(a) AS m FROM a1r),
+        |a1 AS (SELECT n.node, CASE WHEN m.m IS NULL OR m.m = 0 THEN 0
+        |         ELSE (coalesce(r.a, 0) * 1000000) // m.m END AS a
+        |       FROM nodes n LEFT JOIN a1r r ON n.node = r.node
+        |       CROSS JOIN a1m m),
+        |h1r AS (SELECT e.src AS node, sum(a.a) AS h FROM e
+        |        JOIN a1 a ON e.dst = a.node GROUP BY 1),
+        |h1m AS (SELECT max(h) AS m FROM h1r),
+        |h1 AS (SELECT n.node, CASE WHEN m.m IS NULL OR m.m = 0 THEN 0
+        |         ELSE (coalesce(r.h, 0) * 1000000) // m.m END AS h
+        |       FROM nodes n LEFT JOIN h1r r ON n.node = r.node
+        |       CROSS JOIN h1m m),
+        |a2r AS (SELECT e.dst AS node, sum(h.h) AS a FROM e
+        |        JOIN h1 h ON e.src = h.node GROUP BY 1),
+        |a2m AS (SELECT max(a) AS m FROM a2r),
+        |a2 AS (SELECT n.node, CASE WHEN m.m IS NULL OR m.m = 0 THEN 0
+        |         ELSE (coalesce(r.a, 0) * 1000000) // m.m END AS a
+        |       FROM nodes n LEFT JOIN a2r r ON n.node = r.node
+        |       CROSS JOIN a2m m),
+        |h2r AS (SELECT e.src AS node, sum(a.a) AS h FROM e
+        |        JOIN a2 a ON e.dst = a.node GROUP BY 1),
+        |h2m AS (SELECT max(h) AS m FROM h2r),
+        |h2 AS (SELECT n.node, CASE WHEN m.m IS NULL OR m.m = 0 THEN 0
+        |         ELSE (coalesce(r.h, 0) * 1000000) // m.m END AS h
+        |       FROM nodes n LEFT JOIN h2r r ON n.node = r.node
+        |       CROSS JOIN h2m m)
+        |SELECT CAST(h2.node AS BIGINT) AS node,
+        |       CAST(h2.h AS BIGINT) AS hub_1e6,
+        |       CAST(a2.a AS BIGINT) AS auth_1e6
+        |FROM h2 JOIN a2 ON h2.node = a2.node""".stripMargin,
+    // exact integer moments; the closed-form Pearson is one fixed IEEE
+    // expression (int64 headroom holds through bench scales)
+    "q189_assortativity" ->
       """WITH pairs AS (
         |  SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |edges AS (SELECT c AS src, s AS dst FROM pairs
         |          UNION ALL SELECT s, c FROM pairs),
-        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
-        |v1 AS (SELECT node, label, count(*) AS c FROM (
-        |         SELECT e.dst AS node, l.label FROM edges e
-        |         JOIN l0 l ON e.src = l.node
-        |         UNION ALL SELECT node, label FROM l0) t GROUP BY 1, 2),
-        |l1 AS (SELECT node, label FROM (
-        |         SELECT node, label, row_number() OVER (
-        |           PARTITION BY node ORDER BY c DESC, label) AS rn
-        |         FROM v1) t WHERE rn = 1),
-        |v2 AS (SELECT node, label, count(*) AS c FROM (
-        |         SELECT e.dst AS node, l.label FROM edges e
-        |         JOIN l1 l ON e.src = l.node
-        |         UNION ALL SELECT node, label FROM l1) t GROUP BY 1, 2),
-        |l2 AS (SELECT node, label FROM (
-        |         SELECT node, label, row_number() OVER (
-        |           PARTITION BY node ORDER BY c DESC, label) AS rn
-        |         FROM v2) t WHERE rn = 1),
-        |v3 AS (SELECT node, label, count(*) AS c FROM (
-        |         SELECT e.dst AS node, l.label FROM edges e
-        |         JOIN l2 l ON e.src = l.node
-        |         UNION ALL SELECT node, label FROM l2) t GROUP BY 1, 2),
-        |l3 AS (SELECT node, label FROM (
-        |         SELECT node, label, row_number() OVER (
-        |           PARTITION BY node ORDER BY c DESC, label) AS rn
-        |         FROM v3) t WHERE rn = 1)
-        |SELECT CAST(node AS BIGINT) AS node,
-        |       CAST(label AS BIGINT) AS label FROM l3""".stripMargin,
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+        |dec AS (SELECT dx.d AS x, dy.d AS y FROM edges e
+        |        JOIN deg dx ON e.src = dx.src
+        |        JOIN deg dy ON e.dst = dy.src),
+        |mo AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        |       FROM dec)
+        |SELECT CAST(m // 2 AS BIGINT) AS m_edges,
+        |  CASE WHEN CAST(m*sxx - sx*sx AS DOUBLE) *
+        |            CAST(m*syy - sy*sy AS DOUBLE) = 0 THEN 0.0
+        |       ELSE round(CAST(m*sxy - sx*sy AS DOUBLE) /
+        |         sqrt(CAST(m*sxx - sx*sx AS DOUBLE) *
+        |              CAST(m*syy - sy*sy AS DOUBLE)), 6)
+        |  END AS assortativity
+        |FROM mo""".stripMargin,
+    // Q = (intra·2m − Σd_c²) / (2m)² — integer numerators, one division
+    "q187_modularity" ->
+      s"""WITH $lpaCtes,
+         |el AS (SELECT la.label AS ls, lb.label AS ld
+         |       FROM edges e JOIN l3 la ON e.src = la.node
+         |       JOIN l3 lb ON e.dst = lb.node),
+         |st AS (SELECT count(*) AS m2,
+         |         sum(CASE WHEN ls = ld THEN 1 ELSE 0 END) AS intra
+         |       FROM el),
+         |dc AS (SELECT ls, count(*) AS dc FROM el GROUP BY ls),
+         |sq AS (SELECT count(*) AS n_communities, sum(dc*dc) AS sq FROM dc)
+         |SELECT sq.n_communities,
+         |  CAST(st.m2 // 2 AS BIGINT) AS m_edges,
+         |  round(CAST(st.intra * st.m2 - sq.sq AS DOUBLE) /
+         |    (CAST(st.m2 AS DOUBLE) * CAST(st.m2 AS DOUBLE)), 6)
+         |    AS modularity
+         |FROM st CROSS JOIN sq""".stripMargin,
     // personalized PageRank: same unrolled integral rounds as q87, but the
     // restart mass goes only to the single seed (lowest node id); zero-rank
     // nodes contribute 0 via `//`, so no r>0 filter is needed mid-round

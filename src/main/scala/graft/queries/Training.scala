@@ -658,8 +658,17 @@ object Training {
   def q185EmbedCov(spark: SparkSession, dir: String): DataFrame =
     Ann.secondMoment(embs(spark, dir), "embedding", Dim)
 
+  /** Top-3 related documents per document by exact 3-gram Jaccard with a
+    * 0.3 candidate floor — the lexical "more like this" surface
+    * ([[TextDedup.relatedDocsTopK]]): prefix-filtered pair join at the
+    * floor, then a bounded-heap top-k, no window sort. */
+  def q186RelatedDocs(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.relatedDocsTopK(docs(spark, dir), "doc_id", "text",
+      n = 3, floor = 0.3, k = 3)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_embed_cov" -> q185EmbedCov,
+    "q186_related_docs" -> q186RelatedDocs,
     "q157_hard_negatives" -> q157HardNegatives,
     "q172_incremental_dedup" -> q172IncrementalDedup,
     "q173_pq_ann" -> q173PqAnn,
@@ -836,6 +845,22 @@ object Training {
         |SELECT a.i AS i, b.i AS j, count(*) AS n, sum(a.q * b.q) AS sum_xy
         |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
+    // symmetrized ≥-floor pairs → per-doc rank by (jac DESC, neighbor ASC)
+    // — the same tie order TopKByScore pins
+    "q186_related_docs" ->
+      s"""WITH $hashedShingleCtes,
+         |p AS (SELECT x.doc_id doc_a, y.doc_id doc_b, $jacExpr jac
+         |      FROM s x JOIN s y ON x.doc_id < y.doc_id
+         |      WHERE len(x.shs) > 0 AND len(y.shs) > 0),
+         |f AS (SELECT doc_a, doc_b, jac FROM p WHERE jac >= 0.3),
+         |sym AS (SELECT doc_a AS doc_id, doc_b AS neighbor_id, jac FROM f
+         |        UNION ALL
+         |        SELECT doc_b AS doc_id, doc_a AS neighbor_id, jac FROM f),
+         |r AS (SELECT doc_id, neighbor_id, jac, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY jac DESC, neighbor_id) AS rn
+         |      FROM sym)
+         |SELECT doc_id, neighbor_id, round(jac, 6) AS jaccard, rn::INT AS rank
+         |FROM r WHERE rn <= 3""".stripMargin,
     "q17_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -145,6 +145,43 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hits: bipartite hand check — hubs and authorities separate") {
+    // buyers {1,2}, sellers {10,11}: 1→{10,11}, 2→10
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val out = Graph.hits(e, iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // round 1: a=(10:1e6, 11:5e5), h=(1:1e6, 2:666666)
+    // round 2: a=(10:1e6, 11:600000), h=(1:1e6, 2:625000)
+    assert(out(1L) == (1000000L, 0L))
+    assert(out(2L) == (625000L, 0L))
+    assert(out(10L) == (0L, 1000000L))
+    assert(out(11L) == (0L, 600000L))
+  }
+
+  test("degreeAssortativity: star is −1, regular ring degenerates to 0") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val s = Graph.degreeAssortativity(star).head()
+    assert(s.getLong(0) == 3 && s.getDouble(1) == -1.0)
+    val ring = (1L to 6L).map(i => (i, i % 6 + 1))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    assert(Graph.degreeAssortativity(ring).head().getDouble(1) == 0.0,
+      "all-equal degrees have zero variance → defined as 0")
+  }
+
+  test("modularity: two clean triangles score 0.5; one community scores 0") {
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val byComponent = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("node", "label")
+    val r = Graph.modularity(tri, byComponent).head()
+    // m=6, 2m=12, intra=12, d_c=6 each → Q = (12·12 − 2·36)/144 = 0.5
+    assert(r.getLong(0) == 2 && r.getLong(1) == 6 && r.getDouble(2) == 0.5)
+    val oneCommunity = byComponent.select(col("node"), lit(1L).as("label"))
+    assert(Graph.modularity(tri, oneCommunity).head().getDouble(2) == 0.0,
+      "a single all-nodes community has zero modularity by identity")
+  }
+
   test("personalizedPageRank: hand-computed rounds on the 3-node path") {
     val src = Seq(Tuple1(1L)).toDF("node")
     // r0 = (1e9, 0, 0); round 1: 1→2 contributes 850000000, seed keeps

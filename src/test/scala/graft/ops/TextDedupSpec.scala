@@ -354,4 +354,23 @@ class TextDedupSpec extends SparkSpec {
       s"sorted-neighborhood pair generation should be window+explode only:\n$p")
     assert(p.contains("Window"), s"expected a lead() window:\n$p")
   }
+
+  test("relatedDocsTopK: ranked neighbors, id tie-break, floor excludes") {
+    val d = Seq(
+      (1L, "a b c d e"),   // J(1,3)=1.0, J(1,2)=0.5
+      (2L, "a b c d f"),   // J(2,1)=J(2,3)=0.5 — tie broken toward id 1
+      (3L, "a b c d e"),   // exact dup of 1
+      (4L, "x y z w v")    // no neighbor ≥ floor → absent
+    ).toDF("doc_id", "text")
+    val out = TextDedup.relatedDocsTopK(d, "doc_id", "text", 3, 0.3, 2)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    assert(out(1L) == Seq((3L, 1.0), (2L, 0.5)))
+    assert(out(2L) == Seq((1L, 0.5), (3L, 0.5)), "0.5-tie must order by id")
+    assert(out(3L) == Seq((1L, 1.0), (2L, 0.5)))
+    assert(!out.contains(4L))
+  }
 }
