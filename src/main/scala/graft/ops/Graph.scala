@@ -251,12 +251,16 @@ object Graph {
     * total, so a fixed iteration count is bit-identical on any engine —
     * the same determinism contract as [[pageRank]].
     *
-    * Distributed shape per round: edges⋈labels on src (one shuffle) →
-    * groupBy(dst, label) vote count (map-side combined) → per-node argmax
-    * via a `max(struct(votes, −label))` aggregate — no window, no sort,
-    * two exchanges per round, lineage truncated with `localCheckpoint`.
-    * A celebrity node's vote list is its in-degree — absorbed by partial
-    * aggregation; salt via [[Skew]] if one node dominates.
+    * Distributed shape per round: edges⋈labels on src → ONE
+    * `mode(label, deterministic = true)` aggregate per node (Spark 4's
+    * deterministic mode returns the lowest value on frequency ties —
+    * verified the exact LPA tie-break) — a single exchange per round
+    * instead of the count-then-argmax two-shuffle spelling, lineage
+    * truncated with `localCheckpoint`. Mode's typed buffer holds one
+    * (label → count) map per node, bounded by the node's distinct
+    * neighbor labels (its degree) — partial-merged map-side, so a
+    * celebrity node's votes collapse before the shuffle; salt via
+    * [[Skew]] if one node truly dominates.
     *
     * Returns (node, label) — nodes sharing a label after `iters` rounds
     * are one community.
@@ -279,13 +283,8 @@ object Graph {
       val votes =
         if (includeSelf) neighborVotes.unionByName(labels) else neighborVotes
       labels = votes
-        .groupBy(col("node"), col("label"))
-        .agg(count(lit(1)).as("votes"))
-        // max(struct) = highest vote count, then smallest label (−label max)
         .groupBy(col("node"))
-        .agg(max(struct(col("votes"), negate(col("label")).as("neg")))
-          .as("w"))
-        .select(col("node"), negate(col("w.neg")).as("label"))
+        .agg(mode(col("label"), deterministic = true).as("label"))
         .localCheckpoint()
     }
     e.unpersist(); nodes.unpersist()
