@@ -298,4 +298,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"corpus shuffled into a join it should broadcast:\n$p")
   }
+
+  test("embed covariance (q185): cells generate map-side — no join, partial agg") {
+    val p = plan("q185_embed_cov")
+    assert(!p.contains("Join"),
+      s"the Gram matrix must not self-join the corpus:\n$p")
+    // partial aggregation collapses each partition to ≤ d(d+1)/2 rows
+    // before the one exchange
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"expected map-side partial aggregation:\n$p")
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"one tiny shuffle expected:\n$p")
+  }
+
+  test("related docs (q186): prefix-filtered candidates, never cartesian, heap top-k") {
+    val p = plan("q186_related_docs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"similarity top-k must not go quadratic:\n$p")
+    assert(p.contains("topk_by_score") || p.contains("TopKByScore"),
+      s"per-doc ranking should use the bounded heap, not a window sort:\n$p")
+  }
+
+  test("assortativity (q189) reduces to one 6-moment aggregate — no window") {
+    val p = plan("q189_assortativity")
+    assert(!p.contains("Window"), s"closed-form Pearson needs no window:\n$p")
+  }
 }
