@@ -807,6 +807,48 @@ object TextDedup {
         sum(col("__len")).as("dup_tokens"))
   }
 
+  /** LSH-tuning evaluation: precision/recall of the MinHash band
+    * candidates against exact-Jaccard ground truth — the number that says
+    * whether (numHashes, bands) sit at the right point on the
+    * 1−(1−s^r)^b S-curve for YOUR corpus before committing a planet-scale
+    * dedup run to them. Ground truth is [[jaccardPairs]] (prefix-filtered,
+    * lossless at the threshold); candidates are the raw
+    * [[lshCandidates]] — the un-verified band collisions, since
+    * verified pairs have precision 1 by construction.
+    *
+    * One full-outer join of two skinny pair sets + a 3-counter aggregate:
+    * (n_true, n_candidates, tp, precision, recall). Exact integer counts,
+    * two float divisions — engine-exact. */
+  def lshEvalMetrics(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val cands = lshCandidates(
+      minhashSignatures(df, idCol, textCol, n, numHashes),
+      bands, numHashes / bands)
+    val exact = jaccardPairs(df, idCol, textCol, n, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val marked = cands.withColumn("__c", lit(1L))
+      .join(exact.withColumn("__t", lit(1L)), Seq("doc_a", "doc_b"),
+        "full_outer")
+    marked
+      // outer coalesce: sum over an EMPTY pair set (no dups at all) is
+      // null — report zeros, not a null row
+      .agg(coalesce(sum(coalesce(col("__t"), lit(0L))), lit(0L)).as("n_true"),
+        coalesce(sum(coalesce(col("__c"), lit(0L))), lit(0L))
+          .as("n_candidates"),
+        coalesce(sum(when(col("__c").isNotNull && col("__t").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("tp"))
+      .select(col("n_true"), col("n_candidates"), col("tp"),
+        when(col("n_candidates") === 0, lit(0.0))
+          .otherwise(round(col("tp").cast("double") / col("n_candidates"), 6))
+          .as("precision"),
+        when(col("n_true") === 0, lit(0.0))
+          .otherwise(round(col("tp").cast("double") / col("n_true"), 6))
+          .as("recall"))
+  }
+
   /** Top-k most-similar documents per document by exact n-gram Jaccard —
     * the "related documents" retrieval surface (vs [[jaccardPairs]]'
     * dedup-threshold pairs). `floor` bounds the candidate space: the

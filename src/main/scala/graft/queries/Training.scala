@@ -666,9 +666,17 @@ object Training {
     TextDedup.relatedDocsTopK(docs(spark, dir), "doc_id", "text",
       n = 3, floor = 0.3, k = 3)
 
+  /** LSH parameter evaluation: precision/recall of the MinHash(16)/4-band
+    * candidate stage against exact 3-gram Jaccard ≥ 0.8 ground truth —
+    * "are these band parameters right for this corpus"
+    * ([[TextDedup.lshEvalMetrics]]). */
+  def q190LshEval(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.lshEvalMetrics(docs(spark, dir), "doc_id", "text")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_embed_cov" -> q185EmbedCov,
     "q186_related_docs" -> q186RelatedDocs,
+    "q190_lsh_eval" -> q190LshEval,
     "q157_hard_negatives" -> q157HardNegatives,
     "q172_incremental_dedup" -> q172IncrementalDedup,
     "q173_pq_ann" -> q173PqAnn,
@@ -845,6 +853,23 @@ object Training {
         |SELECT a.i AS i, b.i AS j, count(*) AS n, sum(a.q * b.q) AS sum_xy
         |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
+    // candidates = raw band collisions (cand CTE); truth = exact N² pairs
+    "q190_lsh_eval" ->
+      s"""WITH $minhashCtes,
+         |ex AS (SELECT x.doc_id doc_a, y.doc_id doc_b
+         |       FROM s x JOIN s y ON x.doc_id < y.doc_id
+         |       WHERE len(x.shs) > 0 AND len(y.shs) > 0
+         |         AND $jacExpr >= 0.8),
+         |tpq AS (SELECT count(*) AS tp FROM cand c
+         |        JOIN ex e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b),
+         |nc AS (SELECT count(*) AS n FROM cand),
+         |nt AS (SELECT count(*) AS n FROM ex)
+         |SELECT nt.n AS n_true, nc.n AS n_candidates, tpq.tp,
+         |  CASE WHEN nc.n = 0 THEN 0.0
+         |       ELSE round(tpq.tp::DOUBLE / nc.n, 6) END AS precision,
+         |  CASE WHEN nt.n = 0 THEN 0.0
+         |       ELSE round(tpq.tp::DOUBLE / nt.n, 6) END AS recall
+         |FROM nt CROSS JOIN nc CROSS JOIN tpq""".stripMargin,
     // symmetrized ≥-floor pairs → per-doc rank by (jac DESC, neighbor ASC)
     // — the same tie order TopKByScore pins
     "q186_related_docs" ->

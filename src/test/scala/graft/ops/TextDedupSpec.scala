@@ -355,6 +355,25 @@ class TextDedupSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected a lead() window:\n$p")
   }
 
+  test("lshEvalMetrics: exact dup counted as tp; zero-truth corpus guards") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),  // exact dup of 1 → certain band collision
+      (3L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val m = TextDedup.lshEvalMetrics(d, "doc_id", "text").head()
+    val (nTrue, nCand, tp) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    assert(nTrue == 1 && tp == 1, "the exact dup pair is ground truth and caught")
+    assert(tp <= nCand)
+    assert(m.getDouble(3) == math.rint(1e6 * tp.toDouble / nCand) / 1e6)
+    assert(m.getDouble(4) == 1.0)
+    // no pair reaches 0.8 → n_true = 0 → recall defined as 0
+    val far = Seq((1L, "a b c d e"), (2L, "a b x y z"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val f = TextDedup.lshEvalMetrics(far, "doc_id", "text").head()
+    assert(f.getLong(0) == 0 && f.getDouble(4) == 0.0)
+  }
+
   test("relatedDocsTopK: ranked neighbors, id tie-break, floor excludes") {
     val d = Seq(
       (1L, "a b c d e"),   // J(1,3)=1.0, J(1,2)=0.5
