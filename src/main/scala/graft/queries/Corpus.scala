@@ -187,7 +187,32 @@ object Corpus {
       "lang", "doc_id", total = 300)
       .select(col("doc_id"), col("lang"), col("rnk"), col("budget"))
 
+  /** Reliability table for the q179 classifier: decile buckets of the
+    * predicted score vs the observed rate of the q23 quality heuristic —
+    * the calibration check run before trusting a keep/drop gate
+    * corpus-wide. Scores quantize to exact 1e-6-unit longs before the
+    * group mean (order-independent sums; two final float divisions mirror
+    * the oracle op-for-op). One projection + one 10-group aggregate. */
+  def q191Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val w: Column => Column = b =>
+      ((b * lit(2654435761L)) % lit(1000L) - lit(500L)).cast("double") / lit(1000.0)
+    val score =
+      round(TextAnalysis.hashedLinearScore(col("text"), 4096, w, bias = 0.1), 6)
+    docs(spark, dir)
+      .select(least(floor(score * 10).cast("int"), lit(9)).as("bucket"),
+        round(score * 1e6, 0).cast("long").as("__s6"),
+        when(TextAnalysis.qualityScore(col("text")) >= 0.5, 1L)
+          .otherwise(0L).as("__pos"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("__s6")).cast("double") / lit(1000000.0) /
+          count(lit(1)), 6).as("mean_score"),
+        round(sum(col("__pos")).cast("double") / count(lit(1)), 6)
+          .as("pos_rate"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_calibration" -> q191Calibration,
     "q171_readability" -> q171Readability,
     "q179_classifier_score" -> q179ClassifierScore,
     "q180_temperature_mix" -> q180TemperatureMix,
@@ -210,6 +235,46 @@ object Corpus {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // q179's score chain + q23's quality chain, joined and decile-bucketed;
+    // scores quantize to 1e-6 longs before the mean (order-free sums) and
+    // the two final divisions mirror the engine op-for-op
+    "q191_calibration" -> {
+      val en = TextAnalysis.stopwords.head._2
+        .map(t => s"'$t'").mkString("(", ",", ")")
+      s"""WITH t AS (SELECT doc_id,
+         |  list_reduce(list_prepend(0.1::DOUBLE,
+         |    list_transform(string_split(text, ' '),
+         |      t -> (((('0x' || substr(md5(t), 1, 15))::BIGINT % 4096)
+         |             * 2654435761) % 1000 - 500)::DOUBLE / 1000.0)),
+         |    (a, x) -> a + x) z
+         |  FROM documents),
+         |sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score
+         |       FROM t),
+         |f AS (SELECT doc_id, text, string_split(text, ' ') ws
+         |      FROM documents),
+         |m AS (SELECT doc_id,
+         |  round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+         |    / length(text), 6) punct_ratio,
+         |  round(len(list_filter(ws, t -> t IN $en))::DOUBLE / len(ws), 6)
+         |    stopword_ratio,
+         |  length(text) n_chars FROM f),
+         |q AS (SELECT doc_id,
+         |  round(((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN stopword_ratio > 0 THEN 1.0 ELSE 0.0 END))
+         |    / 3.0, 6) AS quality
+         |  FROM m),
+         |lab AS (SELECT least(CAST(floor(sc.score * 10) AS INTEGER), 9)
+         |            AS bucket,
+         |          CAST(round(sc.score * 1000000) AS BIGINT) AS s6,
+         |          CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS pos
+         |        FROM sc JOIN q ON sc.doc_id = q.doc_id)
+         |SELECT bucket, count(*) AS n_docs,
+         |  round(CAST(sum(s6) AS DOUBLE) / 1000000.0 / count(*), 6)
+         |    AS mean_score,
+         |  round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS pos_rate
+         |FROM lab GROUP BY bucket""".stripMargin
+    },
     "q180_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*)::BIGINT n FROM documents GROUP BY 1),
         |s AS (SELECT lang, sqrt(n::DOUBLE) sv FROM c),
