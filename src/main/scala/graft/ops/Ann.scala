@@ -745,6 +745,47 @@ object Ann {
       .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_x"))
   }
 
+  /** Per-group embedding-centroid drift: the L2 distance between each
+    * group's mean vector and the corpus mean — the embedding-space
+    * balance monitor (a label/source whose centroid drifts from the
+    * corpus is over- or under-represented semantically; the vector-space
+    * sibling of a PSI screen on scalar features).
+    *
+    * Exactness: components quantize to 1e-3-unit longs ([[secondMoment]]
+    * discipline); per-(group, dim) sums and the global sums they roll up
+    * to are exact integers, each mean difference is ONE double expression
+    * `(s·N − S·n)/(n·N)/1000`, and the d² accumulation folds in dimension
+    * order with seed 0.0 (the fixed-order float fold used corpus-wide) —
+    * bit-identical on any engine/partitioning.
+    *
+    * Shape: one narrow posexplode aggregate (group×d cells), a d-row
+    * rollup, a join on dimension id, one fold per group — nothing scales
+    * with corpus size after the first aggregate. */
+  def centroidDrift(df: DataFrame, groupCol: String, vecCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 512, s"dim must be in [1, 512], got $dim")
+    val cells = df
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(groupCol).as("__g"),
+        posexplode(transform(col(vecCol),
+          x => round(x.cast("double") * 1000, 0).cast("long")))
+          .as(Seq("__i", "__q")))
+      .groupBy(col("__g"), col("__i"))
+      .agg(count(lit(1)).as("__n"), sum(col("__q")).as("__s"))
+    val totals = cells.groupBy(col("__i"))
+      .agg(sum(col("__s")).as("__ts"), sum(col("__n")).as("__tn"))
+    val diffs = cells.join(totals, Seq("__i"))
+      .select(col("__g"), col("__i"), col("__n"),
+        ((col("__s") * col("__tn") - col("__ts") * col("__n")).cast("double") /
+          (col("__n") * col("__tn")).cast("double") / lit(1000.0)).as("__d"))
+    diffs.groupBy(col("__g").as(groupCol))
+      .agg(max(col("__n")).as("n_vecs"),
+        round(sqrt(aggregate(
+          transform(sort_array(collect_list(struct(col("__i"), col("__d")))),
+            e => e.getField("__d") * e.getField("__d")),
+          lit(0.0), (a, x) => a + x)), 6).as("drift"))
+  }
+
   /** Principal component of the sample covariance via power iteration.
     * The distributed work is [[firstMoment]] + [[secondMoment]] (two
     * narrow aggregates); the collected state is O(d²) scalars — the d×d

@@ -546,4 +546,47 @@ object TextAnalysis {
       .withColumn("stopword_ratio", stopwordRatio(t))
       .withColumn("quality", qualityScore(t))
   }
+
+  /** Held-out n-gram novelty: for each TEST-split document, the fraction
+    * of its token n-gram windows never seen in the TRAIN split — the
+    * memorization-risk / generalization-gap monitor an eval pipeline runs
+    * before trusting held-out perplexity (novelty ≈ 0 means the "held
+    * out" text is substring-covered by training data). Splits come from
+    * [[Sampling.assignSplits]]' hash rule, so the metric composes exactly
+    * with the q71 train/val/test assignment.
+    *
+    * Window hashes are 60-bit md5 prefixes over the joined token window —
+    * engine-exact, 8-byte join keys. Shape: one explode to window grain,
+    * a distinct on train windows, one left join + per-doc counter
+    * aggregate. At 100 TB put a bloom filter on the train-window set in
+    * front of the join ([[BloomJoin]]) — novelty is typically high, so
+    * most test windows miss and the bloom absorbs them without
+    * shuffling. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, trainFrac: Double = 0.8,
+      salt: String = "sp0"): DataFrame = {
+    require(n >= 1 && n <= 50, s"n must be in [1, 50], got $n")
+    require(trainFrac > 0 && trainFrac < 1, "trainFrac must be in (0, 1)")
+    val withSplit = Sampling.assignSplits(df, idCol,
+      Seq("train" -> trainFrac, "test" -> (1 - trainFrac)), kFolds = 1,
+      salt = salt)
+    val toks = withSplit
+      .select(col(idCol).as("__id"), col("split"),
+        split(col(textCol), " ").as("__t"))
+      .where(size(col("__t")) >= n)
+    val wins = toks.select(col("__id"), col("split"),
+      explode(transform(sequence(lit(0), size(col("__t")) - n),
+        i => TextDedup.hash60(array_join(slice(col("__t"), i + 1, lit(n)), " "))))
+        .as("__h"))
+    val trainSet = wins.where(col("split") === "train")
+      .select(col("__h")).distinct()
+    wins.where(col("split") === "test")
+      .join(trainSet.withColumn("__seen", lit(1)), Seq("__h"), "left")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_windows"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_windows"), 6)
+          .as("novelty"))
+  }
 }

@@ -666,6 +666,18 @@ object Training {
     TextDedup.relatedDocsTopK(docs(spark, dir), "doc_id", "text",
       n = 3, floor = 0.3, k = 3)
 
+  /** Embedding-centroid drift per label vs the corpus mean — the
+    * vector-space balance monitor ([[Ann.centroidDrift]]): which label's
+    * semantic center sits farthest from the corpus center. */
+  def q192CentroidDrift(spark: SparkSession, dir: String): DataFrame =
+    Ann.centroidDrift(embs(spark, dir), "label", "embedding", Dim)
+
+  /** Held-out 5-gram novelty per test-split document — the memorization
+    * screen composing q71's hash split with window hashing
+    * ([[TextAnalysis.ngramNovelty]]). */
+  def q193NgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramNovelty(docs(spark, dir), "doc_id", "text")
+
   /** LSH parameter evaluation: precision/recall of the MinHash(16)/4-band
     * candidate stage against exact 3-gram Jaccard ≥ 0.8 ground truth —
     * "are these band parameters right for this corpus"
@@ -677,6 +689,8 @@ object Training {
     "q185_embed_cov" -> q185EmbedCov,
     "q186_related_docs" -> q186RelatedDocs,
     "q190_lsh_eval" -> q190LshEval,
+    "q192_centroid_drift" -> q192CentroidDrift,
+    "q193_ngram_novelty" -> q193NgramNovelty,
     "q157_hard_negatives" -> q157HardNegatives,
     "q172_incremental_dedup" -> q172IncrementalDedup,
     "q173_pq_ann" -> q173PqAnn,
@@ -853,6 +867,45 @@ object Training {
         |SELECT a.i AS i, b.i AS j, count(*) AS n, sum(a.q * b.q) AS sum_xy
         |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
+    // q71's split hash + window-grain md5 hashes; counts are integers and
+    // the single rate division mirrors the engine
+    "q193_ngram_novelty" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') ws,
+         |    CASE WHEN ${h60("doc_id || ':sp0'")} % 1000000 < 800000
+         |         THEN 'train' ELSE 'test' END AS sp
+         |  FROM documents),
+         |g AS (SELECT doc_id, sp, unnest(
+         |    [${h60("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]")}
+         |     for i in generate_series(1, len(ws) - 4)]) AS h
+         |  FROM w WHERE len(ws) >= 5),
+         |tr AS (SELECT DISTINCT h FROM g WHERE sp = 'train')
+         |SELECT g.doc_id, count(*) AS n_windows,
+         |  sum(CASE WHEN tr.h IS NULL THEN 1 ELSE 0 END) AS n_novel,
+         |  round(sum(CASE WHEN tr.h IS NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*), 6) AS novelty
+         |FROM g LEFT JOIN tr ON g.h = tr.h
+         |WHERE g.sp = 'test' GROUP BY g.doc_id""".stripMargin,
+    // exact integer cell/rollup sums; each mean diff is one double
+    // expression and d² folds in dimension order with seed 0.0
+    "q192_centroid_drift" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q,
+        |    CAST(i - 1 AS INTEGER) AS i
+        |  FROM (SELECT label, unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings) t),
+        |g AS (SELECT label, i, count(*) AS n, sum(q) AS s
+        |      FROM e GROUP BY 1, 2),
+        |tt AS (SELECT i, sum(s) AS ts, sum(n) AS tn FROM g GROUP BY 1),
+        |d AS (SELECT g.label, g.i, g.n,
+        |        CAST(g.s * tt.tn - tt.ts * g.n AS DOUBLE)
+        |          / CAST(g.n * tt.tn AS DOUBLE) / 1000.0 AS df
+        |      FROM g JOIN tt ON g.i = tt.i)
+        |SELECT label, max(n) AS n_vecs,
+        |  round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list(df * df ORDER BY i)), (a, x) -> a + x)), 6) AS drift
+        |FROM d GROUP BY label""".stripMargin,
     // candidates = raw band collisions (cand CTE); truth = exact N² pairs
     "q190_lsh_eval" ->
       s"""WITH $minhashCtes,

@@ -387,6 +387,20 @@ class AnnSpec extends SparkSpec {
     assert(rep == cells, "integer cells must be partition-invariant")
   }
 
+  test("centroidDrift: symmetric two-blob corpus drifts √0.5 each side") {
+    val df = Seq(
+      (0L, 0, Array(1f, 0f)), (1L, 0, Array(1f, 0f)),
+      (2L, 1, Array(0f, 1f)), (3L, 1, Array(0f, 1f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Ann.centroidDrift(df, "label", "embedding", 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // global mean (0.5, 0.5); each label mean is 1 axis → d² = 0.25+0.25
+    assert(out(0) == (2L, 0.707107) && out(1) == (2L, 0.707107))
+    val rep = Ann.centroidDrift(df.repartition(3), "label", "embedding", 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rep == out)
+  }
+
   test("pcaTopComponent recovers the dominant direction; pcaProject centers") {
     // 40 vectors along (1,1,0)/√2 with small orthogonal jitter, offset mean
     val r = new scala.util.Random(7)

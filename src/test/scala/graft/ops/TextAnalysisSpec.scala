@@ -278,4 +278,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges(1L) == (("a", "a", 6L)))
     assert(merges(2L) == (("aa", "a", 3L)))
   }
+
+  test("ngramNovelty: identical corpus → 0, disjoint-vocab corpus → 1") {
+    import spark.implicits._
+    // identical text everywhere: every test window exists in train
+    val same = (1L to 50L).map(i => (i, "w1 w2 w3 w4 w5 w6 w7"))
+      .toDF("doc_id", "text")
+    val zero = TextAnalysis.ngramNovelty(same, "doc_id", "text")
+      .collect()
+    assert(zero.nonEmpty, "hash split must put some docs in test")
+    assert(zero.forall(_.getDouble(3) == 0.0))
+    assert(zero.forall(r => r.getLong(1) == 3 && r.getLong(2) == 0))
+    // per-doc unique vocab: every test window is novel
+    val disjoint = (1L to 50L).map(i =>
+        (i, (1 to 7).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val one = TextAnalysis.ngramNovelty(disjoint, "doc_id", "text")
+      .collect()
+    assert(one.nonEmpty && one.forall(_.getDouble(3) == 1.0))
+  }
 }
