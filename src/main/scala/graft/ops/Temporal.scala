@@ -243,4 +243,66 @@ object Temporal {
       .groupBy(col("__k").as(keyCol))
       .agg(max(col("__mx")).as("peak"), min(col("__t")).as("peak_at"))
   }
+
+  /** Holt-Winters ADDITIVE seasonal smoothing per key — [[holt]] plus a
+    * rolling seasonal state of length `period` (e.g. 7 for weekly shape
+    * over daily series): the standard ops-forecasting triple
+    * (level, trend, seasonality).
+    *
+    * == Integer exactness ==
+    * Unlike [[holt]]'s order-pinned FLOAT fold (whose DuckDB replay needs
+    * a rank-indexed recursive CTE precisely because `list_reduce` struct
+    * accumulators mis-sequence), all Holt-Winters state here lives in
+    * integer MICRO-units (value·1e6) with dyadic smoothing constants
+    * α=1/2, β=γ=1/4 applied as truncating integral divisions:
+    *
+    *   l_t = (x_t − s_head + l_{t−1} + b_{t−1}) ÷ 2
+    *   b_t = (l_t − l_{t−1} + 3·b_{t−1})        ÷ 4
+    *   s_t = (x_t − l_t + 3·s_head)             ÷ 4
+    *
+    * `÷` truncates toward zero — spelled `(x / d).cast(long)` (exact:
+    * state stays far under 2⁵³) precisely BECAUSE DuckDB's `//`
+    * truncates on negatives where an arithmetic shift would floor; with
+    * matching rounding the replay is bit-exact, quantization loss
+    * ≤1 micro-unit per op. Seeded (l=x_1, b=0, s=0⃗). Rolling state:
+    * `s_head = s[1]`, then the array shifts left and appends the fresh
+    * seasonal — so after the last step `s[1]` IS the next step's seasonal
+    * and the one-step forecast is `l + b + s[1]`.
+    *
+    * Same one-shuffle per-key-bounded-state shape as [[ewma]]/[[holt]]:
+    * the series folds inside its key's group (state = 3 + period longs),
+    * corpus size only widens the groupBy. Returns one row per key:
+    * (n_obs, level_micro, trend_micro, forecast_micro). */
+  def holtWinters(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, period: Int = 7): DataFrame = {
+    require(period >= 2 && period <= 366, s"period in [2,366], got $period")
+    val arr = sort_array(collect_list(struct(col(orderCol).as("__o"),
+      (col(valueCol).cast("long") * 1000000L).as("__x"))))
+    val zeroSeason = array_repeat(lit(0L), period)
+    val fold = aggregate(
+      arr,
+      struct(lit(null).cast("long").as("l"), lit(0L).as("b"),
+        zeroSeason.as("s")),
+      (acc, e) => {
+        // truncating integral division (≡ DuckDB //): exact, |state| ≪ 2⁵³
+        def tdiv(c: Column, d: Long): Column = (c / lit(d)).cast("long")
+        val x = e.getField("__x")
+        val lPrev = acc.getField("l")
+        val bPrev = acc.getField("b")
+        val s = acc.getField("s")
+        val sHead = element_at(s, 1)
+        val lNew = tdiv(x - sHead + lPrev + bPrev, 2L)
+        val bNew = tdiv(lNew - lPrev + lit(3L) * bPrev, 4L)
+        val sNew = tdiv(x - lNew + lit(3L) * sHead, 4L)
+        when(lPrev.isNull, struct(x.as("l"), lit(0L).as("b"), s.as("s")))
+          .otherwise(struct(lNew.as("l"), bNew.as("b"),
+            concat(slice(s, 2, period - 1), array(sNew)).as("s")))
+      })
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"), fold.as("__hw"))
+      .select(col(keyCol), col("n_obs"),
+        col("__hw.l").as("level_micro"), col("__hw.b").as("trend_micro"),
+        (col("__hw.l") + col("__hw.b") +
+          element_at(col("__hw.s"), 1)).as("forecast_micro"))
+  }
 }

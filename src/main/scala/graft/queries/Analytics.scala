@@ -508,7 +508,20 @@ object Analytics {
           .getField("cents").as("close_c"),
         max(col("cents")).as("high_c"), min(col("cents")).as("low_c"))
 
+  /** Holt-Winters additive forecast of daily order volume per priority
+    * class (weekly seasonality): level/trend/one-step forecast in exact
+    * integer micro-units — no float op anywhere, so the recursive replay
+    * is bit-exact ([[graft.ops.Temporal.holtWinters]]). */
+  def q194HoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.ops.Temporal.holtWinters(daily, "priority", "day", "n", period = 7)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_holt_winters" -> q194HoltWinters,
     "q153_ohlc" -> q153Ohlc,
     "q144_pmi" -> q144Pmi,
     "q141_twap" -> q141Twap,
@@ -542,6 +555,34 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer micro-unit Holt-Winters: every smoothing step is a floor
+    // division by a power of two (`//` ≡ arithmetic shift), replayed by a
+    // rank-indexed recursive CTE carrying the rolling seasonal list
+    "q194_holt_winters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT o_orderpriority AS priority, o_orderdate AS day,
+        |         count(*) * 1000000 AS xm
+        |  FROM orders GROUP BY 1, 2),
+        |se AS (SELECT priority, xm, row_number() OVER (
+        |         PARTITION BY priority ORDER BY day) AS rn FROM d),
+        |mx AS (SELECT priority, max(rn) AS mx, count(*) AS n
+        |       FROM se GROUP BY 1),
+        |hw AS (
+        |  SELECT priority, 1 AS rn, xm AS l, CAST(0 AS BIGINT) AS b,
+        |    [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS s
+        |  FROM se WHERE rn = 1
+        |  UNION ALL
+        |  SELECT h.priority, t.rn,
+        |    (t.xm - h.s[1] + h.l + h.b) // 2,
+        |    ((t.xm - h.s[1] + h.l + h.b) // 2 - h.l + 3 * h.b) // 4,
+        |    list_append(h.s[2:7],
+        |      (t.xm - (t.xm - h.s[1] + h.l + h.b) // 2 + 3 * h.s[1]) // 4)
+        |  FROM hw h JOIN se t ON t.priority = h.priority
+        |    AND t.rn = h.rn + 1)
+        |SELECT h.priority, m.n AS n_obs, h.l AS level_micro,
+        |  h.b AS trend_micro, h.l + h.b + h.s[1] AS forecast_micro
+        |FROM hw h JOIN mx m ON h.priority = m.priority
+        |  AND h.rn = m.mx""".stripMargin,
     "q153_ohlc" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 hr,
         |    epoch_us(ts) ts_us, event_id,

@@ -193,4 +193,31 @@ class TemporalSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got == expected)
   }
+
+  test("holtWinters: hand-computed shifts, stationarity, negative floors") {
+    import spark.implicits._
+    // [10, 12]: l=(12e6+10e6)>>1=11e6, b=1e6>>2=250000, s[1] still 0
+    val two = Seq(("a", 1, 10L), ("a", 2, 12L)).toDF("k", "d", "v")
+    val r = Temporal.holtWinters(two, "k", "d", "v").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 11000000L, 250000L, 11250000L)))
+    // constant series is a fixed point: forecast = the constant
+    val const = (1 to 10).map(i => ("c", i, 7L)).toDF("k", "d", "v")
+    val c = Temporal.holtWinters(const, "k", "d", "v").head()
+    assert(c.getLong(2) == 7000000L && c.getLong(3) == 0L &&
+      c.getLong(4) == 7000000L)
+    // declining series: trend goes negative through the truncating
+    // division (≡ DuckDB's //, which truncates toward zero on negatives)
+    val down = Seq(("z", 1, 10L), ("z", 2, 2L)).toDF("k", "d", "v")
+    val z = Temporal.holtWinters(down, "k", "d", "v").head()
+    assert(z.getLong(2) == 6000000L && z.getLong(3) == -1000000L &&
+      z.getLong(4) == 5000000L)
+    // partition-invariant (integer state)
+    val series = (1 to 40).map(i => ("p", i, (i * 3 % 11).toLong))
+      .toDF("k", "d", "v")
+    val one = Temporal.holtWinters(series, "k", "d", "v").head().toSeq
+    val rep = Temporal.holtWinters(series.repartition(7), "k", "d", "v")
+      .head().toSeq
+    assert(one == rep)
+  }
 }
