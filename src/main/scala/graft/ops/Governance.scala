@@ -55,4 +55,29 @@ object Governance {
       else col(c)
     }: _*)
   }
+
+  /** k-anonymity / l-diversity audit over a quasi-identifier grouping:
+    * one row per quasi-identifier combination with its population
+    * (`group_size`), the number of distinct sensitive values it contains
+    * (`l_diversity`), and the two violation flags — `group_size < k`
+    * (re-identifiable cohort) and `l_diversity ≤ 1` (attribute disclosure:
+    * knowing the cohort reveals the sensitive value). The release-gate
+    * report run before publishing any person-grained extract.
+    *
+    * One groupBy with an exact per-group COUNT DISTINCT on a single
+    * column (two-phase aggregate, no Expand — this is not the N-column
+    * profile hazard); output is quasi-combination-grained, orders of
+    * magnitude smaller than the input. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("l_diversity"))
+      .select(quasiCols.map(col) ++ Seq(col("group_size"),
+        col("l_diversity"),
+        (col("group_size") < k).as("k_violation"),
+        (col("l_diversity") <= 1).as("l_violation")): _*)
+  }
 }

@@ -520,8 +520,34 @@ object Analytics {
     graft.ops.Temporal.holtWinters(daily, "priority", "day", "n", period = 7)
   }
 
+  /** k-anonymity / l-diversity release audit over customers: quasi-
+    * identifiers (nation, market segment) against the sensitive account
+    * balance ([[graft.ops.Governance.kAnonymityAudit]], k = 20). */
+  def q195KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Governance.kAnonymityAudit(table(spark, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 20)
+
+  /** Frequent 3-step event sequences: the top-20 consecutive event-type
+    * trigrams across user timelines (tie-broken lexically) — q108's
+    * Markov transitions extended to sequential-pattern grain. Two lags
+    * over one (user, time) window, one count, one bounded top-k. */
+  def q196Trigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .where(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n_seq"))
+      .orderBy(col("n_seq").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q194_holt_winters" -> q194HoltWinters,
+    "q195_k_anonymity" -> q195KAnonymity,
+    "q196_trigrams" -> q196Trigrams,
     "q153_ohlc" -> q153Ohlc,
     "q144_pmi" -> q144Pmi,
     "q141_twap" -> q141Twap,
@@ -555,6 +581,23 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q195_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  count(*) AS group_size,
+        |  count(DISTINCT c_acctbal) AS l_diversity,
+        |  count(*) < 20 AS k_violation,
+        |  count(DISTINCT c_acctbal) <= 1 AS l_violation
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q196_trigrams" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lag(event_type, 2) OVER w AS t1,
+        |    lag(event_type, 1) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id))
+        |SELECT t1, t2, event_type AS t3, count(*) AS n_seq
+        |FROM o WHERE t1 IS NOT NULL GROUP BY 1, 2, 3
+        |ORDER BY n_seq DESC, t1, t2, t3 LIMIT 20""".stripMargin,
     // integer micro-unit Holt-Winters: every smoothing step is a floor
     // division by a power of two (`//` ≡ arithmetic shift), replayed by a
     // rank-indexed recursive CTE carrying the rolling seasonal list

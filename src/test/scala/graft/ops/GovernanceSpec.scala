@@ -52,4 +52,25 @@ class GovernanceSpec extends SparkSpec {
       Governance.maskColumns(df, Seq("nope"))
     }
   }
+
+  test("kAnonymityAudit flags small cohorts and single-valued sensitives") {
+    import spark.implicits._
+    val rows = Seq(
+      // cohort (US, A): 3 members, 3 distinct balances — clean at k=3
+      ("US", "A", 10.0), ("US", "A", 20.0), ("US", "A", 30.0),
+      // cohort (US, B): 2 members → k-violation; balances equal → l too
+      ("US", "B", 5.0), ("US", "B", 5.0),
+      // cohort (DE, A): 3 members but one distinct balance → l-violation
+      ("DE", "A", 7.0), ("DE", "A", 7.0), ("DE", "A", 7.0)
+    ).toDF("nation", "segment", "balance")
+    val audit = Governance
+      .kAnonymityAudit(rows, Seq("nation", "segment"), "balance", k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(audit(("US", "A")) == ((3L, 3L, false, false)))
+    assert(audit(("US", "B")) == ((2L, 1L, true, true)))
+    assert(audit(("DE", "A")) == ((3L, 1L, false, true)))
+  }
 }
