@@ -126,6 +126,36 @@ object Graph {
     dist
   }
 
+  /** Weighted single-source shortest paths, distributed Bellman-Ford:
+    * after `iters` rounds, `dist` is the exact minimum-cost path using at
+    * most `iters` edges (the bounded-horizon contract [[shortestPaths]]
+    * makes for hop counts, generalized to non-negative integer weights —
+    * e.g. "relationship distance" where a strong tie is cheap).
+    *
+    * Per round ONE relax step: edges⋈dist on src → candidate `dist + w`
+    * per dst, unioned with the standing distances, min per node — a
+    * single equi-join plus one aggregate, lineage truncated; monotone
+    * (distances only decrease), so a fixed round count is deterministic
+    * on any engine. Integer costs throughout — no float, oracle-exact.
+    * Unreached nodes are absent. */
+  def weightedShortestPaths(edges: DataFrame, sources: DataFrame,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = sources.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      dist = e.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+        .unionByName(dist.select(col("node"), col("dist").as("cand")))
+        .groupBy(col("node")).agg(min(col("cand")).as("dist"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Triangle count over an undirected graph given CANONICAL edges
     * (src < dst, deduplicated): each triangle x<y<z is counted exactly
     * once by closing the two-hop path (x,y)+(y,z) with the edge (x,z).

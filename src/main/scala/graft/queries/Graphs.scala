@@ -196,9 +196,31 @@ object Graphs {
   def q189Assortativity(spark: SparkSession, dir: String): DataFrame =
     Graph.degreeAssortativity(tradeEdges(spark, dir))
 
+  /** Weighted shortest "trust distance" from the lowest-id node: edge
+    * cost 1 + 1e6 div (co-trade line count) — strong trading ties are
+    * cheap — relaxed 4 Bellman-Ford rounds
+    * ([[graft.ops.Graph.weightedShortestPaths]]). */
+  def q197WeightedPaths(spark: SparkSession, dir: String): DataFrame = {
+    val weighted = table(spark, dir, "orders")
+      .join(table(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("c"), col("s"),
+        (lit(1L) + expr("1000000L div n")).as("w"))
+    val edges = weighted.select(col("c").as("src"), col("s").as("dst"),
+        col("w"))
+      .unionByName(weighted.select(col("s").as("src"), col("c").as("dst"),
+        col("w")))
+    val seed = edges.agg(min(col("src")).as("node"))
+    Graph.weightedShortestPaths(edges, seed, iters = 4)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q188_hits" -> q188Hits,
     "q189_assortativity" -> q189Assortativity,
+    "q197_weighted_paths" -> q197WeightedPaths,
     "q87_pagerank" -> q87PageRank,
     "q90_copurchase" -> q90CoPurchase,
     "q91_item_sim" -> q91ItemSim,
@@ -362,6 +384,34 @@ object Graphs {
       s"""WITH $lpaCtes
          |SELECT CAST(node AS BIGINT) AS node,
          |       CAST(label AS BIGINT) AS label FROM l3""".stripMargin,
+    // 4 Bellman-Ford relax rounds unrolled; all-integer min-plus algebra
+    "q197_weighted_paths" ->
+      """WITH wp AS (
+        |  SELECT o_custkey*2 AS c, l_suppkey*2+1 AS s,
+        |         1 + 1000000 // count(*) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT c AS src, s AS dst, w FROM wp
+        |      UNION ALL SELECT s, c, w FROM wp),
+        |d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM e),
+        |d1 AS (SELECT node, min(cand) AS dist FROM (
+        |         SELECT e.dst AS node, d.dist + e.w AS cand
+        |         FROM e JOIN d0 d ON e.src = d.node
+        |         UNION ALL SELECT node, dist FROM d0) t GROUP BY 1),
+        |d2 AS (SELECT node, min(cand) AS dist FROM (
+        |         SELECT e.dst AS node, d.dist + e.w AS cand
+        |         FROM e JOIN d1 d ON e.src = d.node
+        |         UNION ALL SELECT node, dist FROM d1) t GROUP BY 1),
+        |d3 AS (SELECT node, min(cand) AS dist FROM (
+        |         SELECT e.dst AS node, d.dist + e.w AS cand
+        |         FROM e JOIN d2 d ON e.src = d.node
+        |         UNION ALL SELECT node, dist FROM d2) t GROUP BY 1),
+        |d4 AS (SELECT node, min(cand) AS dist FROM (
+        |         SELECT e.dst AS node, d.dist + e.w AS cand
+        |         FROM e JOIN d3 d ON e.src = d.node
+        |         UNION ALL SELECT node, dist FROM d3) t GROUP BY 1)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+        |FROM d4""".stripMargin,
     // two HITS rounds unrolled; renormalization is `(s·1e6)//max` per
     // half-round — non-negative operands, so `//` ≡ Spark `div`
     "q188_hits" ->

@@ -145,6 +145,21 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("weightedShortestPaths: relax horizon, cheaper 2-hop beats direct edge") {
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 25L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val src = Seq(Tuple1(1L)).toDF("node")
+    def run(k: Int) = Graph.weightedShortestPaths(e, src, iters = k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val one = run(1)
+    assert(one == Map(1L -> 0L, 2L -> 10L, 3L -> 25L),
+      "one round sees only direct edges")
+    val two = run(2)
+    assert(two(3L) == 20L, "two rounds relax the cheaper 2-hop path")
+    assert(two(4L) == 26L && run(3)(4L) == 21L,
+      "4 reached via direct 1→3 at round 2, via the cheap chain at round 3")
+  }
+
   test("hits: bipartite hand check — hubs and authorities separate") {
     // buyers {1,2}, sellers {10,11}: 1→{10,11}, 2→10
     val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
