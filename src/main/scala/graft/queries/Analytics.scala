@@ -544,10 +544,46 @@ object Analytics {
       .limit(20)
   }
 
+  /** TPC-H Q13 shape — customer order-count distribution INCLUDING the
+    * zero-order customers a naive inner join silently drops: left join →
+    * per-customer count → histogram of counts. The double aggregation
+    * collapses to |distinct counts| rows before the second (tiny)
+    * shuffle. */
+  def q198Custdist(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15 shape — top supplier(s) by shipped revenue in one quarter,
+    * TIES INCLUDED: aggregate → 1-row max (crossJoin broadcast, not a
+    * window over all suppliers) → equality filter. Integer cents. */
+  def q199TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revCents =
+      round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")
+    val rev = table(spark, dir, "lineitem")
+      .where(col("l_shipdate").between("1995-01-01", "1995-03-31"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revCents).as("total_rev_cents"))
+    val mx = rev.agg(max(col("total_rev_cents")).as("__mx"))
+    rev.crossJoin(broadcast(mx))
+      .where(col("total_rev_cents") === col("__mx"))
+      .join(table(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q194_holt_winters" -> q194HoltWinters,
     "q195_k_anonymity" -> q195KAnonymity,
     "q196_trigrams" -> q196Trigrams,
+    "q198_custdist" -> q198Custdist,
+    "q199_top_supplier" -> q199TopSupplier,
     "q153_ohlc" -> q153Ohlc,
     "q144_pmi" -> q144Pmi,
     "q141_twap" -> q141Twap,
@@ -581,6 +617,24 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q198_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q199_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |        AS BIGINT)) AS total_rev_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev)""".stripMargin,
     "q195_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |  count(*) AS group_size,
