@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables.table
 import graft.ops.{Profile, Skyline, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-4 analytics surface: RAG chunking, corpus n-gram mining,
@@ -578,7 +578,50 @@ object Analytics {
       .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
   }
 
+  /** Whole-warehouse reconciliation: one order-independent
+    * (count, XOR, modular-sum) signature row per driver table over a
+    * canonicalized integral projection — the "did the migration copy
+    * every row bit-for-bit" capstone ([[graft.ops.Quality.tableChecksum]]
+    * fanned across all ten tables; each signature is a single
+    * scan-and-aggregate, the union is ten 1-row frames). Floats
+    * canonicalize to cents / are summarized by length so both engines
+    * hash identical strings. */
+  def q200WarehouseChecksum(spark: SparkSession, dir: String): DataFrame = {
+    def sig(name: String, canon: DataFrame): DataFrame =
+      graft.ops.Quality.tableChecksum(canon, canon.columns.toSeq)
+        .select(lit(name).as("table_name"), col("n_rows"), col("xor_sig"),
+          col("sum_sig"))
+    val cents = (c: Column) => round(c * 100).cast("long")
+    val t = (n: String) => table(spark, dir, n)
+    Seq(
+      sig("region", t("region").select(col("r_regionkey"), col("r_name"))),
+      sig("nation", t("nation").select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))),
+      sig("customer", t("customer").select(col("c_custkey"),
+        col("c_nationkey"), cents(col("c_acctbal")).as("cents"),
+        col("c_mktsegment"))),
+      sig("supplier", t("supplier").select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey"), cents(col("s_acctbal")).as("cents"))),
+      sig("part", t("part").select(col("p_partkey"), col("p_brand"),
+        col("p_size"))),
+      sig("orders", t("orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), cents(col("o_totalprice")).as("cents"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        col("o_orderpriority"))),
+      sig("lineitem", t("lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("cents"))),
+      sig("events", events(spark, dir).select(col("event_id"),
+        col("user_id"), col("event_type"), col("ts_us"))),
+      sig("documents", t("documents").select(col("doc_id"),
+        md5(col("text")).as("text_md5"), col("lang"), col("source"))),
+      sig("embeddings", t("embeddings").select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim")))
+    ).reduce(_ unionByName _)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_warehouse_checksum" -> q200WarehouseChecksum,
     "q194_holt_winters" -> q194HoltWinters,
     "q195_k_anonymity" -> q195KAnonymity,
     "q196_trigrams" -> q196Trigrams,
@@ -617,6 +660,45 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // ten per-table (count, XOR, mod-sum) signatures over the same
+    // canonical '|'-joined strings the engine hashes (q138 discipline)
+    "q200_warehouse_checksum" -> {
+      def block(name: String, from: String, rs: String) =
+        s"""SELECT '$name' AS table_name, count(*) AS n_rows,
+           |  bit_xor(h)::BIGINT AS xor_sig,
+           |  sum(h % 1048573)::BIGINT AS sum_sig
+           |FROM (SELECT ('0x' || substr(md5($rs), 1, 15))::BIGINT h
+           |      FROM $from) t""".stripMargin
+      Seq(
+        block("region", "region", "r_regionkey::VARCHAR || '|' || r_name"),
+        block("nation", "nation",
+          "n_nationkey::VARCHAR || '|' || n_name || '|' || n_regionkey::VARCHAR"),
+        block("customer", "customer",
+          "c_custkey::VARCHAR || '|' || c_nationkey::VARCHAR || '|' || " +
+            "CAST(round(c_acctbal * 100) AS BIGINT)::VARCHAR || '|' || c_mktsegment"),
+        block("supplier", "supplier",
+          "s_suppkey::VARCHAR || '|' || s_name || '|' || " +
+            "s_nationkey::VARCHAR || '|' || CAST(round(s_acctbal * 100) AS BIGINT)::VARCHAR"),
+        block("part", "part",
+          "p_partkey::VARCHAR || '|' || p_brand || '|' || p_size::VARCHAR"),
+        block("orders", "orders",
+          "o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || " +
+            "o_orderstatus || '|' || CAST(round(o_totalprice * 100) AS BIGINT)::VARCHAR " +
+            "|| '|' || strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority"),
+        block("lineitem", "lineitem",
+          "l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR || '|' || " +
+            "CAST(l_quantity AS BIGINT)::VARCHAR || '|' || " +
+            "CAST(round(l_extendedprice * 100) AS BIGINT)::VARCHAR"),
+        block("events", "events",
+          "event_id::VARCHAR || '|' || user_id::VARCHAR || '|' || " +
+            "event_type || '|' || epoch_us(ts)::VARCHAR"),
+        block("documents", "documents",
+          "doc_id::VARCHAR || '|' || md5(text) || '|' || lang || '|' || source"),
+        block("embeddings", "embeddings",
+          "vec_id::VARCHAR || '|' || label::VARCHAR || '|' || " +
+            "len(embedding)::VARCHAR")
+      ).mkString("\nUNION ALL\n")
+    },
     "q198_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
