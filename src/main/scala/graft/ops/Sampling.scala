@@ -163,6 +163,46 @@ object Sampling {
     * verify order or seek. Collision note: 60-bit hash over ≤2^30 keys
     * makes ties astronomically rare; the key itself tie-breaks them
     * deterministically. */
+  /** Contrastive training-pair construction: POSITIVE pairs are documents
+    * with identical content (within exact-dup groups, canonical a<b);
+    * NEGATIVE pairs come from a deterministic hash-derangement — order
+    * documents inside each of `buckets` hash buckets by an independent
+    * salt and pair each with its successor, dropping the (rare)
+    * same-content collisions. Labels: 1/0. The (anchor, positive,
+    * negative) feedstock a contrastive or reranker loss trains on,
+    * reproducible on any engine/partitioning (hash order, no RNG).
+    *
+    * Scale shape: positives explode per dup group (quadratic ONLY in the
+    * group — cap upstream if a pathological cluster appears); negatives
+    * are one partitioned window `lead` per bucket — raise `buckets`
+    * proportionally with corpus size to keep per-bucket windows bounded. */
+  def contrastivePairs(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = df.select(col(idCol).as("__id"),
+      md5(col(textCol)).as("__ch"),
+      TextDedup.hash60(concat(col(idCol).cast("string"), lit(":np")))
+        .as("__h"))
+    val pos = base.groupBy(col("__ch"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .where(size(col("__ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(__ids, (x, i) ->
+          |  transform(slice(__ids, i + 2, size(__ids)), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("__p"))
+      .select(col("__p.a").as("doc_a"), col("__p.b").as("doc_b"),
+        lit(1).as("label"))
+    val w = Window.partitionBy(pmod(col("__h"), lit(buckets.toLong)))
+      .orderBy(col("__h"), col("__id"))
+    val neg = base
+      .withColumn("__nid", lead(col("__id"), 1).over(w))
+      .withColumn("__nch", lead(col("__ch"), 1).over(w))
+      .where(col("__nid").isNotNull && col("__ch") =!= col("__nch"))
+      .select(col("__id").as("doc_a"), col("__nid").as("doc_b"),
+        lit(0).as("label"))
+    pos.unionByName(neg)
+  }
+
   def deterministicShuffle(df: DataFrame, keyCol: String, epoch: Int,
       numPartitions: Int = 0): DataFrame = {
     val pos = TextDedup.hash60(

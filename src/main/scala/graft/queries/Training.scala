@@ -672,6 +672,13 @@ object Training {
   def q192CentroidDrift(spark: SparkSession, dir: String): DataFrame =
     Ann.centroidDrift(embs(spark, dir), "label", "embedding", Dim)
 
+  /** Contrastive (anchor, positive/negative) pair construction over the
+    * corpus: exact-dup positives + hash-derangement negatives
+    * ([[graft.ops.Sampling.contrastivePairs]]) — the reranker /
+    * embedding-model training feedstock. */
+  def q201TrainingPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.contrastivePairs(docs(spark, dir), "doc_id", "text")
+
   /** Held-out 5-gram novelty per test-split document — the memorization
     * screen composing q71's hash split with window hashing
     * ([[TextAnalysis.ngramNovelty]]). */
@@ -691,6 +698,7 @@ object Training {
     "q190_lsh_eval" -> q190LshEval,
     "q192_centroid_drift" -> q192CentroidDrift,
     "q193_ngram_novelty" -> q193NgramNovelty,
+    "q201_training_pairs" -> q201TrainingPairs,
     "q157_hard_negatives" -> q157HardNegatives,
     "q172_incremental_dedup" -> q172IncrementalDedup,
     "q173_pq_ann" -> q173PqAnn,
@@ -867,6 +875,20 @@ object Training {
         |SELECT a.i AS i, b.i AS j, count(*) AS n, sum(a.q * b.q) AS sum_xy
         |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
+    // positives: within-group pairs over md5(text); negatives: successor
+    // pairing inside 64 hash buckets ordered by an independent salt
+    "q201_training_pairs" ->
+      s"""WITH b AS (SELECT doc_id AS id, md5(text) AS ch,
+         |    ${h60("doc_id || ':np'")} AS h
+         |  FROM documents),
+         |pos AS (SELECT a.id AS doc_a, c.id AS doc_b, 1 AS label
+         |        FROM b a JOIN b c ON a.ch = c.ch AND a.id < c.id),
+         |r AS (SELECT id, ch,
+         |        lead(id) OVER w AS nid, lead(ch) OVER w AS nch
+         |      FROM b WINDOW w AS (PARTITION BY h % 64 ORDER BY h, id)),
+         |neg AS (SELECT id AS doc_a, nid AS doc_b, 0 AS label FROM r
+         |        WHERE nid IS NOT NULL AND ch != nch)
+         |SELECT * FROM pos UNION ALL SELECT * FROM neg""".stripMargin,
     // q71's split hash + window-grain md5 hashes; counts are integers and
     // the single rate division mirrors the engine
     "q193_ngram_novelty" ->

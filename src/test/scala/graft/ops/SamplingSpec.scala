@@ -139,4 +139,27 @@ class SamplingSpec extends SparkSpec {
     // boundary); doc 3: 110 before (dropped); doc 4: 0 before (kept)
     assert(out == Map(1L -> 0L, 2L -> 60L, 4L -> 0L))
   }
+
+  test("contrastivePairs: dup-group positives, cross-content negatives, stable") {
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "other a"), (5L, "other b"), (6L, "other c")
+    ).toDF("doc_id", "text")
+    val out = Sampling.contrastivePairs(docs, "doc_id", "text", buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val pos = out.filter(_._3 == 1).map(p => (p._1, p._2)).toSet
+    assert(pos == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      "all within-group pairs, canonical a<b")
+    val neg = out.filter(_._3 == 0)
+    assert(neg.nonEmpty, "successor pairing must produce negatives")
+    assert(neg.forall { case (a, b, _) => a != b }, "no self pairs")
+    // negatives never pair two same-content docs
+    val text = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(neg.forall { case (a, b, _) => text(a) != text(b) })
+    // deterministic under repartitioning
+    val rep = Sampling.contrastivePairs(docs.repartition(5), "doc_id",
+        "text", buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rep == out.toSet)
+  }
 }
