@@ -213,6 +213,54 @@ object Ann {
     topKPerKey(pairs, k)
   }
 
+  /** FILTERED vector search — [[ivfTopKProbed]] with a metadata
+    * constraint: each query ranks only corpus vectors whose `labelCol`
+    * matches its own (the "same-tenant / same-language / same-licence"
+    * predicate every production vector store bolts onto ANN). The filter
+    * rides the cluster-pair join as one extra equality — applied BEFORE
+    * scoring, so filtered-out candidates cost nothing, and top-k is over
+    * the filtered set (no post-filter starvation: k survivors per query
+    * whenever the probed cells contain them).
+    *
+    * Same 100 TB shape as the unfiltered probe: broadcast centroids,
+    * cluster-blocked candidate join, bounded-heap top-k. For highly
+    * selective filters prefer partitioning the persisted index by the
+    * label (see [[buildIvfIndex]]'s layout) so pruning happens at the
+    * scan. */
+  def ivfTopKFiltered(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, dim: Int, k: Int, numCentroids: Int,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= numCentroids)
+    val centroids = df.where(col(idCol) < numCentroids)
+    val v = df.select(col(idCol).as("__vid"), col(vecCol).as("__vec"),
+      norm(col(vecCol), dim).as("__nrm"), col(labelCol).as("__lbl"))
+    val c = withNorm(centroids, idCol, vecCol, dim)
+      .select(col("__vid").as("__cid"), col("__vec").as("__cv"),
+        col("__nrm").as("__cn"))
+    val probesRaw = v.crossJoin(broadcast(c))
+      .withColumn("__sim",
+        dot(col("__vec"), col("__cv"), dim) / (col("__nrm") * col("__cn")))
+      .groupBy("__vid")
+      .agg(graft.functions.TopKByScore.topK(col("__sim"), col("__cid"), nprobe)
+        .as("__top"))
+      .select(col("__vid"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("__vid"), col("__e.id").as("__cid"),
+        (col("__p") + 1).as("__probe"))
+    val l = probesRaw.join(v, Seq("__vid"))
+      .select(col("__vid").as("vec_id"), col("__vec").as("__qv"),
+        col("__nrm").as("__qn"), col("__lbl"), col("__cid"))
+    val r = probesRaw.where(col("__probe") === 1).join(v, Seq("__vid"))
+      .select(col("__vid").as("neighbor_id"), col("__vec").as("__cv"),
+        col("__nrm").as("__cn"), col("__lbl").as("__nlbl"), col("__cid"))
+    val pairs = l.join(r, Seq("__cid"))
+      .where(col("vec_id") =!= col("neighbor_id") &&
+        col("__lbl") === col("__nlbl"))
+      .select(col("vec_id"), col("neighbor_id"),
+        (dot(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
+          .as("cosine"))
+    topKPerKey(pairs, k)
+  }
+
   /** K-means centroid training (Lloyd's algorithm), the production
     * replacement for the deterministic id<K IVF seeding: init from the
     * first K vectors, then `iters` rounds of assign (broadcast cosine

@@ -78,6 +78,27 @@ object TextDedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** Quality-aware survivor selection over dedup groups: given a
+    * (doc_id, component) assignment (e.g. [[connectedComponentsStar]]
+    * over near-dup pairs) and per-doc scores, keep each group's
+    * highest-scoring member (ties → smallest id) instead of the blind
+    * min-id representative — the production policy when near-duplicates
+    * differ in provenance (keep the cleanest crawl of a page, not the
+    * first-seen one). One join + one `max(struct(score, −id, id))`
+    * aggregate — no window. Scores must be deterministic
+    * ([[TextAnalysis.qualityScore]] is). */
+  def survivorsByScore(groups: DataFrame, scored: DataFrame,
+      idCol: String, scoreCol: String): DataFrame =
+    groups.select(col("doc_id"), col("component"))
+      .join(scored.select(col(idCol).as("doc_id"),
+        col(scoreCol).as("__s")), Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("__s").as("s"), negate(col("doc_id")).as("n"),
+          col("doc_id").as("i"))).as("__w"))
+      .select(col("component"), col("__w.i").as("keep_id"),
+        col("__w.s").as("keep_score"), col("n_docs"))
+
   /** One row per (id, shingle), shingles distinct within a document. */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("__id"),

@@ -672,6 +672,27 @@ object Training {
   def q192CentroidDrift(spark: SparkSession, dir: String): DataFrame =
     Ann.centroidDrift(embs(spark, dir), "label", "embedding", Dim)
 
+  /** Filtered vector search: multi-probe IVF (nprobe=2, q41's shape)
+    * constrained to same-label candidates — the metadata-predicate ANN
+    * every production vector store needs ([[Ann.ivfTopKFiltered]]). */
+  def q203FilteredAnn(spark: SparkSession, dir: String): DataFrame =
+    Ann.ivfTopKFiltered(embs(spark, dir), "vec_id", "embedding", "label",
+      Dim, k = 3, numCentroids = 16, nprobe = 2)
+      .withColumn("cosine", round(col("cosine"), 6))
+
+  /** Quality-aware dedup survivors: near-dup components (q42's
+    * MinHash+CC chain) re-resolved so each group keeps its HIGHEST
+    * [[TextAnalysis.qualityScore]] member, not the min id — the
+    * cleanest-crawl-wins policy ([[TextDedup.survivorsByScore]]). */
+  def q202BestSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val groups = TextDedup.connectedComponentsStar(
+      TextDedup.minhashDedupPairs(d, "doc_id", "text"), "doc_a", "doc_b")
+    val scored = d.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    TextDedup.survivorsByScore(groups, scored, "doc_id", "quality")
+  }
+
   /** Contrastive (anchor, positive/negative) pair construction over the
     * corpus: exact-dup positives + hash-derangement negatives
     * ([[graft.ops.Sampling.contrastivePairs]]) — the reranker /
@@ -699,6 +720,8 @@ object Training {
     "q192_centroid_drift" -> q192CentroidDrift,
     "q193_ngram_novelty" -> q193NgramNovelty,
     "q201_training_pairs" -> q201TrainingPairs,
+    "q202_best_survivors" -> q202BestSurvivors,
+    "q203_filtered_ann" -> q203FilteredAnn,
     "q157_hard_negatives" -> q157HardNegatives,
     "q172_incremental_dedup" -> q172IncrementalDedup,
     "q173_pq_ann" -> q173PqAnn,
@@ -875,6 +898,63 @@ object Training {
         |SELECT a.i AS i, b.i AS j, count(*) AS n, sum(a.q * b.q) AS sum_xy
         |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
+    // q41's probe chain with the label equality riding the pair join
+    "q203_filtered_ann" ->
+      s"""WITH $normCte,
+         |lb AS (SELECT vec_id, label FROM embeddings),
+         |c AS (SELECT vec_id cid, embedding, nrm FROM n WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, embedding, nrm, cid, rn probe FROM (
+         |  SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      (${dotSql("v", "c")}) / (v.nrm * c.nrm) DESC, c.cid) rn
+         |  FROM n v CROSS JOIN c) WHERE rn <= 2),
+         |home AS (SELECT vec_id, embedding, nrm, cid FROM asg WHERE probe = 1),
+         |p AS (SELECT a.vec_id vec_id, b.vec_id neighbor_id,
+         |        (${dotSql("a", "b")}) / (a.nrm * b.nrm) cosine
+         |      FROM asg a JOIN home b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+         |      JOIN lb la ON la.vec_id = a.vec_id
+         |      JOIN lb lc ON lc.vec_id = b.vec_id AND la.label = lc.label)
+         |SELECT vec_id, neighbor_id, round(cosine, 6) AS cosine, "rank" FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM p) WHERE "rank" <= 3""".stripMargin,
+    // q42's closure chain + q23's quality chain; per-component argmax
+    // via (quality DESC, doc_id) row_number
+    "q202_best_survivors" -> {
+      val en = stopIn(TextAnalysis.stopwords.head._2)
+      s"""WITH RECURSIVE $minhashCtes,
+         |p AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.8),
+         |und AS (SELECT doc_a u, doc_b v FROM p
+         |        UNION SELECT doc_b, doc_a FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, min(v) AS component
+         |         FROM reach GROUP BY u),
+         |f AS (SELECT doc_id, text, string_split(text, ' ') ws
+         |      FROM documents),
+         |mq AS (SELECT doc_id,
+         |  round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+         |    / length(text), 6) punct_ratio,
+         |  round(len(list_filter(ws, t -> t IN $en))::DOUBLE / len(ws), 6)
+         |    stopword_ratio,
+         |  length(text) n_chars FROM f),
+         |q AS (SELECT doc_id,
+         |  round(((CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN stopword_ratio > 0 THEN 1.0 ELSE 0.0 END))
+         |    / 3.0, 6) AS quality
+         |  FROM mq),
+         |rk AS (SELECT c.component, c.doc_id, q.quality,
+         |         row_number() OVER (PARTITION BY c.component
+         |           ORDER BY q.quality DESC, c.doc_id) rn,
+         |         count(*) OVER (PARTITION BY c.component) n
+         |       FROM comp c JOIN q ON c.doc_id = q.doc_id)
+         |SELECT component, doc_id AS keep_id, quality AS keep_score,
+         |  n AS n_docs
+         |FROM rk WHERE rn = 1""".stripMargin
+    },
     // positives: within-group pairs over md5(text); negatives: successor
     // pairing inside 64 hash buckets ordered by an independent salt
     "q201_training_pairs" ->

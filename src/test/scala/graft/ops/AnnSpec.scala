@@ -387,6 +387,26 @@ class AnnSpec extends SparkSpec {
     assert(rep == cells, "integer cells must be partition-invariant")
   }
 
+  test("ivfTopKFiltered: only same-label neighbors rank; no post-filter starvation") {
+    // 16 vectors on two axes, labels alternating; centroids = ids < 2
+    val rows = (0L until 16L).map { i =>
+      val axis = if (i % 2 == 0) Array(1f, 0.01f * i, 0f, 0f)
+      else Array(0f, 1f, 0.01f * i, 0f)
+      (i, (i % 4).toInt, axis)
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = Ann.ivfTopKFiltered(df, "vec_id", "embedding", "label",
+      4, k = 2, numCentroids = 2, nprobe = 2).collect()
+    val label = rows.map(r => r._1 -> r._2).toMap
+    assert(out.nonEmpty)
+    assert(out.forall(r => label(r.getLong(0)) == label(r.getLong(1))),
+      "every ranked neighbor must satisfy the label predicate")
+    // label groups have 4 members → with nprobe=2 over 2 cells every
+    // query sees its whole label group and fills k=2
+    val perQuery = out.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ == 2), s"starved queries: $perQuery")
+  }
+
   test("centroidDrift: symmetric two-blob corpus drifts √0.5 each side") {
     val df = Seq(
       (0L, 0, Array(1f, 0f)), (1L, 0, Array(1f, 0f)),
