@@ -834,6 +834,22 @@ object Ann {
           lit(0.0), (a, x) => a + x)), 6).as("drift"))
   }
 
+  /** Per-dimension embedding profile: n / sum / min / max per component
+    * in exact 1e-3-unit longs — the observability table that catches
+    * dead dimensions (min=max=0), clipped activations, and scale drift
+    * before they poison similarity search. One narrow posexplode
+    * aggregate; [[firstMoment]] plus extremes. */
+  def embedProfile(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 512, s"dim must be in [1, 512], got $dim")
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(posexplode(transform(col(vecCol),
+        x => round(x.cast("double") * 1000, 0).cast("long")))
+        .as(Seq("i", "q")))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
+        min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+  }
+
   /** Principal component of the sample covariance via power iteration.
     * The distributed work is [[firstMoment]] + [[secondMoment]] (two
     * narrow aggregates); the collected state is O(d²) scalars — the d×d

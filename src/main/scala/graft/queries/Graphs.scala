@@ -217,10 +217,34 @@ object Graphs {
     Graph.weightedShortestPaths(edges, seed, iters = 4)
   }
 
+  /** One-row graph card for the trade graph: node/edge counts, density
+    * in 1e-9 units (exact integral division), degree extremes/mean, and
+    * the co-purchase triangle count — the observability summary printed
+    * before anyone runs an expensive iterative algorithm. Three tiny
+    * aggregates crossJoined; exact integers throughout. */
+  def q204GraphCard(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(spark, dir)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("d")).as("__m2"), max(col("d")).as("max_degree"),
+      min(col("d")).as("min_degree"))
+    val tri = Graph.triangleCount(
+      affinityEdges(spark, dir).select(col("src"), col("dst")))
+    degStats.crossJoin(tri)
+      .select(col("n_nodes"), (col("__m2") / 2).cast("long").as("n_edges"),
+        // density·1e9 = 2m·1e9 div (n·(n−1)) — integral, engine-exact
+        expr("(__m2 * 1000000000L) div (n_nodes * (n_nodes - 1))")
+          .as("density_nano"),
+        col("min_degree"), col("max_degree"),
+        expr("__m2 div n_nodes").as("mean_degree"),
+        col("n_triangles").as("copurchase_triangles"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q188_hits" -> q188Hits,
     "q189_assortativity" -> q189Assortativity,
     "q197_weighted_paths" -> q197WeightedPaths,
+    "q204_graph_card" -> q204GraphCard,
     "q87_pagerank" -> q87PageRank,
     "q90_copurchase" -> q90CoPurchase,
     "q91_item_sim" -> q91ItemSim,
@@ -384,6 +408,30 @@ object Graphs {
       s"""WITH $lpaCtes
          |SELECT CAST(node AS BIGINT) AS node,
          |       CAST(label AS BIGINT) AS label FROM l3""".stripMargin,
+    "q204_graph_card" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s, c FROM pairs),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+        |ds AS (SELECT count(*) AS n_nodes, sum(d) AS m2,
+        |         max(d) AS max_degree, min(d) AS min_degree FROM deg),
+        |bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey src, b.l_partkey dst
+        |      FROM bp a JOIN bp b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        |        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        |SELECT ds.n_nodes, CAST(ds.m2 // 2 AS BIGINT) AS n_edges,
+        |  CAST((ds.m2 * 1000000000) // (ds.n_nodes * (ds.n_nodes - 1))
+        |    AS BIGINT) AS density_nano,
+        |  ds.min_degree, ds.max_degree,
+        |  CAST(ds.m2 // ds.n_nodes AS BIGINT) AS mean_degree,
+        |  tri.n_triangles AS copurchase_triangles
+        |FROM ds CROSS JOIN tri""".stripMargin,
     // 4 Bellman-Ford relax rounds unrolled; all-integer min-plus algebra
     "q197_weighted_paths" ->
       """WITH wp AS (

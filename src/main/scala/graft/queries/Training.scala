@@ -672,6 +672,11 @@ object Training {
   def q192CentroidDrift(spark: SparkSession, dir: String): DataFrame =
     Ann.centroidDrift(embs(spark, dir), "label", "embedding", Dim)
 
+  /** Per-dimension embedding profile — dead-dimension / clipping / scale
+    * observability in exact 1e-3 units ([[Ann.embedProfile]]). */
+  def q205EmbedProfile(spark: SparkSession, dir: String): DataFrame =
+    Ann.embedProfile(embs(spark, dir), "embedding", Dim)
+
   /** Filtered vector search: multi-probe IVF (nprobe=2, q41's shape)
     * constrained to same-label candidates — the metadata-predicate ANN
     * every production vector store needs ([[Ann.ivfTopKFiltered]]). */
@@ -722,6 +727,7 @@ object Training {
     "q201_training_pairs" -> q201TrainingPairs,
     "q202_best_survivors" -> q202BestSurvivors,
     "q203_filtered_ann" -> q203FilteredAnn,
+    "q205_embed_profile" -> q205EmbedProfile,
     "q157_hard_negatives" -> q157HardNegatives,
     "q172_incremental_dedup" -> q172IncrementalDedup,
     "q173_pq_ann" -> q173PqAnn,
@@ -898,6 +904,16 @@ object Training {
         |SELECT a.i AS i, b.i AS j, count(*) AS n, sum(a.q * b.q) AS sum_xy
         |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
+    "q205_embed_profile" ->
+      """WITH e AS (
+        |  SELECT CAST(i - 1 AS INTEGER) AS i,
+        |    CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM (SELECT unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings) t)
+        |SELECT i, count(*) AS n, sum(q) AS sum_q,
+        |  min(q) AS min_q, max(q) AS max_q
+        |FROM e GROUP BY i""".stripMargin,
     // q41's probe chain with the label equality riding the pair join
     "q203_filtered_ann" ->
       s"""WITH $normCte,
