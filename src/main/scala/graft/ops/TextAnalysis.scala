@@ -547,6 +547,38 @@ object TextAnalysis {
       .withColumn("quality", qualityScore(t))
   }
 
+  /** Gopher-style repetition-free quality rules (Rae et al. 2021's
+    * published heuristic family, adapted to the corpus's single-line
+    * documents): per-document rule booleans plus the conjunction —
+    * the classic pre-training keep/drop gate, kept as SEPARATE columns
+    * so a curation run can report per-rule kill counts, not just a
+    * survivor total. Projection-only (no shuffle, no state); every
+    * ratio rounds to 6 places before its threshold compare so the gate
+    * is engine-exact. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val ws = split(t, " ")
+    val nWords = size(ws)
+    val meanWordLen = round((length(t) - (nWords - 1)).cast("double") /
+      nWords, 6)
+    val alphaFrac = round(size(filter(ws, w => w.rlike("[a-z]")))
+      .cast("double") / nWords, 6)
+    val stopArr = typedlit(stopwords.head._2)
+    val nStopDistinct = size(array_distinct(
+      filter(ws, w => array_contains(stopArr, w))))
+    df.select(col(idCol), nWords.as("n_words"),
+        meanWordLen.as("mean_word_len"), alphaFrac.as("alpha_frac"),
+        nStopDistinct.as("n_stop_distinct"))
+      .withColumn("rule_word_count",
+        col("n_words").between(minWords, maxWords))
+      .withColumn("rule_word_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("rule_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("rule_stopwords", col("n_stop_distinct") >= 2)
+      .withColumn("passes", col("rule_word_count") && col("rule_word_len") &&
+        col("rule_alpha") && col("rule_stopwords"))
+  }
+
   /** Held-out n-gram novelty: for each TEST-split document, the fraction
     * of its token n-gram windows never seen in the TRAIN split — the
     * memorization-risk / generalization-gap monitor an eval pipeline runs

@@ -672,6 +672,13 @@ object Training {
   def q192CentroidDrift(spark: SparkSession, dir: String): DataFrame =
     Ann.centroidDrift(embs(spark, dir), "label", "embedding", Dim)
 
+  /** Gopher-style rule gate with per-rule audit columns
+    * ([[TextAnalysis.gopherRules]]) — the published pre-training
+    * heuristic family as a projection-only pass. */
+  def q206GopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(docs(spark, dir), "doc_id", "text",
+      minWords = 20, maxWords = 100000)
+
   /** Per-dimension embedding profile — dead-dimension / clipping / scale
     * observability in exact 1e-3 units ([[Ann.embedProfile]]). */
   def q205EmbedProfile(spark: SparkSession, dir: String): DataFrame =
@@ -728,6 +735,7 @@ object Training {
     "q202_best_survivors" -> q202BestSurvivors,
     "q203_filtered_ann" -> q203FilteredAnn,
     "q205_embed_profile" -> q205EmbedProfile,
+    "q206_gopher_rules" -> q206GopherRules,
     "q157_hard_negatives" -> q157HardNegatives,
     "q172_incremental_dedup" -> q172IncrementalDedup,
     "q173_pq_ann" -> q173PqAnn,
@@ -904,6 +912,29 @@ object Training {
         |SELECT a.i AS i, b.i AS j, count(*) AS n, sum(a.q * b.q) AS sum_xy
         |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
+    "q206_gopher_rules" -> {
+      val en = stopIn(TextAnalysis.stopwords.head._2)
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') ws
+         |           FROM documents),
+         |m AS (SELECT doc_id, len(ws) AS n_words,
+         |  round((length(text) - (len(ws) - 1))::DOUBLE / len(ws), 6)
+         |    AS mean_word_len,
+         |  round(len(list_filter(ws, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+         |    / len(ws), 6) AS alpha_frac,
+         |  len(list_distinct(list_filter(ws, t -> t IN $en)))
+         |    AS n_stop_distinct
+         |  FROM w)
+         |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, mean_word_len,
+         |  alpha_frac, CAST(n_stop_distinct AS INTEGER) AS n_stop_distinct,
+         |  n_words BETWEEN 20 AND 100000 AS rule_word_count,
+         |  mean_word_len BETWEEN 3.0 AND 10.0 AS rule_word_len,
+         |  alpha_frac >= 0.8 AS rule_alpha,
+         |  n_stop_distinct >= 2 AS rule_stopwords,
+         |  (n_words BETWEEN 20 AND 100000) AND
+         |  (mean_word_len BETWEEN 3.0 AND 10.0) AND
+         |  (alpha_frac >= 0.8) AND (n_stop_distinct >= 2) AS passes
+         |FROM m""".stripMargin
+    },
     "q205_embed_profile" ->
       """WITH e AS (
         |  SELECT CAST(i - 1 AS INTEGER) AS i,
