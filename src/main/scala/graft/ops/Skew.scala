@@ -46,4 +46,26 @@ object Skew {
   def latestByKeySalted(df: DataFrame, keys: Seq[String],
       order: Seq[Column], salts: Int = 16): DataFrame =
     topKPerKeySalted(df, keys, order, 1, salts)
+
+  /** Manually salted equi-join for a hot key when AQE's skew-join can't
+    * help (disabled, streaming micro-batches, or a build side too big to
+    * broadcast but small enough to replicate `salts`×): the BIG side gets
+    * a row-hash salt, the SMALL side replicates once per salt value, and
+    * the join runs on (key, salt) — a hot key's rows spread across
+    * `salts` tasks instead of funneling through one. Result is row-
+    * identical to the plain equi-join (every big row still meets every
+    * matching small row exactly once). Cost: `salts`× the small side's
+    * shuffle bytes — keep `salts` ≈ hot-key-rows / healthy-task-rows.
+    * Both inputs must share the join column name. */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int = 8): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(big.columns.contains(key) && small.columns.contains(key),
+      s"both sides need join column '$key'")
+    val salt = pmod(hash(big.columns.map(col): _*), lit(salts))
+    val b = big.withColumn("__salt", salt)
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -620,7 +620,24 @@ object Analytics {
     ).reduce(_ unionByName _)
   }
 
+  /** Revenue by part brand through a MANUALLY salted fact⋈dim join
+    * ([[graft.ops.Skew.saltedEquiJoin]], 8 salts): the skew-mitigation
+    * spelling for when AQE can't re-plan — oracle-proven row-identical
+    * to the plain join (the salt changes the plan, never the result). */
+  def q207SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val revCents =
+      round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")
+    val dim = table(spark, dir, "part")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    graft.ops.Skew.saltedEquiJoin(table(spark, dir, "lineitem"), dim,
+        "l_partkey", salts = 8)
+      .groupBy(col("p_brand"))
+      .agg(sum(revCents).as("rev_cents"), count(lit(1)).as("n_items"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_salted_join" -> q207SaltedJoin,
     "q200_warehouse_checksum" -> q200WarehouseChecksum,
     "q194_holt_winters" -> q194HoltWinters,
     "q195_k_anonymity" -> q195KAnonymity,
@@ -660,6 +677,14 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // the salt is a plan detail — the oracle is the PLAIN join
+    "q207_salted_join" ->
+      """SELECT p_brand,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS rev_cents,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
     // ten per-table (count, XOR, mod-sum) signatures over the same
     // canonical '|'-joined strings the engine hashes (q138 discipline)
     "q200_warehouse_checksum" -> {

@@ -69,4 +69,19 @@ class SkewSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("saltedEquiJoin is row-identical to the plain join under heavy skew") {
+    import spark.implicits._
+    // 500 rows on one hot key + a long tail
+    val big = ((1 to 500).map(i => (1L, i.toLong)) ++
+      (2L to 50L).map(k => (k, k))).toDF("k", "payload")
+    val small = (1L to 50L).map(k => (k, s"dim$k")).toDF("k", "name")
+    def counts(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = counts(big.join(small, "k"))
+    val salted = counts(Skew.saltedEquiJoin(big, small, "k", salts = 7))
+    assert(salted == plain)
+    assert(plain(1L) == 500L, "hot key joins every row exactly once")
+  }
 }
