@@ -303,6 +303,133 @@ object Ann {
     centroids.select(col("__cid").as("cid"), col("__cvec").as("vec"))
   }
 
+  /** Greedy k-center (farthest-point-first) coreset selection: pick the
+    * `k` embeddings that 2-approximate the best k-center cover — the
+    * diversity-sampling primitive for training-data curation (maximally
+    * spread exemplars, the opposite of the near-dup removal the cascade
+    * does). Seed = minimum id; each round selects the point FARTHEST from
+    * the chosen set (max over points of min over centers), ties to the
+    * smaller id.
+    *
+    * Distances are EXACT integers: components are quantized to
+    * `round(x·scale)` longs and squared-L2 summed in int64 (dim·(2·|x|max·
+    * scale)² must fit — 64-dim unit-ish vectors at 10^6 use ~2^45), so
+    * argmax comparisons can never tie-break on engine float noise and
+    * DuckDB replays the selection bit-for-bit.
+    *
+    * Each of the k−1 rounds is ONE distributed min-dist scan + a 1-row
+    * driver fetch of the winner (k rows total on the driver — same
+    * bounded-collect contract as [[kmeansCentroids]]); the scan is a
+    * narrow projection with a `least()` over ≤k broadcast literal
+    * vectors, so at 100 TB the cost is k linear passes, no shuffle at
+    * all. Returns (sel_order, vec_id, sqdist) where sqdist is the
+    * quantized squared distance to the previously-chosen set (0 for the
+    * seed). */
+  def kcenterSelect(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df.select(col(idCol).cast("long").as("__vid"),
+      transform(col(vecCol),
+        x => round(x.cast("double") * scale).cast("long")).as("__qv"))
+    def sqdistTo(center: Seq[Long]): Column =
+      aggregate(
+        zip_with(col("__qv"), typedLit(center),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val seed = q.orderBy(col("__vid")).limit(1).collect()(0)
+    var chosen = Vector((seed.getLong(0), seed.getSeq[Long](1), 0L))
+    for (_ <- 1 until k) {
+      val ds = chosen.map { case (_, v, _) => sqdistTo(v) }
+      val minDist = if (ds.size == 1) ds.head else least(ds: _*)
+      val next = q
+        .where(not(col("__vid").isInCollection(chosen.map(_._1))))
+        .select(col("__vid"), col("__qv"), minDist.as("__d"))
+        .orderBy(col("__d").desc, col("__vid").asc)
+        .limit(1).collect()(0)
+      chosen :+= ((next.getLong(0), next.getSeq[Long](1), next.getLong(2)))
+    }
+    chosen.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1L, id, d) }
+      .toDF("sel_order", "vec_id", "sqdist")
+  }
+
+  /** Deterministic ±1 hyperplane weight for SRP bit `j`, component `i`:
+    * parity of the first md5 byte of `"i_j"` — engine-independent public
+    * derivation, so an oracle can rebuild the identical hyperplanes. */
+  def srpWeight(i: Int, j: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${i}_$j".getBytes("UTF-8"))
+    if ((d(0) & 1) == 0) 1 else -1
+  }
+
+  /** Signed-random-projection (hyperplane) LSH signature over an
+    * embedding column: bit `j` of the signature is the SIGN of the dot
+    * product with a fixed ±1 hyperplane ([[srpWeight]]) — Charikar's
+    * cosine sketch. Components are integer-quantized (`round(x·scale)`)
+    * first, so each projection is an EXACT int64 sum and the sign can
+    * never flip on engine float noise.
+    *
+    * This is the cosine twin of [[graft.ops.TextDedup.simhash]] (which
+    * sketches token sets): O(dim·bits) codegen'd arithmetic per row, no
+    * shuffle — at 100 TB the signature pass is a projection-only scan,
+    * and all downstream near-dup work moves 8-byte signatures instead of
+    * `dim`-float arrays. */
+  def srpSignature(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bits: Int = 32, scale: Long = 1000000L): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
+    val qv = transform(col(vecCol),
+      x => round(x.cast("double") * scale).cast("long"))
+    val sig = (0 until bits).map { j =>
+      val h: Seq[Long] = (0 until dim).map(i => srpWeight(i, j).toLong)
+      val proj = aggregate(
+        zip_with(qv, typedLit(h), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol).as("vec_id"), sig.as("sig"))
+  }
+
+  /** Embedding near-duplicate pairs by SRP signature hamming distance,
+    * found WITHOUT a quadratic join: signatures split into `bands`
+    * equal bit-blocks; pairs sharing any block meet in a band equi-join
+    * (pigeonhole: hamming ≤ bands−1 ⟹ some block is untouched, so the
+    * blocking is LOSSLESS for `maxHamming ≤ bands−1` — asserted).
+    * Returns (vec_a < vec_b, hamming). The oracle replays the quadratic
+    * filter; results are identical by the pigeonhole argument, which is
+    * exactly the property that lets the same code run at 100 TB where
+    * the quadratic spelling cannot. */
+  def srpDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3,
+      scale: Long = 1000000L): DataFrame = {
+    require(bits % bands == 0, s"bits ($bits) must divide into bands ($bands)")
+    require(maxHamming <= bands - 1,
+      s"band blocking is only lossless for maxHamming <= bands-1 " +
+        s"(got maxHamming=$maxHamming, bands=$bands)")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sigs = srpSignature(df, idCol, vecCol, dim, bits, scale)
+    val banded = sigs.select(col("vec_id"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            (shiftrightunsigned(col("sig"), b * width)
+              .bitwiseAND(mask)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("vec_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"),
+      col("vec_id").as("vec_a"), col("sig").as("__sa"))
+    val b = banded.select(col("band"), col("key"),
+      col("vec_id").as("vec_b"), col("sig").as("__sb"))
+    a.join(b, Seq("band", "key"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        expr("bit_count(__sa ^ __sb)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Persist an IVF index: cluster assignments written as parquet
     * PARTITIONED BY cluster id (`cid=`), centroids + norms alongside.
     * Build once, query many — the index shape that makes repeated ANN

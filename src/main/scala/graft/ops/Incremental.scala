@@ -74,4 +74,36 @@ object Incremental {
         sum(col("sum_cents")).as("sum_cents"),
         min(col("min_cents")).as("min_cents"),
         max(col("max_cents")).as("max_cents"))
+
+  /** Delta term for an INSERT-ONLY materialized join view: with a stored
+    * view `V_old = F_old ⋈ D_old`, appending fact rows `ΔF` and dimension
+    * rows `ΔD` contributes exactly
+    *
+    * {{{ ΔV = ΔF ⋈ (D_old ∪ ΔD)  ∪  F_old ⋈ ΔD }}}
+    *
+    * — the classic join delta rule (ΔF⋈ΔD is folded into the first term
+    * so no pair is produced twice). The view owner appends `ΔV` to the
+    * stored view; nothing else is touched.
+    *
+    * At 100 TB this is the point: a daily refresh joins ONE DAY of facts
+    * against the dimension (broadcast or bucket-pruned — O(ΔF)) plus the
+    * historical facts against only the handful of NEW dimension rows
+    * (O(F) scan but a near-empty build side, and with `ΔD` empty Catalyst
+    * prunes the term to nothing) — never the full F ⋈ D recompute.
+    * Insert-only is the contract: updates/deletes need the retraction
+    * algebra ([[MergeOnRead]] covers latest-wins snapshots instead). */
+  def joinViewDelta(factOld: DataFrame, factDelta: DataFrame,
+      dimOld: DataFrame, dimDelta: DataFrame,
+      keys: Seq[String]): DataFrame =
+    factDelta.join(dimOld.unionByName(dimDelta), keys)
+      .unionByName(factOld.join(dimDelta, keys))
+
+  /** Maintained view after one insert-only batch: stored rows plus
+    * [[joinViewDelta]]. Spec-proven row-identical to the full
+    * `(F_old ∪ ΔF) ⋈ (D_old ∪ ΔD)` recompute. */
+  def maintainJoinView(viewOld: DataFrame, factOld: DataFrame,
+      factDelta: DataFrame, dimOld: DataFrame, dimDelta: DataFrame,
+      keys: Seq[String]): DataFrame =
+    viewOld.unionByName(
+      joinViewDelta(factOld, factDelta, dimOld, dimDelta, keys))
 }

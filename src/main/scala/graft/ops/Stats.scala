@@ -440,4 +440,52 @@ object Stats {
       .withColumn("segment", concat(col("r_score"), col("f_score"),
         col("m_score")))
   }
+
+  /** Kaplan–Meier survival curve (right-censored product-limit
+    * estimator): input is ONE ROW PER SUBJECT with an integral duration
+    * (`durationCol`, e.g. hours-to-conversion — bucket it; see below) and
+    * `eventCol` 1 = event observed, 0 = censored at that duration.
+    * Output: one row per distinct EVENT time t with the at-risk count
+    * n(t), event count d(t), and S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ).
+    *
+    * Determinism: durations are integers so risk sets are exact count
+    * arithmetic; each factor (n−d)/n is one double division of exact
+    * longs; S(t) folds the factors in ascending-t order from a sorted
+    * array (seeded 1.0 — IEEE `1.0·f₁ = f₁`, so DuckDB's first-element
+    * seed folds identically). Never `exp(sum(ln))` — libm differs across
+    * engines.
+    *
+    * Scale shape: the subject table aggregates map-side to one row per
+    * distinct duration, so the curve state is O(distinct durations) —
+    * which is why `durationCol` should be BUCKETED (hours/days), keeping
+    * the single-partition window and the O(T²) prefix fold over a
+    * T-row frame, not an N-row one. The per-subject build is ordinary
+    * distributed aggregation. */
+  def kaplanMeier(subjects: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val n = subjects.count()
+    val times = subjects
+      .groupBy(col(durationCol).cast("long").as("t"))
+      .agg(sum(col(eventCol).cast("long")).as("d"),
+        count(lit(1)).as("leaving"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = times
+      .withColumn("n_at_risk",
+        lit(n) - (sum(col("leaving")).over(w) - col("leaving")))
+      .where(col("d") > 0)
+      .select(col("t"), col("d"), col("n_at_risk"),
+        ((col("n_at_risk") - col("d")).cast("double") /
+          col("n_at_risk").cast("double")).as("f"))
+    val terms = risk.groupBy().agg(
+      array_sort(collect_list(struct(col("t"), col("d"),
+        col("n_at_risk"), col("f")))).as("terms"))
+    terms
+      .select(col("terms"), posexplode(col("terms")).as(Seq("__i", "__x")))
+      .select(col("__x.t").as("t"), col("__x.n_at_risk").as("n_at_risk"),
+        col("__x.d").as("n_events"),
+        round(aggregate(
+          slice(col("terms"), lit(1), col("__i") + 1), lit(1.0d),
+          (acc, x) => acc * x.getField("f")), 6).as("survival"))
+  }
 }

@@ -636,7 +636,100 @@ object Analytics {
       .agg(sum(revCents).as("rev_cents"), count(lit(1)).as("n_items"))
   }
 
+  /** Spark 4 RECURSIVE CTE (`UnionLoop`): a month spine the engine
+    * generates itself — anchor = one (min, max) month-index aggregate,
+    * step = `mi + 1` until the max — LEFT JOINed to monthly order
+    * counts so zero-order months surface as explicit rows. ~80
+    * recursion levels of one-row frames cost driver time only; the
+    * joined aggregate is the one real job (at 100 TB the spine is
+    * still 80 rows). DuckDB replays `WITH RECURSIVE` verbatim;
+    * revenue is integer cents per the q72 discipline. */
+  def q208RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    // ~80 levels on this corpus; the default limit (100) is one data
+    // refresh away from a failure, so pin headroom explicitly
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
+    table(spark, dir, "orders").createOrReplaceTempView("q208_orders")
+    spark.sql(
+      """WITH RECURSIVE months AS (
+        |  SELECT mn AS mi, mx FROM (
+        |    SELECT min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mn,
+        |           max(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mx
+        |    FROM q208_orders)
+        |  UNION ALL
+        |  SELECT mi + 1, mx FROM months WHERE mi < mx),
+        |agg AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+        |         count(*) AS n_orders,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM q208_orders GROUP BY 1)
+        |SELECT format_string('%04d-%02d', mi div 12, mi % 12 + 1) AS month,
+        |  coalesce(n_orders, 0L) AS n_orders,
+        |  coalesce(cents, 0L) AS cents
+        |FROM months LEFT JOIN agg USING (mi)""".stripMargin)
+  }
+
+  /** Spearman rank correlation (tie-corrected) between line quantity and
+    * extended price per return flag. DOUBLED average ranks stay integral
+    * under ties (2·avgrank = 2·minrank + tiecount − 1) and Spearman is
+    * scale-invariant, so every aggregation sums exact BIGINTs — the only
+    * float math is the final one-expression formula over those exact
+    * sums, identical IEEE ops in both engines. Σr² tops out ~8.6e17 at
+    * sf0.1 (fits BIGINT); at sf1000 switch the sums to DECIMAL(38,0). */
+  def q209Spearman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flag = col("l_returnflag")
+    val wq = Window.partitionBy(flag).orderBy(col("l_quantity"))
+    val wqt = Window.partitionBy(flag, col("l_quantity"))
+    val wp = Window.partitionBy(flag).orderBy(col("l_extendedprice"))
+    val wpt = Window.partitionBy(flag, col("l_extendedprice"))
+    val ranked = table(spark, dir, "lineitem").select(flag,
+      (lit(2L) * rank().over(wq) + count(lit(1)).over(wqt) - lit(1L))
+        .as("rx"),
+      (lit(2L) * rank().over(wp) + count(lit(1)).over(wpt) - lit(1L))
+        .as("ry"))
+    val d = (c: Column) => c.cast("double")
+    val s = ranked.groupBy(flag).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"),
+      sum(col("rx") * col("ry")).as("sxy"))
+    s.select(flag, col("n_pairs"),
+      round((d(col("n_pairs")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+        (sqrt(d(col("n_pairs")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+         sqrt(d(col("n_pairs")) * d(col("syy")) - d(col("sy")) * d(col("sy")))),
+        6).as("spearman"))
+  }
+
+  /** Kaplan–Meier conversion survival: per user, hours from first `view`
+    * to first subsequent `purchase`; users who never purchase are
+    * right-censored at their last event. One curve point per event-hour
+    * with at-risk count and S(t) ([[graft.ops.Stats.kaplanMeier]]) — the
+    * time-to-event layer on top of q73's funnel counts. Durations are
+    * exact integer hours; survival folds sorted exact factors. */
+  def q212Survival(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000L"))
+    val perUser = ev.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view", col("ts_us"))).as("tv"),
+      max(col("ts_us")).as("tlast"))
+    val firstPurchase = ev.where(col("event_type") === "purchase")
+      .join(perUser.where(col("tv").isNotNull), Seq("user_id"))
+      .where(col("ts_us") >= col("tv"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("tp"))
+    val subjects = perUser.where(col("tv").isNotNull)
+      .join(firstPurchase, Seq("user_id"), "left_outer")
+      .select(
+        // durations are non-negative, so integer `div` matches DuckDB //
+        expr("(coalesce(tp, tlast) - tv) div 3600000000L").as("dur_h"),
+        col("tp").isNotNull.cast("long").as("ev"))
+    graft.ops.Stats.kaplanMeier(subjects, "dur_h", "ev")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_recursive_cte" -> q208RecursiveCte,
+    "q209_spearman" -> q209Spearman,
+    "q212_survival" -> q212Survival,
     "q207_salted_join" -> q207SaltedJoin,
     "q200_warehouse_checksum" -> q200WarehouseChecksum,
     "q194_holt_winters" -> q194HoltWinters,
@@ -677,6 +770,81 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // DuckDB runs the SAME recursion: integer month indexes, zero-filled
+    // LEFT JOIN; only printf vs format_string spelling differs
+    "q208_recursive_cte" ->
+      """WITH RECURSIVE months AS (
+        |  SELECT mn AS mi, mx FROM (
+        |    SELECT min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mn,
+        |           max(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mx
+        |    FROM orders) t
+        |  UNION ALL
+        |  SELECT mi + 1, mx FROM months WHERE mi < mx),
+        |agg AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+        |         count(*) AS n_orders,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT printf('%04d-%02d', mi // 12, mi % 12 + 1) AS month,
+        |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+        |  CAST(coalesce(cents, 0) AS BIGINT) AS cents
+        |FROM months LEFT JOIN agg USING (mi)""".stripMargin,
+    // doubled tie-averaged ranks are integers; the ρ formula runs once
+    // over exact BIGINT sums — identical IEEE expression both engines
+    "q209_spearman" ->
+      """WITH r AS (SELECT l_returnflag,
+        |    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |      + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx,
+        |    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+        |      + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry
+        |  FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(rx) AS BIGINT) sx, CAST(sum(ry) AS BIGINT) sy,
+        |    CAST(sum(rx * rx) AS BIGINT) sxx,
+        |    CAST(sum(ry * ry) AS BIGINT) syy,
+        |    CAST(sum(rx * ry) AS BIGINT) sxy
+        |  FROM r GROUP BY 1)
+        |SELECT l_returnflag, n AS n_pairs,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |    (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+        |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+        |    AS spearman
+        |FROM s""".stripMargin,
+    // same product-limit chain: exact integer risk sets, factors folded
+    // in ascending-t order (list_reduce's first-element seed ≡ Spark's
+    // 1.0 seed since IEEE 1.0·f = f)
+    "q212_survival" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) ts_us
+        |  FROM events),
+        |pu AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts_us END) tv,
+        |    max(ts_us) tlast
+        |  FROM ev GROUP BY 1),
+        |pp AS (SELECT e.user_id, min(e.ts_us) tp
+        |  FROM ev e JOIN pu USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts_us >= pu.tv AND pu.tv IS NOT NULL
+        |  GROUP BY 1),
+        |subj AS (SELECT (coalesce(tp, tlast) - tv) // 3600000000 AS t,
+        |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM pu LEFT JOIN pp USING (user_id) WHERE tv IS NOT NULL),
+        |tm AS (SELECT t, CAST(sum(ev) AS BIGINT) d, count(*) leav
+        |  FROM subj GROUP BY 1),
+        |r AS (SELECT t, d,
+        |    (SELECT count(*) FROM subj)
+        |      - (CAST(sum(leav) OVER (ORDER BY t) AS BIGINT) - leav) n
+        |  FROM tm),
+        |e AS (SELECT t, d, n, (n - d)::DOUBLE / n::DOUBLE f FROM r
+        |  WHERE d > 0),
+        |terms AS (SELECT list(struct_pack(t := t, f := f) ORDER BY t) ts
+        |  FROM e),
+        |idx AS (SELECT t, d, n,
+        |    row_number() OVER (ORDER BY t) i FROM e)
+        |SELECT idx.t, idx.n AS n_at_risk, idx.d AS n_events,
+        |  round(list_reduce(
+        |    list_transform(ts[1:idx.i], x -> x.f), (a, b) -> a * b), 6)
+        |    AS survival
+        |FROM idx CROSS JOIN terms""".stripMargin,
     // the salt is a plan detail — the oracle is the PLAIN join
     "q207_salted_join" ->
       """SELECT p_brand,

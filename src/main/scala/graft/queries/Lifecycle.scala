@@ -130,7 +130,34 @@ object Lifecycle {
       "high_quantity" -> lineitem.where(col("l_quantity") > 45.0)))
   }
 
+  /** Incremental JOIN-view maintenance ([[Incremental.maintainJoinView]]):
+    * orders⋈customer maintained through one insert-only batch — facts
+    * split at 2000-01-01 (the "new day"), dimensions split on
+    * `c_custkey % 10 = 0` (the "new customers") — then aggregated per
+    * nation. The maintained view is ALGEBRAICALLY the full join
+    * (ΔF⋈(D∪ΔD) ∪ F_old⋈ΔD appended to the stored rows), so the oracle
+    * is the plain join: the delta plumbing must be invisible in the
+    * result, exactly like q207's salt. O(delta) per batch at 100 TB
+    * where the recompute is O(history). */
+  def q210IncrementalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val pivot = lit("2000-01-01").cast("timestamp")
+    val orders = table(spark, dir, "orders")
+    val dim = table(spark, dir, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val fOld = orders.where(col("o_orderdate") < pivot)
+    val fDelta = orders.where(col("o_orderdate") >= pivot)
+    val dOld = dim.where(pmod(col("o_custkey"), lit(10)) =!= 0)
+    val dDelta = dim.where(pmod(col("o_custkey"), lit(10)) === 0)
+    val vOld = fOld.join(dOld, Seq("o_custkey")) // the stored view
+    Incremental.maintainJoinView(vOld, fOld, fDelta, dOld, dDelta,
+        Seq("o_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_incremental_join" -> q210IncrementalJoin,
     "q81_scd2" -> q81Scd2,
     "q82_cdc_diff" -> q82CdcDiff,
     "q86_incremental_agg" -> q86IncrementalAgg,
@@ -139,6 +166,14 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    // the delta maintenance is a plan detail — the oracle is the PLAIN
+    // join the maintained view must reproduce
+    "q210_incremental_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     "q97_dq_audit" ->
       """SELECT 'dup_orderkeys' AS rule, count(*) AS n_violations FROM (
         |  SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)

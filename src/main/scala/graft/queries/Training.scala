@@ -527,6 +527,25 @@ object Training {
       .withColumn("cosine", round(col("cosine"), 6))
   }
 
+  /** Greedy k-center diversity coreset (farthest-point-first, k=4) over
+    * the embedding corpus — the "maximally spread exemplars" selector a
+    * curation pipeline uses for eval-set seeding and coverage sampling.
+    * Distances are integer-quantized squared L2 ([[Ann.kcenterSelect]]),
+    * so the oracle's four unrolled selection rounds replay the argmax
+    * chain exactly. */
+  def q211Kcenter(spark: SparkSession, dir: String): DataFrame =
+    Ann.kcenterSelect(embs(spark, dir), "vec_id", "embedding", Dim, k = 4)
+
+  /** Embedding near-dup pairs by signed-random-projection (cosine) LSH:
+    * 32-bit exact-integer hyperplane signatures, 8×4-bit band blocking,
+    * hamming ≤ 7 (≈ cosine ≳ cos 39° — the related-pair band)
+    * ([[Ann.srpDupPairs]]). The oracle replays the QUADRATIC hamming
+    * filter over the same signatures — identical output by the pigeonhole
+    * losslessness the op asserts. */
+  def q213SrpLsh(spark: SparkSession, dir: String): DataFrame =
+    Ann.srpDupPairs(embs(spark, dir), "vec_id", "embedding", Dim,
+      bits = 32, bands = 8, maxHamming = 7)
+
   /** Incremental corpus dedup — the daily-ingest shape: docs ending in 0
     * play the "new day" increment, the rest the indexed corpus. The
     * corpus's MinHash signatures are PERSISTED once
@@ -749,6 +768,8 @@ object Training {
     "q18_ngram_jaccard" -> q18NgramJaccard,
     "q19_minhash_lsh" -> q19MinhashLsh,
     "q20_simhash" -> q20Simhash,
+    "q211_kcenter" -> q211Kcenter,
+    "q213_srp_lsh" -> q213SrpLsh,
     "q21_cosine_topk" -> q21CosineTopk,
     "q22_lang_id" -> q22LangId,
     "q23_quality" -> q23Quality,
@@ -781,7 +802,65 @@ object Training {
   private def re2(pat: String): String =
     pat.replaceAll("\\\\u([0-9a-fA-F]{4})", "\\\\x{$1}")
 
+  /** Unrolled Σ(a[i]−b[i])² over quantized-long lists (1-based DuckDB). */
+  private def sqSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"($a.qv[$i] - $b.qv[$i]) * ($a.qv[$i] - $b.qv[$i])")
+      .mkString(" + ")
+
+  /** Four unrolled greedy k-center rounds: m{r} carries every unchosen
+    * point's min-dist to the chosen set, c{r+1} takes its argmax (ties
+    * to the smaller id) — integer distances, so the chain is exact. */
+  private lazy val kcenterOracle: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""m$r AS (SELECT m.vec_id, m.qv,
+         |  ${if (r == 1) s"(${sqSql("m", "c1")})"
+            else s"least(m.d, (${sqSql("m", s"c$r")}))"} AS d
+         |  FROM ${if (r == 1) "q" else s"m${r - 1}"} m CROSS JOIN c$r c$r
+         |  WHERE m.vec_id <> c$r.vec_id),
+         |c${r + 1} AS (SELECT vec_id, qv, d FROM m$r
+         |  ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id,
+       |    [CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)
+       |     for i in generate_series(1, $Dim)] qv
+       |  FROM embeddings),
+       |c1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+       |$rounds
+       |SELECT CAST(1 AS BIGINT) sel_order, vec_id, CAST(0 AS BIGINT) sqdist
+       |  FROM c1
+       |UNION ALL SELECT 2, vec_id, d FROM c2
+       |UNION ALL SELECT 3, vec_id, d FROM c3
+       |UNION ALL SELECT 4, vec_id, d FROM c4""".stripMargin
+  }
+
+  /** The op's ±1 hyperplanes as a DuckDB list-of-lists literal (row j =
+    * bit j, column i = component i — [[Ann.srpWeight]] is public md5
+    * parity, rebuilt here in the same JVM so the literal IS the op's
+    * matrix). */
+  private lazy val srpOracle: String = {
+    val h = (0 until 32).map { j =>
+      (0 until Dim).map(i => Ann.srpWeight(i, j)).mkString("[", ",", "]")
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH h AS (SELECT $h AS H),
+       |q AS (SELECT vec_id,
+       |    [CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)
+       |     for i in generate_series(1, $Dim)] qv
+       |  FROM embeddings),
+       |s AS (SELECT vec_id,
+       |    list_sum(list_transform(generate_series(1, 32), j ->
+       |      CASE WHEN list_sum([H[j][i] * qv[i]
+       |                          for i in generate_series(1, $Dim)]) >= 0
+       |      THEN 1::BIGINT << (j - 1) ELSE 0::BIGINT END)) sig
+       |  FROM q CROSS JOIN h)
+       |SELECT a.vec_id vec_a, b.vec_id vec_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) hamming
+       |FROM s a JOIN s b ON a.vec_id < b.vec_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 7""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q211_kcenter" -> kcenterOracle,
+    "q213_srp_lsh" -> srpOracle,
     // DCG folds rel/log2(rank+1) in rank order: DuckDB list_reduce seeds
     // with the first TERM — IEEE 0.0 + t1 = t1, so the fold sequences
     // identically to the engine's zero-seeded ordered fold

@@ -442,4 +442,63 @@ class AnnSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(meanProj) < 0.1, s"projection not centered: $meanProj")
   }
+
+  test("kcenterSelect: greedy farthest-point chain on a hand-checked fixture") {
+    import spark.implicits._
+    // 2D points padded to dim 4; greedy from id 0: 1 (d²=100), 3 (16), 2 (1)
+    val pts = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)), (1L, Array(10f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)), (3L, Array(6f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val sel = Ann.kcenterSelect(pts, "vec_id", "embedding", dim = 4,
+        k = 4, scale = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sel == Seq((1L, 0L, 0L), (2L, 1L, 100L), (3L, 3L, 16L),
+      (4L, 2L, 1L)))
+  }
+
+  test("srpDupPairs: band blocking is LOSSLESS vs the quadratic filter") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val blocked = Ann.srpDupPairs(e, "vec_id", "embedding", dim = 64,
+        bits = 32, bands = 8, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = Ann.srpSignature(e, "vec_id", "embedding", dim = 64)
+    val a = sigs.select(col("vec_id").as("vec_a"), col("sig").as("sa"))
+    val quadratic = a.crossJoin(
+        sigs.select(col("vec_id").as("vec_b"), col("sig").as("sb")))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        expr("bit_count(sa ^ sb)").cast("long").as("h"))
+      .where(col("h") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked == quadratic)
+    assert(blocked.nonEmpty, "no pairs at hamming<=7 — fixture too sparse")
+  }
+
+  test("srpSignature: identical vectors share signatures; maxHamming bound enforced") {
+    import spark.implicits._
+    val twin = Seq((1L, Array.fill(64)(0.25f)), (2L, Array.fill(64)(0.25f)))
+      .toDF("vec_id", "embedding")
+    val sigs = Ann.srpSignature(twin, "vec_id", "embedding", 64)
+      .collect().map(_.getLong(1)).toSeq
+    assert(sigs(0) == sigs(1))
+    intercept[IllegalArgumentException] {
+      Ann.srpDupPairs(twin, "vec_id", "embedding", 64,
+        bits = 32, bands = 4, maxHamming = 5)
+    }
+  }
+
+  test("kcenterSelect: partition-invariant, k=1 is the seed alone") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Ann.kcenterSelect(df, "vec_id", "embedding", dim = 64, k = 3)
+        .collect().map(_.toString).toSeq
+    assert(run(e) == run(e.repartition(7)))
+    val one = Ann.kcenterSelect(e, "vec_id", "embedding", dim = 64, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(one.toSeq == Seq((1L,
+      e.agg(org.apache.spark.sql.functions.min("vec_id")).head().getLong(0),
+      0L)))
+  }
 }

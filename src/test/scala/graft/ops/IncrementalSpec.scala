@@ -73,4 +73,38 @@ class IncrementalSpec extends SparkSpec {
       dayExpr, Seq("o_orderpriority"), cents)
     assert(rolledUp(path) == once)
   }
+
+  private def customer =
+    spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"))
+      .collect().map(_.toString).sorted.toSeq
+
+  test("maintainJoinView after a fact+dim insert batch ≡ full recompute") {
+    val cut = lit("1997-06-15").cast("timestamp")
+    val fOld = orders.where(col("o_orderdate") < cut)
+    val fNew = orders.where(col("o_orderdate") >= cut)
+    val dOld = customer.where(pmod(col("o_custkey"), lit(7)) =!= 0)
+    val dNew = customer.where(pmod(col("o_custkey"), lit(7)) === 0)
+    val maintained = Incremental.maintainJoinView(
+      fOld.join(dOld, Seq("o_custkey")), fOld, fNew, dOld, dNew,
+      Seq("o_custkey"))
+    val full = orders.join(customer, Seq("o_custkey"))
+    assert(sortedRows(maintained) == sortedRows(full))
+  }
+
+  test("joinViewDelta with empty deltas is empty; fact-only delta joins only the delta") {
+    val empty = orders.where(lit(false))
+    val emptyDim = customer.where(lit(false))
+    assert(Incremental.joinViewDelta(orders, empty, customer, emptyDim,
+      Seq("o_custkey")).isEmpty)
+    val cut = lit("1997-06-15").cast("timestamp")
+    val fNew = orders.where(col("o_orderdate") >= cut)
+    val delta = Incremental.joinViewDelta(
+      orders.where(col("o_orderdate") < cut), fNew, customer, emptyDim,
+      Seq("o_custkey"))
+    assert(sortedRows(delta) == sortedRows(fNew.join(customer, Seq("o_custkey"))))
+  }
 }

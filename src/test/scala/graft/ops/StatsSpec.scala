@@ -250,4 +250,27 @@ class StatsSpec extends SparkSpec {
     assert(out.values.map(_._1).toSeq.sorted ==
       Seq(1L, 2L, 3L, 4L, 4L, 5L, 5L))
   }
+
+  test("kaplanMeier: textbook hand-worked curve with censoring") {
+    import spark.implicits._
+    // durations (event=1, censored=0): 1+, 2, 2, 3+, 4  (+ = censored)
+    // t=2: n=4, d=2 → S=0.5 ; t=4: n=1, d=1 → S=0.0
+    val subj = Seq((1L, 0L), (2L, 1L), (2L, 1L), (3L, 0L), (4L, 1L))
+      .toDF("dur", "ev")
+    val km = Stats.kaplanMeier(subj, "dur", "ev")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sortBy(_._1)
+    assert(km == Seq((2L, 4L, 2L, 0.5), (4L, 1L, 1L, 0.0)))
+  }
+
+  test("kaplanMeier: no censoring → survival is the empirical tail; partition-invariant") {
+    import spark.implicits._
+    val subj = Seq(1L, 2L, 3L, 4L).map((_, 1L)).toDF("dur", "ev")
+    val km = Stats.kaplanMeier(subj, "dur", "ev")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq.sortBy(_._1)
+    assert(km == Seq((1L, 0.75), (2L, 0.5), (3L, 0.25), (4L, 0.0)))
+    val km7 = Stats.kaplanMeier(subj.repartition(7), "dur", "ev")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq.sortBy(_._1)
+    assert(km7 == km)
+  }
 }
