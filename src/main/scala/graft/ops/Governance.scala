@@ -80,4 +80,51 @@ object Governance {
         (col("group_size") < k).as("k_violation"),
         (col("l_diversity") <= 1).as("l_violation")): _*)
   }
+
+  /** CDF thresholds of the TRUNCATED two-sided geometric mechanism with
+    * α = 1/2 (ε = ln 2): P(K=0) = 1/3, P(K=±j) = (1/3)·2^−j, tails
+    * beyond ±`bound` folded into the endpoints. Returns P(K ≤ k) for
+    * k = −bound … bound−1 (the closing ELSE catches +bound). Public so
+    * the oracle can embed the IDENTICAL literals. */
+  def dpThresholds(bound: Int): Seq[Double] = {
+    require(bound >= 1)
+    val pmf = (-bound to bound).map { k =>
+      if (k == 0) 1.0 / 3.0 else (1.0 / 3.0) * math.pow(0.5, math.abs(k))
+    }
+    pmf.scanLeft(0.0)(_ + _).drop(1).dropRight(1)
+  }
+
+  /** ε-differential-privacy-SHAPED noisy group counts: per group,
+    * `max(count + K, 0)` where K follows the truncated two-sided
+    * geometric distribution (ε = ln 2) — the discrete mechanism a count
+    * release uses.
+    *
+    * DETERMINISTIC-REPLAY HARNESS, not a secure release: K is derived by
+    * inverse-CDF over a uniform built from `md5(groupKey|salt)` — a pure
+    * function of the group, so the DuckDB oracle replays the release
+    * bit-for-bit and re-runs never drift. Real DP requires fresh secret
+    * randomness AND a privacy budget accountant; swap the md5 uniform
+    * for a secure RNG draw per release to productionize — the mechanism
+    * arithmetic (which is what's oracle-gated here) is unchanged.
+    *
+    * Scale shape: one map-side-combined count aggregate; the noise is a
+    * projection over the (tiny) group frame. */
+  def noisyCounts(df: DataFrame, groupCols: Seq[String],
+      salt: String = "dp", bound: Int = 16): DataFrame = {
+    require(groupCols.nonEmpty)
+    val grouped = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    // 60-bit md5 prefix → exact dyadic uniform in [0,1)
+    val u = conv(substring(md5(concat_ws("|",
+        groupCols.map(c => col(c).cast("string")) :+ lit(salt): _*)),
+        1, 15), 16, 10)
+      .cast("long").cast("double") / lit(math.pow(2, 60))
+    val ks = (-bound until bound)
+    val noise = dpThresholds(bound).zip(ks).foldLeft(Option.empty[Column]) {
+      case (acc, (t, k)) =>
+        Some(acc.fold(when(u < t, k.toLong))(_.when(u < t, k.toLong)))
+    }.get.otherwise(bound.toLong)
+    grouped.select(groupCols.map(col) :+
+      greatest(col("__n") + noise, lit(0L)).as("noisy_count"): _*)
+  }
 }

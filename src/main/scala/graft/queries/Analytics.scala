@@ -726,10 +726,22 @@ object Analytics {
     graft.ops.Stats.kaplanMeier(subjects, "dur_h", "ev")
   }
 
+  /** DP-mechanism noisy count release: per-(priority, status) order
+    * counts through the truncated two-sided geometric mechanism
+    * (ε = ln 2), clamped at 0 ([[graft.ops.Governance.noisyCounts]]).
+    * Noise is md5-derived (deterministic-replay harness — the scaladoc
+    * spells out what a secure release swaps in), so the oracle replays
+    * the exact released table. */
+  def q214DpRelease(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Governance.noisyCounts(
+      table(spark, dir, "orders"),
+      Seq("o_orderpriority", "o_orderstatus"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q208_recursive_cte" -> q208RecursiveCte,
     "q209_spearman" -> q209Spearman,
     "q212_survival" -> q212Survival,
+    "q214_dp_release" -> q214DpRelease,
     "q207_salted_join" -> q207SaltedJoin,
     "q200_warehouse_checksum" -> q200WarehouseChecksum,
     "q194_holt_winters" -> q194HoltWinters,
@@ -811,6 +823,27 @@ object Analytics {
         |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
         |    AS spearman
         |FROM s""".stripMargin,
+    // identical mechanism replay: the 17-digit threshold literals parse
+    // to the same doubles Spark embeds, the md5 uniform is exact dyadic
+    "q214_dp_release" -> {
+      val bound = 16
+      val cases = graft.ops.Governance.dpThresholds(bound)
+        .zip(-bound until bound)
+        .map { case (t, k) =>
+          s"WHEN uu < ${"%.17e".format(t)} THEN $k"
+        }.mkString(" ")
+      s"""WITH g AS (SELECT o_orderpriority, o_orderstatus, count(*) n
+         |  FROM orders GROUP BY 1, 2),
+         |u AS (SELECT *,
+         |    (('0x' || substr(md5(o_orderpriority || '|' || o_orderstatus
+         |        || '|' || 'dp'), 1, 15))::BIGINT)::DOUBLE
+         |      / 1152921504606846976.0 AS uu
+         |  FROM g)
+         |SELECT o_orderpriority, o_orderstatus,
+         |  CAST(greatest(n + CASE $cases ELSE $bound END, 0) AS BIGINT)
+         |    AS noisy_count
+         |FROM u""".stripMargin
+    },
     // same product-limit chain: exact integer risk sets, factors folded
     // in ascending-t order (list_reduce's first-element seed ≡ Spark's
     // 1.0 seed since IEEE 1.0·f = f)

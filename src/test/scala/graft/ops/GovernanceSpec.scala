@@ -73,4 +73,35 @@ class GovernanceSpec extends SparkSpec {
     assert(audit(("US", "B")) == ((2L, 1L, true, true)))
     assert(audit(("DE", "A")) == ((3L, 1L, false, true)))
   }
+
+  test("dpThresholds: monotone CDF, symmetric mass, covers ≈1 with endpoint tails") {
+    val t = Governance.dpThresholds(16)
+    assert(t.size == 32)
+    assert(t == t.sorted, "CDF must be monotone")
+    // mass below 0's threshold is (1-P(K>=0)-tail) ≈ 1/3; center ≈ 2/3
+    assert(math.abs(t(15) - 1.0 / 3.0) < 1e-4)  // P(K <= -1), k index -16+15
+    assert(math.abs(t(16) - 2.0 / 3.0) < 1e-4)  // P(K <= 0)
+    assert(t.last < 1.0 && t.last > 0.9999)
+  }
+
+  test("noisyCounts: bounded perturbation, zero clamp, partition/salt behavior") {
+    import spark.implicits._
+    val rows = (1 to 40).flatMap(g => (1 to 10).map(i => (s"g$g", i)))
+      .toDF("grp", "v")
+    def release(df: org.apache.spark.sql.DataFrame, salt: String) =
+      Governance.noisyCounts(df, Seq("grp"), salt = salt)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = release(rows, "dp")
+    assert(out.size == 40)
+    // every noisy count within ±16 of the true count 10, clamped ≥ 0
+    assert(out.values.forall(n => n >= 0 && (n - 10).abs <= 16))
+    // most groups perturbed little: |noise| ≤ 2 has mass ~0.834
+    assert(out.values.count(n => (n - 10).abs <= 2) >= 20)
+    // deterministic: identical under repartition; different under new salt
+    assert(release(rows.repartition(7), "dp") == out)
+    assert(release(rows, "dp2") != out)
+    // zero clamp: true count 1 with worst-case negative noise floors at 0
+    val tiny = Seq(("only", 1)).toDF("grp", "v")
+    assert(release(tiny, "dp")("only") >= 0)
+  }
 }

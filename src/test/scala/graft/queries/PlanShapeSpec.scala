@@ -323,4 +323,30 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q189_assortativity")
     assert(!p.contains("Window"), s"closed-form Pearson needs no window:\n$p")
   }
+
+  test("SRP-LSH pairs (q213) band-join — never cartesian, signatures are one projection") {
+    val p = plan("q213_srp_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"hamming pairing must ride the band equi-join:\n$p")
+  }
+
+  test("incremental join view (q210): empty dim-delta term prunes to nothing") {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val emptyDim = dim.where(lit(false))
+    val delta = graft.ops.Incremental.joinViewDelta(
+      orders, orders.limit(0), dim, emptyDim, Seq("o_custkey"))
+    // Catalyst's PropagateEmptyRelation should eliminate BOTH delta terms
+    // (ΔF and ΔD empty) — the O(delta) promise shows up as an empty plan
+    val optimized = delta.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("Join"),
+      s"empty deltas must optimize the join terms away:\n$optimized")
+  }
+
+  test("recursive CTE spine (q208): recursion is rows-per-level tiny, join stays on the aggregate") {
+    val p = plan("q208_recursive_cte")
+    assert(!p.contains("CartesianProduct"), s"spine join went quadratic:\n$p")
+  }
 }
