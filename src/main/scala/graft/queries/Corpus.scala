@@ -211,7 +211,19 @@ object Corpus {
           .as("pos_rate"))
   }
 
+  /** Training-shard manifest: the corpus hash-assigned to 8 shards
+    * ([[graft.ops.Export.shardAssign]], salt-rotated layout) with the
+    * per-shard doc/token totals and order-independent content
+    * signatures a trainer validates before reading
+    * ([[graft.ops.Export.shardManifest]]). */
+  def q216ShardManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Export.shardManifest(
+      graft.ops.Export.shardAssign(docs(spark, dir), "doc_id",
+        numShards = 8, salt = "e1"),
+      "doc_id", "text")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_shard_manifest" -> q216ShardManifest,
     "q191_calibration" -> q191Calibration,
     "q171_readability" -> q171Readability,
     "q179_classifier_score" -> q179ClassifierScore,
@@ -235,6 +247,23 @@ object Corpus {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // same md5-mod assignment and signature hashes; % ≡ pmod on the
+    // non-negative 60-bit hash
+    "q216_shard_manifest" ->
+      """WITH a AS (SELECT doc_id, text,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '|e1'), 1, 15))::BIGINT
+        |      % 8 AS shard_id
+        |  FROM documents),
+        |h AS (SELECT shard_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || '|' || md5(text)),
+        |      1, 15))::BIGINT hh,
+        |    len(string_split(text, ' ')) nt
+        |  FROM a)
+        |SELECT shard_id, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  bit_xor(hh)::BIGINT AS xor_sig,
+        |  CAST(sum(hh % 1048573) AS BIGINT) AS sum_sig
+        |FROM h GROUP BY 1""".stripMargin,
     // q179's score chain + q23's quality chain, joined and decile-bucketed;
     // scores quantize to 1e-6 longs before the mean (order-free sums) and
     // the two final divisions mirror the engine op-for-op

@@ -308,7 +308,47 @@ object StreamingQueries {
         col("event_type").as("last_type"), col("value").as("last_value"))
   }
 
+  /** Stream-static SCD2 enrichment: the event stream joined to the
+    * point-in-time-correct dimension VERSION — each event picks the SCD2
+    * interval (built batch-side with [[graft.ops.History.scd2]] over user
+    * states) that was valid AT ITS EVENT TIME, `valid_from ≤ ts <
+    * valid_to` — not the latest row, the as-of row. Stateless
+    * stream-static join (dimension broadcast per micro-batch, no
+    * watermark needed: nothing aggregates, every joined row appends);
+    * at 100 TB/day this is the enrichment shape for late-arriving facts,
+    * because replayed events still land on their historical version. */
+  def q215StreamScd2(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.core.Tables.normalizeEventTs)
+      .withColumn("ts_us", expr("ts div 1000L"))
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val dim = graft.ops.History.scd2(
+        graft.core.Tables.table(spark, dir, "events")
+          .withColumn("ts_us", expr("ts div 1000L")),
+        Seq("user_id"), col("ts_us"), col("event_id"), Seq("event_type"))
+      .select(col("user_id").as("d_user"), col("event_type").as("state"),
+        col("valid_from"), col("valid_to"), col("version"))
+    val joined = events.join(dim,
+        col("user_id") === col("d_user") &&
+          col("ts_us") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts_us") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("state"), col("version"))
+    val sink = s"q215_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream
+      .format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-$sink")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_stream_scd2" -> q215StreamScd2,
     "q37_stream_window" -> q37StreamWindow,
     "q51_stream_session" -> q51StreamSession,
     "q60_stream_dedup" -> q60StreamDedup,
@@ -320,6 +360,24 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // stateless stream-static join: every event lands on its as-of SCD2
+    // version; the oracle is the q81 interval build + the interval join
+    "q215_stream_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(ts) ts_us FROM events),
+        |x AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts_us, event_id) prev
+        |      FROM e),
+        |ch AS (SELECT user_id, event_id, event_type, ts_us FROM x
+        |       WHERE prev IS NULL OR event_type <> prev),
+        |scd AS (SELECT user_id, event_type AS state,
+        |    ts_us AS valid_from, lead(ts_us) OVER w AS valid_to,
+        |    row_number() OVER w AS version
+        |  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT e.event_id, e.user_id, scd.state, scd.version
+        |FROM e JOIN scd ON e.user_id = scd.user_id
+        |  AND e.ts_us >= scd.valid_from
+        |  AND (scd.valid_to IS NULL OR e.ts_us < scd.valid_to)""".stripMargin,
     // matched rows stream through unconditionally; null-padded rows only
     // for clicks whose match deadline (click + 1h) the final watermark —
     // the MIN of the two per-stream maxima, delay 0 — strictly passed
