@@ -222,8 +222,78 @@ object Corpus {
         numShards = 8, salt = "e1"),
       "doc_id", "text")
 
+  /** Intra-source boilerplate share: per source, the fraction of
+    * (doc, 3-gram) pairs whose gram recurs in ≥2 docs of the SAME source
+    * — the "template text" score that flags scraped mirrors and
+    * autogenerated pages before they skew training. One explode + two
+    * exact-integer aggregates over 60-bit shingle hashes (8-byte keys
+    * through both shuffles). */
+  def q217Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(spark, dir).select(col("source"),
+      explode(TextDedup.shingleHashes(col("text"), 3)).as("sh"))
+    pairs.groupBy(col("source"), col("sh"))
+      // shingles are distinct within a doc, so count(*) = docs containing
+      .agg(count(lit(1)).as("nd"))
+      .groupBy(col("source"))
+      .agg(sum(col("nd")).as("n_pairs"),
+        sum(when(col("nd") > 1, col("nd")).otherwise(0L)).as("n_repeated"))
+      .select(col("source"), col("n_pairs"), col("n_repeated"),
+        round(col("n_repeated").cast("double") /
+          col("n_pairs").cast("double"), 6).as("boilerplate_share"))
+  }
+
+  /** Cross-source vocabulary overlap matrix: for every source pair, the
+    * count of SHARED distinct 3-gram hashes and the set Jaccard — the
+    * "are these crawls the same corpus wearing two names" screen (exact
+    * cross-source duplicate TEXTS are zero on this corpus; gram overlap
+    * is where leakage actually shows). Distinct (source, gram) frame
+    * self-joins on the gram key — an equi-join that scales, never a
+    * doc-level cross join. */
+  def q218SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = docs(spark, dir).select(col("source"),
+        explode(TextDedup.shingleHashes(col("text"), 3)).as("sh"))
+      .distinct()
+    val sizes = e.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = e.select(col("source").as("source_a"), col("sh"))
+      .join(e.select(col("source").as("source_b"), col("sh")), Seq("sh"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n").as("na"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /** Quality-gate yield curve: for thresholds 0.0 … 0.9, how many docs
+    * and tokens survive `quality ≥ t` — the knob-tuning table a curator
+    * reads before committing a corpus-wide keep/drop (pairs with q191's
+    * calibration). Ten broadcast threshold rows against the scored
+    * projection; conditional integer sums. */
+  def q219ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir).select(
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      size(split(col("text"), " ")).cast("long").as("toks"))
+    val th = spark.range(10)
+      .select((col("id").cast("double") / 10.0).as("threshold"))
+    scored.crossJoin(broadcast(th))
+      .groupBy(col("threshold"))
+      .agg(sum(when(col("q") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_docs_kept"),
+        sum(when(col("q") >= col("threshold"), col("toks")).otherwise(0L))
+          .as("n_tokens_kept"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_shard_manifest" -> q216ShardManifest,
+    "q217_boilerplate" -> q217Boilerplate,
+    "q218_source_overlap" -> q218SourceOverlap,
+    "q219_threshold_sweep" -> q219ThresholdSweep,
     "q191_calibration" -> q191Calibration,
     "q171_readability" -> q171Readability,
     "q179_classifier_score" -> q179ClassifierScore,
@@ -246,7 +316,63 @@ object Corpus {
     (1 to Dim).map(i => s"$a.embedding[$i]::DOUBLE * $b.embedding[$i]::DOUBLE")
       .mkString(" + ")
 
+  /** Hashed word-3-gram rows per (source, doc) — shared by q217/q218. */
+  private val srcShingleCtes =
+    """w AS (SELECT doc_id, source, string_split(text, ' ') ws
+      |      FROM documents),
+      |s AS (SELECT doc_id, source,
+      |        list_transform(
+      |          list_distinct([ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2]
+      |                         for g in generate_series(1, len(ws)-2)]),
+      |          g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) shs
+      |      FROM w),
+      |e AS (SELECT doc_id, source, unnest(shs) sh FROM s)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q217_boilerplate" ->
+      s"""WITH $srcShingleCtes,
+         |g AS (SELECT source, sh, count(*) nd FROM e GROUP BY 1, 2)
+         |SELECT source, CAST(sum(nd) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN nd > 1 THEN nd ELSE 0 END) AS BIGINT)
+         |    AS n_repeated,
+         |  round(sum(CASE WHEN nd > 1 THEN nd ELSE 0 END)::DOUBLE
+         |    / sum(nd)::DOUBLE, 6) AS boilerplate_share
+         |FROM g GROUP BY 1""".stripMargin,
+    "q218_source_overlap" ->
+      s"""WITH $srcShingleCtes,
+         |d AS (SELECT DISTINCT source, sh FROM e),
+         |sz AS (SELECT source, count(*) n FROM d GROUP BY 1),
+         |sh AS (SELECT a.source source_a, b.source source_b, count(*) ns
+         |       FROM d a JOIN d b ON a.sh = b.sh AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT source_a, source_b, ns AS n_shared,
+         |  round(ns::DOUBLE / (za.n + zb.n - ns)::DOUBLE, 6) AS jaccard
+         |FROM sh JOIN sz za ON za.source = source_a
+         |        JOIN sz zb ON zb.source = source_b""".stripMargin,
+    "q219_threshold_sweep" -> {
+      val en = graft.queries.Training.stopwordIn
+      s"""WITH f AS (SELECT text, string_split(text, ' ') ws FROM documents),
+         |m AS (SELECT
+         |    round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+         |      / length(text), 6) punct_ratio,
+         |    round(len(list_filter(ws, t -> t IN $en))::DOUBLE
+         |      / len(ws), 6) stopword_ratio,
+         |    length(text) n_chars, len(ws) toks
+         |  FROM f),
+         |q AS (SELECT round((
+         |      (CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN stopword_ratio > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6)
+         |      q, toks FROM m),
+         |t AS (SELECT g::DOUBLE / 10.0 threshold
+         |      FROM generate_series(0, 9) s(g))
+         |SELECT threshold,
+         |  CAST(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_kept,
+         |  CAST(sum(CASE WHEN q >= threshold THEN toks ELSE 0 END) AS BIGINT)
+         |    AS n_tokens_kept
+         |FROM q CROSS JOIN t GROUP BY 1""".stripMargin
+    },
     // same md5-mod assignment and signature hashes; % ≡ pmod on the
     // non-negative 60-bit hash
     "q216_shard_manifest" ->

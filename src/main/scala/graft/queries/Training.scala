@@ -517,6 +517,10 @@ object Training {
 
   private def stopIn(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** English stopword IN-list literal, shared with other modules' oracles
+    * (q219 replays the q23 quality chain). */
+  lazy val stopwordIn: String = stopIn(TextAnalysis.stopwords.head._2)
+
   /** Hard-negative mining: top-3 most-similar OTHER-label vectors per
     * query — the contrastive-training negative sampler.
     * [[Ann.hardNegatives]]. */
