@@ -737,11 +737,95 @@ object Analytics {
       table(spark, dir, "orders"),
       Seq("o_orderpriority", "o_orderstatus"))
 
+  /** Recency-decayed revenue (half-life 30 days): every order's cents are
+    * halved once per 30 days of age at the corpus horizon — spelled as an
+    * integer divide by a power of two (`cents div 2^k`), NOT `pow(0.5,·)`
+    * (libm pow differs across engines; dyadic decay is exact in both).
+    * The horizon is one 1-row broadcast aggregate; the decay is a
+    * projection — the recency-weighted-LTV shape at scan speed. */
+  def q220TimeDecay(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val ref = o.agg(max(col("o_orderdate")).as("ref"))
+    o.crossJoin(broadcast(ref))
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        expr("datediff(ref, o_orderdate) div 30").as("k"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cents div shiftleft(1L, cast(least(k, 62) as int))"))
+          .as("decayed_cents"))
+  }
+
+  /** TPC-H Q8 shape — national market share: NATION_6's slice of PROMO
+    * part revenue sold to AMERICA-region customers, per order year. The
+    * 8-relation join-reorder flagship next to q104's Q5: two independent
+    * dimension chains (customer→nation→region and supplier→nation) hang
+    * off the fact; region/nation/part broadcast, the numerator rides a
+    * conditional sum through ONE pass — never two scans. */
+  def q221MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * 100).cast("long")
+    val amNations = broadcast(
+      table(spark, dir, "region").where(col("r_name") === "AMERICA")
+        .join(table(spark, dir, "nation"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk")))
+    val supNation = broadcast(table(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("s_nation")))
+    table(spark, dir, "lineitem")
+      .join(table(spark, dir, "part").where(col("p_type") === "PROMO")
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(table(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(amNations, col("c_nationkey") === col("c_nk"))
+      .join(table(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(supNation, col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("s_nation") === "NATION_6", rev).otherwise(0L))
+          .as("nation_cents"),
+        sum(rev).as("total_cents"))
+      .select(col("o_year"), col("nation_cents"), col("total_cents"),
+        round(col("nation_cents").cast("double") /
+          col("total_cents").cast("double"), 6).as("mkt_share"))
+  }
+
+  /** TPC-H Q21 shape — sole-late-supplier detection: suppliers whose
+    * shipment was >60 days late on orders where ANOTHER supplier also
+    * participated but NOBODY ELSE was late. The double-correlated
+    * EXISTS / NOT EXISTS decorrelation stress (Catalyst rewrites both
+    * into semi/anti joins — PlanShapeSpec pins it); counts are DISTINCT
+    * orders so multi-line orders don't double-bill. */
+  def q222SoleLate(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("q222_lineitem")
+    table(spark, dir, "orders").createOrReplaceTempView("q222_orders")
+    spark.sql(
+      """SELECT l1.l_suppkey AS s_suppkey,
+        |  count(DISTINCT o.o_orderkey) AS numwait
+        |FROM q222_lineitem l1
+        |JOIN q222_orders o ON l1.l_orderkey = o.o_orderkey
+        |WHERE datediff(l1.l_shipdate, o.o_orderdate) > 60
+        |  AND EXISTS (SELECT 1 FROM q222_lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM q222_lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND datediff(l3.l_shipdate, o.o_orderdate) > 60)
+        |GROUP BY l1.l_suppkey""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q208_recursive_cte" -> q208RecursiveCte,
     "q209_spearman" -> q209Spearman,
     "q212_survival" -> q212Survival,
     "q214_dp_release" -> q214DpRelease,
+    "q220_time_decay" -> q220TimeDecay,
+    "q221_market_share" -> q221MarketShare,
+    "q222_sole_late" -> q222SoleLate,
     "q207_salted_join" -> q207SaltedJoin,
     "q200_warehouse_checksum" -> q200WarehouseChecksum,
     "q194_holt_winters" -> q194HoltWinters,
@@ -823,6 +907,51 @@ object Analytics {
         |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
         |    AS spearman
         |FROM s""".stripMargin,
+    // dyadic half-life decay: integer divide by 1<<k — exact both engines
+    "q220_time_decay" ->
+      """WITH r AS (SELECT max(o_orderdate) horizon FROM orders),
+        |d AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) cents,
+        |    date_diff('day', o_orderdate, horizon) // 30 AS k
+        |  FROM orders CROSS JOIN r)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(cents // (1::BIGINT << least(k, 62)::INT)) AS BIGINT)
+        |    AS decayed_cents
+        |FROM d GROUP BY 1""".stripMargin,
+    "q221_market_share" ->
+      """WITH am AS (SELECT n_nationkey FROM nation JOIN region
+        |    ON n_regionkey = r_regionkey WHERE r_name = 'AMERICA'),
+        |j AS (SELECT year(o_orderdate) o_year, sn.n_name s_nation,
+        |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT) rev
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN am ON c_nationkey = am.n_nationkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey)
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN s_nation = 'NATION_6' THEN rev ELSE 0 END)
+        |    AS BIGINT) AS nation_cents,
+        |  CAST(sum(rev) AS BIGINT) AS total_cents,
+        |  round(sum(CASE WHEN s_nation = 'NATION_6' THEN rev ELSE 0 END)::DOUBLE
+        |    / sum(rev)::DOUBLE, 6) AS mkt_share
+        |FROM j GROUP BY 1""".stripMargin,
+    "q222_sole_late" ->
+      """SELECT l1.l_suppkey AS s_suppkey,
+        |  count(DISTINCT o.o_orderkey) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        |WHERE date_diff('day', o.o_orderdate, l1.l_shipdate) > 60
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND date_diff('day', o.o_orderdate, l3.l_shipdate) > 60)
+        |GROUP BY l1.l_suppkey""".stripMargin,
     // identical mechanism replay: the 17-digit threshold literals parse
     // to the same doubles Spark embeds, the md5 uniform is exact dyadic
     "q214_dp_release" -> {

@@ -36,7 +36,8 @@ class ContractSpec extends AnyFunSuite {
       "orders", "lineitem", "events", "documents", "embeddings")
     // every FROM/JOIN target must be a known table or a CTE defined in
     // the same statement — catches typos before the driver does
-    val fromRe = "(?is)(?:FROM|JOIN)\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+    // \b so `valid_from AND …` (a column ending in _from) never matches
+    val fromRe = "(?is)\\b(?:FROM|JOIN)\\s+([A-Za-z_][A-Za-z0-9_]*)".r
     // allow the recursive-CTE column list form: walk(node, dist) AS (
     // and DuckDB's `name AS MATERIALIZED (`
     val cteRe =
@@ -47,7 +48,7 @@ class ContractSpec extends AnyFunSuite {
       val sql = sql0.replaceAll("(?i)IS\\s+(NOT\\s+)?DISTINCT\\s+FROM", "≡")
       val ctes = cteRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase)
-        .filterNot(Set("unnest", "lateral")).toSet
+        .filterNot(Set("unnest", "lateral", "generate_series")).toSet
       val unknown = refs -- tables -- ctes
       assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
     }

@@ -349,4 +349,17 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q208_recursive_cte")
     assert(!p.contains("CartesianProduct"), s"spine join went quadratic:\n$p")
   }
+
+  test("sole-late Q21 shape (q222): EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    val p = plan("q222_sole_late")
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("market share Q8 shape (q221): dimension chains broadcast, no cartesian") {
+    val p = plan("q221_market_share")
+    assert(p.contains("BroadcastHashJoin"), s"dims did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
 }
