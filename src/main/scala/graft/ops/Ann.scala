@@ -399,7 +399,15 @@ object Ann {
     * Returns (vec_a < vec_b, hamming). The oracle replays the quadratic
     * filter; results are identical by the pigeonhole argument, which is
     * exactly the property that lets the same code run at 100 TB where
-    * the quadratic spelling cannot. */
+    * the quadratic spelling cannot.
+    *
+    * Sizing: candidate volume per band is Σ bucket², buckets = 2^(bits/
+    * bands) — narrow bands (q213's 8×4 bits = 16 buckets) are fine at
+    * corpus ≤ 10^5 but collide quadratically beyond; at 10^8+ vectors
+    * use `bits = 56, bands = 8` (128 buckets of 7 bits, hamming ≤ 7
+    * still lossless; signatures stay in one long) or concatenate a
+    * second blocking key — the bits/bands pair is the
+    * recall-vs-candidates dial, same as MinHash's (k, b). */
   def srpDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       bits: Int = 32, bands: Int = 4, maxHamming: Int = 3,
       scale: Long = 1000000L): DataFrame = {
