@@ -59,6 +59,53 @@ object Quality {
     * One narrow scan, one 3-long aggregate — nothing shuffles but the
     * partial aggregates.
     */
+  /** Inclusion-dependency profile — "is A ⊆ B" for candidate FK→PK column
+    * pairs, the schema-discovery primitive run before trusting an
+    * undocumented foreign key. Per pair: distinct FK values, how many
+    * have no PK match, and the inclusion coefficient |A∩B|/|A| (1.0 =
+    * the dependency holds). Each pair is one distinct-project + one
+    * left-anti join on a single column — both sides shrink to their
+    * distinct value sets before the join, so the check costs value-set
+    * cardinality, not table size. */
+  def inclusionProfile(pairs: Seq[(String, DataFrame, String, DataFrame,
+      String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one candidate pair")
+    pairs.map { case (name, fkDf, fkCol, pkDf, pkCol) =>
+      val fk = fkDf.select(col(fkCol).as("__v"))
+        .where(col("__v").isNotNull).distinct()
+      val pk = pkDf.select(col(pkCol).as("__v")).distinct()
+      val unmatched = fk.join(pk, Seq("__v"), "left_anti")
+        .agg(count(lit(1)).as("n_unmatched"))
+      fk.agg(count(lit(1)).as("n_distinct_fk"))
+        .crossJoin(unmatched)
+        .select(lit(name).as("candidate"), col("n_distinct_fk"),
+          col("n_unmatched"),
+          round((col("n_distinct_fk") - col("n_unmatched")).cast("double")
+            / col("n_distinct_fk").cast("double"), 6).as("inclusion"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Functional-dependency check — "does X determine Y": per candidate,
+    * the number of X-groups carrying MORE than one distinct Y (0 = the
+    * FD holds) and the violating-row total. One two-level aggregate per
+    * candidate: (X, Y) distinct grain first — single-column exact
+    * distinct, no Expand — then group sizes per X. */
+  def fdViolations(candidates: Seq[(String, DataFrame, Seq[String],
+      String)]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one FD candidate")
+    candidates.map { case (name, df, xCols, yCol) =>
+      df.groupBy(xCols.map(col): _*)
+        .agg(countDistinct(col(yCol)).as("__ny"), count(lit(1)).as("__n"))
+        .agg(
+          sum(when(col("__ny") > 1, 1L).otherwise(0L))
+            .as("violating_groups"),
+          sum(when(col("__ny") > 1, col("__n")).otherwise(0L))
+            .as("violating_rows"))
+        .select(lit(name).as("candidate"), col("violating_groups"),
+          col("violating_rows"))
+    }.reduce(_ unionByName _)
+  }
+
   def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "checksum needs at least one column")
     val rowStr = concat_ws("|", cols.map(c => col(c).cast("string")): _*)

@@ -156,8 +156,45 @@ object Lifecycle {
         sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
   }
 
+  /** Inclusion-dependency profile over the warehouse's candidate foreign
+    * keys — four true FKs plus one deliberate non-FK control
+    * ([[graft.ops.Quality.inclusionProfile]]); the schema-discovery
+    * report that says which joins are SAFE. */
+  def q223Inclusion(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = table(spark, dir, n)
+    graft.ops.Quality.inclusionProfile(Seq(
+      ("lineitem.l_orderkey->orders.o_orderkey",
+        t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+      ("orders.o_custkey->customer.c_custkey",
+        t("orders"), "o_custkey", t("customer"), "c_custkey"),
+      ("customer.c_nationkey->nation.n_nationkey",
+        t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
+      ("supplier.s_nationkey->nation.n_nationkey",
+        t("supplier"), "s_nationkey", t("nation"), "n_nationkey"),
+      // control: order keys are NOT customer keys — inclusion ≪ 1
+      ("orders.o_orderkey->customer.c_custkey",
+        t("orders"), "o_orderkey", t("customer"), "c_custkey")))
+  }
+
+  /** Functional-dependency check over candidate determinants — the PK
+    * sanity (o_orderkey → o_custkey must hold) and two deliberately
+    * violated candidates whose violation counts profile the data
+    * ([[graft.ops.Quality.fdViolations]]). */
+  def q224Fd(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = table(spark, dir, n)
+    graft.ops.Quality.fdViolations(Seq(
+      ("orders: o_orderkey -> o_custkey",
+        t("orders"), Seq("o_orderkey"), "o_custkey"),
+      ("lineitem: l_orderkey -> l_suppkey",
+        t("lineitem"), Seq("l_orderkey"), "l_suppkey"),
+      ("customer: c_nationkey -> c_mktsegment",
+        t("customer"), Seq("c_nationkey"), "c_mktsegment")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_incremental_join" -> q210IncrementalJoin,
+    "q223_inclusion" -> q223Inclusion,
+    "q224_fd" -> q224Fd,
     "q81_scd2" -> q81Scd2,
     "q82_cdc_diff" -> q82CdcDiff,
     "q86_incremental_agg" -> q86IncrementalAgg,
@@ -165,7 +202,48 @@ object Lifecycle {
     "q97_dq_audit" -> q97DqAudit
   )
 
+  private def inclBlock(name: String, fkT: String, fkC: String,
+      pkT: String, pkC: String): String =
+    s"""SELECT '$name' AS candidate,
+       |  CAST(count(*) AS BIGINT) AS n_distinct_fk,
+       |  CAST(sum(CASE WHEN p.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unmatched,
+       |  round((count(*) - sum(CASE WHEN p.v IS NULL THEN 1 ELSE 0 END))::DOUBLE
+       |    / count(*)::DOUBLE, 6) AS inclusion
+       |FROM (SELECT DISTINCT $fkC v FROM $fkT WHERE $fkC IS NOT NULL) f
+       |LEFT JOIN (SELECT DISTINCT $pkC v FROM $pkT) p USING (v)""".stripMargin
+
+  private def fdBlock(name: String, t: String, x: String,
+      y: String): String =
+    s"""SELECT '$name' AS candidate,
+       |  CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS violating_groups,
+       |  CAST(sum(CASE WHEN ny > 1 THEN n ELSE 0 END) AS BIGINT)
+       |    AS violating_rows
+       |FROM (SELECT $x, count(DISTINCT $y) ny, count(*) n
+       |      FROM $t GROUP BY $x) g""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q223_inclusion" -> Seq(
+      inclBlock("lineitem.l_orderkey->orders.o_orderkey",
+        "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      inclBlock("orders.o_custkey->customer.c_custkey",
+        "orders", "o_custkey", "customer", "c_custkey"),
+      inclBlock("customer.c_nationkey->nation.n_nationkey",
+        "customer", "c_nationkey", "nation", "n_nationkey"),
+      inclBlock("supplier.s_nationkey->nation.n_nationkey",
+        "supplier", "s_nationkey", "nation", "n_nationkey"),
+      inclBlock("orders.o_orderkey->customer.c_custkey",
+        "orders", "o_orderkey", "customer", "c_custkey"))
+      .mkString("\nUNION ALL\n"),
+    "q224_fd" -> Seq(
+      fdBlock("orders: o_orderkey -> o_custkey",
+        "orders", "o_orderkey", "o_custkey"),
+      fdBlock("lineitem: l_orderkey -> l_suppkey",
+        "lineitem", "l_orderkey", "l_suppkey"),
+      fdBlock("customer: c_nationkey -> c_mktsegment",
+        "customer", "c_nationkey", "c_mktsegment"))
+      .mkString("\nUNION ALL\n"),
     // the delta maintenance is a plan detail — the oracle is the PLAIN
     // join the maintained view must reproduce
     "q210_incremental_join" ->

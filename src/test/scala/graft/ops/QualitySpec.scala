@@ -61,4 +61,35 @@ class QualitySpec extends SparkSpec {
     assert(s1.getAs[Long]("xor_sig") == s2.getAs[Long]("xor_sig"))
     assert(s1.getAs[Long]("sum_sig") != s2.getAs[Long]("sum_sig"))
   }
+
+  test("inclusionProfile: full, partial, and null-excluded candidates") {
+    import spark.implicits._
+    val fk = Seq(Some(1L), Some(2L), Some(2L), Some(9L), None).toDF("f")
+    val pk = Seq(1L, 2L, 3L).toDF("p")
+    val out = Quality.inclusionProfile(Seq(
+        ("full", pk, "p", pk, "p"),
+        ("partial", fk, "f", pk, "p")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("full") == ((3L, 0L, 1.0)))
+    // distinct non-null fk values {1,2,9}; 9 unmatched → 2/3
+    assert(out("partial") == ((3L, 1L, 0.666667)))
+  }
+
+  test("fdViolations: holding FD reports zero, violated FD counts groups and rows") {
+    import spark.implicits._
+    val t = Seq((1L, "a", 10L), (1L, "a", 11L), (2L, "b", 20L),
+      (2L, "c", 21L), (2L, "c", 22L)).toDF("x", "y", "z")
+    val out = Quality.fdViolations(Seq(
+        ("x->y holds? no", t, Seq("x"), "y"),
+        ("(x,y)->? z", t, Seq("x", "y"), "z"),
+        ("x determines x", t, Seq("x"), "x")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // x=2 carries y∈{b,c} → 1 violating group spanning 3 rows
+    assert(out("x->y holds? no") == ((1L, 3L)))
+    // (1,a)→{10,11} and (2,c)→{21,22} violate z-determinism: 2+2 rows
+    assert(out("(x,y)->? z") == ((2L, 4L)))
+    assert(out("x determines x") == ((0L, 0L)))
+  }
 }
