@@ -69,12 +69,51 @@ object Warehouse {
 
   /** Replay the manifest into THIS session's catalog — the cold-start
     * path: a brand-new session (or JVM) pointed at the same warehouse
-    * root sees every table by `db.table` name. Returns qualified names. */
+    * root sees every table by `db.table` name, then every persisted VIEW
+    * (replayed after tables, in creation order, so views over tables —
+    * and views over earlier views — resolve). Returns qualified names
+    * (tables then views). */
   def open(spark: SparkSession, root: String): Seq[String] = {
     val entries = readManifest(spark, root)
     entries.foreach(register(spark, root, _))
-    entries.map(_.qualified)
+    val views = readViews(spark, root)
+    views.foreach { case (db, name, sql) =>
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+      spark.sql(s"CREATE OR REPLACE VIEW `$db`.`$name` AS $sql")
+    }
+    entries.map(_.qualified) ++ views.map { case (db, n, _) => s"$db.$n" }
   }
+
+  /** CREATE VIEW that SURVIVES the session: the view SQL is validated by
+    * creating it NOW, then persisted (base64, so arbitrary SQL text is
+    * manifest-safe) in `_graft_views.tsv` beside the table manifest;
+    * [[open]] replays views after tables in creation order. Views are
+    * metadata-only — Catalyst inlines them, so predicates and pruning
+    * push through a view exactly as through its definition (the
+    * reference's U-SQL VIEW surface, e.g. a masked or filtered
+    * projection published under a stable name). */
+  def createView(spark: SparkSession, root: String, db: String,
+      name: String, sql: String): Unit = {
+    requireIdent(db); requireIdent(name)
+    createDatabase(spark, root, db)
+    spark.sql(s"CREATE OR REPLACE VIEW `$db`.`$name` AS $sql")
+    writeViews(spark, root,
+      readViews(spark, root).filterNot(v => v._1 == db && v._2 == name)
+        :+ ((db, name, sql)))
+  }
+
+  /** DROP VIEW: session catalog + views manifest. */
+  def dropView(spark: SparkSession, root: String, db: String,
+      name: String): Unit = {
+    requireIdent(db); requireIdent(name)
+    spark.sql(s"DROP VIEW IF EXISTS `$db`.`$name`")
+    writeViews(spark, root,
+      readViews(spark, root).filterNot(v => v._1 == db && v._2 == name))
+  }
+
+  /** Persisted views as (db, name, sql), in creation order. */
+  def listViews(spark: SparkSession, root: String): Seq[(String, String, String)] =
+    readViews(spark, root)
 
   /** DROP TABLE: removes the catalog entry (session + manifest);
     * `purge = true` also deletes the data directory. */
@@ -200,6 +239,47 @@ object Warehouse {
     f.delete(dst, false)
     if (!f.rename(tmp, dst))
       sys.error(s"catalog manifest rename failed: $tmp -> $dst")
+  }
+
+  private val ViewManifestName = "_graft_views.tsv"
+
+  private def readViews(spark: SparkSession,
+      root: String): Seq[(String, String, String)] = {
+    val p = new Path(s"$root/$ViewManifestName")
+    val f = fs(spark, root)
+    if (!f.exists(p)) return Seq.empty
+    val in = f.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      line.split("\t", -1) match {
+        case Array(db, n, b64) =>
+          (db, n, new String(java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+        case other =>
+          sys.error(s"malformed view line (${other.length} fields): $line")
+      }
+    }.toSeq
+  }
+
+  /** Creation ORDER is preserved (no sort) — replay depends on it for
+    * views defined over earlier views. */
+  private def writeViews(spark: SparkSession, root: String,
+      views: Seq[(String, String, String)]): Unit = {
+    val f = fs(spark, root)
+    val tmp = new Path(s"$root/.$ViewManifestName.tmp")
+    val out = f.create(tmp, true)
+    try {
+      val body = views.map { case (db, n, sql) =>
+        s"$db\t$n\t${java.util.Base64.getEncoder
+          .encodeToString(sql.getBytes("UTF-8"))}"
+      }.mkString("", "\n", "\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    val dst = new Path(s"$root/$ViewManifestName")
+    f.delete(dst, false)
+    if (!f.rename(tmp, dst))
+      sys.error(s"view manifest rename failed: $tmp -> $dst")
   }
 
   /** Identifiers flow into SQL and filesystem paths — restrict to the

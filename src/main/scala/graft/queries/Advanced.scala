@@ -245,6 +245,29 @@ object Advanced {
       "SELECT n_nationkey, n_name, n_regionkey FROM graftwh.nation")
   }
 
+  /** Persisted VIEW through a cold start: a masked customer projection
+    * published as `graftwh.customer_masked` (pseudonymized name — the
+    * governance pattern: analysts query the view, never the raw PII
+    * column), then resolved from a FRESH session whose only state is the
+    * warehouse root ([[graft.core.Warehouse.createView]]/[[graft.core.Warehouse.open]]).
+    * The oracle replays the view DEFINITION — catalog plumbing must be
+    * result-invisible. */
+  def q225CatalogView(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Warehouse
+    val root = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_whv_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    Warehouse.saveTable(spark, root, "graftwh2", "customer",
+      table(spark, dir, "customer"))
+    Warehouse.createView(spark, root, "graftwh2", "customer_masked",
+      """SELECT c_custkey,
+        |  substr(sha2(concat('v1', c_name), 256), 1, 16) AS name_token,
+        |  c_nationkey, c_mktsegment
+        |FROM graftwh2.customer WHERE c_acctbal > 0""".stripMargin)
+    val fresh = spark.newSession()
+    Warehouse.open(fresh, root)
+    fresh.sql("SELECT * FROM graftwh2.customer_masked")
+  }
+
   /** Per-user exponentially decayed activity level (EWMA, α=0.5) over the
     * event stream — the bounded per-entity feature a training pipeline
     * derives from unbounded logs. Order-pinned float fold (see
@@ -294,6 +317,7 @@ object Advanced {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_catalog" -> q80Catalog,
+    "q225_catalog_view" -> q225CatalogView,
     "q88_ewma" -> q88Ewma,
     "q169_holt" -> q169Holt,
     "q94_robust_outliers" -> q94RobustOutliers,
@@ -335,6 +359,13 @@ object Advanced {
   }
 
   val oracles: Map[String, String] = Map(
+    // the catalog/view plumbing is result-invisible: the oracle is the
+    // view DEFINITION (Spark sha2(·,256) ≡ DuckDB sha256, lowercase hex)
+    "q225_catalog_view" ->
+      """SELECT c_custkey,
+        |  substr(sha256('v1' || c_name), 1, 16) AS name_token,
+        |  c_nationkey, c_mktsegment
+        |FROM customer WHERE c_acctbal > 0""".stripMargin,
     "q80_catalog" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     // list_reduce seeds with the first element and folds left — exactly

@@ -153,4 +153,42 @@ class WarehouseSpec extends SparkSpec {
       Warehouse.saveTable(spark, root, "db", "t; DROP TABLE x", region)
     }
   }
+
+  test("createView persists; open replays table→view→view-on-view in order; dropView removes") {
+    val root = scratch("wh-views")
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    try {
+      Warehouse.saveTable(spark, root, "whtest5", "nation", nation)
+      Warehouse.createView(spark, root, "whtest5", "low_keys",
+        "SELECT n_nationkey, n_name FROM whtest5.nation WHERE n_nationkey < 10")
+      Warehouse.createView(spark, root, "whtest5", "low_count",
+        "SELECT count(*) AS n FROM whtest5.low_keys")
+      assert(spark.sql("SELECT n FROM whtest5.low_count").head().getLong(0)
+        == 10L)
+      // cold start: fresh catalog, only the root survives
+      spark.sql("DROP VIEW whtest5.low_count")
+      spark.sql("DROP VIEW whtest5.low_keys")
+      spark.sql("DROP TABLE whtest5.nation")
+      spark.sql("DROP DATABASE whtest5")
+      val fresh = spark.newSession()
+      val opened = Warehouse.open(fresh, root)
+      assert(opened == Seq("whtest5.nation", "whtest5.low_keys",
+        "whtest5.low_count"))
+      assert(fresh.sql("SELECT n FROM whtest5.low_count").head().getLong(0)
+        == 10L)
+      // views are inlined: a filter through the view reaches the scan
+      val plan = fresh.sql(
+        "SELECT * FROM whtest5.low_keys WHERE n_nationkey = 3")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("n_nationkey"),
+        s"filter did not push through the view:\n$plan")
+      Warehouse.dropView(fresh, root, "whtest5", "low_count")
+      assert(Warehouse.listViews(fresh, root).map(_._2) == Seq("low_keys"))
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS whtest5.low_count")
+      spark.sql("DROP VIEW IF EXISTS whtest5.low_keys")
+      spark.sql("DROP TABLE IF EXISTS whtest5.nation")
+      spark.sql("DROP DATABASE IF EXISTS whtest5")
+    }
+  }
 }
