@@ -818,7 +818,28 @@ object Analytics {
         |GROUP BY l1.l_suppkey""".stripMargin)
   }
 
+  /** TPC-H Q20 shape — volume-threshold semi-join: suppliers whose total
+    * shipped quantity exceeds 1% of the corpus total, found via
+    * `IN (aggregated subquery)` plus an uncorrelated scalar threshold —
+    * the remaining subquery surface next to q103 (correlated scalar) and
+    * q222 (correlated EXISTS). Catalyst turns the IN into a semi-join
+    * against the aggregate and the scalar into a one-row broadcast. */
+  def q226VolumeSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("q226_lineitem")
+    table(spark, dir, "supplier").createOrReplaceTempView("q226_supplier")
+    spark.sql(
+      """SELECT s_suppkey, s_name
+        |FROM q226_supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM q226_lineitem
+        |  GROUP BY l_suppkey
+        |  HAVING sum(cast(l_quantity as bigint)) > (
+        |    SELECT sum(cast(l_quantity as bigint)) / 100
+        |    FROM q226_lineitem))""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_volume_suppliers" -> q226VolumeSuppliers,
     "q208_recursive_cte" -> q208RecursiveCte,
     "q209_spearman" -> q209Spearman,
     "q212_survival" -> q212Survival,
@@ -907,6 +928,17 @@ object Analytics {
         |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
         |    AS spearman
         |FROM s""".stripMargin,
+    // quantities are integral doubles (corpus-verified), so the BIGINT
+    // casts agree despite truncate-vs-round cast semantics
+    "q226_volume_suppliers" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  GROUP BY l_suppkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > (
+        |    SELECT sum(CAST(l_quantity AS BIGINT)) / 100
+        |    FROM lineitem))""".stripMargin,
     // dyadic half-life decay: integer divide by 1<<k — exact both engines
     "q220_time_decay" ->
       """WITH r AS (SELECT max(o_orderdate) horizon FROM orders),

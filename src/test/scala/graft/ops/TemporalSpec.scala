@@ -220,4 +220,35 @@ class TemporalSpec extends SparkSpec {
       .head().toSeq
     assert(one == rep)
   }
+
+  test("sessionize ≡ Spark's native session_window at a boundary-free gap") {
+    // custom breaks on diff > gap, native on diff >= gap — identical when
+    // no adjacent diff equals the gap EXACTLY; assert that precondition
+    // on the corpus, then require session-for-session equality
+    val gapUs = 1801000000L // 1801 s, an off-round value no diff hits
+    val ev = graft.core.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000L"))
+      .select(col("user_id"), col("ts_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val boundaryHits = ev
+      .withColumn("d", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .where(col("d") === gapUs).count()
+    assert(boundaryHits == 0, "fixture hits the semantic boundary — change the gap")
+    val custom = Temporal.sessionize(ev, "user_id", "ts_us", "ts_us", gapUs)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"),
+        count(lit(1)).as("n"))
+      .select("user_id", "t0", "t1", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val native = ev
+      .groupBy(col("user_id"),
+        session_window(timestamp_micros(col("ts_us")), "1801 seconds"))
+      .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"),
+        count(lit(1)).as("n"))
+      .select("user_id", "t0", "t1", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(custom == native,
+      "custom sessionize diverged from the engine's session_window")
+  }
 }
