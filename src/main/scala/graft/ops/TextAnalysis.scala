@@ -621,4 +621,39 @@ object TextAnalysis {
         round(col("n_novel").cast("double") / col("n_windows"), 6)
           .as("novelty"))
   }
+
+  /** Vocabulary-growth curve (Heaps' law): distinct vocabulary size after
+    * every `bucket` documents, in id order — the "is this corpus still
+    * teaching new words" saturation signal that sizes tokenizer vocab
+    * and flags repetitive crawls.
+    *
+    * Computed via the FIRST-APPEARANCE trick: a token's contribution to
+    * the curve is fully determined by `min(doc_id)` over its
+    * occurrences, so the whole curve is ONE token aggregate + a
+    * bucket-count + a cumulative window over ≤ (corpus/bucket) rows —
+    * never a per-checkpoint rescan (the naive spelling is
+    * O(checkpoints · corpus); this is O(corpus)). */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      bucket: Long, n: Int = 1): DataFrame = {
+    require(bucket >= 1, s"bucket must be positive, got $bucket")
+    require(n >= 1, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    // n > 1 tracks n-GRAM vocabulary (distinct within doc via the native
+    // shingle expression) — the right grain when the unigram vocab
+    // saturates in the first bucket
+    val toks =
+      if (n == 1) words(col(textCol))
+      else TextDedup.shingles(col(textCol), n)
+    val first = df
+      .select(col(idCol).cast("long").as("__id"),
+        explode(toks).as("__tok"))
+      .where(length(col("__tok")) > 0)
+      .groupBy(col("__tok")).agg(min(col("__id")).as("__fd"))
+    val w = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    first.groupBy((floor(col("__fd") / bucket)).as("__bkt"))
+      .agg(count(lit(1)).as("new_tokens"))
+      .select(((col("__bkt") + 1) * bucket).as("docs_seen"),
+        col("new_tokens"), sum(col("new_tokens")).over(w).as("vocab_size"))
+  }
 }

@@ -289,8 +289,17 @@ object Corpus {
           .as("n_tokens_kept"))
   }
 
+  /** Heaps-law BIGRAM vocabulary growth every 50 docs in id order
+    * ([[TextAnalysis.vocabGrowth]] — first-appearance trick: one token
+    * aggregate, no per-checkpoint rescans; bigram grain because the
+    * synthetic unigram vocab saturates inside the first bucket). */
+  def q227VocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabGrowth(docs(spark, dir), "doc_id", "text",
+      bucket = 50L, n = 2)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_shard_manifest" -> q216ShardManifest,
+    "q227_vocab_growth" -> q227VocabGrowth,
     "q217_boilerplate" -> q217Boilerplate,
     "q218_source_overlap" -> q218SourceOverlap,
     "q219_threshold_sweep" -> q219ThresholdSweep,
@@ -329,6 +338,24 @@ object Corpus {
       |e AS (SELECT doc_id, source, unnest(shs) sh FROM s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same first-appearance trick: token → min(doc_id) → bucket counts →
+    // running sum; the curve never rescans the corpus per checkpoint
+    "q227_vocab_growth" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') ws
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    unnest(list_distinct([ws[g] || ' ' || ws[g + 1]
+        |                          for g in generate_series(1, len(ws) - 1)]))
+        |      tok
+        |  FROM w),
+        |f AS (SELECT tok, min(doc_id) fd FROM t
+        |      WHERE length(tok) > 0 GROUP BY 1),
+        |b AS (SELECT fd // 50 bkt, count(*) new_tokens FROM f GROUP BY 1)
+        |SELECT (bkt + 1) * 50 AS docs_seen,
+        |  CAST(new_tokens AS BIGINT) AS new_tokens,
+        |  CAST(sum(new_tokens) OVER (ORDER BY bkt
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+        |FROM b""".stripMargin,
     "q217_boilerplate" ->
       s"""WITH $srcShingleCtes,
          |g AS (SELECT source, sh, count(*) nd FROM e GROUP BY 1, 2)

@@ -95,6 +95,36 @@ class IncrementalSpec extends SparkSpec {
     assert(sortedRows(maintained) == sortedRows(full))
   }
 
+  test("rollup cascades: year-from-month-partials ≡ year-from-day-partials ≡ direct") {
+    val path = scratch("inc_cascade")
+    Incremental.writePartials(
+      Incremental.buildPartials(orders, dayExpr, Seq("o_orderpriority"), cents),
+      path)
+    // month partials re-aggregated from day partials, persisted, then
+    // rolled to year — the multi-granularity serving chain: each level is
+    // mergeable state, so NO level ever rereads the facts
+    val monthPath = scratch("inc_cascade_month")
+    Incremental.rollup(spark, path, substring(col("part"), 1, 7),
+        Seq("o_orderpriority"))
+      .withColumnRenamed("grain", "part")
+      .repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(monthPath)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val yearFromMonth = toMap(Incremental.rollup(spark, monthPath,
+      substring(col("part"), 1, 4), Seq("o_orderpriority")))
+    val yearFromDay = toMap(Incremental.rollup(spark, path,
+      substring(col("part"), 1, 4), Seq("o_orderpriority")))
+    val direct = toMap(orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy").as("grain"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(cents).as("sum_cents"),
+        min(cents).as("min_cents"), max(cents).as("max_cents")))
+    assert(yearFromMonth == direct)
+    assert(yearFromDay == direct)
+  }
+
   test("joinViewDelta with empty deltas is empty; fact-only delta joins only the delta") {
     val empty = orders.where(lit(false))
     val emptyDim = customer.where(lit(false))
