@@ -191,10 +191,32 @@ object Lifecycle {
         t("customer"), Seq("c_nationkey"), "c_mktsegment")))
   }
 
+  /** Merkle-style replica diff ([[graft.ops.Quality.bucketDiff]]): the
+    * orders table vs a deterministically-corrupted copy (keys %97
+    * dropped, %89 duplicated under negated keys, %83 repriced) —
+    * signatures localize the divergent buckets, only those rescan, and
+    * every difference is classified. The oracle computes the SAME diff
+    * the direct way (one full-outer join) — bucket pruning must be
+    * result-invisible, like q207's salt and q210's deltas. */
+  def q228ReplicaDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = table(spark, dir, "orders")
+    val key = col("o_orderkey")
+    val base = a.where(pmod(key, lit(97)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(key, lit(83)) === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+    val added = a.where(pmod(key, lit(89)) === 0)
+      .withColumn("o_orderkey", -key)
+    graft.ops.Quality.bucketDiff(a, base.unionByName(added),
+      Seq("o_orderkey"),
+      Seq("o_orderstatus", "o_totalprice", "o_orderpriority"), buckets = 64)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_incremental_join" -> q210IncrementalJoin,
     "q223_inclusion" -> q223Inclusion,
     "q224_fd" -> q224Fd,
+    "q228_replica_diff" -> q228ReplicaDiff,
     "q81_scd2" -> q81Scd2,
     "q82_cdc_diff" -> q82CdcDiff,
     "q86_incremental_agg" -> q86IncrementalAgg,
@@ -224,6 +246,27 @@ object Lifecycle {
        |      FROM $t GROUP BY $x) g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the bucket localization is a plan detail — the oracle is the
+    // DIRECT full-outer diff over the same mutated replica
+    "q228_replica_diff" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 83 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 89 = 0),
+        |d AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) k,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'only_a'
+        |         WHEN a.o_orderkey IS NULL THEN 'only_b'
+        |         WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |           OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |           OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+        |           THEN 'differs' END AS status
+        |  FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+        |SELECT k AS o_orderkey, status FROM d WHERE status IS NOT NULL""".stripMargin,
     "q223_inclusion" -> Seq(
       inclBlock("lineitem.l_orderkey->orders.o_orderkey",
         "lineitem", "l_orderkey", "orders", "o_orderkey"),

@@ -92,4 +92,16 @@ class QualitySpec extends SparkSpec {
     assert(out("(x,y)->? z") == ((2L, 4L)))
     assert(out("x determines x") == ((0L, 0L)))
   }
+
+  test("bucketDiff: classifies only_a/only_b/differs; identical replicas → empty") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0),
+      (4L, "w", 40.0)).toDF("k", "s", "v")
+    val b = Seq((1L, "x", 10.0), (2L, "y", 99.0), (5L, "q", 50.0),
+      (4L, "w", 40.0)).toDF("k", "s", "v") // 3 missing, 2 changed, 5 added
+    val diff = Quality.bucketDiff(a, b, Seq("k"), Seq("s", "v"), buckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(3L -> "only_a", 2L -> "differs", 5L -> "only_b"))
+    assert(Quality.bucketDiff(a, a, Seq("k"), Seq("s", "v"), 8).isEmpty)
+  }
 }
