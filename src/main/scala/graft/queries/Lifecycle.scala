@@ -192,8 +192,8 @@ object Lifecycle {
   }
 
   /** Merkle-style replica diff ([[graft.ops.Quality.bucketDiff]]): the
-    * orders table vs a deterministically-corrupted copy (keys %97
-    * dropped, %89 duplicated under negated keys, %83 repriced) —
+    * orders table vs a deterministically-corrupted copy (keys %997
+    * dropped, %991 duplicated under negated keys, %983 repriced) —
     * signatures localize the divergent buckets, only those rescan, and
     * every difference is classified. The oracle computes the SAME diff
     * the direct way (one full-outer join) — bucket pruning must be
@@ -201,11 +201,11 @@ object Lifecycle {
   def q228ReplicaDiff(spark: SparkSession, dir: String): DataFrame = {
     val a = table(spark, dir, "orders")
     val key = col("o_orderkey")
-    val base = a.where(pmod(key, lit(97)) =!= 0)
+    val base = a.where(pmod(key, lit(997)) =!= 0)
       .withColumn("o_totalprice",
-        when(pmod(key, lit(83)) === 0, col("o_totalprice") + lit(1.0))
+        when(pmod(key, lit(983)) === 0, col("o_totalprice") + lit(1.0))
           .otherwise(col("o_totalprice")))
-    val added = a.where(pmod(key, lit(89)) === 0)
+    val added = a.where(pmod(key, lit(991)) === 0)
       .withColumn("o_orderkey", -key)
     graft.ops.Quality.bucketDiff(a, base.unionByName(added),
       Seq("o_orderkey"),
@@ -251,13 +251,13 @@ object Lifecycle {
     "q228_replica_diff" ->
       """WITH b AS (
         |  SELECT o_orderkey, o_orderstatus,
-        |    CASE WHEN o_orderkey % 83 = 0 THEN o_totalprice + 1.0
+        |    CASE WHEN o_orderkey % 983 = 0 THEN o_totalprice + 1.0
         |         ELSE o_totalprice END AS o_totalprice,
         |    o_orderpriority
-        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  FROM orders WHERE o_orderkey % 997 <> 0
         |  UNION ALL
         |  SELECT -o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
-        |  FROM orders WHERE o_orderkey % 89 = 0),
+        |  FROM orders WHERE o_orderkey % 991 = 0),
         |d AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) k,
         |    CASE WHEN b.o_orderkey IS NULL THEN 'only_a'
         |         WHEN a.o_orderkey IS NULL THEN 'only_b'
