@@ -838,7 +838,101 @@ object Analytics {
         |    FROM q226_lineitem))""".stripMargin)
   }
 
+  /** ABC (Pareto) inventory classification: parts ranked by revenue,
+    * classed A (first 70% of cumulative revenue), B (to 90%), C (rest).
+    * Exact integer cents throughout — cumulative shares are ratios of
+    * exact longs, and the window's cumulative sum is deterministic under
+    * the (revenue DESC, partkey) total order. */
+  def q229Abc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val revCents =
+      round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")
+    val perPart = table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(sum(revCents).as("cents"))
+    val total = perPart.agg(sum(col("cents")).as("__t"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perPart.crossJoin(broadcast(total))
+      .select(col("l_partkey"), col("cents"),
+        (sum(col("cents")).over(w) * 100L).as("__cum100"), col("__t"))
+      .select(col("l_partkey"), col("cents"),
+        // integer threshold compare: cum·100 vs t·70 / t·90 — no floats
+        when(col("__cum100") <= col("__t") * 70L, "A")
+          .when(col("__cum100") <= col("__t") * 90L, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  /** Per-priority daily revenue with LINEAR INTERPOLATION over missing
+    * days: the dense day spine (q68's sequence technique) carries
+    * observed integer cents; gaps fill with
+    * `round(prev + (next − prev)·offset/gaplen)` — the division runs in
+    * doubles over EXACTLY representable integers with one identical IEEE
+    * expression tree in both engines (integer `div` would hit the
+    * truncate-vs-floor divergence on negative slopes), so the
+    * interpolated series replays bit-for-bit. Edges (before first /
+    * after last observation) stay null. */
+  def q230Interpolate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = table(spark, dir, "orders")
+      // sparsify deterministically so there ARE gaps to interpolate
+      .where(pmod(col("o_orderkey"), lit(7)) === 0)
+      .groupBy(col("o_orderpriority"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val bounds = daily.groupBy(col("o_orderpriority"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds.select(col("o_orderpriority"),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val sparse = spine.join(daily, Seq("o_orderpriority", "day"),
+      "left_outer")
+    val wAll = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+    val prevV = last(col("cents"), ignoreNulls = true)
+      .over(wAll.rowsBetween(Window.unboundedPreceding, -1))
+    val nextV = first(col("cents"), ignoreNulls = true)
+      .over(wAll.rowsBetween(1, Window.unboundedFollowing))
+    val prevD = last(when(col("cents").isNotNull, col("day")),
+      ignoreNulls = true).over(wAll.rowsBetween(Window.unboundedPreceding, -1))
+    val nextD = first(when(col("cents").isNotNull, col("day")),
+      ignoreNulls = true).over(wAll.rowsBetween(1, Window.unboundedFollowing))
+    sparse.select(col("o_orderpriority"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cents").isNotNull.as("observed"),
+        coalesce(col("cents"),
+          when(prevV.isNotNull && nextV.isNotNull,
+            round(prevV.cast("double") +
+              (nextV - prevV).cast("double") *
+                datediff(col("day"), prevD).cast("double") /
+                datediff(nextD, prevD).cast("double"))
+              .cast("long"))).as("cents"))
+  }
+
+  /** Quantity-WEIGHTED median unit price per return flag: the smallest
+    * price whose cumulative quantity reaches half the total — spelled as
+    * one cumulative window over exact integer weights, never a
+    * percentile buffer. Ties broken by the (price, orderkey, line)
+    * total order in both engines. */
+  def q231WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = table(spark, dir, "lineitem").select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+      col("l_quantity").cast("long").as("qty"),
+      col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("price_cents"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("l_returnflag"))
+    val cum = li.select(col("l_returnflag"), col("price_cents"),
+      sum(col("qty")).over(w).as("cw"), sum(col("qty")).over(wt).as("tw"))
+    cum.where(col("cw") * 2L >= col("tw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("price_cents")).as("wmedian_cents"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_abc" -> q229Abc,
+    "q230_interpolate" -> q230Interpolate,
+    "q231_weighted_median" -> q231WeightedMedian,
     "q226_volume_suppliers" -> q226VolumeSuppliers,
     "q208_recursive_cte" -> q208RecursiveCte,
     "q209_spearman" -> q209Spearman,
@@ -928,6 +1022,74 @@ object Analytics {
         |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
         |    AS spearman
         |FROM s""".stripMargin,
+    // integer-threshold ABC: cum·100 vs total·70/90 — no float shares
+    "q229_abc" ->
+      """WITH p AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) cents
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) tt FROM p),
+        |c AS (SELECT l_partkey, cents,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) * 100 cum100, tt
+        |  FROM p CROSS JOIN t)
+        |SELECT l_partkey, cents,
+        |  CASE WHEN cum100 <= tt * 70 THEN 'A'
+        |       WHEN cum100 <= tt * 90 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c""".stripMargin,
+    // same spine + neighbor windows; interpolation is one IEEE tree over
+    // exact integers, identical in both engines
+    "q230_interpolate" ->
+      """WITH d AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      cents
+        |  FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 1, 2),
+        |b AS (SELECT o_orderpriority, min(day) d0, max(day) d1
+        |      FROM d GROUP BY 1),
+        |sp AS (SELECT o_orderpriority,
+        |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM b),
+        |s AS (SELECT sp.o_orderpriority, sp.day, d.cents
+        |      FROM sp LEFT JOIN d USING (o_orderpriority, day)),
+        |n AS (SELECT *,
+        |    last_value(cents IGNORE NULLS) OVER
+        |      (PARTITION BY o_orderpriority ORDER BY day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pv,
+        |    first_value(cents IGNORE NULLS) OVER
+        |      (PARTITION BY o_orderpriority ORDER BY day
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) nv,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY o_orderpriority ORDER BY day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pd,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY o_orderpriority ORDER BY day
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) nd
+        |  FROM s)
+        |SELECT o_orderpriority, strftime(day, '%Y-%m-%d') AS day,
+        |  (cents IS NOT NULL) AS observed,
+        |  coalesce(cents,
+        |    CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |      CAST(round(pv::DOUBLE + (nv - pv)::DOUBLE
+        |        * date_diff('day', pd, day)::DOUBLE
+        |        / date_diff('day', pd, nd)::DOUBLE) AS BIGINT) END)
+        |    AS cents
+        |FROM n""".stripMargin,
+    // smallest price whose cumulative qty reaches half the total
+    "q231_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) price_cents,
+        |    CAST(l_quantity AS BIGINT) qty, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag, price_cents,
+        |    CAST(sum(qty) OVER (PARTITION BY l_returnflag
+        |      ORDER BY price_cents, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) cw,
+        |    CAST(sum(qty) OVER (PARTITION BY l_returnflag) AS BIGINT) tw
+        |  FROM li)
+        |SELECT l_returnflag, CAST(min(price_cents) AS BIGINT)
+        |  AS wmedian_cents
+        |FROM c WHERE cw * 2 >= tw GROUP BY 1""".stripMargin,
     // quantities are integral doubles (corpus-verified), so the BIGINT
     // casts agree despite truncate-vs-round cast semantics
     "q226_volume_suppliers" ->
