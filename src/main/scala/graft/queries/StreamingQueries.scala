@@ -347,8 +347,38 @@ object StreamingQueries {
     spark.table(sink)
   }
 
+  /** COMPLETE-output-mode streaming aggregate: the per-type running
+    * event count re-emitted in full every micro-batch — the third output
+    * mode next to the suite's append windows (q37/q51) and update-shaped
+    * upserts (q161). No watermark, unwindowed grouping: complete mode is
+    * the one legal spelling for a global streaming aggregate, and its
+    * state is exactly |groups| rows (5 here — bounded by key
+    * cardinality, not stream length, which is why it scales). After
+    * `AvailableNow` runs to completion the final emission IS the batch
+    * group-by, which is what the oracle replays. */
+  def q232StreamComplete(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.core.Tables.normalizeEventTs)
+    val counts = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 1000) as bigint)")).as("value_milli"))
+    val sink = s"q232_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = counts.writeStream
+      .format("memory").queryName(sink).outputMode("complete")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-$sink")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_stream_scd2" -> q215StreamScd2,
+    "q232_stream_complete" -> q232StreamComplete,
     "q37_stream_window" -> q37StreamWindow,
     "q51_stream_session" -> q51StreamSession,
     "q60_stream_dedup" -> q60StreamDedup,
@@ -360,6 +390,13 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // complete mode's final emission after AvailableNow IS the batch
+    // group-by; milli-quantized value sums are merge-order-proof
+    "q232_stream_complete" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS value_milli
+        |FROM events GROUP BY 1""".stripMargin,
     // stateless stream-static join: every event lands on its as-of SCD2
     // version; the oracle is the q81 interval build + the interval join
     "q215_stream_scd2" ->
