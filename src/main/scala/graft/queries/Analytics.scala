@@ -929,7 +929,62 @@ object Analytics {
       .agg(min(col("price_cents")).as("wmedian_cents"))
   }
 
+  /** Percent-of-parent hierarchy report: nation revenue with its share
+    * of the REGION subtotal and of the grand total — the drill-down
+    * ratio every BI layer renders. One aggregate + two window sums over
+    * the (tiny) aggregate frame; shares are single divisions of exact
+    * longs, rounded to 6. */
+  def q233PercentOfParent(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = sum(round(col("o_totalprice") * 100).cast("long"))
+    val perNation = table(spark, dir, "orders")
+      .join(table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(cents.as("cents"))
+    val wr = Window.partitionBy(col("r_name"))
+    val wg = Window.partitionBy()
+    perNation.select(col("r_name"), col("n_name"), col("cents"),
+      round(col("cents").cast("double") /
+        sum(col("cents")).over(wr).cast("double"), 6).as("share_of_region"),
+      round(col("cents").cast("double") /
+        sum(col("cents")).over(wg).cast("double"), 6).as("share_of_total"))
+  }
+
+  /** Rolling 7-day ACTIVE USERS per day (the WAU curve): each distinct
+    * (user, active-day) contributes to the 7 window-days it covers —
+    * explode-by-coverage turns a sliding DISTINCT (inexpressible as a
+    * window aggregate) into one distinct + one ×7 explode + one count,
+    * linear in activity and exactly right. Day spine from the events
+    * range so zero-activity days would still appear. */
+  def q234RollingActive(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"),
+        to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+      .distinct()
+    val covered = ev.select(col("user_id"),
+        explode(expr("sequence(d, date_add(d, 6), interval 1 day)"))
+          .as("window_day"))
+      .distinct()
+    val bounds = table(spark, dir, "events")
+      .agg(to_date(timestamp_micros(expr("min(ts) div 1000"))).as("d0"),
+        to_date(timestamp_micros(expr("max(ts) div 1000"))).as("d1"))
+    val spine = bounds.select(
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("window_day"))
+    spine.join(covered, Seq("window_day"), "left_outer")
+      .groupBy(col("window_day"))
+      .agg(count(col("user_id")).as("active_7d"))
+      .select(date_format(col("window_day"), "yyyy-MM-dd").as("day"),
+        col("active_7d"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_percent_of_parent" -> q233PercentOfParent,
+    "q234_rolling_active" -> q234RollingActive,
     "q229_abc" -> q229Abc,
     "q230_interpolate" -> q230Interpolate,
     "q231_weighted_median" -> q231WeightedMedian,
@@ -1022,6 +1077,36 @@ object Analytics {
         |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
         |    AS spearman
         |FROM s""".stripMargin,
+    "q233_percent_of_parent" ->
+      """WITH pn AS (SELECT r_name, n_name,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, cents,
+        |  round(cents::DOUBLE / CAST(sum(cents) OVER (PARTITION BY r_name)
+        |    AS BIGINT)::DOUBLE, 6) AS share_of_region,
+        |  round(cents::DOUBLE / CAST(sum(cents) OVER ()
+        |    AS BIGINT)::DOUBLE, 6) AS share_of_total
+        |FROM pn""".stripMargin,
+    // explode-by-coverage: each (user, active day) feeds the 7 window
+    // days it covers; sliding DISTINCT becomes distinct + count
+    "q234_rolling_active" ->
+      """WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+        |cov AS (SELECT DISTINCT user_id, wd FROM (
+        |  SELECT user_id,
+        |    unnest(generate_series(d, d + INTERVAL 6 DAY,
+        |      INTERVAL 1 DAY))::DATE AS wd
+        |  FROM ev) t),
+        |b AS (SELECT min(ts::DATE) d0, max(ts::DATE) d1 FROM events),
+        |sp AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+        |         AS wd FROM b)
+        |SELECT strftime(sp.wd, '%Y-%m-%d') AS day,
+        |  CAST(count(cov.user_id) AS BIGINT) AS active_7d
+        |FROM sp LEFT JOIN cov ON sp.wd = cov.wd
+        |GROUP BY 1""".stripMargin,
     // integer-threshold ABC: cum·100 vs total·70/90 — no float shares
     "q229_abc" ->
       """WITH p AS (SELECT l_partkey,
