@@ -982,7 +982,73 @@ object Analytics {
         col("active_7d"))
   }
 
+  /** TPC-H Q2 shape — min-cost supplier per part: the correlated
+    * scalar-min equality in WHERE (`unit = (SELECT min(unit) … same
+    * part)`), decorrelated by Catalyst into an aggregate join. Unit cost
+    * is EXACT integer `cents div qty` so the equality can never miss on
+    * a ulp; ties legitimately return multiple suppliers. Bounded to
+    * small parts (p_size < 10) — Q2's filtered-dimension character. */
+  def q235MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("q235_lineitem")
+    table(spark, dir, "part").createOrReplaceTempView("q235_part")
+    spark.sql(
+      """SELECT p.p_partkey, l.l_suppkey,
+        |  cast(round(l.l_extendedprice * 100) as bigint)
+        |    div cast(l.l_quantity as bigint) AS unit_cents
+        |FROM q235_part p JOIN q235_lineitem l ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size < 10
+        |  AND cast(round(l.l_extendedprice * 100) as bigint)
+        |        div cast(l.l_quantity as bigint) = (
+        |    SELECT min(cast(round(l2.l_extendedprice * 100) as bigint)
+        |               div cast(l2.l_quantity as bigint))
+        |    FROM q235_lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+  }
+
+  /** TPC-H Q17 shape — small-quantity revenue: lineitems below 50% of
+    * their part's average quantity, summed. The correlated AVG is exact
+    * despite being float: quantities are integral doubles, so partial
+    * sums are exact integers in IEEE and the average is
+    * order-independent in both engines. One row out. */
+  def q236SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("q236_lineitem")
+    spark.sql(
+      """SELECT count(*) AS n_lines,
+        |  sum(cast(round(l_extendedprice * 100) as bigint)) AS cents
+        |FROM q236_lineitem l1
+        |WHERE l_quantity < (
+        |  SELECT 0.5 * avg(l_quantity) FROM q236_lineitem l2
+        |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+  }
+
+  /** TPC-H Q22 shape — idle high-balance customers: above the average
+    * positive balance yet WITHOUT any large (>\$350k) order, grouped by
+    * a derived segment code. Anti-EXISTS over a filtered subquery +
+    * uncorrelated scalar AVG in one query; balances in integral cents
+    * so the scalar threshold is order-independent. (Every customer in
+    * this corpus has SOME order, so the classic no-order spelling is
+    * vacuous — the large-order variant keeps Q22's plan shape with a
+    * non-empty answer.) */
+  def q237IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer").createOrReplaceTempView("q237_customer")
+    table(spark, dir, "orders").createOrReplaceTempView("q237_orders")
+    spark.sql(
+      """SELECT cast(c_custkey % 10 as bigint) AS code,
+        |  count(*) AS n_cust,
+        |  sum(cast(round(c_acctbal * 100) as bigint)) AS cents
+        |FROM q237_customer c
+        |WHERE cast(round(c_acctbal * 100) as bigint) > (
+        |    SELECT avg(cast(round(c_acctbal * 100) as bigint))
+        |    FROM q237_customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM q237_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 350000.0)
+        |GROUP BY 1""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_min_cost_supplier" -> q235MinCostSupplier,
+    "q236_small_qty_revenue" -> q236SmallQtyRevenue,
+    "q237_idle_customers" -> q237IdleCustomers,
     "q233_percent_of_parent" -> q233PercentOfParent,
     "q234_rolling_active" -> q234RollingActive,
     "q229_abc" -> q229Abc,
@@ -1077,6 +1143,40 @@ object Analytics {
         |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
         |    AS spearman
         |FROM s""".stripMargin,
+    // DuckDB // on non-negative cents ≡ Spark div
+    "q235_min_cost_supplier" ->
+      """SELECT p.p_partkey, l.l_suppkey,
+        |  CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    // CAST(l.l_quantity AS BIGINT) AS unit_cents
+        |FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size < 10
+        |  AND CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |        // CAST(l.l_quantity AS BIGINT) = (
+        |    SELECT min(CAST(round(l2.l_extendedprice * 100) AS BIGINT)
+        |               // CAST(l2.l_quantity AS BIGINT))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+    // integral-double AVG is order-independent (exact IEEE partial sums)
+    "q236_small_qty_revenue" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM lineitem l1
+        |WHERE l_quantity < (
+        |  SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+    "q237_idle_customers" ->
+      """SELECT CAST(c_custkey % 10 AS BIGINT) AS code,
+        |  count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM customer c
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) > (
+        |    SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 350000.0)
+        |GROUP BY 1""".stripMargin,
     "q233_percent_of_parent" ->
       """WITH pn AS (SELECT r_name, n_name,
         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
