@@ -362,4 +362,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"dims did not broadcast:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+
+  test("Q2/Q22 shapes decorrelate: scalar-min equality becomes a join, anti-EXISTS a LeftAnti") {
+    val p235 = plan("q235_min_cost_supplier")
+    assert(!p235.contains("CartesianProduct"),
+      s"correlated min must decorrelate, not nest:\n$p235")
+    val p237 = plan("q237_idle_customers")
+    assert(p237.contains("LeftAnti"),
+      s"filtered NOT EXISTS did not become an anti join:\n$p237")
+    assert(!p237.contains("CartesianProduct"))
+  }
+
+  test("rolling actives (q234): coverage explode, no quadratic day join") {
+    val p = plan("q234_rolling_active")
+    assert(p.contains("Generate"), s"coverage explode missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
 }
