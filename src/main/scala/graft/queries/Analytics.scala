@@ -1045,7 +1045,77 @@ object Analytics {
         |GROUP BY 1""".stripMargin)
   }
 
+  /** TPC-H Q4 shape — order-priority checking: 1997 orders with AT LEAST
+    * ONE late lineitem (shipped >60 days after order date), counted per
+    * priority. The EXISTS-with-correlated-predicate shape at order
+    * grain; Catalyst plans the semi-join so multi-late orders never
+    * double-count. */
+  def q238LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("q238_lineitem")
+    table(spark, dir, "orders").createOrReplaceTempView("q238_orders")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM q238_orders o
+        |WHERE o_orderdate >= timestamp'1997-01-01'
+        |  AND o_orderdate < timestamp'1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM q238_lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND datediff(l.l_shipdate, o.o_orderdate) > 60)
+        |GROUP BY 1""".stripMargin)
+  }
+
+  /** TPC-H Q11 shape — important stock: (nation, part) revenue groups
+    * whose value exceeds 0.01% of the GLOBAL total — HAVING against an
+    * uncorrelated scalar over the same aggregate; exact integer cents
+    * on both sides of the comparison (threshold stays integral via
+    * `total div 10000`). */
+  def q239ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("q239_lineitem")
+    table(spark, dir, "supplier").createOrReplaceTempView("q239_supplier")
+    spark.sql(
+      """WITH v AS (SELECT s_nationkey, l_partkey,
+        |    sum(cast(round(l_extendedprice * 100) as bigint)) AS cents
+        |  FROM q239_lineitem JOIN q239_supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT s_nationkey, l_partkey, cents
+        |FROM v
+        |WHERE cents > (SELECT sum(cents) div 10000 FROM v)""".stripMargin)
+  }
+
+  /** TPC-H Q7 shape — bi-nation shipping volume: revenue flowing
+    * supplier-nation → customer-nation for the ordered pair set
+    * {(N_1,N_2), (N_2,N_1)}, per year — the two-alias join graph where
+    * the SAME dimension joins twice under different roles, plus the
+    * symmetric-pair disjunction. */
+  def q240BiNationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * 100).cast("long")
+    val suppNation = broadcast(table(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val custNation = broadcast(table(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    table(spark, dir, "lineitem")
+      .join(table(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(table(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("s_nk"))
+      .join(custNation, col("c_nationkey") === col("c_nk"))
+      .where((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" &&
+          col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_lines"), sum(rev).as("rev_cents"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_late_orders" -> q238LateOrders,
+    "q239_important_stock" -> q239ImportantStock,
+    "q240_binational_volume" -> q240BiNationVolume,
     "q235_min_cost_supplier" -> q235MinCostSupplier,
     "q236_small_qty_revenue" -> q236SmallQtyRevenue,
     "q237_idle_customers" -> q237IdleCustomers,
@@ -1143,6 +1213,39 @@ object Analytics {
         |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
         |    AS spearman
         |FROM s""".stripMargin,
+    "q238_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND date_diff('day', o.o_orderdate, l.l_shipdate) > 60)
+        |GROUP BY 1""".stripMargin,
+    // HAVING vs a global scalar: integral threshold via // 10000
+    "q239_important_stock" ->
+      """WITH v AS (SELECT s_nationkey, l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT s_nationkey, l_partkey, cents
+        |FROM v
+        |WHERE cents > (SELECT CAST(sum(cents) AS BIGINT) // 10000 FROM v)""".stripMargin,
+    "q240_binational_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(o_orderdate) AS o_year, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
     // DuckDB // on non-negative cents ≡ Spark div
     "q235_min_cost_supplier" ->
       """SELECT p.p_partkey, l.l_suppkey,
