@@ -1112,7 +1112,66 @@ object Analytics {
       .agg(count(lit(1)).as("n_lines"), sum(rev).as("rev_cents"))
   }
 
+  /** TPC-H Q3 shape — top unshipped-value orders: BUILDING-segment
+    * orders placed before mid-1997 with revenue from lineitems shipped
+    * AFTER it, top 10 by revenue with (revenue DESC, orderkey) ties
+    * pinned — the classic shipping-priority report. */
+  def q241ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * 100).cast("long")
+    val cut = lit("1997-07-01").cast("timestamp")
+    table(spark, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      .join(table(spark, dir, "orders").where(col("o_orderdate") < cut),
+        col("c_custkey") === col("o_custkey"))
+      .join(table(spark, dir, "lineitem").where(col("l_shipdate") > cut),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_orderpriority"))
+      .agg(sum(rev).as("rev_cents"))
+      .orderBy(col("rev_cents").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q6 shape — forecasting revenue change: one narrow
+    * filter-and-sum over the fact table (1997, discount 0.05–0.07,
+    * quantity < 24), no join at all — the canonical pushdown probe.
+    * Discount values are exact hundredths; compare on integer
+    * `round(discount·100)` so the BETWEEN never straddles a ulp. */
+  def q242ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        round(col("l_discount") * 100).cast("long").between(5, 7) &&
+        col("l_quantity") < 24.0)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * col("l_discount") * 100)
+          .cast("long")).as("discount_cents"))
+
+  /** TPC-H Q14 shape — promo revenue share: the conditional-aggregate
+    * ratio (PROMO part revenue over all revenue) for one month — CASE
+    * inside SUM over a fact⋈dim join, one double division of exact
+    * longs at the end. */
+  def q243PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * 100).cast("long")
+    table(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .join(table(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
+          .as("promo_cents"),
+        sum(rev).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        round(col("promo_cents").cast("double") * 100.0 /
+          col("total_cents").cast("double"), 6).as("promo_pct"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_shipping_priority" -> q241ShippingPriority,
+    "q242_forecast_revenue" -> q242ForecastRevenue,
+    "q243_promo_share" -> q243PromoShare,
     "q238_late_orders" -> q238LateOrders,
     "q239_important_stock" -> q239ImportantStock,
     "q240_binational_volume" -> q240BiNationVolume,
@@ -1213,6 +1272,46 @@ object Analytics {
         |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
         |    AS spearman
         |FROM s""".stripMargin,
+    // top-10 with the SAME (rev DESC, orderkey) total order
+    "q241_shipping_priority" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND l_shipdate > TIMESTAMP '1997-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY rev_cents DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    // integer-hundredths discount band — the BETWEEN never ulp-straddles
+    "q242_forecast_revenue" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+        |    AS BIGINT)) AS BIGINT) AS discount_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+    "q243_promo_share" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS total_cents,
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |        AS BIGINT) ELSE 0 END)::DOUBLE * 100.0
+        |    / sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |        AS BIGINT))::DOUBLE, 6) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
     "q238_late_orders" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders o
