@@ -46,6 +46,77 @@ def canon(cols, rows):
     return [cols[i] for i in order], out
 
 
+def col_types(con, sql):
+    """name -> DuckDB type for a query's result set, via DESCRIBE.
+
+    The driver's value hash is TYPE-sensitive: DuckDB sum(BIGINT/INT)
+    returns HUGEINT (windowed sums too) while Spark emits int64, and the
+    round-4 driver flagged exactly the 12 oracles whose DESCRIBE showed a
+    HUGEINT column even though Python-value comparison passed. Comparing
+    DESCRIBE types between the oracle SQL and the Spark parquet makes this
+    failure class visible locally.
+    """
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE ({sql})").fetchall()}
+
+
+def type_family(t):
+    """Collapse DuckDB types into the families the driver's hash actually
+    distinguishes. Round-4 evidence: INTEGER-vs-BIGINT columns (Spark
+    row_number is int32, DuckDB's is int64) were hash-GREEN, while every
+    HUGEINT column was hash-RED — the driver normalizes integer widths to
+    int64 but converts HUGEINT to float64/decimal, changing the hashed
+    value representation. So widths within a family are equivalent;
+    HUGEINT/DECIMAL are their own (always-mismatching) families."""
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    return t  # HUGEINT, UBIGINT, DECIMAL(...), VARCHAR, DATE, ... exact
+
+
+def type_mismatches(otypes, stypes):
+    """Per-column DuckDB type-family diffs the driver hash would reject."""
+    bad = []
+    for c in sorted(set(otypes) & set(stypes)):
+        ot, st = otypes[c], stypes[c]
+        if type_family(ot) != type_family(st):
+            bad.append((c, ot, st))
+    return bad
+
+
+def lint(sf_dir, out_dir):
+    """DESCRIBE every oracle and fail on output types Spark can never emit.
+
+    DuckDB sum(INT/BIGINT) — windowed sums included — yields HUGEINT; Spark
+    has no 128-bit integer, so a HUGEINT (or UHUGEINT) column in an oracle's
+    OUTPUT schema is always a driver hash-red waiting to happen. Unlike a
+    syntactic "uncast sum" lint (99 false positives on this registry: interior
+    CTE sums consumed by float math are fine), DESCRIBE is exact. Needs only
+    oracle_sql.json, not a Spark Verify pass.
+    """
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_bad = 0
+    for name in sorted(oracle):
+        try:
+            types = col_types(con, oracle[name])
+        except Exception as e:
+            print(f"ERR   {name}: describe: {e}")
+            n_bad += 1
+            continue
+        bad = {c: t for c, t in types.items() if "HUGEINT" in t}
+        if bad:
+            print(f"LINT  {name}: un-Spark-able oracle output types: {bad}")
+            n_bad += 1
+    print(f"== lint: {n_bad} oracle(s) with HUGEINT output ==")
+    return 1 if n_bad else 0
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -53,8 +124,14 @@ def main(sf_dir, out_dir):
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    only = None
+    import os
+    if os.environ.get("SPARK_GRAFT_ONLY"):
+        only = set(os.environ["SPARK_GRAFT_ONLY"].split(","))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         spark_dir = Path(out_dir) / name
         if not spark_dir.exists():
             print(f"MISS  {name}: no spark output")
@@ -69,6 +146,20 @@ def main(sf_dir, out_dir):
             srows = s.fetchall()
         except Exception as e:
             print(f"ERR   {name}: {e}")
+            n_fail += 1
+            continue
+        try:
+            tbad = type_mismatches(
+                col_types(con, oracle[name]),
+                col_types(con, f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')"))
+        except Exception as e:
+            print(f"ERR   {name}: describe: {e}")
+            n_fail += 1
+            continue
+        if tbad:
+            print(f"FAIL  {name}: type mismatch (driver hash is type-sensitive):")
+            for c, ot, st in tbad:
+                print(f"      {c}: oracle={ot} spark={st}")
             n_fail += 1
             continue
         oc, orows = canon(ocols, orows)
@@ -93,4 +184,7 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
+    if "--lint" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--lint"]
+        sys.exit(lint(args[0], args[1]))
     sys.exit(main(sys.argv[1], sys.argv[2]))

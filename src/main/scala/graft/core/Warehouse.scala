@@ -91,15 +91,25 @@ object Warehouse {
     * metadata-only — Catalyst inlines them, so predicates and pruning
     * push through a view exactly as through its definition (the
     * reference's U-SQL VIEW surface, e.g. a masked or filtered
-    * projection published under a stable name). */
+    * projection published under a stable name).
+    *
+    * Redefining an EXISTING view replaces its SQL IN PLACE in the
+    * manifest: [[open]] replays views in manifest order and validates
+    * references at creation, so moving a redefined view after its
+    * dependents (the old filterNot-then-append) would break cold-start
+    * replay whenever a later view references it. Only a genuinely new
+    * (db, name) appends. */
   def createView(spark: SparkSession, root: String, db: String,
       name: String, sql: String): Unit = {
     requireIdent(db); requireIdent(name)
     createDatabase(spark, root, db)
     spark.sql(s"CREATE OR REPLACE VIEW `$db`.`$name` AS $sql")
-    writeViews(spark, root,
-      readViews(spark, root).filterNot(v => v._1 == db && v._2 == name)
-        :+ ((db, name, sql)))
+    val views = readViews(spark, root)
+    val updated =
+      if (views.exists(v => v._1 == db && v._2 == name))
+        views.map(v => if (v._1 == db && v._2 == name) (db, name, sql) else v)
+      else views :+ ((db, name, sql))
+    writeViews(spark, root, updated)
   }
 
   /** DROP VIEW: session catalog + views manifest. */

@@ -338,17 +338,28 @@ object Ann {
         zip_with(col("__qv"), typedLit(center),
           (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, x) => acc + x)
-    val seed = q.orderBy(col("__vid")).limit(1).collect()(0)
+    val seedRows = q.orderBy(col("__vid")).limit(1).collect()
+    require(seedRows.nonEmpty,
+      s"kcenterSelect: input frame is empty — cannot select k=$k centers")
+    val seed = seedRows(0)
     var chosen = Vector((seed.getLong(0), seed.getSeq[Long](1), 0L))
-    for (_ <- 1 until k) {
+    var exhausted = false
+    for (_ <- 1 until k if !exhausted) {
       val ds = chosen.map { case (_, v, _) => sqdistTo(v) }
       val minDist = if (ds.size == 1) ds.head else least(ds: _*)
-      val next = q
+      val nextRows = q
         .where(not(col("__vid").isInCollection(chosen.map(_._1))))
         .select(col("__vid"), col("__qv"), minDist.as("__d"))
         .orderBy(col("__d").desc, col("__vid").asc)
-        .limit(1).collect()(0)
-      chosen :+= ((next.getLong(0), next.getSeq[Long](1), next.getLong(2)))
+        .limit(1).collect()
+      // fewer than k distinct ids: stop early and return what was chosen
+      // (every remaining point is already a center) rather than throwing
+      // ArrayIndexOutOfBounds mid-loop
+      if (nextRows.isEmpty) exhausted = true
+      else {
+        val next = nextRows(0)
+        chosen :+= ((next.getLong(0), next.getSeq[Long](1), next.getLong(2)))
+      }
     }
     chosen.zipWithIndex
       .map { case ((id, _, d), i) => (i + 1L, id, d) }

@@ -52,12 +52,25 @@ object Export {
 
   /** Assign, co-locate, and write `numShards` shard files under
     * `path/shard_id=K/`, ONE file per shard; returns the manifest of
-    * what was written (compute it BEFORE training reads the shards). */
+    * what was written (compute it BEFORE training reads the shards).
+    *
+    * The manifest is aggregated from the FILES JUST WRITTEN, not from the
+    * input plan: re-running the upstream pipeline for the manifest would
+    * double the cost (scoring/dedup/budgeting execute twice) and — worse —
+    * describe a recomputation rather than the bytes on disk, so any
+    * upstream nondeterminism would let manifest and shards silently
+    * disagree. Reading back is one cheap scan of the freshly-written
+    * parquet and is by construction the ground truth a trainer validates
+    * against. */
   def writeShards(df: DataFrame, idCol: String, textCol: String,
       numShards: Int, path: String, salt: String = ""): DataFrame = {
     val assigned = shardAssign(df, idCol, numShards, salt)
     assigned.repartition(col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(path)
-    shardManifest(assigned, idCol, textCol)
+    val written = assigned.sparkSession.read.parquet(path)
+      // partition-dir inference reads shard_id=K as INT; restore the
+      // assigned LONG so the manifest schema matches shardManifest(assigned)
+      .withColumn("shard_id", col("shard_id").cast("long"))
+    shardManifest(written, idCol, textCol)
   }
 }

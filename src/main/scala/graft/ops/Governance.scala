@@ -82,14 +82,21 @@ object Governance {
   }
 
   /** CDF thresholds of the TRUNCATED two-sided geometric mechanism with
-    * α = 1/2 (ε = ln 2): P(K=0) = 1/3, P(K=±j) = (1/3)·2^−j, tails
-    * beyond ±`bound` folded into the endpoints. Returns P(K ≤ k) for
-    * k = −bound … bound−1 (the closing ELSE catches +bound). Public so
-    * the oracle can embed the IDENTICAL literals. */
+    * α = 1/2 (ε = ln 2): P(K=0) = 1/3, P(K=±j) = (1/3)·2^−j for |j| <
+    * `bound`, and BOTH tails folded symmetrically into their endpoints —
+    * P(K=±bound) = Σ_{j≥bound} (1/3)·2^−j = (2/3)·2^−bound, so the
+    * truncated pmf sums to exactly 1 and the mechanism stays symmetric
+    * (the earlier spelling folded only the upper tail, giving the +bound
+    * endpoint ≈3× the −bound mass). Returns P(K ≤ k) for k = −bound …
+    * bound−1 (the closing ELSE catches +bound, whose fold is implicit in
+    * 1 − last threshold). Public so the oracle can embed the IDENTICAL
+    * literals. */
   def dpThresholds(bound: Int): Seq[Double] = {
     require(bound >= 1)
     val pmf = (-bound to bound).map { k =>
-      if (k == 0) 1.0 / 3.0 else (1.0 / 3.0) * math.pow(0.5, math.abs(k))
+      if (k == 0) 1.0 / 3.0
+      else if (math.abs(k) == bound) (2.0 / 3.0) * math.pow(0.5, bound)
+      else (1.0 / 3.0) * math.pow(0.5, math.abs(k))
     }
     pmf.scanLeft(0.0)(_ + _).drop(1).dropRight(1)
   }

@@ -646,10 +646,15 @@ object Analytics {
     * revenue is integer cents per the q72 discipline. */
   def q208RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
     // ~80 levels on this corpus; the default limit (100) is one data
-    // refresh away from a failure, so pin headroom explicitly
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
-    table(spark, dir, "orders").createOrReplaceTempView("q208_orders")
-    spark.sql(
+    // refresh away from a failure, so pin headroom explicitly — in a CHILD
+    // session (shared SparkContext, isolated conf + temp views), so the
+    // caller's session keeps its own recursion limit and catalog: the
+    // returned frame stays bound to the child, whose conf is read lazily
+    // at execution (a save-and-restore around this method would race it)
+    val session = spark.newSession()
+    session.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
+    table(session, dir, "orders").createOrReplaceTempView("q208_orders")
+    session.sql(
       """WITH RECURSIVE months AS (
         |  SELECT mn AS mi, mx FROM (
         |    SELECT min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mn,
@@ -1591,8 +1596,8 @@ object Analytics {
     // the salt is a plan detail — the oracle is the PLAIN join
     "q207_salted_join" ->
       """SELECT p_brand,
-        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
-        |      AS BIGINT)) AS rev_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS rev_cents,
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
@@ -1645,8 +1650,8 @@ object Analytics {
     "q199_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |    sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
-        |        AS BIGINT)) AS total_rev_cents
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |        AS BIGINT)) AS BIGINT) AS total_rev_cents
         |  FROM lineitem
         |  WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
         |  GROUP BY l_suppkey)
@@ -1798,7 +1803,7 @@ object Analytics {
         |  GROUPING(n_name)::BIGINT AS g_nation,
         |  GROUPING(o_orderpriority)::BIGINT AS g_prio,
         |  count(*) AS n_orders,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -1832,8 +1837,8 @@ object Analytics {
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin,
     "q104_regional_revenue" ->
       """SELECT n_name,
-        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
-        |      AS BIGINT)) AS rev_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS rev_cents,
         |  count(*) AS n_items
         |FROM region
         |JOIN nation ON n_regionkey = r_regionkey
@@ -1866,11 +1871,11 @@ object Analytics {
         |  AND levenshtein(a.pfx, b.pfx) <= 10""".stripMargin,
     "q107_unpivot" ->
       """WITH w AS (SELECT l_returnflag,
-        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS base_cents,
-        |    sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
-        |      AS disc_cents,
-        |    sum(CAST(round(l_extendedprice * l_tax * 100) AS BIGINT))
-        |      AS tax_cents
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS base_cents,
+        |    CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+        |      AS BIGINT) AS disc_cents,
+        |    CAST(sum(CAST(round(l_extendedprice * l_tax * 100) AS BIGINT))
+        |      AS BIGINT) AS tax_cents
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, charge, cents FROM w
         |UNPIVOT (cents FOR charge IN (base_cents, disc_cents, tax_cents))""".stripMargin,
@@ -1995,8 +2000,8 @@ object Analytics {
       """SELECT l_linestatus,
         |  count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
         |  count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-        |    FILTER (WHERE l_discount > 0.05) AS disc_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    FILTER (WHERE l_discount > 0.05) AS BIGINT) AS disc_cents,
         |  count(*) AS n_total
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "q120_pseudonymize" ->

@@ -608,7 +608,7 @@ object Corpus {
         |k AS (SELECT *, row_number() OVER (PARTITION BY md5(chunk)
         |        ORDER BY doc_id, idx) rn FROM ch)
         |SELECT doc_id, count(*) AS n_chunks,
-        |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1)
         |    AS clean_text
         |FROM k GROUP BY doc_id""".stripMargin,

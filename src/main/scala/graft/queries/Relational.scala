@@ -681,7 +681,7 @@ object Relational {
         |    date_diff('day', DATE '1970-01-01', o_orderdate) ed
         |  FROM orders GROUP BY 1, 2)
         |SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS day,
-        |  sum(n) OVER w AS rolling_n,
+        |  CAST(sum(n) OVER w AS BIGINT) AS rolling_n,
         |  sum(tc) OVER w / 100.0 AS rolling_rev
         |FROM daily
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY ed

@@ -458,7 +458,7 @@ object StreamingQueries {
     "q89_stream_enrich" ->
       """WITH j AS (SELECT time_bucket(INTERVAL '6 hours', e.ts) ws,
         |             c.c_mktsegment, count(*) AS n_events,
-        |             sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS revenue_cents
+        |             CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
         |           FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |           GROUP BY 1, 2),
         |m AS (SELECT max(ts) mx FROM events)

@@ -992,7 +992,7 @@ object Training {
         |  FROM (SELECT vec_id, unnest(embedding) AS x,
         |          generate_subscripts(embedding, 1) AS i
         |        FROM embeddings) t)
-        |SELECT a.i AS i, b.i AS j, count(*) AS n, sum(a.q * b.q) AS sum_xy
+        |SELECT a.i AS i, b.i AS j, count(*) AS n, CAST(sum(a.q * b.q) AS BIGINT) AS sum_xy
         |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
     "q206_gopher_rules" -> {
@@ -1025,7 +1025,7 @@ object Training {
         |  FROM (SELECT unnest(embedding) AS x,
         |          generate_subscripts(embedding, 1) AS i
         |        FROM embeddings) t)
-        |SELECT i, count(*) AS n, sum(q) AS sum_q,
+        |SELECT i, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
         |  min(q) AS min_q, max(q) AS max_q
         |FROM e GROUP BY i""".stripMargin,
     // q41's probe chain with the label equality riding the pair join
@@ -1112,7 +1112,7 @@ object Training {
          |  FROM w WHERE len(ws) >= 5),
          |tr AS (SELECT DISTINCT h FROM g WHERE sp = 'train')
          |SELECT g.doc_id, count(*) AS n_windows,
-         |  sum(CASE WHEN tr.h IS NULL THEN 1 ELSE 0 END) AS n_novel,
+         |  CAST(sum(CASE WHEN tr.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
          |  round(sum(CASE WHEN tr.h IS NULL THEN 1 ELSE 0 END)::DOUBLE
          |    / count(*), 6) AS novelty
          |FROM g LEFT JOIN tr ON g.h = tr.h

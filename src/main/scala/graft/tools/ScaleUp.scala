@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus upscaler for load / scaling probes: writes an
+  * N-fold copy of a testdata directory with REFERENTIAL INTEGRITY and
+  * WORKLOAD STRUCTURE preserved, so per-query runtimes at the scaled
+  * corpus measure the ENGINE's scaling exponent, not an artifact of the
+  * scaling itself.
+  *
+  * Design rules (each exists because the naive copy breaks a family):
+  *  - Fact/entity keys are shifted per copy (`key + c·(max+1)`) in
+  *    lock-step across tables — lineitem⋈orders⋈customer⋈nation joins
+  *    keep exactly their per-copy selectivity; nation/region dims stay
+  *    fixed (as they would at any real scale).
+  *  - `documents.text` gets every TOKEN suffixed with the copy index
+  *    (copy 0 untouched): shingle/minhash/simhash spaces of different
+  *    copies are disjoint, so exact/near-dup RATES are scale-invariant.
+  *    Naively duplicating text would hand every doc N−1 exact dups and
+  *    O(N²) candidate pairs — a fabricated superlinearity no real 10×
+  *    corpus has.
+  *  - `embeddings.embedding` components get a small deterministic
+  *    per-copy perturbation (md5-derived, ±1%): identical vectors across
+  *    copies would pile N copies into the same IVF/LSH cells and
+  *    quadratically inflate semantic-dedup groups; perturbed copies
+  *    spread like genuinely new vectors.
+  *  - `events` shift both event_id and user_id (users reference the
+  *    shifted customer copies); timestamps are untouched so windowed /
+  *    sessionized densities per time bucket scale by N, which is what a
+  *    busier firehose looks like.
+  *
+  * Usage: `ScaleUp.main(srcDir, dstDir, factor)` — e.g. sf0.1 × 10 →
+  * an sf1-equivalent under /tmp. One narrow projection + union per
+  * table; no shuffle, scan-speed. Never writes into the read-only
+  * testdata root.
+  */
+object ScaleUp {
+
+  private def copies(df: DataFrame, n: Int)(f: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until n).map(c => f(df, c)).reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, factorS) = args.take(3)
+    val n = factorS.toInt
+    require(n >= 1, s"factor must be >= 1, got $n")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, n)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dst: String, n: Int): Unit = {
+    def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key).cast("long"))).head.getLong(0) + 1L
+
+    // fixed dims: the 25-nation/5-region star head does not grow with sf
+    wr(rd("region"), "region")
+    wr(rd("nation"), "nation")
+
+    val cust = rd("customer"); val cStride = stride(cust, "c_custkey")
+    wr(copies(cust, n)((d, c) =>
+      d.withColumn("c_custkey", col("c_custkey") + c * cStride)), "customer")
+
+    val supp = rd("supplier"); val sStride = stride(supp, "s_suppkey")
+    wr(copies(supp, n)((d, c) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + c * sStride)), "supplier")
+
+    val part = rd("part"); val pStride = stride(part, "p_partkey")
+    wr(copies(part, n)((d, c) =>
+      d.withColumn("p_partkey", col("p_partkey") + c * pStride)), "part")
+
+    val ord = rd("orders"); val oStride = stride(ord, "o_orderkey")
+    wr(copies(ord, n)((d, c) => d
+      .withColumn("o_orderkey", col("o_orderkey") + c * oStride)
+      .withColumn("o_custkey", col("o_custkey") + c * cStride)), "orders")
+
+    wr(copies(rd("lineitem"), n)((d, c) => d
+      .withColumn("l_orderkey", col("l_orderkey") + c * oStride)
+      .withColumn("l_partkey", col("l_partkey") + c * pStride)
+      .withColumn("l_suppkey", col("l_suppkey") + c * sStride)), "lineitem")
+
+    val ev = rd("events"); val eStride = stride(ev, "event_id")
+    wr(copies(ev, n)((d, c) => d
+      .withColumn("event_id", col("event_id") + c * eStride)
+      .withColumn("user_id", col("user_id") + c * cStride)), "events")
+
+    val docs = rd("documents")
+    wr(copies(docs, n)((d, c) =>
+      if (c == 0) d
+      else d
+        .withColumn("doc_id", concat(col("doc_id"), lit(s"_x$c")))
+        .withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(c.toString))), " "))), "documents")
+
+    val emb = rd("embeddings"); val vStride = stride(emb, "vec_id")
+    wr(copies(emb, n)((d, c) =>
+      if (c == 0) d
+      else d
+        .withColumn("vec_id", col("vec_id") + c * vStride)
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            // per-(vector, component, copy) delta in [-0.01, 0.01] — an
+            // independent direction nudge, not a uniform translation
+            (x.cast("double") +
+              (pmod(conv(substring(md5(concat_ws("_",
+                col("vec_id"), i, lit(c))), 1, 8), 16, 10).cast("long"),
+                lit(2001L)) - 1000L)
+                .cast("double") / 100000.0)
+              .cast("float")))), "embeddings")
+  }
+}

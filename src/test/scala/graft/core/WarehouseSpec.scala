@@ -191,4 +191,32 @@ class WarehouseSpec extends SparkSpec {
       spark.sql("DROP DATABASE IF EXISTS whtest5")
     }
   }
+  test("redefining an early view keeps manifest position; cold-start replay still resolves") {
+    val root = scratch("wh-views-redef")
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    try {
+      Warehouse.saveTable(spark, root, "whtest6", "nation", nation)
+      Warehouse.createView(spark, root, "whtest6", "base",
+        "SELECT n_nationkey, n_name FROM whtest6.nation WHERE n_nationkey < 10")
+      Warehouse.createView(spark, root, "whtest6", "derived",
+        "SELECT count(*) AS n FROM whtest6.base")
+      // redefine the EARLY view: must stay before its dependent in the manifest
+      Warehouse.createView(spark, root, "whtest6", "base",
+        "SELECT n_nationkey, n_name FROM whtest6.nation WHERE n_nationkey < 5")
+      assert(Warehouse.listViews(spark, root).map(_._2) == Seq("base", "derived"),
+        "redefinition moved the view after its dependent")
+      spark.sql("DROP VIEW whtest6.derived")
+      spark.sql("DROP VIEW whtest6.base")
+      spark.sql("DROP TABLE whtest6.nation")
+      spark.sql("DROP DATABASE whtest6")
+      val fresh = spark.newSession()
+      Warehouse.open(fresh, root) // throws if replay order is broken
+      assert(fresh.sql("SELECT n FROM whtest6.derived").head().getLong(0) == 5L)
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS whtest6.derived")
+      spark.sql("DROP VIEW IF EXISTS whtest6.base")
+      spark.sql("DROP TABLE IF EXISTS whtest6.nation")
+      spark.sql("DROP DATABASE IF EXISTS whtest6")
+    }
+  }
 }

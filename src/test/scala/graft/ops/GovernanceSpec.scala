@@ -82,6 +82,11 @@ class GovernanceSpec extends SparkSpec {
     assert(math.abs(t(15) - 1.0 / 3.0) < 1e-4)  // P(K <= -1), k index -16+15
     assert(math.abs(t(16) - 2.0 / 3.0) < 1e-4)  // P(K <= 0)
     assert(t.last < 1.0 && t.last > 0.9999)
+    // symmetric tail fold: P(K=-16) = first CDF step = 1 - last threshold
+    // = P(K=+16) = (2/3)*2^-16
+    val endpoint = 2.0 / 3.0 * math.pow(0.5, 16)
+    assert(math.abs(t.head - endpoint) < 1e-12, "negative tail not folded")
+    assert(math.abs((1.0 - t.last) - endpoint) < 1e-12, "positive tail fold drifted")
   }
 
   test("noisyCounts: bounded perturbation, zero clamp, partition/salt behavior") {
