@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables.table
 import graft.ops.{History, Incremental}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Warehouse lifecycle surface added in round 4: SCD Type-2 dimension
@@ -212,8 +212,145 @@ object Lifecycle {
       Seq("o_orderstatus", "o_totalprice", "o_orderpriority"), buckets = 64)
   }
 
+  /** SS2.10(a)/(b)/(d) END-TO-END composite at driver grain — the
+    * ProcessDaily pipeline itself as an oracle-gated query, closing the
+    * round-4 gap where the 33-table merge algebra was spec-gated only.
+    *
+    * Two synthetic "crawl days" are derived from `events` (split at the
+    * integer midpoint of the time range), rendered as raw JSON documents
+    * with the reference's `_metadata` envelope, and pushed through the
+    * REAL executors — [[graft.ingest.Staging.stage]] →
+    * [[graft.entities.Pipelines.runSnapshot]] (per-user account snapshot,
+    * exercising the P6 deleted/processed ternary: day-1 rows of users
+    * ≡0 mod 7 carry a far-future deleted_at and must BEAT their day-2
+    * version), [[graft.entities.Pipelines.runCollection]] (per-user
+    * event-type membership: day-2 origins replace wholesale, day-1-only
+    * users carry forward via the broadcast anti-join), and
+    * [[graft.entities.Pipelines.runTraffic]] in BOTH faithful
+    * (last-array-element collapse) and corrected (per-element) modes over
+    * the real `Specs.views` TrafficSpec — against a scratch curated dir
+    * (tmp + atomic swap, the S6 path). The four curated tables flatten to
+    * one (section, user_id, k, v1, v2, s1) frame; DuckDB replays the END
+    * STATE directly from `events` with window functions
+    * (ProcessDaily.usql:98-177, :25-91, :3227-3591).
+    *
+    * Scale shape: each executor is one key-shuffle (the latest-wins
+    * window) or a broadcast anti-join, exactly as in production; the JSON
+    * build is a narrow projection; the staged day is cached once and
+    * feeds all four executors. Timestamps travel as explicit microsecond
+    * ISO strings so the JSON round-trip loses nothing. */
+  def q244ProcessDaily(spark: SparkSession, dir: String): DataFrame = {
+    import graft.entities.{Pipelines, Specs}
+    import graft.entities.Specs.{CollectionSpec, Field, SnapshotSpec}
+    import org.apache.hadoop.fs.Path
+
+    def isoUs(us: Column): Column = concat(
+      date_format(timestamp_micros(us), "yyyy-MM-dd'T'HH:mm:ss"),
+      lit("."), lpad(pmod(us, lit(1000000L)).cast("string"), 6, "0"))
+
+    val ev = events(spark, dir).select(
+      col("user_id").cast("long").as("user_id"),
+      col("event_id").cast("long").as("event_id"),
+      col("event_type"), col("ts_us"),
+      round(col("value") * 100).cast("long").as("vc"))
+    val bounds = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("cut"),
+      max("ts_us").as("mx"))
+    val d = ev.crossJoin(broadcast(bounds))
+      .withColumn("day", when(col("ts_us") <= col("cut"), "2024-01-01")
+        .otherwise("2024-01-02"))
+
+    val urnU = concat(lit("urn:acct:"), col("user_id"))
+    // per-(user, half) snapshot attributes + membership set
+    val snapAgg = d.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("value_cents"),
+        max(struct(col("ts_us"), col("event_id"), col("event_type")))
+          .as("__last"),
+        max(col("ts_us")).as("pus"),
+        sort_array(collect_set(col("event_type"))).as("types"),
+        first(col("mx")).as("mx"))
+      .withColumn("last_type", col("__last").getField("event_type"))
+      .withColumn("del_us",
+        when(col("day") === "2024-01-02" && pmod(col("user_id"), lit(10)) === 0,
+          col("pus") + 3600000000L)
+        .when(col("day") === "2024-01-01" && pmod(col("user_id"), lit(7)) === 0,
+          col("mx") + 86400000000L))
+    def meta(typ: String, self: Column, links: Seq[Column] = Nil): Column =
+      struct((Seq(
+        lit(typ).as("type"), isoUs(col("pus")).as("fetchedAt"),
+        isoUs(col("pus")).as("processedAt"),
+        when(col("del_us").isNotNull, isoUs(col("del_us"))).as("deletedAt"),
+        struct(Seq(struct(self.as("href")).as("self")) ++ links: _*)
+          .as("links"))): _*).as("_metadata")
+    val snapDocs = snapAgg.select(col("day"), to_json(struct(
+      meta("account", urnU),
+      col("last_type"), col("value_cents"), col("n_events"))).as("data"))
+    val collDocs = snapAgg.select(col("day"), to_json(struct(
+      meta("membership", concat(lit("urn:coll:"), col("user_id")), Seq(
+        struct(urnU.as("href")).as("origin"),
+        struct(col("types").as("hrefs")).as("resources"))))).as("data"))
+    // per-(user, half) traffic doc: per-calendar-date counts, array sorted
+    // ascending so faithful mode's last element is the half's newest date
+    val perDate = d.groupBy(col("user_id"), col("day"),
+        to_date(timestamp_micros(col("ts_us"))).as("dt"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("event_type")).as("unq"))
+    val trafDocs = perDate.groupBy(col("user_id"), col("day"))
+      .agg(sort_array(collect_list(struct(
+          date_format(col("dt"), "yyyy-MM-dd'T'00:00:00").as("timestamp"),
+          col("cnt").as("count"), col("unq").as("uniques")))).as("views"))
+      .join(snapAgg.select(col("user_id"), col("day"), col("pus"),
+        lit(null).cast("long").as("del_us")), Seq("user_id", "day"))
+      .select(col("day"), to_json(struct(
+        meta("views", concat(lit("urn:tv:"), col("user_id")), Seq(
+          struct(urnU.as("href")).as("repo"))),
+        col("views"))).as("data"))
+
+    val raw = snapDocs.unionByName(collDocs).unionByName(trafDocs)
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_q244_${math.abs(dir.hashCode)}"
+    val hfs = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new Path(base), true)
+    val acctSpec = SnapshotSpec("account", _ === "account", Seq(
+      Field("last_type", "last_type"),
+      Field("value_cents", "value_cents", "long"),
+      Field("n_events", "n_events", "long")))
+    val collSpec = CollectionSpec("membership", "membership")
+    Seq("2024-01-01", "2024-01-02").foreach { day =>
+      val staged = graft.ingest.Staging.stage(
+        raw.where(col("day") === day).select("data"), day)
+      staged.cache()
+      Pipelines.runSnapshot(spark, staged, s"$base/cur", acctSpec)
+      Pipelines.runCollection(spark, staged, s"$base/cur", collSpec)
+      Pipelines.runTraffic(spark, staged, s"$base/curF", Specs.views,
+        faithful = true)
+      Pipelines.runTraffic(spark, staged, s"$base/curC", Specs.views,
+        faithful = false)
+      staged.unpersist()
+    }
+    def uid(c: Column) = substring(c, 10, 30).cast("long")
+    val snapF = spark.read.parquet(s"$base/cur/account").select(
+      lit("snapshot").as("section"), uid(col("etl_source_id")).as("user_id"),
+      lit("").as("k"), col("n_events").as("v1"), col("value_cents").as("v2"),
+      concat(col("last_type"), lit("|"), col("etl_ingest_date")).as("s1"))
+    val collF = spark.read.parquet(s"$base/cur/membership").select(
+      lit("collection").as("section"), uid(col("origin_urn")).as("user_id"),
+      col("member_urn").as("k"), lit(1L).as("v1"), lit(0L).as("v2"),
+      lit("").as("s1"))
+    def trafF(sub: String, section: String) =
+      spark.read.parquet(s"$base/$sub/repo_views").select(
+        lit(section).as("section"), uid(col("repo_urn")).as("user_id"),
+        date_format(col("data_date"), "yyyy-MM-dd").as("k"),
+        col("count").cast("long").as("v1"),
+        col("uniques").cast("long").as("v2"),
+        lit("").as("s1"))
+    snapF.unionByName(collF)
+      .unionByName(trafF("curF", "traffic_f"))
+      .unionByName(trafF("curC", "traffic_c"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_incremental_join" -> q210IncrementalJoin,
+    "q244_process_daily" -> q244ProcessDaily,
     "q223_inclusion" -> q223Inclusion,
     "q224_fd" -> q224Fd,
     "q228_replica_diff" -> q228ReplicaDiff,
@@ -246,6 +383,59 @@ object Lifecycle {
        |      FROM $t GROUP BY $x) g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // END-STATE replay: the merge algebra (latest-effective-wins with the
+    // deleted>processed ternary, wholesale collection replacement,
+    // faithful last-element vs corrected per-element traffic) computed
+    // directly from events with windows — the JSON staging round-trip is
+    // identity and stays on the Spark side
+    "q244_process_daily" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) us,
+        |    CAST(round(value * 100) AS BIGINT) vc FROM events),
+        |b AS (SELECT (min(us) + max(us)) // 2 AS cut, max(us) AS mx FROM e),
+        |d AS (SELECT e.*, CASE WHEN us <= cut THEN '2024-01-01'
+        |        ELSE '2024-01-02' END AS day FROM e, b),
+        |s AS (SELECT user_id, day, count(*) AS n_events,
+        |        CAST(sum(vc) AS BIGINT) AS value_cents, max(us) AS pus
+        |      FROM d GROUP BY 1, 2),
+        |lt AS (SELECT user_id, day, event_type AS last_type FROM (
+        |        SELECT user_id, day, event_type, row_number() OVER (
+        |          PARTITION BY user_id, day ORDER BY us DESC, event_id DESC) rn
+        |        FROM d) WHERE rn = 1),
+        |snap AS (SELECT s.*, lt.last_type,
+        |    CASE WHEN day = '2024-01-02' AND user_id % 10 = 0
+        |           THEN pus + 3600000000
+        |         WHEN day = '2024-01-01' AND user_id % 7 = 0
+        |           THEN (SELECT mx FROM b) + 86400000000
+        |         ELSE pus END AS eff
+        |  FROM s JOIN lt USING (user_id, day)),
+        |snapf AS (SELECT * FROM (SELECT snap.*, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY eff DESC, day DESC) rnw FROM snap)
+        |  WHERE rnw = 1),
+        |coll AS (SELECT DISTINCT user_id, day, event_type FROM d),
+        |cmax AS (SELECT user_id, max(day) AS mday FROM coll GROUP BY 1),
+        |collf AS (SELECT c.user_id, c.event_type FROM coll c JOIN cmax m
+        |  ON c.user_id = m.user_id AND c.day = m.mday),
+        |t AS (SELECT user_id, day, CAST(make_timestamp(us) AS DATE) AS dt,
+        |        count(*) AS cnt, count(DISTINCT event_type) AS unq
+        |      FROM d GROUP BY 1, 2, 3),
+        |tj AS (SELECT t.*, s.pus FROM t JOIN s USING (user_id, day)),
+        |tf AS (SELECT * FROM (SELECT tj.*, row_number() OVER (
+        |    PARTITION BY user_id, day ORDER BY dt DESC) rnl FROM tj)
+        |  WHERE rnl = 1),
+        |tfm AS (SELECT * FROM (SELECT tf.*, row_number() OVER (
+        |    PARTITION BY user_id, dt ORDER BY pus DESC, day DESC) rnm FROM tf)
+        |  WHERE rnm = 1),
+        |tcm AS (SELECT * FROM (SELECT tj.*, row_number() OVER (
+        |    PARTITION BY user_id, dt ORDER BY pus DESC, day DESC) rnm FROM tj)
+        |  WHERE rnm = 1)
+        |SELECT 'snapshot' AS section, user_id, '' AS k, n_events AS v1,
+        |  value_cents AS v2, last_type || '|' || day AS s1 FROM snapf
+        |UNION ALL
+        |SELECT 'collection', user_id, event_type, 1, 0, '' FROM collf
+        |UNION ALL
+        |SELECT 'traffic_f', user_id, dt::VARCHAR, cnt, unq, '' FROM tfm
+        |UNION ALL
+        |SELECT 'traffic_c', user_id, dt::VARCHAR, cnt, unq, '' FROM tcm""".stripMargin,
     // the bucket localization is a plan detail — the oracle is the
     // DIRECT full-outer diff over the same mutated replica
     "q228_replica_diff" ->
