@@ -96,11 +96,11 @@ object ScaleUp {
       .withColumn("event_id", col("event_id") + c * eStride)
       .withColumn("user_id", col("user_id") + c * cStride)), "events")
 
-    val docs = rd("documents")
-    wr(copies(docs, n)((d, c) =>
-      if (c == 0) d
-      else d
-        .withColumn("doc_id", concat(col("doc_id"), lit(s"_x$c")))
+    val docs = rd("documents"); val dStride = stride(docs, "doc_id")
+    wr(copies(docs, n)((d0, c) =>
+      if (c == 0) d0
+      else d0
+        .withColumn("doc_id", col("doc_id") + c * dStride)
         .withColumn("text",
           array_join(transform(split(col("text"), " "),
             w => concat(w, lit(c.toString))), " "))), "documents")
