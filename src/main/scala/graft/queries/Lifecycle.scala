@@ -304,7 +304,10 @@ object Lifecycle {
           struct(urnU.as("href")).as("repo"))),
         col("views"))).as("data"))
 
-    val raw = snapDocs.unionByName(collDocs).unionByName(trafDocs)
+    // one materialization of the whole doc build (events scan + three
+    // aggregations): both day filters and all eight executor passes read
+    // this cache instead of recomputing the upstream pipeline
+    val raw = snapDocs.unionByName(collDocs).unionByName(trafDocs).cache()
     val base = System.getProperty("java.io.tmpdir") +
       s"/graft_q244_${math.abs(dir.hashCode)}"
     val hfs = new Path(base)
@@ -327,6 +330,7 @@ object Lifecycle {
         faithful = false)
       staged.unpersist()
     }
+    raw.unpersist()
     def uid(c: Column) = substring(c, 10, 30).cast("long")
     val snapF = spark.read.parquet(s"$base/cur/account").select(
       lit("snapshot").as("section"), uid(col("etl_source_id")).as("user_id"),
