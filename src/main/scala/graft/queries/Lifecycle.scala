@@ -352,9 +352,35 @@ object Lifecycle {
       .unionByName(trafF("curC", "traffic_c"))
   }
 
+  /** Avro exchange-boundary round-trip through the native `graftavro`
+    * DataSource V2 ([[graft.sources.AvroSource]]): an orders projection
+    * (long keys, timestamp order dates, string status) is written as
+    * deflate-compressed Avro container files and read back, then
+    * aggregated per (status, year) in integer cents. The DuckDB oracle
+    * computes the same aggregate from the ORIGINAL parquet — hash-green
+    * proves the container format, the [null,T] union nullability, and the
+    * timestamp-micros logical type are lossless both directions. The
+    * write is one container file per task, the read one partition per
+    * file; at 100 TB this is the crawler-feed shard pattern. */
+  def q245AvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_q245_${math.abs(dir.hashCode)}"
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+      .write.format("graftavro").mode("overwrite").save(base)
+    spark.read.format("graftavro").load(base)
+      .groupBy(col("o_orderstatus"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_incremental_join" -> q210IncrementalJoin,
     "q244_process_daily" -> q244ProcessDaily,
+    "q245_avro_roundtrip" -> q245AvroRoundtrip,
     "q223_inclusion" -> q223Inclusion,
     "q224_fd" -> q224Fd,
     "q228_replica_diff" -> q228ReplicaDiff,
@@ -387,6 +413,14 @@ object Lifecycle {
        |      FROM $t GROUP BY $x) g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the avro hop is identity — the oracle aggregates the source parquet
+    "q245_avro_roundtrip" ->
+      """SELECT o_orderstatus, year(o_orderdate) AS o_year,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  count(DISTINCT o_custkey) AS n_custs
+        |FROM orders GROUP BY 1, 2""".stripMargin,
     // END-STATE replay: the merge algebra (latest-effective-wins with the
     // deleted>processed ternary, wholesale collection replacement,
     // faithful last-element vs corrected per-element traffic) computed

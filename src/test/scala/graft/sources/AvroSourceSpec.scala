@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-trip + pruning contract of the native `graftavro` connector. */
+class AvroSourceSpec extends SparkSpec {
+
+  test("lineitem round-trip is lossless (longs, doubles, strings)") {
+    val dir = scratch("avro-li")
+    val src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag")
+    src.write.format("graftavro").mode("overwrite").save(dir)
+    val back = spark.read.format("graftavro").load(dir)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    val a = src.agg(sum("l_orderkey"), sum("l_extendedprice")).head
+    val b = back.agg(sum("l_orderkey"), sum("l_extendedprice")).head
+    assert(a == b)
+  }
+
+  test("timestamps survive as timestamp-micros; embeddings as float arrays") {
+    val dir = scratch("avro-ts")
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_orderdate", "o_orderstatus")
+    src.write.format("graftavro").mode("overwrite").save(dir)
+    val back = spark.read.format("graftavro").load(dir)
+    assert(back.schema("o_orderdate").dataType == src.schema("o_orderdate").dataType)
+    val a = src.agg(min("o_orderdate"), max("o_orderdate")).head
+    val b = back.agg(min("o_orderdate"), max("o_orderdate")).head
+    assert(a == b, s"timestamp drift: $a vs $b")
+
+    val edir = scratch("avro-emb")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.write.format("graftavro").mode("overwrite").save(edir)
+    val eback = spark.read.format("graftavro").load(edir)
+    assert(eback.schema("embedding").dataType == emb.schema("embedding").dataType)
+    val ea = emb.select(sum(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double")))).head.getDouble(0)
+    val eb = eback.select(sum(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double")))).head.getDouble(0)
+    assert(math.abs(ea - eb) < 1e-9)
+  }
+
+  test("nulls, maps and nested structs round-trip; unsupported types fail loudly") {
+    import spark.implicits._
+    val dir = scratch("avro-nest")
+    val src = Seq(
+      (1L, Some("a"), Map("k" -> 1L), (10, "x")),
+      (2L, None, Map.empty[String, Long], (20, "y"))
+    ).toDF("id", "opt", "m", "s")
+    src.write.format("graftavro").mode("overwrite").save(dir)
+    val back = spark.read.format("graftavro").load(dir)
+    assert(back.orderBy("id").collect().toSeq ==
+      src.orderBy("id").collect().toSeq)
+    val bad = Seq((BigDecimal(1), 1)).toDF("d", "i")
+    val e = intercept[Exception] {
+      bad.write.format("graftavro").mode("overwrite").save(scratch("avro-bad"))
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("column pruning reaches the scan (readSchema = required columns only)") {
+    val dir = scratch("avro-prune")
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_discount")
+      .write.format("graftavro").mode("overwrite").save(dir)
+    val q = spark.read.format("graftavro").load(dir).select("l_orderkey")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[l_orderkey]"),
+      s"pruned scan should only carry l_orderkey:\n$plan")
+    assert(q.distinct().count() > 0)
+  }
+}
