@@ -1173,7 +1173,80 @@ object Analytics {
           col("total_cents").cast("double"), 6).as("promo_pct"))
   }
 
+  /** TPC-H Q10 shape — returned-item reporting: the revenue a quarter's
+    * RETURNS ('R' lines) cost, per customer with nation context, top 20.
+    * Plan shape: the date predicate prunes orders at the scan, the
+    * returnflag predicate prunes lineitem; customer⋈nation broadcasts;
+    * the one shuffle is the customer-grain aggregate; top-20 is a
+    * TakeOrderedAndProject (never a full sort) with a deterministic
+    * (rev desc, custkey) tiebreak. */
+  def q246ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * 100).cast("long")
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(table(spark, dir, "orders"), col("o_custkey") === col("c_custkey"))
+      .join(table(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_returnflag") === "R" &&
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"), col("n_name"))
+      .agg(sum(rev).as("lost_cents"), count(lit(1)).as("n_lines"))
+      .orderBy(col("lost_cents").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: orders whose total quantity
+    * clears 250 (top ~1% of the per-order distribution), with their
+    * customer. The HAVING-on-aggregate classic: one order-grain
+    * aggregate, the filter applied post-agg (Catalyst folds it into the
+    * aggregate's output), then a broadcast join to customer — the big
+    * fact aggregates BEFORE touching the dimension. Quantities sum as
+    * exact integers. */
+  def q247BigOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .where(col("total_qty") > 250L)
+      .join(table(spark, dir, "orders"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(table(spark, dir, "customer"),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("total_qty"), col("n_lines"))
+
+  /** TPC-H Q19 shape — disjunctive bracket predicates: three (brand,
+    * size-range, quantity-range) OR-branches over the lineitem⋈part
+    * join, one global revenue total. The shape exercises OR pushdown:
+    * Catalyst extracts the common `p_brand IN (...)` + range envelope
+    * into scan-level filters on BOTH sides before the join evaluates the
+    * full disjunction — predicate simplification the reference's U-SQL
+    * optimizer also performed. */
+  def q248BrandBrackets(spark: SparkSession, dir: String): DataFrame = {
+    val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * 100).cast("long")
+    val qty = col("l_quantity")
+    val branch1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 15) && qty >= 1.0 && qty <= 15.0
+    val branch2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 25) && qty >= 10.0 && qty <= 25.0
+    val branch3 = col("p_brand") === "Brand#34" &&
+      col("p_size").between(1, 35) && qty >= 20.0 && qty <= 35.0
+    table(spark, dir, "lineitem")
+      .join(table(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .where(branch1 || branch2 || branch3)
+      .agg(sum(rev).as("rev_cents"), count(lit(1)).as("n_lines"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_returned_revenue" -> q246ReturnedRevenue,
+    "q247_big_orders" -> q247BigOrders,
+    "q248_brand_brackets" -> q248BrandBrackets,
     "q241_shipping_priority" -> q241ShippingPriority,
     "q242_forecast_revenue" -> q242ForecastRevenue,
     "q243_promo_share" -> q243PromoShare,
@@ -1236,6 +1309,42 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q246_returned_revenue" ->
+      """SELECT c_custkey, c_mktsegment, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS lost_cents,
+        |  count(*) AS n_lines
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_cents DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q247_big_orders" ->
+      """WITH q AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+        |    count(*) AS n_lines
+        |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_day,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  total_qty, n_lines
+        |FROM q JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey""".stripMargin,
+    "q248_brand_brackets" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
     // DuckDB runs the SAME recursion: integer month indexes, zero-filled
     // LEFT JOIN; only printf vs format_string spelling differs
     "q208_recursive_cte" ->

@@ -378,4 +378,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Generate"), s"coverage explode missing:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+  test("returned revenue Q10 shape (q246): date prunes at scan, top-20 is TakeOrdered") {
+    val p = plan("q246_returned_revenue")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 should never global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "nation/customer chain should broadcast")
+    assert(p.contains("PushedFilters") && p.contains("l_returnflag"),
+      "returnflag must reach the lineitem scan")
+  }
+
+  test("big orders Q18 shape (q247): fact aggregates BEFORE the dim joins") {
+    val p = plan("q247_big_orders")
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && aggIdx > joinIdx,
+      "plan prints top-down: the join must sit ABOVE the order-grain aggregate " +
+        s"(agg@$aggIdx join@$joinIdx)\n$p")
+    assert(p.contains("BroadcastHashJoin"), "post-agg dim joins should broadcast")
+  }
+
+  test("brand brackets Q19 shape (q248): OR envelope pushes to both scans") {
+    val p = plan("q248_brand_brackets")
+    // Catalyst extracts p_brand IN (...) from the disjunction onto the part scan
+    assert(p.contains("p_brand"), s"brand envelope missing:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("PushedFilters"))
+  }
 }
