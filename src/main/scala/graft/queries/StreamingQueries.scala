@@ -376,10 +376,47 @@ object StreamingQueries {
     spark.table(sink)
   }
 
+  /** Streaming ingest over the native Avro connector
+    * ([[graft.sources.AvroSource]]): the events stream is exported as
+    * Avro container shards (the exchange-feed layout), then re-ingested
+    * with `readStream.format("graftavro")` under `Trigger.AvailableNow`
+    * and aggregated per event type — count plus integer-cents value sum.
+    * Complete mode: the aggregate is tiny (one row per type) and the run
+    * drains the whole listing, so the sink holds the final totals, which
+    * the oracle replays from the ORIGINAL parquet (the avro hop + the
+    * micro-batch replay must be exactly lossless, the q245 contract
+    * extended to the streaming path). One micro-batch per trigger, one
+    * partition per container shard. */
+  def q249StreamAvroIngest(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_q249_${math.abs(dir.hashCode)}"
+    graft.core.Tables.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .write.format("graftavro").mode("overwrite").save(base)
+    val stream = spark.readStream.format("graftavro").load(base)
+    val agg = stream.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("value_cents"))
+    val sink = s"q249_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-$sink")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(col("event_type"), col("n_events"), col("value_cents"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_stream_scd2" -> q215StreamScd2,
     "q232_stream_complete" -> q232StreamComplete,
     "q37_stream_window" -> q37StreamWindow,
+    "q249_stream_avro_ingest" -> q249StreamAvroIngest,
     "q51_stream_session" -> q51StreamSession,
     "q60_stream_dedup" -> q60StreamDedup,
     "q61_stream_join" -> q61StreamJoin,
@@ -390,6 +427,12 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the avro hop + micro-batch drain are identity — replay from parquet
+    "q249_stream_avro_ingest" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events GROUP BY 1""".stripMargin,
     // complete mode's final emission after AvailableNow IS the batch
     // group-by; milli-quantized value sums are merge-order-proof
     "q232_stream_complete" ->

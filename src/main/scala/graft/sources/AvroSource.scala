@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, Generic
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -283,7 +284,7 @@ class AvroTable(paths: Seq[String], tableSchema: StructType) extends Table
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(paths, tableSchema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -311,6 +312,48 @@ class AvroScan(paths: Seq[String], required: StructType)
       .map(f => AvroInputPartition(f._1): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(required)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new AvroMicroBatchStream(paths, required)
+}
+
+/** Offset = prefix length of the (mtime, path)-sorted container listing —
+  * the same append-only-feed contract as the flatjson stream
+  * ([[FlatJsonMicroBatchStream]]): correct for immutable shard drops
+  * whose new files carry later mtimes; a mutable feed needs
+  * seen-file-map bookkeeping that is out of this connector's scope. */
+case class AvroStreamOffset(fileCount: Int) extends Offset {
+  override def json(): String = s"{\"fileCount\":$fileCount}"
+}
+
+class AvroMicroBatchStream(paths: Seq[String], required: StructType)
+    extends MicroBatchStream {
+  private def listing(): Seq[String] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val expanded =
+        if (fs.isDirectory(path)) Option(fs.globStatus(new Path(p, "*.avro")))
+        else Option(fs.globStatus(path))
+      expanded.toSeq.flatten.filter(_.isFile)
+        .map(s => (s.getPath.toString, s.getModificationTime))
+    }.sortBy(s => (s._2, s._1)).map(_._1)
+  }
+  override def initialOffset(): Offset = AvroStreamOffset(0)
+  override def latestOffset(): Offset = AvroStreamOffset(listing().size)
+  override def deserializeOffset(json: String): Offset =
+    AvroStreamOffset("\"fileCount\":(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[AvroStreamOffset].fileCount
+    val b = end.asInstanceOf[AvroStreamOffset].fileCount
+    listing().slice(a, b).map(p => AvroInputPartition(p): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
