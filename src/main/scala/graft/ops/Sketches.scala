@@ -3,81 +3,133 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Mergeable-sketch aggregation — the scale substitute for exact
-  * DISTINCT/percentile. The reference's analytics layer computes nothing
-  * approximate (its daily volumes don't force it), but at 100 TB an exact
-  * `COUNT(DISTINCT url)` shuffles every distinct value; a sketch is a
-  * few-KB partial that map-side-combines and merges associatively — one
-  * narrow pass, and pre-aggregated rollups stay re-aggregable (daily
-  * sketches union into monthly without touching raw data, which no exact
-  * distinct count can do).
+/** Distributed frequency/cardinality sketches as MERGEABLE TABLES — the
+  * "novel sketch" custom-operator family, built Spark-first: a sketch is
+  * not a driver-side blob (Spark's `df.stat.countMinSketch` collects one)
+  * but a small DataFrame of counters whose merge operator is a plain
+  * aggregate (`sum` for CMS, `max` for HLL registers). That makes sketches
+  * first-class warehouse citizens: persist them per partition/day, union +
+  * re-aggregate to merge months, join to query — no driver round-trip,
+  * no custom serialization, and the whole path stays in Tungsten codegen.
   *
-  * Built on Spark-native sketches (all codegen'd aggregates, no UDFs):
-  *   - HLL (Apache DataSketches `hll_sketch_agg` / `hll_union_agg`) for
-  *     distinct counts: ~1.6%% rel. error at lgK=12 and 2.5 KB of state.
-  *   - `percentile_approx` (t-digest-style quantile summary) for
-  *     percentiles with tunable `accuracy` = memory knob.
-  *   - `approx_count_distinct` (HLL++) where only the number — not a
-  *     reusable/unionable sketch — is needed.
+  * DETERMINISTIC BY CONSTRUCTION: hashes are md5-prefix arithmetic
+  * ([[TextDedup.hash60]]), so a DuckDB oracle replays the EXACT counter
+  * tables and estimates — a hash-gated probabilistic structure. The usual
+  * seed-dependent nondeterminism of sketch libraries is exactly what the
+  * corpus-wide reproducibility discipline here forbids.
+  *
+  * Scale shape: CMS build shuffles `depth × |input|` rows but map-side
+  * combine collapses every partition to ≤ depth×width partial rows, so
+  * the exchange is bounded by the sketch size, not the data; HLL build is
+  * one `groupBy(bucket).max(rho)` with the same property (≤ m rows per
+  * partition after partial agg). Point queries broadcast the sketch
+  * (depth×width ≤ thousands of rows). At 100 TB both sketches cost one
+  * scan + a counter-sized shuffle.
   */
 object Sketches {
 
-  /** Per-group distinct-count ESTIMATE plus the binary HLL sketch itself,
-    * so downstream rollups can re-merge groups without rescanning
-    * (`estimate` for reading, `sketch` for further union). */
-  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      lgK: Int = 12): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
-      .agg(
-        hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"),
-        hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK)))
-          .as("estimate"))
-
-  /** Merge already-aggregated HLL sketches up a hierarchy (e.g. daily →
-    * monthly): unions binary sketches, never touching raw rows. */
-  def hllRollup(sketched: DataFrame, groupCols: Seq[String],
-      sketchCol: String = "sketch"): DataFrame =
-    sketched.groupBy(groupCols.map(col): _*)
-      .agg(
-        hll_union_agg(col(sketchCol)).as("sketch"),
-        hll_sketch_estimate(hll_union_agg(col(sketchCol))).as("estimate"))
-
-  /** Approximate percentiles per group: one pass, bounded state per
-    * (group, accuracy); exact `percentile` sorts every group's values. */
-  def approxPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
-      percentiles: Seq[Double], accuracy: Int = 10000): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
-      .agg(percentile_approx(valueCol,
-        array(percentiles.map(lit): _*), lit(accuracy)).as("percentiles"))
-
-  /** Count-min frequency sketch of a key column: `d` deterministic
-    * md5-derived hash rows × `w` buckets, materialized as a (row, bucket,
-    * cnt) frame of ≤ d·w rows. Mergeable by summing `cnt` — daily
-    * sketches union into monthly like [[hllRollup]]; one narrow scan of
-    * the input. */
-  def countMin(df: DataFrame, key: Column, d: Int = 5, w: Int = 1024): DataFrame = {
-    require(d >= 1 && w >= 1)
-    df.select(posexplode(array((0 until d).map(i =>
-        pmod(TextDedup.hash60(concat(key.cast("string"), lit(s":$i"))),
-          lit(w.toLong))): _*))
-        .as(Seq("row", "bucket")))
-      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  /** Count-min sketch as a (depth, bucket, cnt) table over `keyCol`
+    * (optionally weighted). Estimate(x) = min over rows d of
+    * cnt[d, h_d(x)] — always an OVERestimate (collisions only add), with
+    * the usual ε = e/width, δ = e^-depth guarantees. */
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int, width: Int,
+      weight: Column = lit(1L)): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val hashes = (0 until depth).map { d =>
+      struct(lit(d).as("depth"),
+        pmod(TextDedup.hash60(
+          concat(col(keyCol).cast("string"), lit(s":cms$d"))),
+          lit(width.toLong)).as("bucket"))
+    }
+    df.select(explode(array(hashes: _*)).as("h"), weight.as("w"))
+      .groupBy(col("h.depth").as("depth"), col("h.bucket").as("bucket"))
+      .agg(sum(col("w")).as("cnt"))
   }
 
-  /** Join-cardinality estimate `|A ⋈_key B|` WITHOUT running the join:
-    * the inner product of the two sides' count-min sketches, minimized
-    * over hash rows (Cormode & Muthukrishnan's inner-product estimator —
-    * never underestimates, overestimates by ≲ N_a·N_b/w per row, the min
-    * over d rows concentrates). Two narrow scans + a ≤ d·w-row sketch
-    * join: the planning-time "will this join explode / should I salt or
-    * broadcast" number, next to [[graft.ops.Stats.keySkew]]. The single
-    * returned scalar is the one driver-side value. */
-  def joinSizeEstimate(a: DataFrame, aKey: Column, b: DataFrame,
-      bKey: Column, d: Int = 5, w: Int = 1024): Long = {
-    val sa = countMin(a, aKey, d, w).withColumnRenamed("cnt", "ca")
-    val sb = countMin(b, bKey, d, w).withColumnRenamed("cnt", "cb")
-    sa.join(sb, Seq("row", "bucket"))
-      .groupBy("row").agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(coalesce(min(col("ip")), lit(0L))).head().getLong(0)
+  /** Merge CMS tables built with the SAME (depth, width): counters add.
+    * This is how per-day sketches roll up to a month. */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("depth"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate the counts of `items` (a frame with `keyCol`)
+    * against a CMS table: re-derive the depth buckets per item, join the
+    * (small, broadcast) sketch, take min over depths. Missing
+    * (depth,bucket) rows mean zero collisions there → estimate 0. */
+  def cmsEstimate(items: DataFrame, sketch: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val hashes = (0 until depth).map { d =>
+      struct(lit(d).as("depth"),
+        pmod(TextDedup.hash60(
+          concat(col(keyCol).cast("string"), lit(s":cms$d"))),
+          lit(width.toLong)).as("bucket"))
+    }
+    items.select(col(keyCol), explode(array(hashes: _*)).as("h"))
+      .select(col(keyCol), col("h.depth").as("depth"),
+        col("h.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("depth", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** HyperLogLog register table over `keyCol`: bucket = low `b` bits of
+    * the 60-bit hash, rho = leading-zero run (+1) of the remaining
+    * 60−b bits, registers = `max(rho)` per bucket — the standard
+    * Flajolet HLL state as m = 2^b rows. `length(bin(z))` is the exact
+    * integer bit length on BOTH engines (no float log2 near power-of-two
+    * boundaries), z = 0 maps to the full run. */
+  def hllBuild(df: DataFrame, keyCol: String, b: Int): DataFrame = {
+    require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
+    val m = 1L << b
+    val h = TextDedup.hash60(concat(col(keyCol).cast("string"), lit(":hll")))
+    val z = (h / m).cast("long") // high 60-b bits
+    val maxBits = 60 - b
+    val rho = when(z === 0L, lit(maxBits + 1))
+      .otherwise(lit(maxBits) - length(bin(z)) + 1)
+    df.select(pmod(h, lit(m)).as("bucket"), rho.cast("int").as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Merge HLL register tables (same b): registers take max. */
+  def hllMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("bucket")).agg(max(col("max_rho")).as("max_rho"))
+
+  /** Cardinality estimate from a register table, EXACT-integer inner
+    * math: Σ 2^−rho is accumulated as the integer Σ 2^(S−rho) with
+    * S = 61−b — the tightest exact scale: rho ≤ 61−b keeps every term an
+    * integral BIGINT, and the worst-case total m·2^S = 2^61 cannot
+    * overflow int64 (a float Σ of tiny powers of two would be
+    * order-dependent past 53 bits of spread; a bigger S overflows at
+    * b ≥ 7). Absent buckets contribute rho = 0 (2^S each). The closing
+    * formula (bias constant α_m, small-range linear counting below 2.5m
+    * when empty registers exist) is ONE float expression over those
+    * exact integers. Returns 1 row: (m, n_zero, estimate). */
+  def hllEstimate(registers: DataFrame, b: Int): DataFrame = {
+    val m = 1L << b
+    val scale = 61 - b
+    val alpha = b match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val pow2scale = math.pow(2, scale)
+    registers
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr(s"shiftleft(cast(1 as bigint), $scale - max_rho)"))
+          .as("s_present"))
+      .select(lit(m).as("m"), (lit(m) - col("n_present")).as("n_zero"),
+        ((lit(m) - col("n_present")) * (1L << scale) + col("s_present"))
+          .as("s_total"))
+      .select(col("m"), col("n_zero"),
+        round(
+          when(col("n_zero") > 0 &&
+            lit(alpha) * m * m * pow2scale / col("s_total") <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero")))
+          .otherwise(lit(alpha) * m * m * pow2scale / col("s_total")),
+          4).as("estimate"))
   }
 }

@@ -531,7 +531,60 @@ object Mining {
         (col("__e.s") > lit(4.0) * col("__sigma")).as("flag"))
   }
 
+  /** Count-min sketch heavy hitters ([[graft.ops.Sketches]]): a
+    * depth-4 × width-512 CMS TABLE over event user_ids (weighted by row),
+    * point-queried for every user with true count ≥ 80 (the heavy tail at every sf) — estimate is
+    * min-over-depths of the collided counters, always ≥ truth. The
+    * deterministic md5 hashing means the DuckDB oracle rebuilds the SAME
+    * counter table and estimates, hash-gating a probabilistic structure;
+    * the output carries (true count, estimate, overestimate) per heavy
+    * user so the CMS error bound is itself data under test. Build is one
+    * counter-bounded shuffle; the query side broadcasts the 2048-row
+    * sketch. */
+  def q250CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val ev = table(spark, dir, "events").select(col("user_id"))
+    val sketch = Sketches.cmsBuild(ev, "user_id", depth = 4, width = 512)
+    val truth = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+      .where(col("true_cnt") >= 80L)
+    Sketches.cmsEstimate(truth, sketch, "user_id", depth = 4, width = 512)
+      .join(truth, Seq("user_id"))
+      .select(col("user_id"), col("true_cnt"), col("est"),
+        (col("est") - col("true_cnt")).as("overestimate"))
+  }
+
+  /** HyperLogLog distinct users per event type via REGISTER TABLES
+    * ([[graft.ops.Sketches.hllBuild]], b = 9 → 512 registers): per type
+    * the register table aggregates (bucket, max rho) and
+    * [[graft.ops.Sketches.hllEstimate]]'s exact-integer Σ2^−rho feeds one
+    * closing float formula; the exact distinct count and the relative
+    * error ride along. Registers use max-merge, so per-day tables union
+    * into月-grade sketches with one more groupBy — persistable sketch
+    * cubes. Oracle replays registers AND estimate bit-for-bit. */
+  def q251HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val ev = table(spark, dir, "events")
+    val types = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    types.map { t =>
+      val regs = Sketches.hllBuild(
+        ev.where(col("event_type") === t).select(col("user_id")),
+        "user_id", b = 9)
+      Sketches.hllEstimate(regs, b = 9)
+        .select(lit(t).as("event_type"), col("n_zero"), col("estimate"))
+    }.reduce(_ unionByName _)
+      .join(ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct")),
+        Seq("event_type"))
+      .select(col("event_type"), col("n_zero"), col("estimate"),
+        col("exact_distinct"),
+        round(abs(col("estimate") - col("exact_distinct")) /
+          col("exact_distinct"), 4).as("rel_err"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_cms_heavy_hitters" -> q250CmsHeavyHitters,
+    "q251_hll_distinct" -> q251HllDistinct,
     "q178_cusum" -> q178Cusum,
     "q160_lex_diversity" -> q160LexDiversity,
     "q158_ess" -> q158Ess,
@@ -566,6 +619,59 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    // HLL replay: identical md5 registers, exact-integer sum(2^(52-rho)),
+    // the same alpha literal and float closing formula as Sketches
+    "q251_hll_distinct" ->
+      ("""WITH ev AS (SELECT event_type, user_id FROM events),
+        |hh AS (SELECT event_type, user_id,
+        |    ('0x' || substr(md5(user_id::VARCHAR || ':hll'), 1, 15))::BIGINT AS h
+        |  FROM ev),
+        |zz AS (SELECT event_type, h % 512 AS bucket, h // 512 AS z FROM hh),
+        |regs AS (SELECT event_type, bucket,
+        |    max(CASE WHEN z = 0 THEN 52 ELSE 52 - length(bin(z)) END) AS max_rho
+        |  FROM zz GROUP BY 1, 2),
+        |agg AS (SELECT event_type, count(*) AS n_present,
+        |    CAST(sum(CAST(1 AS BIGINT) << (52 - max_rho)) AS BIGINT) AS s_present
+        |  FROM regs GROUP BY 1),
+        |tot AS (SELECT event_type, 512 - n_present AS n_zero,
+        |    (512 - n_present) * (CAST(1 AS BIGINT) << 52) + s_present AS s_total
+        |  FROM agg),
+        |est AS (SELECT event_type, CAST(n_zero AS BIGINT) AS n_zero,
+        |    round(CASE WHEN n_zero > 0 AND
+        |        ALPHA * 512 * 512 * 4503599627370496.0 / s_total <= 1280.0
+        |      THEN 512.0 * ln(512.0 / n_zero)
+        |      ELSE ALPHA * 512 * 512 * 4503599627370496.0 / s_total END,
+        |      4) AS estimate
+        |  FROM tot),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        |  FROM ev GROUP BY 1)
+        |SELECT e.event_type, e.n_zero, e.estimate, x.exact_distinct,
+        |  round(abs(e.estimate - x.exact_distinct)::DOUBLE
+        |    / x.exact_distinct, 4) AS rel_err
+        |FROM est e JOIN ex x ON e.event_type = x.event_type""")
+        .stripMargin.replace("ALPHA", "0.71978311332173028::DOUBLE"),
+    // CMS replay: identical md5 counters, min-over-depth estimate
+    "q250_cms_heavy_hitters" ->
+      """WITH ev AS (SELECT user_id FROM events),
+        |h AS (SELECT user_id, d,
+        |    ('0x' || substr(md5(user_id::VARCHAR || ':cms' || d), 1, 15))::BIGINT
+        |      % 512 AS bucket
+        |  FROM ev, UNNEST([0, 1, 2, 3]) AS u(d)),
+        |cms AS (SELECT d AS depth, bucket, count(*) AS cnt
+        |  FROM h GROUP BY 1, 2),
+        |truth AS (SELECT user_id, count(*) AS true_cnt FROM ev
+        |  GROUP BY 1 HAVING count(*) >= 80),
+        |q AS (SELECT t.user_id, d,
+        |    ('0x' || substr(md5(t.user_id::VARCHAR || ':cms' || d), 1, 15))::BIGINT
+        |      % 512 AS bucket
+        |  FROM truth t, UNNEST([0, 1, 2, 3]) AS u(d)),
+        |est AS (SELECT q.user_id,
+        |    CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS est
+        |  FROM q LEFT JOIN cms ON cms.depth = q.d AND cms.bucket = q.bucket
+        |  GROUP BY 1)
+        |SELECT t.user_id, CAST(t.true_cnt AS BIGINT) AS true_cnt, e.est,
+        |  e.est - t.true_cnt AS overestimate
+        |FROM truth t JOIN est e ON t.user_id = e.user_id""".stripMargin,
     // seed row writes 0.0 + y explicitly so the IEEE op sequence matches
     // the engine's coalesce(last, 0.0) + y fold exactly
     "q178_cusum" ->
