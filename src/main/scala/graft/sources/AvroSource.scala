@@ -386,9 +386,15 @@ class AvroPartitionReader(part: AvroInputPartition, required: StructType)
 class AvroWriteBuilder(paths: Seq[String], schema: StructType)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
-  override def truncate(): WriteBuilder = this // overwrite = replace dir
+  // mode("overwrite") arrives as truncate(): the existing container files
+  // MUST be deleted before the new tasks write, or a re-export into the
+  // same directory silently doubles every row (part names are
+  // uuid-unique, so the old files survive any number of overwrites)
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new AvroBatchWrite(paths.head, schema)
+    override def toBatch: BatchWrite =
+      new AvroBatchWrite(paths.head, schema, doTruncate)
   }
 }
 
@@ -402,10 +408,15 @@ case class AvroCommitMessage(path: String, rows: Long)
   * temporary-dir + rename commit protocol; this connector is the
   * EXCHANGE-boundary writer where single-writer shard directories are the
   * contract, matching the crawler feed layout. */
-class AvroBatchWrite(dir: String, schema: StructType) extends BatchWrite {
+class AvroBatchWrite(dir: String, schema: StructType,
+    truncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val fs = new Path(dir).getFileSystem(conf)
+    if (truncate && fs.exists(new Path(dir))) {
+      Option(fs.globStatus(new Path(dir, "*.avro"))).toSeq.flatten
+        .foreach(st => fs.delete(st.getPath, false))
+    }
     fs.mkdirs(new Path(dir))
     new AvroWriterFactory(dir, schema)
   }

@@ -72,4 +72,14 @@ class AvroSourceSpec extends SparkSpec {
       s"pruned scan should only carry l_orderkey:\n$plan")
     assert(q.distinct().count() > 0)
   }
+  test("overwrite truncates prior container files (no silent doubling)") {
+    import spark.implicits._
+    val dir = scratch("avro-trunc")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    df.write.format("graftavro").mode("overwrite").save(dir)
+    df.write.format("graftavro").mode("overwrite").save(dir)
+    // second overwrite must REPLACE, not accumulate uuid-unique parts
+    assert(spark.read.format("graftavro").load(dir).count() == 2,
+      "re-export into the same dir doubled the rows")
+  }
 }
