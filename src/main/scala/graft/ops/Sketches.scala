@@ -132,4 +132,78 @@ object Sketches {
           .otherwise(lit(alpha) * m * m * pow2scale / col("s_total")),
           4).as("estimate"))
   }
+
+  /** KMV (k-minimum-values, "bottom-k") sketch per group: the k smallest
+    * distinct 60-bit hashes of `keyCol` as (group, rank, h) rows — the
+    * sketch that, unlike HLL registers, supports SET OPERATIONS: a union
+    * sketch is bottom-k of the merged rows, and Jaccard/intersection
+    * estimates fall out of membership in the union's bottom-k
+    * (Beyer et al., "On synopses for distinct-value estimation under
+    * multiset operations", SIGMOD'07 — public literature).
+    *
+    * Plan shape: distinct (group, h) then a rank window that Spark ≥3.5
+    * executes as WindowGroupLimit — a per-group k-heap, never a full
+    * per-group sort — so the shuffled state is O(k) per group. All
+    * hashes are md5-derived ([[TextDedup.hash60]]): the oracle rebuilds
+    * the identical sketch with ORDER BY/row_number. */
+  def kmvBuild(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+    df.select(groupCols.map(col) :+
+        TextDedup.hash60(concat(col(keyCol).cast("string"), lit(":kmv")))
+          .as("h"): _*)
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Distinct-count estimate per group from a KMV sketch: if the group
+    * holds fewer than k hashes the sketch IS the distinct set (exact);
+    * otherwise D ≈ (k−1)·2^60 / h_(k) — one float division over the
+    * exact integer k-th minimum. */
+  def kmvDistinct(sketch: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame =
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_in_sketch"), max(col("h")).as("h_k"))
+      .select(groupCols.map(col) :+ col("n_in_sketch") :+
+        round(when(col("n_in_sketch") < k,
+            col("n_in_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * 1.152921504606846976e18 /
+            col("h_k")), 4).as("est_distinct"): _*)
+
+  /** Jaccard estimate between two groups' KMV sketches: bottom-k of the
+    * UNION of both hash sets, then the fraction of those union-minima
+    * present in BOTH sides. Exact when both sides fit in k; the standard
+    * unbiased KMV resemblance estimator otherwise. Returns one row per
+    * (groupA, groupB) pair in `pairs`. */
+  def kmvJaccard(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ga"), col("gb")).orderBy(col("h"))
+    // for each ordered pair (ga < gb): all hashes from either sketch
+    val pairsAll = sketch.select(col(groupCol).as("ga")).distinct()
+      .crossJoin(sketch.select(col(groupCol).as("gb")).distinct())
+      .where(col("ga") < col("gb"))
+    val expanded = pairsAll
+      .join(sketch.select(col(groupCol).as("ga"), col("h").as("ha")), Seq("ga"))
+      .select(col("ga"), col("gb"), col("ha").as("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(pairsAll
+        .join(sketch.select(col(groupCol).as("gb"), col("h").as("hb")), Seq("gb"))
+        .select(col("ga"), col("gb"), col("hb").as("h"),
+          lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    expanded
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("k_union"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .select(col("ga"), col("gb"), col("k_union"),
+        col("n_both").cast("long").as("n_both"),
+        round(col("n_both").cast("double") / col("k_union"), 4)
+          .as("jaccard_est"))
+  }
 }

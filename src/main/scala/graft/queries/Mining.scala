@@ -582,7 +582,38 @@ object Mining {
           col("exact_distinct"), 4).as("rel_err"))
   }
 
+  /** KMV bottom-k sketch set operations ([[graft.ops.Sketches.kmvBuild]],
+    * k = 64) over per-source document-text hash sets: per source pair the
+    * sketch-estimated Jaccard next to the EXACT Jaccard, so the
+    * estimator's error is itself data under test. KMV is the sketch HLL
+    * cannot be — union/intersection composable — and bottom-k rank plans
+    * as WindowGroupLimit (per-group k-heap, no full sort). md5-derived
+    * hashes make the whole structure DuckDB-replayable. */
+  def q252KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val d = docs(spark, dir)
+    val sketch = Sketches.kmvBuild(d, Seq("source"), "text", 64)
+    val est = Sketches.kmvJaccard(sketch, "source", 64)
+    val sets = d.select(col("source"),
+      TextDedup.hash60(concat(col("text"), lit(":kmv"))).as("h")).distinct()
+    val sizes = sets.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sets.select(col("source").as("ga"), col("h"))
+      .join(sets.select(col("source").as("gb"), col("h")), Seq("h"))
+      .where(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("n_inter"))
+    est
+      .join(sizes.select(col("source").as("ga"), col("n").as("na")), Seq("ga"))
+      .join(sizes.select(col("source").as("gb"), col("n").as("nb")), Seq("gb"))
+      .join(inter, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"), col("k_union"), col("n_both"),
+        col("jaccard_est"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))), 4)
+          .as("jaccard_exact"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_kmv_overlap" -> q252KmvOverlap,
     "q250_cms_heavy_hitters" -> q250CmsHeavyHitters,
     "q251_hll_distinct" -> q251HllDistinct,
     "q178_cusum" -> q178Cusum,
@@ -619,6 +650,44 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    // KMV replay: identical bottom-64 per source, union bottom-64 per
+    // pair, membership counts, and the same exact-Jaccard denominator
+    "q252_kmv_overlap" ->
+      """WITH hs AS (SELECT DISTINCT source,
+        |    ('0x' || substr(md5(text || ':kmv'), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |sk AS (SELECT source, h FROM (
+        |    SELECT source, h, row_number() OVER (
+        |      PARTITION BY source ORDER BY h) rn FROM hs) WHERE rn <= 64),
+        |pr AS (SELECT a.source AS ga, b.source AS gb
+        |  FROM (SELECT DISTINCT source FROM sk) a,
+        |       (SELECT DISTINCT source FROM sk) b
+        |  WHERE a.source < b.source),
+        |uni AS (SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b
+        |  FROM (
+        |    SELECT pr.ga, pr.gb, sk.h, 1 AS in_a, 0 AS in_b
+        |    FROM pr JOIN sk ON sk.source = pr.ga
+        |    UNION ALL
+        |    SELECT pr.ga, pr.gb, sk.h, 0, 1
+        |    FROM pr JOIN sk ON sk.source = pr.gb) t
+        |  GROUP BY 1, 2, 3),
+        |bot AS (SELECT * FROM (SELECT uni.*, row_number() OVER (
+        |    PARTITION BY ga, gb ORDER BY h) rn FROM uni) WHERE rn <= 64),
+        |est AS (SELECT ga, gb, count(*) AS k_union,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+        |    round(sum(in_a * in_b)::DOUBLE / count(*), 4) AS jaccard_est
+        |  FROM bot GROUP BY 1, 2),
+        |sizes AS (SELECT source, count(*) AS n FROM hs GROUP BY 1),
+        |inter AS (SELECT a.source AS ga, b.source AS gb, count(*) AS n_inter
+        |  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT e.ga, e.gb, e.k_union, e.n_both, e.jaccard_est,
+        |  round(coalesce(i.n_inter, 0)::DOUBLE
+        |    / (sa.n + sb.n - coalesce(i.n_inter, 0)), 4) AS jaccard_exact
+        |FROM est e
+        |JOIN sizes sa ON sa.source = e.ga
+        |JOIN sizes sb ON sb.source = e.gb
+        |LEFT JOIN inter i ON i.ga = e.ga AND i.gb = e.gb""".stripMargin,
     // HLL replay: identical md5 registers, exact-integer sum(2^(52-rho)),
     // the same alpha literal and float closing formula as Sketches
     "q251_hll_distinct" ->

@@ -68,4 +68,27 @@ class SketchesSpec extends SparkSpec {
       bkt >= 0 && bkt < 512 && rho >= 1 && rho <= 52
     })
   }
+  test("KMV: exact when the set fits in k; estimate within 4 SE otherwise; union bottom-k sound") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // 150 distinct users into k=256 -> sketch IS the set -> exact
+    val exactUsers = events.distinct().count()
+    val estSmall = Sketches.kmvDistinct(
+      Sketches.kmvBuild(events.withColumn("g", lit(1)), Seq("g"), "user_id", 256),
+      Seq("g"), 256).head
+    assert(estSmall.getDouble(2) == exactUsers.toDouble,
+      s"under-k KMV must be exact: ${estSmall.getDouble(2)} vs $exactUsers")
+    // documents text hashes per source: k=64 against hundreds of docs
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val sk = Sketches.kmvBuild(d, Seq("source"), "text", 64)
+    assert(sk.groupBy("source").count().collect().forall(_.getLong(1) <= 64))
+    val est = Sketches.kmvDistinct(sk, Seq("source"), 64).collect()
+    val truth = d.select(col("source"), col("text")).distinct()
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { r =>
+      val src = r.getString(0); val e = r.getDouble(2); val t = truth(src)
+      val se = t / math.sqrt(64.0 - 2) // KMV relative SE ~ 1/sqrt(k-2)
+      assert(math.abs(e - t) <= 4 * se, s"$src: est $e vs exact $t")
+    }
+  }
 }
