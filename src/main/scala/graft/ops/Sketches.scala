@@ -80,7 +80,14 @@ object Sketches {
     * Flajolet HLL state as m = 2^b rows. `length(bin(z))` is the exact
     * integer bit length on BOTH engines (no float log2 near power-of-two
     * boundaries), z = 0 maps to the full run. */
-  def hllBuild(df: DataFrame, keyCol: String, b: Int): DataFrame = {
+  def hllBuild(df: DataFrame, keyCol: String, b: Int): DataFrame =
+    hllBuildBy(df, keyCol, b, Seq.empty)
+
+  /** [[hllBuild]] with extra grouping columns — ONE pass builds the
+    * register tables of every group (e.g. every `day` of a backfill)
+    * instead of a per-group job loop. */
+  def hllBuildBy(df: DataFrame, keyCol: String, b: Int,
+      groupCols: Seq[String]): DataFrame = {
     require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
     val m = 1L << b
     val h = TextDedup.hash60(concat(col(keyCol).cast("string"), lit(":hll")))
@@ -88,8 +95,10 @@ object Sketches {
     val maxBits = 60 - b
     val rho = when(z === 0L, lit(maxBits + 1))
       .otherwise(lit(maxBits) - length(bin(z)) + 1)
-    df.select(pmod(h, lit(m)).as("bucket"), rho.cast("int").as("rho"))
-      .groupBy(col("bucket")).agg(max(col("rho")).as("max_rho"))
+    df.select(groupCols.map(col) :+ pmod(h, lit(m)).as("bucket") :+
+        rho.cast("int").as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("max_rho"))
   }
 
   /** Merge HLL register tables (same b): registers take max. */

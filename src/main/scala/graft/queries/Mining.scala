@@ -612,7 +612,36 @@ object Mining {
           .as("jaccard_exact"))
   }
 
+  /** Daily sketch cube ([[graft.jobs.SketchCube]]): one backfill pass
+    * persists per-day HLL registers + KMV bottom-k tables partitioned by
+    * `day=`; the query then answers (a) distinct users over a 10-day
+    * range from a PARTITION-PRUNED register scan + max-merge (the fact
+    * table is never re-read) and (b) every day-pair's user overlap from
+    * the KMV halves. Both sections replay in DuckDB because the cube is
+    * deterministic md5 arithmetic end to end — a synopsis cube under a
+    * value hash. */
+  def q253SketchCube(spark: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.SketchCube
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_q253_${math.abs(dir.hashCode)}"
+    val ev = table(spark, dir, "events")
+      .withColumn("d",
+        to_date(timestamp_micros(expr("ts div 1000"))).cast("string"))
+    SketchCube.buildAll(ev, "user_id", "d", base)
+    val range = SketchCube
+      .distinctOverRange(spark, base, "2024-01-01", "2024-01-10")
+      .select(lit("range").as("section"), lit("2024-01-01").as("a"),
+        lit("2024-01-10").as("b"), col("m").as("v1"),
+        col("n_zero").as("v2"), col("estimate").as("x"))
+    val overlap = SketchCube.dayOverlap(spark, base)
+      .select(lit("overlap").as("section"), col("ga").as("a"),
+        col("gb").as("b"), col("k_union").as("v1"), col("n_both").as("v2"),
+        col("jaccard_est").as("x"))
+    range.unionByName(overlap)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_sketch_cube" -> q253SketchCube,
     "q252_kmv_overlap" -> q252KmvOverlap,
     "q250_cms_heavy_hitters" -> q250CmsHeavyHitters,
     "q251_hll_distinct" -> q251HllDistinct,
@@ -650,6 +679,58 @@ object Mining {
   )
 
   val oracles: Map[String, String] = Map(
+    // cube replay: per-day registers/bottom-64 from the same md5 hashes,
+    // range merge + the b=9 estimator (alpha as in q251), pair overlap
+    // as in q252 with day groups
+    "q253_sketch_cube" ->
+      ("""WITH ev AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id
+        |  FROM events),
+        |hh AS (SELECT day, user_id,
+        |    ('0x' || substr(md5(user_id::VARCHAR || ':hll'), 1, 15))::BIGINT AS h
+        |  FROM ev),
+        |zz AS (SELECT day, h % 512 AS bucket, h // 512 AS z FROM hh),
+        |regs AS (SELECT day, bucket,
+        |    max(CASE WHEN z = 0 THEN 52 ELSE 52 - length(bin(z)) END) AS max_rho
+        |  FROM zz GROUP BY 1, 2),
+        |rng AS (SELECT bucket, max(max_rho) AS max_rho FROM regs
+        |  WHERE day >= '2024-01-01' AND day <= '2024-01-10' GROUP BY 1),
+        |agg AS (SELECT count(*) AS n_present,
+        |    CAST(sum(CAST(1 AS BIGINT) << (52 - max_rho)) AS BIGINT) AS s_present
+        |  FROM rng),
+        |tot AS (SELECT 512 - n_present AS n_zero,
+        |    (512 - n_present) * (CAST(1 AS BIGINT) << 52) + s_present AS s_total
+        |  FROM agg),
+        |est AS (SELECT CAST(512 AS BIGINT) AS m, CAST(n_zero AS BIGINT) AS n_zero,
+        |    round(CASE WHEN n_zero > 0 AND
+        |        ALPHA * 512 * 512 * 4503599627370496.0 / s_total <= 1280.0
+        |      THEN 512.0 * ln(512.0 / n_zero)
+        |      ELSE ALPHA * 512 * 512 * 4503599627370496.0 / s_total END,
+        |      4) AS estimate
+        |  FROM tot),
+        |ks AS (SELECT DISTINCT day,
+        |    ('0x' || substr(md5(user_id::VARCHAR || ':kmv'), 1, 15))::BIGINT AS h
+        |  FROM ev),
+        |sk AS (SELECT day, h FROM (SELECT day, h, row_number() OVER (
+        |    PARTITION BY day ORDER BY h) rn FROM ks) WHERE rn <= 64),
+        |pr AS (SELECT a.day AS ga, b.day AS gb
+        |  FROM (SELECT DISTINCT day FROM sk) a,
+        |       (SELECT DISTINCT day FROM sk) b WHERE a.day < b.day),
+        |uni AS (SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b
+        |  FROM (SELECT pr.ga, pr.gb, sk.h, 1 AS in_a, 0 AS in_b
+        |        FROM pr JOIN sk ON sk.day = pr.ga
+        |        UNION ALL
+        |        SELECT pr.ga, pr.gb, sk.h, 0, 1
+        |        FROM pr JOIN sk ON sk.day = pr.gb) t GROUP BY 1, 2, 3),
+        |bot AS (SELECT * FROM (SELECT uni.*, row_number() OVER (
+        |    PARTITION BY ga, gb ORDER BY h) rn FROM uni) WHERE rn <= 64)
+        |SELECT 'range' AS section, '2024-01-01' AS a, '2024-01-10' AS b,
+        |  m AS v1, n_zero AS v2, estimate AS x FROM est
+        |UNION ALL
+        |SELECT 'overlap', ga, gb, count(*),
+        |  CAST(sum(in_a * in_b) AS BIGINT),
+        |  round(sum(in_a * in_b)::DOUBLE / count(*), 4)
+        |FROM bot GROUP BY 2, 3""")
+        .stripMargin.replace("ALPHA", "0.71978311332173028::DOUBLE"),
     // KMV replay: identical bottom-64 per source, union bottom-64 per
     // pair, membership counts, and the same exact-Jaccard denominator
     "q252_kmv_overlap" ->
