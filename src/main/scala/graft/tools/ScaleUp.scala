@@ -59,8 +59,24 @@ object ScaleUp {
 
   def run(spark: SparkSession, src: String, dst: String, n: Int): Unit = {
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def wr(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    // the corpus contract (TESTDATA.md) is ONE parquet FILE per table,
+    // not a Spark table directory: the streaming queries list the sf dir
+    // with pathGlobFilter=<t>.parquet, which matches leaf FILES — a
+    // directory layout silently gives file-stream sources zero inputs
+    // (q161 hung on exactly this). Write single-task, then promote the
+    // lone part file to <dst>/<t>.parquet.
+    def wr(df: DataFrame, t: String): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(s"$dst/._scaleup_$t")
+      val target = new org.apache.hadoop.fs.Path(s"$dst/$t.parquet")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(tmp, "part-*.parquet"))
+      require(part != null && part.length == 1,
+        s"expected exactly one part file under $tmp")
+      fs.delete(target, false)
+      require(fs.rename(part(0).getPath, target), s"rename to $target failed")
+      fs.delete(tmp, true)
+    }
 
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key).cast("long"))).head.getLong(0) + 1L
