@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over an edge list — PageRank in exact integer
@@ -400,12 +400,19 @@ object Graph {
       sum(col("__y") * col("__y")).as("__syy"))
     m.select((col("__m") / 2).cast("long").as("m_edges"),
       {
-        val num = (col("__m") * col("__sxy") - col("__sx") * col("__sy"))
-          .cast("double")
-        val vx = (col("__m") * col("__sxx") - col("__sx") * col("__sx"))
-          .cast("double")
-        val vy = (col("__m") * col("__syy") - col("__sy") * col("__sy"))
-          .cast("double")
+        // the closing n·Sxy − Sx·Sy products overflow int64 past ~1e9
+        // symmetrized edges (hit at the 10x probe: sx² ~ 1.6e19);
+        // decimal(38,0) keeps them EXACT (headroom to ~1e38, i.e. beyond
+        // sf1000) and the single cast to double afterwards rounds the
+        // same exact value DuckDB rounds from its HUGEINT arithmetic —
+        // bit-identical at every sf
+        val dec = (c: Column) => c.cast("decimal(38,0)")
+        val num = (dec(col("__m")) * dec(col("__sxy")) -
+          dec(col("__sx")) * dec(col("__sy"))).cast("double")
+        val vx = (dec(col("__m")) * dec(col("__sxx")) -
+          dec(col("__sx")) * dec(col("__sx"))).cast("double")
+        val vy = (dec(col("__m")) * dec(col("__syy")) -
+          dec(col("__sy")) * dec(col("__sy"))).cast("double")
         when(vx * vy === 0.0, lit(0.0))
           .otherwise(round(num / sqrt(vx * vy), 6)).as("assortativity")
       })

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -46,9 +46,15 @@ object Stats {
     val j = a.crossJoin(b) // 1×1
     val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
     // sample variance from exact integer sums, in metric units:
-    // var = (ss - s^2/n) / (n-1) / 1000^2
-    val v1 = (col("ss1") - col("s1") * col("s1") / n1) / (n1 - 1) / 1e6
-    val v2 = (col("ss2") - col("s2") * col("s2") / n2) / (n2 - 1) / 1e6
+    // var = (ss - s^2/n) / (n-1) / 1000^2. The square of the SUM is taken
+    // in double — s*s in int64 overflows past |s| ~ 3e9 (hit at the 10x
+    // scale probe), while double(s)*double(s) equals the correctly-rounded
+    // exact square for every |s| <= 2^53 (~9e15, orders of magnitude past
+    // 100 TB of milli-quantized values); the DuckDB oracle squares the
+    // same way, so results stay bit-identical at every sf
+    val d = (c: Column) => c.cast("double")
+    val v1 = (d(col("ss1")) - d(col("s1")) * d(col("s1")) / n1) / (n1 - 1) / 1e6
+    val v2 = (d(col("ss2")) - d(col("s2")) * d(col("s2")) / n2) / (n2 - 1) / 1e6
     val m1 = col("s1") / n1 / 1000.0
     val m2 = col("s2") / n2 / 1000.0
     val se2 = v1 / n1 + v2 / n2

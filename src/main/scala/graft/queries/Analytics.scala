@@ -693,12 +693,17 @@ object Analytics {
       (lit(2L) * rank().over(wp) + count(lit(1)).over(wpt) - lit(1L))
         .as("ry"))
     val d = (c: Column) => c.cast("double")
+    // rank products: per-row rx·ry reaches (2n)² and the per-flag sums
+    // reach ~4n³ — int64 dies at ~2M rows/flag (the 10x probe); decimal
+    // (38,0) sums stay EXACT with headroom past sf1000, and the closing
+    // double casts round the same exact values DuckDB rounds from HUGEINT
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val s = ranked.groupBy(flag).agg(
       count(lit(1)).as("n_pairs"),
       sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
-      sum(col("rx") * col("rx")).as("sxx"),
-      sum(col("ry") * col("ry")).as("syy"),
-      sum(col("rx") * col("ry")).as("sxy"))
+      sum(dec(col("rx")) * dec(col("rx"))).as("sxx"),
+      sum(dec(col("ry")) * dec(col("ry"))).as("syy"),
+      sum(dec(col("rx")) * dec(col("ry"))).as("sxy"))
     s.select(flag, col("n_pairs"),
       round((d(col("n_pairs")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
         (sqrt(d(col("n_pairs")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
@@ -1375,10 +1380,8 @@ object Analytics {
         |      + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry
         |  FROM lineitem),
         |s AS (SELECT l_returnflag, count(*) AS n,
-        |    CAST(sum(rx) AS BIGINT) sx, CAST(sum(ry) AS BIGINT) sy,
-        |    CAST(sum(rx * rx) AS BIGINT) sxx,
-        |    CAST(sum(ry * ry) AS BIGINT) syy,
-        |    CAST(sum(rx * ry) AS BIGINT) sxy
+        |    sum(rx) sx, sum(ry) sy,
+        |    sum(rx * rx) sxx, sum(ry * ry) syy, sum(rx * ry) sxy
         |  FROM r GROUP BY 1)
         |SELECT l_returnflag, n AS n_pairs,
         |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /

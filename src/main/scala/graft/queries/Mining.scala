@@ -1248,8 +1248,10 @@ object Mining {
         |      FROM q WHERE g = 'error'),
         |m AS (SELECT n1, n2,
         |        s1 / n1::DOUBLE / 1000.0 m1, s2 / n2::DOUBLE / 1000.0 m2,
-        |        (ss1 - s1 * s1 / n1::DOUBLE) / (n1::DOUBLE - 1) / 1000000.0 v1,
-        |        (ss2 - s2 * s2 / n2::DOUBLE) / (n2::DOUBLE - 1) / 1000000.0 v2
+        |        (ss1 - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE)
+        |          / (n1::DOUBLE - 1) / 1000000.0 v1,
+        |        (ss2 - s2::DOUBLE * s2::DOUBLE / n2::DOUBLE)
+        |          / (n2::DOUBLE - 1) / 1000000.0 v2
         |      FROM a CROSS JOIN b),
         |z AS (SELECT *, v1 / n1::DOUBLE + v2 / n2::DOUBLE se2 FROM m)
         |SELECT 'click' AS group_a, 'error' AS group_b, n1, n2,
