@@ -11,7 +11,7 @@ object SparkEntry {
       graft.queries.StreamingQueries.defs ++ graft.queries.Advanced.defs ++
       graft.queries.Lifecycle.defs ++ graft.queries.Corpus.defs ++
       graft.queries.Graphs.defs ++ graft.queries.Analytics.defs ++
-      graft.queries.Mining.defs
+      graft.queries.Mining.defs ++ graft.queries.TpchShapes.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +19,5 @@ object SparkEntry {
       graft.queries.StreamingQueries.oracles ++ graft.queries.Advanced.oracles ++
       graft.queries.Lifecycle.oracles ++ graft.queries.Corpus.oracles ++
       graft.queries.Graphs.oracles ++ graft.queries.Analytics.oracles ++
-      graft.queries.Mining.oracles
+      graft.queries.Mining.oracles ++ graft.queries.TpchShapes.oracles
 }

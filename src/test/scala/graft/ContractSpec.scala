@@ -24,7 +24,7 @@ class ContractSpec extends AnyFunSuite {
       graft.queries.StreamingQueries.defs, graft.queries.Advanced.defs,
       graft.queries.Lifecycle.defs, graft.queries.Corpus.defs,
       graft.queries.Graphs.defs, graft.queries.Analytics.defs,
-      graft.queries.Mining.defs)
+      graft.queries.Mining.defs, graft.queries.TpchShapes.defs)
     val all = maps.flatMap(_.keys)
     val dupes = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names across modules: $dupes")

@@ -404,4 +404,55 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("PushedFilters"))
   }
+
+  test("pricing summary Q1 shape (q254): single-pass partial agg, date at scan") {
+    val p = plan("q254_pricing_summary")
+    // partial/final HashAggregate pair — map-side combine collapses to 6 rows
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation pair:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      "ship-date cut must reach the scan")
+    assert(!p.contains("Exchange hashpartitioning") ||
+      p.indexOf("Exchange") > 0, "unexpected plan")
+  }
+
+  test("local supplier volume Q5 shape (q255): all four dims broadcast") {
+    val p = plan("q255_local_supplier_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"dimension chain must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      "year cut must prune orders at the scan")
+  }
+
+  test("market share Q8 shape (q256): two-role nation joins stay broadcast") {
+    val p = plan("q256_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"two-alias nation + dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("order-count distribution Q13 shape (q259): outer join preserved") {
+    val p = plan("q259_order_count_dist")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"),
+      s"zero-order customers must survive — outer join required:\n$p")
+    // two aggregates: customer grain then count grain
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"double agg missing:\n$p")
+  }
+
+  test("top supplier Q15 shape (q260): scalar max replicates, never collects") {
+    val p = plan("q260_top_supplier")
+    // the 1-row max frame joins via broadcast nested loop (cross of 1 row)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"scalar-max must broadcast:\n$p")
+  }
+
+  test("waiting suppliers Q21 shape (q262): aggregate cascade, no 4-way self-join blowup") {
+    val p = plan("q262_waiting_suppliers")
+    assert(!p.contains("CartesianProduct"), s"self-join went quadratic:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 should never global-sort")
+    // order-grain frames co-key on l_orderkey: SMJ/SHJ on the same key
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
 }
