@@ -640,7 +640,42 @@ object Mining {
     range.unionByName(overlap)
   }
 
+  /** Zone-map-pruned scan ([[graft.core.ZoneMap]]): orders rewritten
+    * range-clustered on o_orderdate (16 files, each owning a disjoint
+    * date range — [[graft.core.Layout.writeRangeClustered]]), a
+    * persisted per-file min/max synopsis built ONCE beside it, then a
+    * spring-quarter revenue report answered through
+    * [[graft.core.ZoneMap.readPruned]]: the synopsis scan shrinks the
+    * file list to the ~3 months that can match BEFORE the real scan is
+    * constructed, and straddling files re-filter, so the result is
+    * identical to a full scan — which is exactly what the oracle
+    * replays. Build is marker-committed build-once like q86's partials
+    * (maintenance is `refresh`, O(new files), not rebuild). */
+  def q263ZonePrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Layout, ZoneMap}
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_q263_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = base + "/orders_clustered"
+    val zm = base + "/zonemap"
+    val marker = new java.io.File(base + "/_GRAFT_COMMITTED")
+    if (!marker.exists()) {
+      Layout.writeRangeClustered(table(spark, dir, "orders"), tbl, 16,
+        col("o_orderdate"))
+      ZoneMap.build(spark, tbl, Seq("o_orderdate"), zm)
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+    ZoneMap.readPruned(spark, tbl, zm, "o_orderdate",
+      java.sql.Timestamp.valueOf("1997-03-01 00:00:00"),
+      java.sql.Timestamp.valueOf("1997-05-31 00:00:00"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy(col("month"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_zone_pruned_scan" -> q263ZonePrunedScan,
     "q253_sketch_cube" -> q253SketchCube,
     "q252_kmv_overlap" -> q252KmvOverlap,
     "q250_cms_heavy_hitters" -> q250CmsHeavyHitters,
@@ -680,6 +715,18 @@ object Mining {
 
   val oracles: Map[String, String] = Map(
     // cube replay: per-day registers/bottom-64 from the same md5 hashes,
+    // the pruned scan is result-invisible: the oracle replays the
+    // DIRECT band filter over orders — equality IS the proof that
+    // zone pruning dropped only files that couldn't match
+    "q263_zone_pruned_scan" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+        |  AND o_orderdate <= TIMESTAMP '1997-05-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // range merge + the b=9 estimator (alpha as in q251), pair overlap
     // as in q252 with day groups
     "q253_sketch_cube" ->

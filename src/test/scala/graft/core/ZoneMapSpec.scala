@@ -1,0 +1,115 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clustered(n: Int, files: Int, path: String): Unit =
+    Layout.writeRangeClustered(
+      spark.range(n.toLong).select(col("id"),
+        (col("id") * 7 % 1000).as("v")),
+      path, files, col("id"))
+
+  test("pruned read equals direct filter on a range-clustered table, and prunes") {
+    val tbl = scratch("zm_tbl"); val zm = scratch("zm_map")
+    clustered(10000, 10, tbl)
+    ZoneMap.build(spark, tbl, Seq("id", "v"), zm)
+    val all = ZoneMap.listDataFiles(spark, tbl)
+    assert(all.size >= 8, s"expected ~10 files, got ${all.size}")
+    val hit = ZoneMap.prunedFiles(spark, tbl, zm, "id", 2000L, 2999L)
+    assert(hit.nonEmpty && hit.size < all.size / 2,
+      s"clustered band should skip most files: ${hit.size}/${all.size}")
+    val pruned = ZoneMap.readPruned(spark, tbl, zm, "id", 2000L, 2999L)
+      .select("id", "v").as[(Long, Long)].collect().toSet
+    val direct = spark.read.parquet(tbl)
+      .where(col("id").between(2000L, 2999L))
+      .select("id", "v").as[(Long, Long)].collect().toSet
+    assert(pruned == direct && direct.size == 1000)
+  }
+
+  test("straddling zones re-filter: correctness never depends on layout") {
+    val tbl = scratch("zm_rnd"); val zm = scratch("zm_rnd_map")
+    // adversarial layout: files keyed by v so id zones all overlap
+    spark.range(5000).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(6, col("v"))
+      .write.mode("overwrite").parquet(tbl)
+    ZoneMap.build(spark, tbl, Seq("id"), zm)
+    val pruned = ZoneMap.readPruned(spark, tbl, zm, "id", 100L, 199L)
+      .select("id").as[Long].collect().toSet
+    assert(pruned == (100L to 199L).toSet,
+      "unclustered layout must still return exact rows (zones just don't skip)")
+  }
+
+  test("empty survivor set returns an empty frame with the table schema") {
+    val tbl = scratch("zm_empty"); val zm = scratch("zm_empty_map")
+    clustered(1000, 4, tbl)
+    ZoneMap.build(spark, tbl, Seq("id"), zm)
+    val out = ZoneMap.readPruned(spark, tbl, zm, "id", 50000L, 60000L)
+    assert(out.columns.toSeq == Seq("id", "v") && out.count() == 0)
+    assert(ZoneMap.prunedFiles(spark, tbl, zm, "id", 50000L, 60000L).isEmpty)
+  }
+
+  test("all-null files are pruned for range predicates; mixed files survive") {
+    val tbl = scratch("zm_null"); val zm = scratch("zm_null_map")
+    val nulls = spark.range(100).select(lit(null).cast("long").as("k"),
+      col("id").as("payload"))
+    val vals = spark.range(100).select((col("id") + 1000L).as("k"),
+      col("id").as("payload"))
+    nulls.coalesce(1).write.mode("overwrite").parquet(tbl)
+    vals.coalesce(1).write.mode("append").parquet(tbl)
+    ZoneMap.build(spark, tbl, Seq("k"), zm)
+    val hit = ZoneMap.prunedFiles(spark, tbl, zm, "k", 1000L, 1010L)
+    assert(hit.size == 1, s"all-null file must be skipped: $hit")
+    assert(ZoneMap.readPruned(spark, tbl, zm, "k", 1000L, 1010L).count() == 11)
+  }
+
+  test("refresh stats only new files; timestamps prune in native ordering") {
+    val tbl = scratch("zm_ref"); val zm = scratch("zm_ref_map")
+    val day1 = spark.range(100).select(col("id"),
+      lit("2024-01-01").cast("timestamp").as("ts"))
+    val day2 = spark.range(100).select(col("id"),
+      lit("2024-02-01").cast("timestamp").as("ts"))
+    day1.coalesce(1).write.mode("overwrite").parquet(tbl)
+    ZoneMap.build(spark, tbl, Seq("ts"), zm)
+    day2.coalesce(1).write.mode("append").parquet(tbl)
+    assert(ZoneMap.refresh(spark, tbl, Seq("ts"), zm) == 1)
+    assert(ZoneMap.refresh(spark, tbl, Seq("ts"), zm) == 0, "idempotent")
+    val feb = ZoneMap.prunedFiles(spark, tbl, zm, "ts",
+      java.sql.Timestamp.valueOf("2024-01-15 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-02-15 00:00:00"))
+    assert(feb.size == 1, s"only the February file should survive: $feb")
+    assert(ZoneMap.readPruned(spark, tbl, zm, "ts",
+      java.sql.Timestamp.valueOf("2024-01-15 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-02-15 00:00:00")).count() == 100)
+  }
+
+  test("q263 layout: a 3-month band on date-clustered orders skips most files") {
+    val tbl = scratch("zm_orders"); val zm = scratch("zm_orders_map")
+    Layout.writeRangeClustered(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+      tbl, 16, col("o_orderdate"))
+    ZoneMap.build(spark, tbl, Seq("o_orderdate"), zm)
+    val all = ZoneMap.listDataFiles(spark, tbl)
+    val hit = ZoneMap.prunedFiles(spark, tbl, zm, "o_orderdate",
+      java.sql.Timestamp.valueOf("1997-03-01 00:00:00"),
+      java.sql.Timestamp.valueOf("1997-05-31 00:00:00"))
+    // ~3 months of an ~80-month corpus over 16 range-files → ≤3 survivors
+    assert(hit.nonEmpty && hit.size <= 3 && all.size >= 12,
+      s"date band should touch ≤3 of ${all.size} files, got ${hit.size}")
+  }
+
+  test("deleted files drop out via the live-listing intersection") {
+    val tbl = scratch("zm_del"); val zm = scratch("zm_del_map")
+    clustered(2000, 4, tbl)
+    ZoneMap.build(spark, tbl, Seq("id"), zm)
+    val before = ZoneMap.prunedFiles(spark, tbl, zm, "id", 0L, 5000L)
+    val victim = new java.io.File(new java.net.URI("file://" + before.head
+      .replaceFirst("^file:/+", "/")))
+    assert(victim.delete(), s"test setup: could not delete $victim")
+    val after = ZoneMap.prunedFiles(spark, tbl, zm, "id", 0L, 5000L)
+    assert(after.size == before.size - 1,
+      "stale zone-map entries for deleted files must not reach the scan")
+  }
+}
