@@ -215,4 +215,75 @@ object Sketches {
         round(col("n_both").cast("double") / col("k_union"), 4)
           .as("jaccard_est"))
   }
+
+  /** Equi-width histogram as a MERGEABLE counter table over an integer
+    * `valueCol` (quantize money to cents first — the q72 discipline):
+    * one row per (group, bin) with bin = clamp(⌊(v − lo)·bins /
+    * (hi − lo)⌋) in pure long arithmetic, so per-day/per-source
+    * histograms sum-merge exactly like the CMS/HLL/KMV tables above and
+    * replay bit-for-bit in any engine. Out-of-domain values clamp into
+    * the edge bins (pick [lo, hi] to cover the domain — edge-bin mass is
+    * the audit that you didn't). Shuffle is bounded by |groups|·bins
+    * after map-side combine, never by row count. Overflow bound:
+    * (hi − lo)·bins must fit a long — at cents grain that allows
+    * domains past 10^15. */
+  def histBuild(df: DataFrame, valueCol: Column, groupCols: Seq[String],
+      lo: Long, hi: Long, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= (1 << 20), s"bins must be in [2, 2^20]: $bins")
+    require(hi > lo, s"empty domain [$lo, $hi]")
+    require((hi - lo) <= Long.MaxValue / bins,
+      s"(hi-lo)*bins overflows long: lo=$lo hi=$hi bins=$bins")
+    val v = valueCol.cast("long")
+    // below-domain values go negative here; the greatest() clamp makes
+    // div's truncate-vs-floor distinction on negatives irrelevant
+    val bin = least(lit(bins - 1L), greatest(lit(0L),
+      expr(s"(__v - ${lo}L) * ${bins}L div ${hi - lo}L")))
+    df.select((groupCols.map(col) :+ v.as("__v")): _*)
+      .select((groupCols.map(col) :+ bin.as("bin")): _*)
+      .groupBy((groupCols.map(col) :+ col("bin")).map(c => c): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histograms built with the SAME (lo, hi, bins): counts add
+    * per (group, bin) — per-day partials roll up to any range. */
+  def histMerge(hists: Seq[DataFrame], groupCols: Seq[String]): DataFrame =
+    hists.reduce(_ unionByName _)
+      .groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from a GLOBAL histogram (bin, cnt): for each
+    * probability p = num/den, target rank t = ⌈N·num/den⌉ in exact
+    * integer arithmetic, locate the bin where the cumulative count
+    * first reaches t, and linearly interpolate inside it —
+    * est = lo + width·(bin + (t − cum_before)/cnt_bin), ONE closing
+    * IEEE expression over exact longs. The probe is histogram-sized:
+    * a ≤bins-row cumulative window crossJoined with the ≤|probs|-row
+    * target frame — nothing scales with the data. Returns
+    * (p_num, p_den, t, bin, est). */
+  def histQuantile(hist: DataFrame, probs: Seq[(Int, Int)],
+      lo: Long, hi: Long, bins: Int): DataFrame = {
+    require(probs.nonEmpty && probs.forall { case (n, d) =>
+      d > 0 && n >= 0 && n <= d }, s"probs must be fractions in [0,1]: $probs")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.select(col("bin").cast("long").as("bin"),
+        col("cnt").cast("long").as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+    val total = cum.agg(max(col("cum")).as("n_total"))
+    val targets = probs.toDF("p_num", "p_den")
+      .crossJoin(broadcast(total))
+      .select(col("p_num"), col("p_den"),
+        expr("greatest(1L, (n_total * p_num + p_den - 1) div p_den)").as("t"))
+    val width = (hi - lo).toDouble / bins
+    cum.crossJoin(broadcast(targets))
+      .where(col("cum") >= col("t") && (col("cum") - col("cnt")) < col("t"))
+      .select(col("p_num"), col("p_den"), col("t"), col("bin"),
+        round(lit(lo.toDouble) + lit(width) *
+          (col("bin").cast("double") +
+            (col("t") - (col("cum") - col("cnt"))).cast("double") /
+              col("cnt").cast("double")), 4).as("est"))
+  }
 }

@@ -674,7 +674,50 @@ object Mining {
       .orderBy(col("month"))
   }
 
+  /** Mergeable equi-width histogram quantiles
+    * ([[graft.ops.Sketches.histBuild]]): order totals at cents grain
+    * binned into a 256-bucket counter table PER PRIORITY (the
+    * persistable per-group partial), sum-merged to a global histogram,
+    * then P25/P50/P75/P90/P99 estimated by integer rank targeting +
+    * within-bin linear interpolation — the probe is histogram-sized
+    * (≤256×5 rows), nothing after the one binning pass scales with
+    * data. Each estimate ships next to the EXACT value at the same
+    * rank (first-value-reaching-cum over the distinct-value frame — an
+    * audit column, fine here, not the 100 TB path) and the error.
+    * Everything before the closing interpolation is exact long
+    * arithmetic, so DuckDB replays the whole pipeline bit-for-bit. */
+  def q264HistQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val lo = 0L; val hi = 50000000L; val bins = 256
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val orders = table(spark, dir, "orders")
+    val perPrio = Sketches.histBuild(orders, cents,
+      Seq("o_orderpriority"), lo, hi, bins)
+    val global = Sketches.histMerge(
+      Seq(perPrio.select(col("bin"), col("cnt"))), Seq.empty)
+    val probs = Seq((1, 4), (1, 2), (3, 4), (9, 10), (99, 100))
+    val est = Sketches.histQuantile(global, probs, lo, hi, bins)
+    // exact rank-t values: cumulative counts over DISTINCT totals
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val vcum = orders.select(cents.as("v")).groupBy(col("v"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+    val exact = est.select(col("p_num"), col("p_den"), col("t").as("tt"))
+      .join(vcum.select(col("v"), col("cum")),
+        col("cum") >= col("tt"))
+      .groupBy(col("p_num"), col("p_den"))
+      .agg(min(col("v")).as("exact_cents"))
+    est.join(exact, Seq("p_num", "p_den"))
+      .select(col("p_num"), col("p_den"), col("t"), col("bin"), col("est"),
+        col("exact_cents"),
+        round(col("est") - col("exact_cents").cast("double"), 4)
+          .as("err_cents"))
+      .orderBy(col("p_den"), col("p_num"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_hist_quantiles" -> q264HistQuantiles,
     "q263_zone_pruned_scan" -> q263ZonePrunedScan,
     "q253_sketch_cube" -> q253SketchCube,
     "q252_kmv_overlap" -> q252KmvOverlap,
@@ -715,6 +758,39 @@ object Mining {
 
   val oracles: Map[String, String] = Map(
     // cube replay: per-day registers/bottom-64 from the same md5 hashes,
+    // identical integer pipeline: cents → clamped equi-width bins →
+    // cumulative ranks → one closing interpolation expression; the
+    // exact column is first-distinct-value-reaching-rank both sides
+    "q264_hist_quantiles" ->
+      """WITH cents AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |hist AS (
+        |  SELECT least(255, greatest(0, v * 256 // 50000000)) AS bin,
+        |    count(*) AS cnt
+        |  FROM cents GROUP BY 1),
+        |cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM hist),
+        |probs(p_num, p_den) AS (VALUES (1,4),(1,2),(3,4),(9,10),(99,100)),
+        |t AS (SELECT p_num, p_den,
+        |    greatest(1, (n_total * p_num + p_den - 1) // p_den) AS t
+        |  FROM probs, n),
+        |est AS (
+        |  SELECT p_num, p_den, t, bin,
+        |    round(0.0 + (50000000.0 / 256) * (CAST(bin AS DOUBLE)
+        |      + CAST(t - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)), 4)
+        |      AS est
+        |  FROM cum, t WHERE cum >= t AND cum - cnt < t),
+        |vals AS (SELECT v, count(*) AS nv FROM cents GROUP BY 1),
+        |vcum AS (SELECT v, sum(nv) OVER (ORDER BY v) AS vc FROM vals),
+        |exact AS (
+        |  SELECT p_num, p_den, min(v) AS exact_cents
+        |  FROM vcum, t WHERE vc >= t GROUP BY 1, 2)
+        |SELECT p_num, p_den, CAST(t AS BIGINT) AS t,
+        |  CAST(bin AS BIGINT) AS bin, est,
+        |  CAST(exact_cents AS BIGINT) AS exact_cents,
+        |  round(est - CAST(exact_cents AS DOUBLE), 4) AS err_cents
+        |FROM est JOIN exact USING (p_num, p_den)
+        |ORDER BY p_den, p_num""".stripMargin,
     // the pruned scan is result-invisible: the oracle replays the
     // DIRECT band filter over orders — equality IS the proof that
     // zone pruning dropped only files that couldn't match

@@ -91,4 +91,51 @@ class SketchesSpec extends SparkSpec {
       assert(math.abs(e - t) <= 4 * se, s"$src: est $e vs exact $t")
     }
   }
+
+  test("histogram: merge of group partials equals the direct global build") {
+    val vals = spark.range(10000)
+      .select(col("id"), (col("id") % 3).cast("string").as("g"),
+        (col("id") * 37 % 100000).as("v"))
+    val perGroup = Sketches.histBuild(vals, col("v"), Seq("g"),
+      0L, 100000L, 64)
+    val merged = Sketches.histMerge(
+      Seq(perGroup.select(col("bin"), col("cnt"))), Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = Sketches.histBuild(vals, col("v"), Seq.empty,
+      0L, 100000L, 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == direct, "sum-merge must equal the one-shot build")
+    assert(merged.values.sum == 10000L)
+  }
+
+  test("histogram: out-of-domain values clamp into edge bins") {
+    val vals = Seq(-50L, -1L, 0L, 99L, 100L, 250L).toDF("v")
+    val h = Sketches.histBuild(vals, col("v"), Seq.empty, 0L, 100L, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) == 3L, s"two below-domain + the 0 → bin 0: $h")
+    assert(h(9L) == 3L, s"99 (interior max), 100 (== hi), 250 → bin 9: $h")
+  }
+
+  test("histogram quantiles: uniform data interpolates within half a bin width") {
+    // v = 0..9999 uniform over [0, 10000): every quantile is ~p·10000
+    val vals = spark.range(10000).select(col("id").as("v"))
+    val h = Sketches.histBuild(vals, col("v"), Seq.empty, 0L, 10000L, 100)
+    val q = Sketches.histQuantile(h, Seq((1, 4), (1, 2), (3, 4)),
+      0L, 10000L, 100)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(4)))
+    q.foreach { case (num, den, est) =>
+      val want = 10000.0 * num / den
+      assert(math.abs(est - want) <= 50.0 + 1e-9,
+        s"$num/$den: est $est vs uniform truth $want (bin width 100)")
+    }
+  }
+
+  test("histogram quantiles: rank targeting is exact on point-mass data") {
+    // all mass at one value: every quantile must land in that bin
+    val vals = spark.range(1000).select(lit(777L).as("v"))
+    val h = Sketches.histBuild(vals, col("v"), Seq.empty, 0L, 1000L, 10)
+    val q = Sketches.histQuantile(h, Seq((1, 2), (99, 100)), 0L, 1000L, 10)
+      .collect()
+    assert(q.forall(_.getLong(3) == 7L), "777 lives in bin 7 at width 100")
+  }
 }
