@@ -412,7 +412,40 @@ object StreamingQueries {
       .select(col("event_type"), col("n_events"), col("value_cents"))
   }
 
+  /** Streaming quantile state ([[Streams.histogramSink]]): the events
+    * stream drains in FOUR micro-batches (maxFilesPerTrigger=1 over a
+    * 4-file staged copy), each batch binned once into a (bin, cnt)
+    * partial under `batch=<id>` (overwrite ⇒ replay-idempotent), and
+    * quantiles come from ONE sum-merge of the ≤4×100-row partials —
+    * the mergeable-histogram sketch (q264) as streaming state: fact
+    * rows are binned exactly once, never revisited, and batch order
+    * can't matter because sum-merge is a semilattice. The oracle
+    * replays the identical integer pipeline over events directly —
+    * merge-across-batches must be invisible. */
+  def q265StreamQuantiles(spark: SparkSession, dir: String): DataFrame =
+      withStatePartitions(spark, 8) {
+    import graft.ops.Sketches
+    val lo = 0L; val hi = 50000L; val bins = 100
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_q265_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    graft.core.Tables.table(spark, dir, "events")
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$base/feed")
+    val schema = spark.read.parquet(s"$base/feed").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+    val q = Streams.histogramSink(stream, s"$base/state", "vc",
+      lo, hi, bins, s"$base/ckpt")
+    q.awaitTermination()
+    Sketches.histQuantile(Streams.histogramState(spark, s"$base/state"),
+      Seq((1, 4), (1, 2), (3, 4), (9, 10)), lo, hi, bins)
+      .orderBy(col("p_den"), col("p_num"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_stream_quantiles" -> q265StreamQuantiles,
     "q215_stream_scd2" -> q215StreamScd2,
     "q232_stream_complete" -> q232StreamComplete,
     "q37_stream_window" -> q37StreamWindow,
@@ -427,6 +460,28 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // batch partials sum-merge to exactly the one-shot histogram, so the
+    // oracle replays the q264 integer pipeline straight over events
+    "q265_stream_quantiles" ->
+      """WITH cents AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |hist AS (
+        |  SELECT least(99, greatest(0, v * 100 // 50000)) AS bin,
+        |    count(*) AS cnt
+        |  FROM cents GROUP BY 1),
+        |cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM hist),
+        |probs(p_num, p_den) AS (VALUES (1,4),(1,2),(3,4),(9,10)),
+        |t AS (SELECT p_num, p_den,
+        |    greatest(1, (n_total * p_num + p_den - 1) // p_den) AS t
+        |  FROM probs, n)
+        |SELECT p_num, p_den, CAST(t AS BIGINT) AS t,
+        |  CAST(bin AS BIGINT) AS bin,
+        |  round(0.0 + (50000.0 / 100) * (CAST(bin AS DOUBLE)
+        |    + CAST(t - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)), 4)
+        |    AS est
+        |FROM cum, t WHERE cum >= t AND cum - cnt < t
+        |ORDER BY p_den, p_num""".stripMargin,
     // the avro hop + micro-batch drain are identity — replay from parquet
     "q249_stream_avro_ingest" ->
       """SELECT event_type, count(*) AS n_events,

@@ -468,4 +468,42 @@ object Streams {
       .foreachBatch(upsertBatch(tableDir, table, keys, versionCols,
         deleteWhen) _)
       .start()
+
+  // -- streaming histogram / quantile state ---------------------------------
+
+  /** One micro-batch of streaming histogram maintenance: bin the batch
+    * with [[graft.ops.Sketches.histBuild]] and write the (bin, cnt)
+    * partial to `stateDir/batch=<id>` with mode=overwrite — the
+    * idempotence-by-layout rule of [[nearDupBatch]]: a replayed batchId
+    * rewrites its own partition byte-for-byte instead of double-
+    * counting, no commit ledger needed. State grows one ≤bins-row
+    * partial per batch; because the histogram is a sum-merge
+    * semilattice, readers never need batch ordering. */
+  def histogramBatch(stateDir: String, valueCol: String, lo: Long,
+      hi: Long, bins: Int)(batch: DataFrame, batchId: Long): Unit =
+    graft.ops.Sketches.histBuild(batch, col(valueCol), Seq.empty, lo, hi, bins)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+
+  /** [[histogramBatch]] wired as a foreachBatch sink — running
+    * distribution state (quantiles, spread, drift) maintained
+    * incrementally: the stream is binned once per batch and the fact
+    * rows are never revisited. */
+  def histogramSink(stream: DataFrame, stateDir: String, valueCol: String,
+      lo: Long, hi: Long, bins: Int, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(histogramBatch(stateDir, valueCol, lo, hi, bins) _)
+      .start()
+
+  /** The merged view of the streaming histogram state: one sum-merge
+    * over every batch partial (a ≤batches×bins-row scan — synopsis-
+    * sized, never the stream). Feed straight into
+    * [[graft.ops.Sketches.histQuantile]]. */
+  def histogramState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.ops.Sketches.histMerge(
+      Seq(spark.read.parquet(stateDir).select(col("bin"), col("cnt"))),
+      Seq.empty)
 }

@@ -497,4 +497,26 @@ class StreamsSpec extends SparkSpec {
     assert(readTable(dir) ==
       Map(1L -> (20L, "a2"), 2L -> (10L, "b1")))
   }
+
+  test("histogramBatch: batch partials sum-merge to the one-shot histogram; replay is idempotent") {
+    import graft.ops.Sketches
+    import spark.implicits._
+    val state = scratch("hist-state")
+    val apply = Streams.histogramBatch(state, "v", 0L, 1000L, 10) _
+    val all = spark.range(1000).select(col("id").as("v"))
+    apply(all.where(col("v") < 400L), 0L)
+    apply(all.where(col("v") >= 400L), 1L)
+    // foreachBatch retry: same batchId, even different data — overwrite
+    // of its own batch= partition must leave the state unchanged
+    apply(all.where(col("v") >= 400L), 1L)
+    val merged = Streams.histogramState(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = Sketches.histBuild(all, col("v"), Seq.empty, 0L, 1000L, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == direct && merged.values.sum == 1000L,
+      s"streamed state must equal one-shot build: $merged vs $direct")
+    val med = Sketches.histQuantile(Streams.histogramState(spark, state),
+      Seq((1, 2)), 0L, 1000L, 10).collect().head.getDouble(4)
+    assert(math.abs(med - 500.0) <= 100.0, s"median off: $med")
+  }
 }
