@@ -456,6 +456,46 @@ object TextAnalysis {
     merges.select(col("round"), col("left"), col("right"), col("freq"))
   }
 
+  /** BPE ENCODE — apply a trained merge table ([[bpeTrain]]'s output)
+    * in round order to the corpus VOCABULARY; returns
+    * (word, wc, toks). The tokenize-the-corpus counterpart of training:
+    * merges replay over the |vocab|-row word histogram, never over
+    * corpus tokens, and a caller maps documents to token streams by
+    * joining words back on this frame (broadcast when the vocab is
+    * small, shuffle join on `word` when it isn't).
+    *
+    * The merge table is collected to the driver in round order — R rows,
+    * the tokenizer's shipped model artifact, the same bounded-collect
+    * class as k-means centroids. Each round is then ONE narrow
+    * higher-order-function projection with the pair as literals (no join
+    * at all), `localCheckpoint` every 4 rounds truncating lineage.
+    *
+    * Greedy left-to-right non-overlap per round: after a merge the new
+    * token `l+r` can never immediately re-merge (it would require
+    * l+r = l), so the array fold is EXACTLY non-overlapping
+    * left-to-right string replacement over bracket-delimited tokens —
+    * which is how the DuckDB oracle replays it (q266). */
+  def bpeApply(df: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+    val ms = merges.orderBy(col("round"))
+      .select(col("left"), col("right")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    var vocab = df.select(explode(words(col(textCol))).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("word"), col("wc"), split(col("word"), "").as("toks"))
+      .localCheckpoint()
+    ms.zipWithIndex.foreach { case ((l, r), i) =>
+      vocab = vocab.select(col("word"), col("wc"),
+        aggregate(col("toks"), array().cast("array<string>"),
+          (acc, t) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && t === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(t)))).as("toks"))
+      if ((i + 1) % 4 == 0) vocab = vocab.localCheckpoint()
+    }
+    vocab
+  }
+
   /** Pointwise-mutual-information collocations (Church & Hanks 1990):
     * adjacent word pairs that co-occur far more than their unigram
     * frequencies predict — the multi-word-expression miner ("new york",

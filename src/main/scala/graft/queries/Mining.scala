@@ -716,7 +716,29 @@ object Mining {
       .orderBy(col("p_den"), col("p_num"))
   }
 
+  /** BPE train→encode end to end ([[TextAnalysis.bpeTrain]] +
+    * [[TextAnalysis.bpeApply]]): 8 merges trained on the documents
+    * corpus, applied in round order to the word histogram, and the
+    * encoded corpus summarized as the top-100 tokens by weighted
+    * occurrence — the whole tokenizer lifecycle under one hash gate.
+    * The oracle replays all 8 training rounds as chained CTEs over
+    * bracket-delimited token strings (`⟨h⟩⟨e⟩…`), where one
+    * non-overlapping string replace per round is PROVABLY the greedy
+    * left-to-right merge fold (a fresh `l+r` token can never
+    * immediately re-merge), pair argmax tiebroken (freq desc, left,
+    * right) identically. */
+  def q266BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = TextAnalysis.bpeTrain(d, "text", rounds = 8)
+    TextAnalysis.bpeApply(d, "text", merges)
+      .select(col("wc"), explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(sum(col("wc")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(100)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_bpe_encode" -> q266BpeEncode,
     "q264_hist_quantiles" -> q264HistQuantiles,
     "q263_zone_pruned_scan" -> q263ZonePrunedScan,
     "q253_sketch_cube" -> q253SketchCube,
@@ -756,7 +778,40 @@ object Mining {
     "q127_psi_drift" -> q127PsiDrift
   )
 
+  /** The q266 oracle, generated: 8 chained (pairs → argmax → replace)
+    * CTE rounds replaying [[TextAnalysis.bpeTrain]] +
+    * [[TextAnalysis.bpeApply]] over bracket-delimited token strings.
+    * `replace` is non-overlapping left-to-right, which equals the
+    * Scala greedy fold (see q266's scaladoc); the argmax tiebreak
+    * orders on the TRIMMED token text to match the trainer's raw
+    * (left, right) ordering. Fully-merged one-token words pair with
+    * nothing via the empty generate_series. */
+  private def bpeEncodeOracle: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""p$r AS (SELECT l[i] lft, l[i + 1] rgt, wc
+         |  FROM (SELECT wc, regexp_extract_all(s, '⟨[^⟩]*⟩') l FROM s${r - 1}),
+         |       unnest(generate_series(1, len(l) - 1)) AS u(i)),
+         |t$r AS (SELECT lft, rgt FROM p$r GROUP BY 1, 2
+         |  ORDER BY sum(wc) DESC, trim(lft, '⟨⟩'), trim(rgt, '⟨⟩') LIMIT 1),
+         |s$r AS (SELECT wc, replace(s, t.lft || t.rgt,
+         |    replace(t.lft, '⟩', '') || replace(t.rgt, '⟨', '')) AS s
+         |  FROM s${r - 1}, t$r t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) w FROM documents),
+       |v AS (SELECT w, count(*)::BIGINT wc FROM tok WHERE len(w) >= 2
+       |  GROUP BY 1),
+       |s0 AS (SELECT wc, regexp_replace(w, '(.)', '⟨\\1⟩', 'g') AS s FROM v),
+       |$rounds
+       |SELECT trim(tok, '⟨⟩') AS token, CAST(sum(wc) AS BIGINT)
+       |    AS n_occurrences
+       |FROM (SELECT wc, unnest(regexp_extract_all(s, '⟨[^⟩]*⟩')) AS tok
+       |      FROM s8)
+       |GROUP BY 1 ORDER BY n_occurrences DESC, token ASC
+       |LIMIT 100""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q266_bpe_encode" -> bpeEncodeOracle,
     // cube replay: per-day registers/bottom-64 from the same md5 hashes,
     // identical integer pipeline: cents → clamped equi-width bins →
     // cumulative ranks → one closing interpolation expression; the

@@ -279,6 +279,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges(2L) == (("aa", "a", 3L)))
   }
 
+  test("bpeApply: encodes the vocab exactly as the trainer evolved it") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++ Seq.fill(3)("aaa"))
+      .map(Tuple1(_)).toDF("text")
+    val merges = TextAnalysis.bpeTrain(df, "text", rounds = 3)
+    val enc = TextAnalysis.bpeApply(df, "text", merges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[String](2).toList))).toMap
+    // corpus merges: (l,o)x7 then (lo,w)x7 then (a,a)x6 — replaying them
+    // over each word must give the trainer's final segmentation
+    assert(enc("low") == ((5L, List("low"))))
+    assert(enc("lower") == ((2L, List("low", "e", "r"))))
+    assert(enc("aaa") == ((3L, List("aa", "a"))),
+      "greedy fold must not re-merge the freshly merged token")
+  }
+
+  test("bpeApply on unseen words: merges apply where they fit, else chars") {
+    import spark.implicits._
+    val train = Seq.fill(4)("ab").map(Tuple1(_)).toDF("text")
+    val merges = TextAnalysis.bpeTrain(train, "text", rounds = 1) // (a,b)
+    val enc = TextAnalysis.bpeApply(
+        Seq("abab", "ba", "cd").map(Tuple1(_)).toDF("text"), "text", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    assert(enc("abab") == List("ab", "ab"))
+    assert(enc("ba") == List("b", "a"))
+    assert(enc("cd") == List("c", "d"))
+  }
+
   test("ngramNovelty: identical corpus → 0, disjoint-vocab corpus → 1") {
     import spark.implicits._
     // identical text everywhere: every test window exists in train
