@@ -91,6 +91,26 @@ object ZoneMap {
       .toSeq.sorted
   }
 
+  /** Conjunctive pruning: files whose zones intersect EVERY
+    * `(column, lo, hi)` band — the multi-predicate planner path. With a
+    * z-ordered layout ([[Layout.writeZOrdered]]) each file is tight in
+    * BOTH dimensions, so either band alone prunes and their conjunction
+    * prunes multiplicatively — the property single-column range
+    * clustering cannot give (its second column straddles every file).
+    * Same survivor semantics as [[prunedFiles]] per band. */
+  def prunedFilesMulti(spark: SparkSession, tablePath: String,
+      zonePath: String, bands: Seq[(String, Any, Any)]): Seq[String] = {
+    require(bands.nonEmpty, "at least one (column, lo, hi) band")
+    val live = listDataFiles(spark, tablePath).toSet
+    val pred = bands.map { case (c, lo, hi) =>
+      col(s"${c}__max") >= lit(lo) && col(s"${c}__min") <= lit(hi)
+    }.reduce(_ && _)
+    spark.read.parquet(zonePath).where(pred)
+      .select(col("file")).collect().map(_.getString(0))
+      .filter(f => live.contains(normalize(f)) || live.contains(f))
+      .toSeq.sorted
+  }
+
   /** The zone-pruned scan: read only the surviving files, re-apply the
     * predicate exactly (zones straddling the bounds contribute partial
     * files). Result-identical to `read(tablePath).where(between)`; the

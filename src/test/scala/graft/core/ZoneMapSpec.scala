@@ -100,6 +100,35 @@ class ZoneMapSpec extends SparkSpec {
       s"date band should touch ≤3 of ${all.size} files, got ${hit.size}")
   }
 
+  test("z-order + conjunctive zones: either dimension prunes, together multiplicatively") {
+    val tbl = scratch("zm_z"); val zm = scratch("zm_z_map")
+    // 64x64 grid, 16 files: z-order clusters BOTH x and y per file
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).as("y"))
+    Layout.writeZOrdered(grid, tbl, 16, col("x"), col("y"), bitsPerDim = 6)
+    ZoneMap.build(spark, tbl, Seq("x", "y"), zm)
+    val all = ZoneMap.listDataFiles(spark, tbl).size
+    val xOnly = ZoneMap.prunedFilesMulti(spark, tbl, zm,
+      Seq(("x", 0L, 15L))).size
+    val yOnly = ZoneMap.prunedFilesMulti(spark, tbl, zm,
+      Seq(("y", 0L, 15L))).size
+    val both = ZoneMap.prunedFilesMulti(spark, tbl, zm,
+      Seq(("x", 0L, 15L), ("y", 0L, 15L))).size
+    assert(xOnly < all && yOnly < all,
+      s"z-order must let EITHER dimension prune: x=$xOnly y=$yOnly of $all")
+    assert(both < xOnly && both < yOnly,
+      s"conjunction must prune beyond either band: $both vs $xOnly/$yOnly")
+    // contrast: single-column range clustering cannot prune on y
+    val tblR = scratch("zm_r"); val zmR = scratch("zm_r_map")
+    Layout.writeRangeClustered(grid, tblR, 16, col("x"))
+    ZoneMap.build(spark, tblR, Seq("x", "y"), zmR)
+    val yOnRange = ZoneMap.prunedFilesMulti(spark, tblR, zmR,
+      Seq(("y", 0L, 15L))).size
+    val allR = ZoneMap.listDataFiles(spark, tblR).size
+    assert(yOnRange == allR,
+      s"x-clustered layout should straddle every y band: $yOnRange/$allR")
+  }
+
   test("deleted files drop out via the live-listing intersection") {
     val tbl = scratch("zm_del"); val zm = scratch("zm_del_map")
     clustered(2000, 4, tbl)
