@@ -737,7 +737,34 @@ object Mining {
       .limit(100)
   }
 
+  /** Corpus tokenization through the encoded vocab ([[q266BpeEncode]]'s
+    * companion — the path scaladoc'd on [[TextAnalysis.bpeApply]]):
+    * documents tokenize by joining their words against the ≤|vocab|-row
+    * encoded frame (broadcast here; shuffle join on `word` when a real
+    * vocab outgrows it), then per-source token economics — words, BPE
+    * tokens, chars, chars-per-token. The corpus is touched exactly
+    * twice (word explode, join); merges replay only over the vocab. */
+  def q267DocTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = TextAnalysis.bpeTrain(d, "text", rounds = 8)
+    val vocabTok = TextAnalysis.bpeApply(d, "text", merges)
+      .select(col("word"), size(col("toks")).cast("long").as("n_tok"))
+    d.select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 2)
+      .join(broadcast(vocabTok), Seq("word"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("bpe_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("bpe_tokens"),
+        col("n_chars"),
+        round(col("n_chars").cast("double") /
+          col("bpe_tokens").cast("double"), 4).as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_doc_tokens" -> q267DocTokens,
     "q266_bpe_encode" -> q266BpeEncode,
     "q264_hist_quantiles" -> q264HistQuantiles,
     "q263_zone_pruned_scan" -> q263ZonePrunedScan,
@@ -786,32 +813,53 @@ object Mining {
     * orders on the TRIMMED token text to match the trainer's raw
     * (left, right) ordering. Fully-merged one-token words pair with
     * nothing via the empty generate_series. */
-  private def bpeEncodeOracle: String = {
+  private def bpeCtePrefix: String = {
     val rounds = (1 to 8).map { r =>
       s"""p$r AS (SELECT l[i] lft, l[i + 1] rgt, wc
          |  FROM (SELECT wc, regexp_extract_all(s, '⟨[^⟩]*⟩') l FROM s${r - 1}),
          |       unnest(generate_series(1, len(l) - 1)) AS u(i)),
          |t$r AS (SELECT lft, rgt FROM p$r GROUP BY 1, 2
          |  ORDER BY sum(wc) DESC, trim(lft, '⟨⟩'), trim(rgt, '⟨⟩') LIMIT 1),
-         |s$r AS (SELECT wc, replace(s, t.lft || t.rgt,
+         |s$r AS (SELECT w, wc, replace(s, t.lft || t.rgt,
          |    replace(t.lft, '⟩', '') || replace(t.rgt, '⟨', '')) AS s
          |  FROM s${r - 1}, t$r t)""".stripMargin
     }.mkString(",\n")
     s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) w FROM documents),
        |v AS (SELECT w, count(*)::BIGINT wc FROM tok WHERE len(w) >= 2
        |  GROUP BY 1),
-       |s0 AS (SELECT wc, regexp_replace(w, '(.)', '⟨\\1⟩', 'g') AS s FROM v),
-       |$rounds
+       |s0 AS (SELECT w, wc, regexp_replace(w, '(.)', '⟨\\1⟩', 'g') AS s
+       |  FROM v),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeEncodeOracle: String =
+    s"""$bpeCtePrefix
        |SELECT trim(tok, '⟨⟩') AS token, CAST(sum(wc) AS BIGINT)
        |    AS n_occurrences
        |FROM (SELECT wc, unnest(regexp_extract_all(s, '⟨[^⟩]*⟩')) AS tok
        |      FROM s8)
        |GROUP BY 1 ORDER BY n_occurrences DESC, token ASC
        |LIMIT 100""".stripMargin
-  }
+
+  private def bpeDocTokensOracle: String =
+    s"""$bpeCtePrefix,
+       |vt AS (SELECT w, len(regexp_extract_all(s, '⟨[^⟩]*⟩')) AS n_tok
+       |  FROM s8),
+       |wd AS (SELECT source, w
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) w
+       |        FROM documents)
+       |  WHERE len(w) >= 2)
+       |SELECT source, count(*) AS n_words,
+       |  CAST(sum(n_tok) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(len(w)) AS BIGINT) AS n_chars,
+       |  round(CAST(sum(len(w)) AS DOUBLE)
+       |    / CAST(sum(n_tok) AS DOUBLE), 4) AS chars_per_token
+       |FROM wd JOIN vt USING (w)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q266_bpe_encode" -> bpeEncodeOracle,
+    "q267_doc_tokens" -> bpeDocTokensOracle,
     // cube replay: per-day registers/bottom-64 from the same md5 hashes,
     // identical integer pipeline: cents → clamped equi-width bins →
     // cumulative ranks → one closing interpolation expression; the
