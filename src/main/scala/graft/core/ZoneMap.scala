@@ -61,6 +61,12 @@ object ZoneMap {
     * Returns the number of newly-mapped files. */
   def refresh(spark: SparkSession, tablePath: String, cols: Seq[String],
       zonePath: String): Int = {
+    val zp = new org.apache.hadoop.fs.Path(zonePath)
+    val zfs = zp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!zfs.exists(zp)) { // first call on a fresh table = full build
+      build(spark, tablePath, cols, zonePath)
+      return listDataFiles(spark, tablePath).size
+    }
     // input_file_name URIs vs filesystem listings differ in scheme
     // spelling — compare path parts (same rule prunedFiles applies)
     val mapped = spark.read.parquet(zonePath)

@@ -377,7 +377,31 @@ object Lifecycle {
         countDistinct(col("o_custkey")).as("n_custs"))
   }
 
+  /** Avro COUNT(*) pushdown self-audit
+    * ([[graft.sources.AvroSource]]'s `SupportsPushDownAggregates`): the
+    * same container files counted twice in one result row — once
+    * through the pushed path (block HEADERS only: each Avro block
+    * prefixes its object count, so no datum decode, no deflate field
+    * conversion) and once through the decoded path (a residual filter
+    * keeps the real scan). Equality of the two columns inside the
+    * hash-gated result IS the audit that header arithmetic matches the
+    * data; the oracle is two counts of the original parquet. The plan
+    * shape (pushed vs not) is asserted in AvroSourceSpec. */
+  def q268AvroCount(spark: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_q268_${math.abs(dir.hashCode)}"
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .write.format("graftavro").mode("overwrite").save(base)
+    val t = spark.read.format("graftavro").load(base)
+    val pushed = t.groupBy().count().select(col("count").as("n_rows"))
+    val decoded = t.where(col("l_orderkey") >= 0L).groupBy().count()
+      .select(col("count").as("n_rows_decoded"))
+    pushed.crossJoin(decoded)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_avro_count" -> q268AvroCount,
     "q210_incremental_join" -> q210IncrementalJoin,
     "q244_process_daily" -> q244ProcessDaily,
     "q245_avro_roundtrip" -> q245AvroRoundtrip,
@@ -413,6 +437,12 @@ object Lifecycle {
        |      FROM $t GROUP BY $x) g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // both the block-header path and the decoded path must equal the
+    // source row count — the avro hop and the header arithmetic are
+    // both identity on cardinality
+    "q268_avro_count" ->
+      """SELECT count(*) AS n_rows, count(*) AS n_rows_decoded
+        |FROM lineitem""".stripMargin,
     // the avro hop is identity — the oracle aggregates the source parquet
     "q245_avro_roundtrip" ->
       """SELECT o_orderstatus, year(o_orderdate) AS o_year,

@@ -292,11 +292,77 @@ class AvroTable(paths: Seq[String], tableSchema: StructType) extends Table
 }
 
 class AvroScanBuilder(paths: Seq[String], full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
+  private var countPushed = false
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new AvroScan(paths, required)
+
+  /** COUNT(*) pushdown: an Avro container prefixes every block with its
+    * object count, so a global count needs only the block HEADERS — no
+    * datum decode, no deflate-decompressed field conversion, one long
+    * per block. Partial pushdown (`supportCompletePushDown` default
+    * false): each file partition emits its block-count sum and Spark's
+    * final aggregate adds them — distributed exactly like the real
+    * scan. Grouped or expression-bearing aggregates stay in Spark:
+    * blocks carry no per-column statistics (that is parquet's job; this
+    * connector guards the EXCHANGE boundary). */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+    if (ok) countPushed = true
+    ok
+  }
+
+  override def build(): Scan =
+    if (countPushed) new AvroCountScan(paths) else new AvroScan(paths, required)
+}
+
+/** Block-header count scan: one row per container file carrying the sum
+  * of its block counts. [[DataFileReader.nextBlock]] advances a whole
+  * block without per-record decoding. */
+class AvroCountScan(paths: Seq[String]) extends Scan with Batch {
+  private val n = paths.length
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftAvro COUNT(block headers) ${paths.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    AvroSourceUtil.listFiles(paths)
+      .map(f => AvroInputPartition(f._1): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] =
+        new AvroCountReader(p.asInstanceOf[AvroInputPartition])
+    }
+}
+
+class AvroCountReader(part: AvroInputPartition)
+    extends PartitionReader[InternalRow] {
+  private var done = false
+  override def next(): Boolean = !done
+  override def get(): InternalRow = {
+    val reader = new DataFileReader[GenericRecord](
+      new FsInput(new Path(part.path), new Configuration()),
+      new GenericDatumReader[GenericRecord]())
+    var total = 0L
+    try {
+      while (reader.hasNext) {
+        total += reader.getBlockCount
+        reader.nextBlock() // skip the block wholesale, no datum decode
+      }
+    } finally reader.close()
+    done = true
+    new GenericInternalRow(Array[Any](total))
+  }
+  override def close(): Unit = ()
 }
 
 case class AvroInputPartition(path: String) extends InputPartition

@@ -72,6 +72,29 @@ class AvroSourceSpec extends SparkSpec {
       s"pruned scan should only carry l_orderkey:\n$plan")
     assert(q.distinct().count() > 0)
   }
+  test("COUNT(*) pushes to block headers; filtered/grouped counts keep the real scan") {
+    import spark.implicits._
+    val dir = scratch("avro-cnt")
+    spark.range(12345).selectExpr("id", "id * 2 AS v").repartition(3)
+      .write.format("graftavro").mode("overwrite").save(dir)
+    val t = spark.read.format("graftavro").load(dir)
+    val agg = t.groupBy().count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("COUNT(block headers)"), s"count not pushed:\n$plan")
+    assert(agg.collect().head.getLong(0) == 12345L)
+    // a filtered count can't come from block headers — must NOT push
+    val filtered = t.where(col("v") > 100L).groupBy().count()
+    val fp = filtered.queryExecution.executedPlan.toString
+    assert(!fp.contains("COUNT(block headers)"),
+      s"filtered count wrongly pushed:\n$fp")
+    assert(filtered.collect().head.getLong(0) == 12345L - 51L)
+    // grouped counts carry group keys the headers don't have
+    val grouped = t.groupBy((col("id") % 2L).as("k")).count()
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("COUNT(block headers)"))
+    assert(grouped.collect().map(_.getLong(1)).sum == 12345L)
+  }
+
   test("overwrite truncates prior container files (no silent doubling)") {
     import spark.implicits._
     val dir = scratch("avro-trunc")
