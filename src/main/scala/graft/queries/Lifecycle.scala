@@ -400,7 +400,31 @@ object Lifecycle {
     pushed.crossJoin(decoded)
   }
 
+  /** Result cache round-trip ([[graft.plans.ResultCache]]): the
+    * priority-revenue report is served through the fingerprinted cache
+    * — first call materializes, second call must HIT (asserted: the
+    * served frame scans the cache copy) — and the emitted rows are the
+    * cached parquet's. Caching is result-invisible, so the oracle is
+    * the direct aggregate; hash-green proves the cache returns exactly
+    * what the query computes, and the fingerprint's input-version
+    * binding (ResultCacheSpec) proves it can never serve stale rows. */
+  def q269ResultCache(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.ResultCache
+    val cacheDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_q269_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    ResultCache.through(base, cacheDir) // miss (or prior-run hit): materialize
+    val served = ResultCache.through(base, cacheDir) // must be a hit now
+    require(ResultCache.isCached(base, cacheDir),
+      "q269: second pass must serve from the cache")
+    served.orderBy(col("o_orderpriority"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_result_cache" -> q269ResultCache,
     "q268_avro_count" -> q268AvroCount,
     "q210_incremental_join" -> q210IncrementalJoin,
     "q244_process_daily" -> q244ProcessDaily,
@@ -437,6 +461,12 @@ object Lifecycle {
        |      FROM $t GROUP BY $x) g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // caching is result-invisible — the oracle is the direct aggregate
+    "q269_result_cache" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // both the block-header path and the decoded path must equal the
     // source row count — the avro hop and the header arithmetic are
     // both identity on cardinality
