@@ -482,6 +482,38 @@ object Ann {
       .parquet(s"$path/assignments")
   }
 
+  /** Incremental IVF maintenance: assign a batch of NEW vectors against
+    * the index's PERSISTED centroids and append them to the `cid=`
+    * partitions — the index absorbs the batch without retraining and
+    * without touching any existing cell's files (parquet append writes
+    * new files inside the partition dirs). Because cell membership
+    * depends only on the frozen centroids, build-then-append is
+    * CONTENT-IDENTICAL to a one-shot build over the union — the
+    * invariant q270's oracle hash-checks. Cost is one broadcast-K
+    * assignment pass over the batch, O(batch), never O(index).
+    *
+    * Appends are at-least-once by nature (a retried job re-appends);
+    * wrap calls in the [[graft.streaming.Streams.upsertBatch]] ledger
+    * or write batches under distinct subdirs when the feed can replay.
+    * Many appends skew cells as the data distribution drifts from the
+    * trained centroids — watch [[centroidDrift]] and re-train + rebuild
+    * past threshold. Returns the number of vectors appended. */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVecs: DataFrame, idCol: String, vecCol: String, dim: Int): Long = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cid").as(idCol), col("cvec").as(vecCol))
+    // checkpoint so count + write share ONE assignment pass (the
+    // writeShards lesson: never let the manifest re-run the pipeline)
+    val assigned = assignClusters(newVecs, cents, idCol, vecCol, dim)
+      .select(col("__vid").as("vec_id"), col("__vec").as("vec"),
+        col("__nrm").as("nrm"), col("__cid").as("cid"))
+      .localCheckpoint()
+    val n = assigned.count()
+    assigned.write.mode("append").partitionBy("cid")
+      .parquet(s"$path/assignments")
+    n
+  }
+
   /** Query a persisted IVF index: assign each query vector to its
     * `nprobe` nearest stored centroids (broadcast, K rows), then join
     * the probe list against the partitioned assignments — the join key

@@ -101,6 +101,41 @@ object Training {
     Ann.ivfTopK(embs(spark, dir), "vec_id", "embedding", Dim, 3, 16)
       .withColumn("cosine", round(col("cosine"), 6))
 
+  /** Incremental IVF maintenance ([[Ann.ivfAppend]]): the index is
+    * BUILT from the `vec_id % 3 ≠ 0` two-thirds (frozen seed centroids
+    * `vec_id < 16` within it), then the remaining third is APPENDED —
+    * one broadcast-assignment pass over the batch, existing cell files
+    * untouched. Because membership depends only on the frozen
+    * centroids, build-then-append must be content-identical to a
+    * one-shot assignment of ALL vectors against those centroids, which
+    * is exactly what the oracle replays (intra-cell top-3 over the
+    * re-read index). Fresh scratch per run: append is at-least-once,
+    * so replaying into a kept dir would duplicate (the ledger/subdir
+    * patterns in the ivfAppend scaladoc are the production guards). */
+  def q270IvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_q270_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val e = embs(spark, dir)
+    Ann.buildIvfIndex(e.where(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", Dim, 16, base)
+    Ann.ivfAppend(spark, base,
+      e.where(col("vec_id") % 3 === 0), "vec_id", "embedding", Dim)
+    val idx = spark.read.parquet(s"$base/assignments")
+    val a = idx.select(col("cid"), col("vec_id"), col("vec"), col("nrm"))
+    val b = idx.select(col("cid"), col("vec_id").as("neighbor_id"),
+      col("vec").as("bvec"), col("nrm").as("bnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("__cos").desc, col("neighbor_id"))
+    a.join(b, Seq("cid"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("__cos",
+        Ann.dot(col("vec"), col("bvec"), Dim) / (col("nrm") * col("bnrm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("vec_id"), col("neighbor_id"),
+        round(col("__cos"), 6).as("cosine"), col("rank"))
+  }
+
   /** Multimodal plumbing: opaque binary payload metadata (byte length,
     * content digest, magic byte) — the schema/partitioning contract decode
     * UDFs plug into (see graft.ops.Multimodal). */
@@ -780,6 +815,7 @@ object Training {
     "q24_token_count" -> q24TokenCount,
     "q25_fingerprint" -> q25Fingerprint,
     "q26_ann_ivf" -> q26AnnIvf,
+    "q270_ivf_append" -> q270IvfAppend,
     "q27_binary_meta" -> q27BinaryMeta,
     "q29_seq_packing" -> q29SeqPacking,
     "q30_embed_dups" -> q30EmbedDups,
@@ -1324,6 +1360,24 @@ object Training {
          |h AS (SELECT DISTINCT doc_id, ${h60("sh")} x FROM e)
          |SELECT doc_id, array_to_string(list_sort(list(x))[1:8], ',') AS fingerprint
          |FROM h GROUP BY doc_id""".stripMargin,
+    // append ≡ one-shot assignment against the SAME frozen centroids —
+    // the oracle assigns every vector to the build-subset seeds directly
+    "q270_ivf_append" ->
+      s"""WITH $normCte,
+         |c AS (SELECT vec_id cid, embedding, nrm FROM n
+         |      WHERE vec_id < 16 AND vec_id % 3 <> 0),
+         |asg AS (SELECT vec_id, embedding, nrm, cid FROM (
+         |  SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      (${dotSql("v", "c")}) / (v.nrm * c.nrm) DESC, c.cid) rn
+         |  FROM n v CROSS JOIN c) WHERE rn = 1),
+         |p AS (SELECT a.vec_id vec_id, b.vec_id neighbor_id,
+         |        (${dotSql("a", "b")}) / (a.nrm * b.nrm) cosine
+         |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, neighbor_id, round(cosine, 6) AS cosine, "rank" FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM p) WHERE "rank" <= 3""".stripMargin,
     "q26_ann_ivf" ->
       s"""WITH $normCte,
          |c AS (SELECT vec_id cid, embedding, nrm FROM n WHERE vec_id < 16),

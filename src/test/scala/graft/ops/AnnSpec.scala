@@ -501,4 +501,40 @@ class AnnSpec extends SparkSpec {
       e.agg(org.apache.spark.sql.functions.min("vec_id")).head().getLong(0),
       0L)))
   }
+
+  test("ivfAppend: build-then-append ≡ one-shot build; old cell files untouched") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val inc = scratch("ivf-inc"); val full = scratch("ivf-full")
+    val old = e.where(col("vec_id") % 3 =!= 0)
+    Ann.buildIvfIndex(old, "vec_id", "embedding", 64, 16, inc)
+    val filesBefore = new java.io.File(s"$inc/assignments").listFiles()
+      .filter(_.isDirectory)
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+      .map(f => f.getPath -> f.lastModified()).toMap
+    val n = Ann.ivfAppend(spark, inc,
+      e.where(col("vec_id") % 3 === 0), "vec_id", "embedding", 64)
+    assert(n == e.where(col("vec_id") % 3 === 0).count())
+    // append must not rewrite or delete any pre-existing cell file
+    filesBefore.foreach { case (p, m) =>
+      val f = new java.io.File(p)
+      assert(f.exists() && f.lastModified() == m, s"append disturbed $p")
+    }
+    // content identity: membership depends only on the FROZEN centroids,
+    // so a one-shot assignment of ALL vectors against them must agree
+    // cell-for-cell with the appended index
+    val cents = spark.read.parquet(s"$inc/centroids")
+      .select(col("cid").as("vec_id"), col("cvec").as("embedding"))
+    val oneShot = Ann.assignClusters(e, cents, "vec_id", "embedding", 64)
+      .select(col("__vid"), col("__cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incCells = spark.read.parquet(s"$inc/assignments")
+      // partition-dir inference types cid=K as INT; restore long
+      .select(col("vec_id"), col("cid").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incCells.size == oneShot.size, "appended index lost vectors")
+    oneShot.foreach { case (v, c) =>
+      assert(incCells(v) == c, s"vec $v cell diverged after append")
+    }
+  }
 }
