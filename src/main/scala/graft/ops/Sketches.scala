@@ -251,6 +251,45 @@ object Sketches {
       .groupBy((groupCols.map(col) :+ col("bin")): _*)
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Per-GROUP quantile estimates from a grouped histogram
+    * (groupCols..., bin, cnt) — [[histQuantile]]'s grouped twin, same
+    * integer rank targeting and within-bin interpolation but with every
+    * window/total partitioned by the group: one frame pass computes
+    * EVERY group's estimates for all probs (≤|groups|·bins·|probs|
+    * intermediate rows — synopsis-sized). This is the "median per
+    * source / p99 per day" reporting shape answered without touching
+    * facts: group histograms persist as partials, roll up by sum-merge,
+    * and quantiles read off the merged counters. */
+  def histQuantileBy(hist: DataFrame, groupCols: Seq[String],
+      probs: Seq[(Int, Int)], lo: Long, hi: Long, bins: Int): DataFrame = {
+    require(groupCols.nonEmpty, "use histQuantile for the global case")
+    require(probs.nonEmpty && probs.forall { case (n, d) =>
+      d > 0 && n >= 0 && n <= d }, s"probs must be fractions in [0,1]: $probs")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val gcols = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.select((gcols :+ col("bin").cast("long").as("bin") :+
+        col("cnt").cast("long").as("cnt")): _*)
+      .withColumn("cum", sum(col("cnt")).over(w))
+    val totals = cum.groupBy(gcols: _*).agg(max(col("cum")).as("n_total"))
+    val targets = totals.crossJoin(broadcast(probs.toDF("p_num", "p_den")))
+      .select((gcols :+ col("p_num") :+ col("p_den") :+
+        expr("greatest(1L, (n_total * p_num + p_den - 1) div p_den)")
+          .as("t")): _*)
+    val width = (hi - lo).toDouble / bins
+    cum.join(targets, groupCols)
+      .where(col("cum") >= col("t") && (col("cum") - col("cnt")) < col("t"))
+      .select((gcols :+ col("p_num") :+ col("p_den") :+ col("t") :+
+        col("bin") :+
+        round(lit(lo.toDouble) + lit(width) *
+          (col("bin").cast("double") +
+            (col("t") - (col("cum") - col("cnt"))).cast("double") /
+              col("cnt").cast("double")), 4).as("est")): _*)
+  }
+
   /** Quantile estimates from a GLOBAL histogram (bin, cnt): for each
     * probability p = num/den, target rank t = ⌈N·num/den⌉ in exact
     * integer arithmetic, locate the bin where the cumulative count

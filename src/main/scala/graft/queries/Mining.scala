@@ -763,7 +763,26 @@ object Mining {
       .orderBy(col("source"))
   }
 
+  /** Grouped histogram quantiles ([[Sketches.histQuantileBy]]): per
+    * order-priority P25/P50/P90 of order totals, answered from the SAME
+    * per-group counter table q264 merges globally — the "p99 per
+    * tenant" reporting shape. One binning pass, then every group's
+    * estimates in one synopsis-sized frame pass (group-partitioned
+    * cumulative window + integer rank targets); the per-group windows
+    * partition by a 5-value key, so nothing funnels to one task. */
+  def q271GroupQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val lo = 0L; val hi = 50000000L; val bins = 256
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val perPrio = Sketches.histBuild(table(spark, dir, "orders"), cents,
+      Seq("o_orderpriority"), lo, hi, bins)
+    Sketches.histQuantileBy(perPrio, Seq("o_orderpriority"),
+      Seq((1, 4), (1, 2), (9, 10)), lo, hi, bins)
+      .orderBy(col("o_orderpriority"), col("p_den"), col("p_num"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_group_quantiles" -> q271GroupQuantiles,
     "q267_doc_tokens" -> q267DocTokens,
     "q266_bpe_encode" -> q266BpeEncode,
     "q264_hist_quantiles" -> q264HistQuantiles,
@@ -861,6 +880,32 @@ object Mining {
     "q266_bpe_encode" -> bpeEncodeOracle,
     "q267_doc_tokens" -> bpeDocTokensOracle,
     // cube replay: per-day registers/bottom-64 from the same md5 hashes,
+    // the q264 pipeline partitioned by priority: per-group cum ranks,
+    // per-group totals, same closing interpolation
+    "q271_group_quantiles" ->
+      """WITH cents AS (
+        |  SELECT o_orderpriority g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |hist AS (
+        |  SELECT g, least(255, greatest(0, v * 256 // 50000000)) AS bin,
+        |    count(*) AS cnt
+        |  FROM cents GROUP BY 1, 2),
+        |cum AS (SELECT g, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum FROM hist),
+        |n AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_total
+        |      FROM hist GROUP BY 1),
+        |probs(p_num, p_den) AS (VALUES (1,4),(1,2),(9,10)),
+        |t AS (SELECT g, p_num, p_den,
+        |    greatest(1, (n_total * p_num + p_den - 1) // p_den) AS t
+        |  FROM probs, n)
+        |SELECT cum.g AS o_orderpriority, p_num, p_den,
+        |  CAST(t AS BIGINT) AS t, CAST(bin AS BIGINT) AS bin,
+        |  round(0.0 + (50000000.0 / 256) * (CAST(bin AS DOUBLE)
+        |    + CAST(t - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)), 4)
+        |    AS est
+        |FROM cum JOIN t ON cum.g = t.g
+        |WHERE cum >= t AND cum - cnt < t
+        |ORDER BY o_orderpriority, p_den, p_num""".stripMargin,
     // identical integer pipeline: cents → clamped equi-width bins →
     // cumulative ranks → one closing interpolation expression; the
     // exact column is first-distinct-value-reaching-rank both sides

@@ -130,6 +130,29 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("histQuantileBy: per-group estimates equal per-group global runs") {
+    val vals = spark.range(6000).select(
+      (col("id") % 3).cast("string").as("g"),
+      // different per-group distributions: shifted uniforms
+      (col("id") / 3 + (col("id") % 3) * 1000).as("v"))
+    val h = Sketches.histBuild(vals, col("v"), Seq("g"), 0L, 4000L, 80)
+    val grouped = Sketches.histQuantileBy(h, Seq("g"),
+      Seq((1, 2), (9, 10)), 0L, 4000L, 80)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    Seq("0", "1", "2").foreach { g =>
+      val solo = Sketches.histQuantile(
+        h.where(col("g") === g).select(col("bin"), col("cnt")),
+        Seq((1, 2), (9, 10)), 0L, 4000L, 80)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      solo.foreach { case ((n, d), exp) =>
+        assert(grouped((g, n, d)) == exp,
+          s"group $g p=$n/$d diverged from the global-path run")
+      }
+    }
+  }
+
   test("histogram quantiles: rank targeting is exact on point-mass data") {
     // all mass at one value: every quantile must land in that bin
     val vals = spark.range(1000).select(lit(777L).as("v"))
