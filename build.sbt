@@ -28,3 +28,28 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Suite-level parallelism: split the ~60 suites across N forked JVMs,
+// each with its own SparkSession (graft.TestSession is per-JVM), instead
+// of one JVM running them serially — the suite hit 7:45 on the round-5
+// driver host, at the 8-minute ceiling. JVM isolation (not
+// testForkedParallel) because suites share one session per JVM and a few
+// mutate session-scoped state (catalog DDL, conf toggles); across JVMs
+// nothing is shared but the read-only testdata. Round-robin over sorted
+// names spreads the heavy suites; N=4 keeps peak heap at 4×8g on a
+// 128 GiB host. SPARK_GRAFT_TEST_JVMS=1 restores the serial layout.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val n = sys.env.getOrElse("SPARK_GRAFT_TEST_JVMS", "4").toInt
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withWorkingDirectory(baseDirectory.value)
+  tests.sortBy(_.name).zipWithIndex
+    .groupBy(_._2 % n).toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(s"jvm$i", ts.map(_._1), Tests.SubProcess(forkOpts))
+    }
+}
+// sbt caps concurrent forked test groups at 1 by default — lift it
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 4),
+  Tags.limitAll(16))

@@ -40,6 +40,13 @@ object Maintain {
       maxFiles: Int = 64, targetFileBytes: Long = 128L << 20,
       cacheTtlMs: Long = 7L * 24 * 3600 * 1000,
       nowMs: Long = 0L): DataFrame = {
+    // nowMs is caller-supplied (no wall-clock reads inside operators —
+    // the corpus-wide determinism discipline), so an UNSET nowMs with a
+    // cacheDir would make the vacuum a silent no-op (0 − mtime is never
+    // > ttl) and report cacheReaped=0 as if it had run. Fail loudly.
+    require(cacheDir.isEmpty || nowMs > 0L,
+      "Maintain.run: nowMs must be supplied when cacheDir is set — " +
+        "the cache vacuum compares nowMs against entry mtimes")
     import spark.implicits._
     import graft.core.{Layout, ZoneMap}
     val before = ZoneMap.listDataFiles(spark, tableDir).size
@@ -56,5 +63,45 @@ object Maintain {
       .vacuum(spark, c, cacheTtlMs, nowMs)).getOrElse(0)
     Seq(Report(tableDir, before.toLong, after.toLong, compacted,
       zoned.toLong, reaped.toLong)).toDF()
+  }
+
+  final case class IvfReport(index: String, cells: Long, maxStale: Double,
+      rebuilt: Boolean)
+
+  /** The IVF retrain policy — the piece [[graft.ops.Ann.ivfAppend]]
+    * documents but leaves to maintenance: appends assign against FROZEN
+    * centroids, so after enough drifted batches the cell means walk away
+    * from the centroids and recall-per-probe decays. This job closes the
+    * loop: read [[graft.ops.Ann.ivfStaleness]] (K rows — max L2 gap
+    * between each stored centroid and its cell's current mean), and if
+    * any cell exceeds `staleThreshold`, RETRAIN — one
+    * [[graft.ops.Ann.buildIvfIndex]] call over the index's own vectors
+    * with `kmeansIters` Lloyd's rounds producing fresh centroids and a
+    * fresh assignment layout. Below threshold it is a strict no-op: not
+    * a byte of the index moves (the spec pins this).
+    *
+    * Scale: the decision reads K staleness rows (bounded driver class);
+    * the rebuild, when triggered, is the same O(corpus) cost as the
+    * original build — which is the point of gating it on a threshold
+    * instead of rebuilding nightly. The vectors are re-read from the
+    * index's OWN assignment files (localCheckpoint'd before the
+    * overwrite so the rebuild never reads the path it writes). */
+  def maintainIvf(spark: SparkSession, indexPath: String, dim: Int,
+      numCentroids: Int, staleThreshold: Double,
+      kmeansIters: Int = 5): DataFrame = {
+    import spark.implicits._
+    require(staleThreshold > 0, s"staleThreshold must be > 0: $staleThreshold")
+    val st = graft.ops.Ann.ivfStaleness(spark, indexPath, dim).collect()
+    val maxStale = if (st.isEmpty) 0.0 else st.map(_.getDouble(2)).max
+    val rebuilt = maxStale > staleThreshold
+    if (rebuilt) {
+      val all = spark.read.parquet(s"$indexPath/assignments")
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("vec"))
+        .localCheckpoint() // materialize BEFORE overwriting the source path
+      graft.ops.Ann.buildIvfIndex(all, "vec_id", "vec", dim, numCentroids,
+        indexPath, kmeansIters)
+    }
+    Seq(IvfReport(indexPath, st.length.toLong, maxStale, rebuilt)).toDF()
   }
 }

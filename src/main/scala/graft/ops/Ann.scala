@@ -269,15 +269,22 @@ object Ann {
     * Empty clusters keep their previous centroid. Returns (cid, vec) with
     * `vec` float — drop-in wherever centroids are consumed
     * ([[assignClusters]], [[buildIvfIndex]]). Means are float-rounded
-    * each round, so centroids stay compact and transfer-cheap. */
+    * each round, so centroids stay compact and transfer-cheap.
+    *
+    * Lineage is TRUNCATED every round (`localCheckpoint`, the CC/PageRank
+    * discipline): each round's plan references the previous centroids
+    * frame TWICE (the assignment and the empty-cluster coalesce), so an
+    * un-truncated loop doubles the logical plan per iteration — 2^iters
+    * nodes by round 10, which OOMs the driver on plan STRINGIFICATION
+    * alone before any data moves. Checkpointed, every round replans from
+    * a K-row leaf. */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 0)
     var centroids = df.where(col(idCol) < k)
       .select(col(idCol).cast("long").as("__cid"),
         col(vecCol).as("__cvec"))
-      .persist()
-    centroids.count()
+      .localCheckpoint()
     for (_ <- 0 until iters) {
       val assigned = assignClusters(df,
         centroids.select(col("__cid").as(idCol), col("__cvec").as(vecCol)),
@@ -292,13 +299,10 @@ object Ann {
         .select(col("__cid"),
           transform(sequence(lit(0), lit(dim - 1)),
             i => element_at(col("__bypos"), i).cast("float")).as("__mvec"))
-      val next = centroids.join(means, Seq("__cid"), "left_outer")
+      centroids = centroids.join(means, Seq("__cid"), "left_outer")
         .select(col("__cid"),
           coalesce(col("__mvec"), col("__cvec")).as("__cvec"))
-        .persist()
-      next.count()
-      centroids.unpersist()
-      centroids = next
+        .localCheckpoint() // eager: materializes K rows, truncates lineage
     }
     centroids.select(col("__cid").as("cid"), col("__cvec").as("vec"))
   }
@@ -512,6 +516,51 @@ object Ann {
     assigned.write.mode("append").partitionBy("cid")
       .parquet(s"$path/assignments")
     n
+  }
+
+  /** Per-cell centroid STALENESS of a persisted IVF index: the L2
+    * distance between each stored (frozen) centroid and the CURRENT
+    * mean of its cell's members — the rebuild trigger [[ivfAppend]]
+    * documents. Appends never move centroids, so as the data
+    * distribution drifts the cell means walk away from the centroids
+    * they were assigned under and recall-per-probe decays; this metric
+    * measures exactly that gap. Same exact-arithmetic discipline as
+    * [[centroidDrift]] (its corpus-balance sibling): components
+    * quantize to 1e-3-unit longs, per-(cell, dim) sums are exact
+    * integers, each mean difference is one closing double expression
+    * `(Σq − c·n)/(n·1000)`, and the d² fold runs in dimension order
+    * with seed 0.0 — bit-identical on any partitioning.
+    *
+    * Shape: one narrow posexplode aggregate over the assignments
+    * (K×d cells after map-side combine), a K×d-row join against the
+    * exploded centroids, one fold per cell. The output is K rows —
+    * the driver-side policy read in [[graft.jobs.Maintain.maintainIvf]]
+    * is the accepted O(K) bounded class. */
+  def ivfStaleness(spark: org.apache.spark.sql.SparkSession, path: String,
+      dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 512, s"dim must be in [1, 512], got $dim")
+    val cells = spark.read.parquet(s"$path/assignments")
+      .select(col("cid").cast("long").as("cid"),
+        posexplode(transform(col("vec"),
+          x => round(x.cast("double") * 1000, 0).cast("long")))
+          .as(Seq("__i", "__q")))
+      .groupBy(col("cid"), col("__i"))
+      .agg(count(lit(1)).as("__n"), sum(col("__q")).as("__s"))
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cid").cast("long").as("cid"),
+        posexplode(transform(col("cvec"),
+          x => round(x.cast("double") * 1000, 0).cast("long")))
+          .as(Seq("__i", "__c")))
+    cells.join(cents, Seq("cid", "__i"))
+      .select(col("cid"), col("__i"), col("__n"),
+        ((col("__s") - col("__c") * col("__n")).cast("double") /
+          col("__n").cast("double") / lit(1000.0)).as("__d"))
+      .groupBy(col("cid"))
+      .agg(max(col("__n")).as("n_vecs"),
+        round(sqrt(aggregate(
+          transform(sort_array(collect_list(struct(col("__i"), col("__d")))),
+            e => e.getField("__d") * e.getField("__d")),
+          lit(0.0), (a, x) => a + x)), 6).as("stale"))
   }
 
   /** Query a persisted IVF index: assign each query vector to its

@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * it is opt-in rather than the default. Profiles feed CBO-style
   * decisions (broadcast-ability, skew suspicion, null-heavy columns) and
   * data-quality gates; for re-mergeable incremental profiles keep the
-  * raw sketches instead ([[Sketches.hllDistinct]] / [[Sketches.hllRollup]]).
+  * raw sketches instead ([[Sketches.hllBuild]] register tables,
+  * [[Sketches.hllMerge]] to roll up, [[Sketches.hllEstimate]] /
+  * [[Sketches.hllEstimateBy]] to close).
   *
   * Output is long-format `(column, n_rows, n_nulls, n_distinct, min_val,
   * max_val)` — min/max computed on the native type, rendered as strings

@@ -91,7 +91,12 @@ object Sketches {
     require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
     val m = 1L << b
     val h = TextDedup.hash60(concat(col(keyCol).cast("string"), lit(":hll")))
-    val z = (h / m).cast("long") // high 60-b bits
+    // EXACT integer high bits: h is non-negative (60-bit), so a right
+    // shift is exactly floor(h / 2^b) — matching the oracle's integer
+    // `//`. (A `/` here would be double division: 60-bit hashes exceed
+    // the 53-bit mantissa, so the truncation could differ from the exact
+    // floor — determinism must be by construction, not probability.)
+    val z = shiftright(h, b) // high 60-b bits
     val maxBits = 60 - b
     val rho = when(z === 0L, lit(maxBits + 1))
       .otherwise(lit(maxBits) - length(bin(z)) + 1)
@@ -116,7 +121,25 @@ object Sketches {
     * formula (bias constant α_m, small-range linear counting below 2.5m
     * when empty registers exist) is ONE float expression over those
     * exact integers. Returns 1 row: (m, n_zero, estimate). */
-  def hllEstimate(registers: DataFrame, b: Int): DataFrame = {
+  def hllEstimate(registers: DataFrame, b: Int): DataFrame =
+    hllEstimateImpl(registers, b, Seq.empty)
+
+  /** [[hllEstimate]]'s grouped twin over a [[hllBuildBy]] register table
+    * (groupCols..., bucket, max_rho): ONE aggregation computes every
+    * group's (m, n_zero, estimate) — the estimator is a per-group
+    * aggregate (count present + exact-integer Σ2^(S−rho)) plus one
+    * closing float expression, so T groups cost ONE pass over the
+    * ≤ T·m-row register table instead of T driver-launched jobs with T
+    * scans. This is the API that makes "distinct users per event type /
+    * per day" a single-plan query at any group count. */
+  def hllEstimateBy(registers: DataFrame, b: Int,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "use hllEstimate for the global case")
+    hllEstimateImpl(registers, b, groupCols)
+  }
+
+  private def hllEstimateImpl(registers: DataFrame, b: Int,
+      groupCols: Seq[String]): DataFrame = {
     val m = 1L << b
     val scale = 61 - b
     val alpha = b match {
@@ -126,20 +149,23 @@ object Sketches {
       case _ => 0.7213 / (1.0 + 1.079 / m)
     }
     val pow2scale = math.pow(2, scale)
+    val gcols = groupCols.map(col)
     registers
+      .groupBy(gcols: _*)
       .agg(count(lit(1)).as("n_present"),
         sum(expr(s"shiftleft(cast(1 as bigint), $scale - max_rho)"))
           .as("s_present"))
-      .select(lit(m).as("m"), (lit(m) - col("n_present")).as("n_zero"),
+      .select(gcols :+ lit(m).as("m") :+
+        (lit(m) - col("n_present")).as("n_zero") :+
         ((lit(m) - col("n_present")) * (1L << scale) + col("s_present"))
-          .as("s_total"))
-      .select(col("m"), col("n_zero"),
+          .as("s_total"): _*)
+      .select(gcols :+ col("m") :+ col("n_zero") :+
         round(
           when(col("n_zero") > 0 &&
             lit(alpha) * m * m * pow2scale / col("s_total") <= lit(2.5 * m),
             lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero")))
           .otherwise(lit(alpha) * m * m * pow2scale / col("s_total")),
-          4).as("estimate"))
+          4).as("estimate"): _*)
   }
 
   /** KMV (k-minimum-values, "bottom-k") sketch per group: the k smallest
@@ -233,11 +259,16 @@ object Sketches {
     require(hi > lo, s"empty domain [$lo, $hi]")
     require((hi - lo) <= Long.MaxValue / bins,
       s"(hi-lo)*bins overflows long: lo=$lo hi=$hi bins=$bins")
-    val v = valueCol.cast("long")
-    // below-domain values go negative here; the greatest() clamp makes
-    // div's truncate-vs-floor distinction on negatives irrelevant
-    val bin = least(lit(bins - 1L), greatest(lit(0L),
-      expr(s"(__v - ${lo}L) * ${bins}L div ${hi - lo}L")))
+    // clamp the VALUE into [lo, hi] BEFORE the multiply: the require()
+    // above only bounds (hi−lo)·bins, not data values, so an unclamped
+    // far-above-domain v could overflow (v−lo)·bins to negative and land
+    // in bin 0 instead of the top edge bin. Clamping first makes the
+    // documented edge-bin semantics overflow-proof for ANY input, and
+    // it also keeps (__v − lo) non-negative, so div's truncate-vs-floor
+    // distinction on negatives never arises.
+    val v = least(lit(hi), greatest(lit(lo), valueCol.cast("long")))
+    val bin = least(lit(bins - 1L),
+      expr(s"(__v - ${lo}L) * ${bins}L div ${hi - lo}L"))
     df.select((groupCols.map(col) :+ v.as("__v")): _*)
       .select((groupCols.map(col) :+ bin.as("bin")): _*)
       .groupBy((groupCols.map(col) :+ col("bin")).map(c => c): _*)

@@ -386,18 +386,58 @@ object Lifecycle {
     * keeps the real scan). Equality of the two columns inside the
     * hash-gated result IS the audit that header arithmetic matches the
     * data; the oracle is two counts of the original parquet. The plan
-    * shape (pushed vs not) is asserted in AvroSourceSpec. */
+    * shape (pushed vs not) is asserted in AvroSourceSpec.
+    *
+    * The container set is PRE-WRITTEN and reused across runs (exported
+    * only when absent or stale — staleness checked by comparing the
+    * header count against the parquet metadata count, two
+    * metadata-only jobs), so this query MEASURES the pushed COUNT
+    * (header reads, ~flat at any scale), not the export; the export
+    * itself is [[q272AvroExport]]'s measurement. The round-5 10×
+    * probe conflated the two — q268's 8.3× ratio was the 10×-byte
+    * export, not the count. */
   def q268AvroCount(spark: SparkSession, dir: String): DataFrame = {
     val base = System.getProperty("java.io.tmpdir") +
       s"/graft_q268_${math.abs(dir.hashCode)}"
-    table(spark, dir, "lineitem")
+    val src = table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .write.format("graftavro").mode("overwrite").save(base)
+    val d = new java.io.File(base)
+    val have = d.isDirectory && Option(d.listFiles()).exists(
+      _.exists(_.getName.endsWith(".avro")))
+    val fresh = have && {
+      // both counts are metadata-only: avro block headers vs parquet
+      // row-group stats — no datum decoded on either side
+      spark.read.format("graftavro").load(base).count() == src.count()
+    }
+    if (!fresh)
+      src.write.format("graftavro").mode("overwrite").save(base)
     val t = spark.read.format("graftavro").load(base)
     val pushed = t.groupBy().count().select(col("count").as("n_rows"))
     val decoded = t.where(col("l_orderkey") >= 0L).groupBy().count()
       .select(col("count").as("n_rows_decoded"))
     pushed.crossJoin(decoded)
+  }
+
+  /** Avro EXPORT as its own measurement — the write half that
+    * [[q268AvroCount]] deliberately excludes: project three lineitem
+    * columns, write a fresh deflate container set through the native
+    * `graftavro` sink (overwrite — every run pays the full export), then
+    * prove the content by re-reading with a one-column decode
+    * (count + exact quantity cents). Bench cost = container encode +
+    * write + one decode scan, all O(rows); linear at 10× BY DESIGN
+    * (it writes 10× the bytes) — the number the round-5 probe
+    * mistakenly attributed to the pushed count. The orphan-reconciling
+    * commit (AvroBatchWrite) guarantees the re-read sees exactly the
+    * committed task files. */
+  def q272AvroExport(spark: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_q272_${math.abs(dir.hashCode)}"
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .write.format("graftavro").mode("overwrite").save(base)
+    spark.read.format("graftavro").load(base)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
   }
 
   /** Result cache round-trip ([[graft.plans.ResultCache]]): the
@@ -426,6 +466,7 @@ object Lifecycle {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q269_result_cache" -> q269ResultCache,
     "q268_avro_count" -> q268AvroCount,
+    "q272_avro_export" -> q272AvroExport,
     "q210_incremental_join" -> q210IncrementalJoin,
     "q244_process_daily" -> q244ProcessDaily,
     "q245_avro_roundtrip" -> q245AvroRoundtrip,
@@ -472,6 +513,12 @@ object Lifecycle {
     // both identity on cardinality
     "q268_avro_count" ->
       """SELECT count(*) AS n_rows, count(*) AS n_rows_decoded
+        |FROM lineitem""".stripMargin,
+    // the avro hop is identity — count + exact cents replay on the source
+    "q272_avro_export" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents
         |FROM lineitem""".stripMargin,
     // the avro hop is identity — the oracle aggregates the source parquet
     "q245_avro_roundtrip" ->

@@ -553,26 +553,26 @@ object Mining {
         (col("est") - col("true_cnt")).as("overestimate"))
   }
 
-  /** HyperLogLog distinct users per event type via REGISTER TABLES
-    * ([[graft.ops.Sketches.hllBuild]], b = 9 → 512 registers): per type
-    * the register table aggregates (bucket, max rho) and
-    * [[graft.ops.Sketches.hllEstimate]]'s exact-integer Σ2^−rho feeds one
-    * closing float formula; the exact distinct count and the relative
-    * error ride along. Registers use max-merge, so per-day tables union
-    * into月-grade sketches with one more groupBy — persistable sketch
-    * cubes. Oracle replays registers AND estimate bit-for-bit. */
+  /** HyperLogLog distinct users per event type via GROUPED register
+    * tables ([[graft.ops.Sketches.hllBuildBy]], b = 9 → 512 registers
+    * per type): ONE pass over `events` builds every type's (bucket,
+    * max rho) table and [[graft.ops.Sketches.hllEstimateBy]] closes all
+    * estimates in ONE aggregation — exact-integer Σ2^−rho per group, one
+    * float formula at the end. T event types cost one scan + one
+    * counter-bounded shuffle, not T+1 driver-launched jobs (the shape a
+    * backfill over thousands of groups requires). The exact distinct
+    * count and relative error ride along. Registers use max-merge, so
+    * per-day tables union into month-grade sketches with one more
+    * groupBy — persistable sketch cubes. Oracle replays registers AND
+    * estimates bit-for-bit. */
   def q251HllDistinct(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Sketches
     val ev = table(spark, dir, "events")
-    val types = ev.select(col("event_type")).distinct()
-      .collect().map(_.getString(0)).sorted
-    types.map { t =>
-      val regs = Sketches.hllBuild(
-        ev.where(col("event_type") === t).select(col("user_id")),
-        "user_id", b = 9)
-      Sketches.hllEstimate(regs, b = 9)
-        .select(lit(t).as("event_type"), col("n_zero"), col("estimate"))
-    }.reduce(_ unionByName _)
+    val regs = Sketches.hllBuildBy(
+      ev.select(col("event_type"), col("user_id")), "user_id", b = 9,
+      groupCols = Seq("event_type"))
+    Sketches.hllEstimateBy(regs, b = 9, groupCols = Seq("event_type"))
+      .select(col("event_type"), col("n_zero"), col("estimate"))
       .join(ev.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_distinct")),
         Seq("event_type"))

@@ -476,6 +476,14 @@ case class AvroCommitMessage(path: String, rows: Long)
   * contract, matching the crawler feed layout. */
 class AvroBatchWrite(dir: String, schema: StructType,
     truncate: Boolean) extends BatchWrite {
+  // file NAMES present before this job's tasks ran (after any truncate):
+  // commit() reconciles against this snapshot + the commit messages, so
+  // an orphan part file from a task killed before abort(), or a
+  // speculative duplicate attempt, is deleted instead of silently read
+  // as committed data. Names are uuid-unique, so name-level comparison
+  // is exact and immune to scheme differences (file:/ vs bare paths)
+  // between driver and executor Path rendering.
+  private var preExisting: Set[String] = Set.empty
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val fs = new Path(dir).getFileSystem(conf)
@@ -484,9 +492,23 @@ class AvroBatchWrite(dir: String, schema: StructType,
         .foreach(st => fs.delete(st.getPath, false))
     }
     fs.mkdirs(new Path(dir))
+    preExisting = Option(fs.globStatus(new Path(dir, "*.avro"))).toSeq
+      .flatten.map(_.getPath.getName).toSet
     new AvroWriterFactory(dir, schema)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // committed = files that existed before the job (append semantics —
+    // earlier writes stay) + files the tasks REPORTED. Anything else
+    // under the directory is an uncommitted orphan: delete it.
+    val committed = preExisting ++ messages.collect {
+      case AvroCommitMessage(p, _) => new Path(p).getName
+    }
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    Option(fs.globStatus(new Path(dir, "*.avro"))).toSeq.flatten
+      .filterNot(st => committed.contains(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, false))
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 

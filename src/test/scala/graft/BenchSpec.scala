@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact's compact stdout line — the driver keeps only a
+  * ~2000-char stdout tail, and BENCH_r03/r04/r05 all parsed null because
+  * the line overflowed it (r05: 52 floor re-runs inlined as a full map).
+  * These tests pin the ≤1,500-char bound at ANY rerun count, and the
+  * host-factor calibration math. Pure functions — no SparkSession. */
+class BenchSpec extends AnyFunSuite {
+
+  private def officials(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => (f"q${i}%03d_some_query_with_a_long_name", i * 0.137))
+
+  test("compactLine stays under 1500 chars with zero reruns") {
+    val line = Bench.compactLine(173.8, 271, officials(271), Seq.empty,
+      1.0, "bench_out.json", "/root/testdata/sf0.1")
+    assert(line.length <= 1500, s"len=${line.length}")
+    assert(line.contains("\"n_reruns\":0"))
+  }
+
+  test("compactLine stays under 1500 chars with 100 synthetic reruns") {
+    // the round-5 failure mode, doubled: a slow host firing floor re-runs
+    // on a large fraction of the registry must NOT grow the stdout line
+    val reruns = (1 to 100).map(i =>
+      (f"q${i}%03d_some_query_with_a_long_name", 1.0 + i * 0.01))
+    val line = Bench.compactLine(246.9, 271, officials(271), reruns,
+      1.41, "bench_out.json", "/root/testdata/sf0.1")
+    assert(line.length <= 1500, s"len=${line.length}")
+    assert(line.contains("\"n_reruns\":100"))
+    // only the worst 3 reruns appear inline
+    assert("q\\d+_some_query_with_a_long_name\":\\d".r
+      .findAllMatchIn(line.substring(line.indexOf("worst_reruns"))).size == 3)
+    // the full map lives behind the detail pointer
+    assert(line.contains("\"detail\":\"bench_out.json\""))
+  }
+
+  test("compactLine is parseable JSON with total and n_queries") {
+    val line = Bench.compactLine(12.5, 42, officials(42),
+      Seq(("q001_x", 2.0)), 1.2, "out.json", "sfX")
+    // shape checks a JSON parser relies on: balanced braces, quoted keys
+    assert(line.startsWith("{") && line.endsWith("}"))
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.contains("\"metric\":\"total\""))
+    assert(line.contains("\"value\":12.500"))
+    assert(line.contains("\"n_queries\":42"))
+    assert(line.contains("\"host_factor\":1.200"))
+  }
+
+  test("hostFactor is the clamped median of canary/floor ratios") {
+    val floors = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0)
+    // uniformly 1.5x-slow host
+    assert(Bench.hostFactor(Seq(("a", 1.5), ("b", 3.0), ("c", 6.0)), floors) == 1.5)
+    // median is robust to one stalled canary
+    assert(Bench.hostFactor(Seq(("a", 1.5), ("b", 3.0), ("c", 40.0)), floors) == 1.5)
+    // faster-than-floor host never LOWERS floors
+    assert(Bench.hostFactor(Seq(("a", 0.5), ("b", 1.0), ("c", 2.0)), floors) == 1.0)
+    // no usable canaries → neutral
+    assert(Bench.hostFactor(Seq(("zz", 9.0)), floors) == 1.0)
+    assert(Bench.hostFactor(Seq.empty, floors) == 1.0)
+  }
+
+  test("calibrated floors keep a uniformly slow host under 10 reruns") {
+    // simulate: floors f, host 1.5x slow → medians = 1.5*f*noise;
+    // with hf=1.5 the 2x rule fires only on noise > 2
+    val floors = (1 to 271).map(i => (s"q$i", 0.1 + i * 0.003)).toMap
+    val hf = 1.5
+    // host noise up to 1.42x on top of the uniform 1.5x factor — the
+    // round-5 driver profile (every rerun landed 1.5-1.9x raw floor)
+    val medians = floors.map { case (k, f) =>
+      (k, f * 1.5 * (1.0 + 0.42 * ((k.hashCode % 7).abs / 6.0)))
+    }
+    val fired = medians.count { case (k, m) => m > 2 * floors(k) * hf }
+    assert(fired == 0, s"expected 0 reruns on a clean 1.5x host, got $fired")
+    // the SAME medians against uncalibrated floors fire broadly — the
+    // round-5 52-rerun failure mode this calibration removes
+    val uncal = medians.count { case (k, m) => m > 2 * floors(k) }
+    assert(uncal > 10, s"contrast case should fire broadly, got $uncal")
+  }
+}

@@ -57,4 +57,81 @@ class MaintainSpec extends SparkSpec {
     assert(ZoneMap.readPruned(spark, tbl, zm, "id", 1200L, 1299L)
       .count() == 100)
   }
+
+  test("run: cacheDir without nowMs fails loudly instead of no-op vacuuming") {
+    val tbl = scratch("mt_now"); val zm = scratch("mt_now_zm")
+    spark.range(100).select(col("id")).coalesce(1)
+      .write.mode("overwrite").parquet(tbl)
+    intercept[IllegalArgumentException] {
+      Maintain.run(spark, tbl, Seq("id"), zm, Some(scratch("mt_now_c")))
+    }
+  }
+
+  // --- IVF retrain policy -------------------------------------------------
+
+  private def blobs(n: Int, seed: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      (i.toLong, base.map(_ + rnd.nextFloat() * 0.05f))
+    }
+  }
+
+  test("maintainIvf: un-drifted appends are a strict no-op — index byte-stable") {
+    import graft.ops.Ann
+    val idx = scratch("mt_ivf_ok")
+    Ann.buildIvfIndex(blobs(200, 1).toDF("vec_id", "vec"), "vec_id", "vec",
+      4, numCentroids = 2, idx, kmeansIters = 5)
+    // append MORE of the same two blobs: cell means stay put
+    Ann.ivfAppend(spark, idx,
+      blobs(60, 2).map { case (i, v) => (i + 1000L, v) }.toDF("vec_id", "vec"),
+      "vec_id", "vec", 4)
+    def snapshot(): Map[String, (Long, Long)] =
+      Seq("centroids", "assignments").flatMap { d =>
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$idx/$d"))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> ((f.lastModified(), f.length())))
+      }.toMap
+    val before = snapshot()
+    val r = Maintain.maintainIvf(spark, idx, 4, numCentroids = 2,
+      staleThreshold = 0.5).collect().head
+    assert(!r.getBoolean(3), s"clean appends must not trigger retrain: $r")
+    assert(r.getDouble(2) < 0.5 && r.getLong(1) == 2L, s"report: $r")
+    assert(snapshot() == before, "no-op maintenance must not move a byte")
+  }
+
+  test("maintainIvf: drifted appends trigger retrain with FRESH centroids") {
+    import graft.ops.Ann
+    val idx = scratch("mt_ivf_drift")
+    Ann.buildIvfIndex(blobs(200, 3).toDF("vec_id", "vec"), "vec_id", "vec",
+      4, numCentroids = 2, idx, kmeansIters = 5)
+    val centsBefore = spark.read.parquet(s"$idx/centroids")
+      .orderBy(col("cid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toList
+    // a THIRD blob far from both centroids: whichever cell absorbs it
+    // gets a mean dragged ~halfway to (0,0,5,5) — staleness >> 0.5
+    val rnd = new scala.util.Random(4)
+    val far = (0 until 200).map(i => (5000L + i,
+      Array(0f, 0f, 5f, 5f).map(_ + rnd.nextFloat() * 0.05f)))
+      .toDF("vec_id", "vec")
+    Ann.ivfAppend(spark, idx, far, "vec_id", "vec", 4)
+    val stale = Ann.ivfStaleness(spark, idx, 4).agg(max(col("stale")))
+      .collect().head.getDouble(0)
+    assert(stale > 0.5, s"fixture should drift a cell, max stale = $stale")
+    val r = Maintain.maintainIvf(spark, idx, 4, numCentroids = 2,
+      staleThreshold = 0.5, kmeansIters = 10).collect().head
+    assert(r.getBoolean(3), s"drift past threshold must rebuild: $r")
+    val centsAfter = spark.read.parquet(s"$idx/centroids")
+      .orderBy(col("cid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toList
+    assert(centsAfter != centsBefore, "rebuild must produce fresh centroids")
+    // the rebuilt index carries every vector (old + appended)
+    assert(spark.read.parquet(s"$idx/assignments").count() == 400L)
+    // and the fresh centroids fit the NEW distribution: staleness collapses
+    val staleAfter = Ann.ivfStaleness(spark, idx, 4)
+      .agg(max(col("stale"))).collect().head.getDouble(0)
+    assert(staleAfter < 0.5, s"post-rebuild staleness should collapse: $staleAfter")
+  }
 }

@@ -92,6 +92,49 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hllEstimateBy: one-pass grouped estimates equal per-group loops") {
+    // the q251 contract: grouped build + grouped estimate must reproduce
+    // BIT-FOR-BIT what a per-group driver loop of hllBuild+hllEstimate
+    // computed (the loop is the anti-pattern the grouped API replaces)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("user_id"))
+    val regs = Sketches.hllBuildBy(ev, "user_id", b = 9, Seq("event_type"))
+    val grouped = Sketches.hllEstimateBy(regs, b = 9, Seq("event_type"))
+    val got = grouped.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val types = ev.select("event_type").distinct()
+      .collect().map(_.getString(0))
+    assert(types.length >= 3 && got.keySet == types.toSet)
+    types.foreach { t =>
+      val solo = Sketches.hllEstimate(
+        Sketches.hllBuild(ev.where(col("event_type") === t)
+          .select(col("user_id")), "user_id", b = 9), b = 9).head
+      assert(got(t) == ((solo.getLong(0), solo.getLong(1), solo.getDouble(2))),
+        s"group $t: grouped ${got(t)} != solo loop result")
+    }
+    // single-aggregation shape: the grouped estimate is ONE Aggregate over
+    // the register table — no per-group Union anywhere in the plan
+    val plan = grouped.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Union}
+    assert(plan.collect { case u: Union => u }.isEmpty,
+      "grouped estimate must not union per-group branches")
+    assert(plan.collect { case a: Aggregate => a }.size == 2,
+      "expected exactly build + estimate aggregations")
+  }
+
+  test("histBuild: a value near Long.MaxValue lands in the TOP edge bin") {
+    // overflow contract: (v - lo) * bins would wrap negative for huge v if
+    // the value were not clamped into [lo, hi] BEFORE the multiply — the
+    // wrapped product would claim bin 0, silently misfiling the outlier
+    val vals = Seq(Long.MaxValue, Long.MaxValue - 1, 50L, Long.MinValue)
+      .toDF("v")
+    val h = Sketches.histBuild(vals, col("v"), Seq.empty, 0L, 100L, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(9L) == 2L, s"both huge values must clamp to the top bin: $h")
+    assert(h(5L) == 1L && h(0L) == 1L, s"interior + below-domain: $h")
+  }
+
   test("histogram: merge of group partials equals the direct global build") {
     val vals = spark.range(10000)
       .select(col("id"), (col("id") % 3).cast("string").as("g"),

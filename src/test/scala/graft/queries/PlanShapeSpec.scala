@@ -447,6 +447,20 @@ class PlanShapeSpec extends SparkSpec {
       s"scalar-max must broadcast:\n$p")
   }
 
+  test("HLL per-type distinct (q251): ONE pass, no per-group union of jobs") {
+    // round-5 verdict: q251 ran hllBuild+hllEstimate once PER event type
+    // and unioned the 1-row results — T+1 jobs, T scans of events. The
+    // grouped API must plan as a single pass: no Union of per-type
+    // branches, and `events` scanned at most twice (registers + the
+    // exact-distinct comparison column).
+    val p = plan("q251_hll_distinct")
+    assert(!p.contains("Union"), s"per-group branches unioned:\n$p")
+    // AQE prints Final + Initial sections; count scans in the FINAL only
+    val finalP = p.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalP).size
+    assert(scans <= 2, s"events scanned $scans times — per-type loop is back:\n$p")
+  }
+
   test("waiting suppliers Q21 shape (q262): aggregate cascade, no 4-way self-join blowup") {
     val p = plan("q262_waiting_suppliers")
     assert(!p.contains("CartesianProduct"), s"self-join went quadratic:\n$p")

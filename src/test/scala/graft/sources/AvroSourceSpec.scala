@@ -105,4 +105,32 @@ class AvroSourceSpec extends SparkSpec {
     assert(spark.read.format("graftavro").load(dir).count() == 2,
       "re-export into the same dir doubled the rows")
   }
+
+  test("commit reconciles orphans: unreported part files deleted, pre-existing kept") {
+    import spark.implicits._
+    val dir = scratch("avro-orphan")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    df.write.format("graftavro").mode("overwrite").save(dir)
+    def names() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).map(_.getName).toSet
+    val pre = names()
+    // drive a BatchWrite by hand in APPEND mode: two task writers open
+    // files, but only one reports a commit message — the other simulates
+    // a task killed before abort() (or a speculative duplicate attempt),
+    // whose uuid-named file would otherwise be silently read as data
+    val bw = new AvroBatchWrite(dir, df.schema, truncate = false)
+    val factory = bw.createBatchWriterFactory(
+      new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+        override def numPartitions(): Int = 2
+      })
+    val committedMsg = factory.createWriter(0, 0L).commit()
+    factory.createWriter(1, 1L) // orphan: never commits, never aborts
+    assert(names().size == pre.size + 2, "both task files should exist pre-commit")
+    bw.commit(Array(committedMsg))
+    val after = names()
+    assert(after.size == pre.size + 1, s"orphan not reaped: $after")
+    assert(pre.subsetOf(after), "reconcile must never touch pre-existing files")
+    // the directory reads back exactly the committed rows
+    assert(spark.read.format("graftavro").load(dir).count() == 2)
+  }
 }
