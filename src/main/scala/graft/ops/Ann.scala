@@ -518,6 +518,136 @@ object Ann {
     n
   }
 
+  /** EXACTLY-ONCE streaming ingestion into an IVF index, by layout: the
+    * batch is assigned against the frozen centroids (same O(batch)
+    * broadcast pass as [[ivfAppend]]) but lands as an immutable DELTA
+    * directory `path/deltas/batch=<id>` written with overwrite — a
+    * replayed micro-batch (foreachBatch is at-least-once) rewrites its
+    * own directory and the index state is unchanged, the
+    * `Streams.nearDupBatch` overwrite rule applied to index maintenance.
+    * `cid` rides as a data column inside the delta (no partitioning —
+    * deltas are batch-sized and short-lived; [[ivfCompactDeltas]] moves
+    * them into the pruned `cid=` layout). Returns rows ingested. */
+  def ivfDeltaAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      batchId: Long): Long = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cid").as(idCol), col("cvec").as(vecCol))
+    val assigned = assignClusters(newVecs, cents, idCol, vecCol, dim)
+      .select(col("__vid").as("vec_id"), col("__vec").as("vec"),
+        col("__nrm").as("nrm"), col("__cid").as("cid"))
+      .localCheckpoint()
+    val n = assigned.count()
+    assigned.write.mode("overwrite")
+      .parquet(f"$path/deltas/batch=$batchId%d")
+    n
+  }
+
+  /** The compaction WATERMARK of an index: deltas with batch id ≤ this
+    * are already folded into the base assignments and must be ignored
+    * (they may linger if a compaction crashed between its atomic swap
+    * and the delta GC). The marker file lives INSIDE the assignments
+    * directory, so the swap that publishes a new base publishes its
+    * watermark in the same rename — base and watermark can never
+    * disagree. −1 = nothing compacted (fresh build). */
+  def ivfWatermark(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/assignments/_compacted_to")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Read the LIVE index: base `cid=` assignments ∪ deltas above the
+    * compaction watermark. Correct under every crash window of the
+    * ingest/compact cycle — a replayed delta overwrote itself, a
+    * compacted-but-not-GC'd delta is filtered by the watermark that
+    * swapped in WITH the folded base. Base reads keep partition pruning;
+    * the un-pruned delta scan is the standard merge-on-read trade
+    * (deltas are batch-sized until the next compaction). */
+  def readIvfAssignments(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val cols = Seq(col("vec_id"), col("vec"), col("nrm"),
+      col("cid").cast("int").as("cid"))
+    val base = spark.read.parquet(s"$path/assignments").select(cols: _*)
+    val dp = new org.apache.hadoop.fs.Path(s"$path/deltas")
+    val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // list the LIVE delta dirs explicitly: dead ones never get scanned,
+    // and an emptied deltas/ dir (post-GC) can't break schema inference
+    val live: Seq[String] =
+      if (!fs.exists(dp)) Seq.empty
+      else {
+        val w = ivfWatermark(spark, path)
+        Option(fs.listStatus(dp)).toSeq.flatten
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith("batch=") &&
+            p.getName.stripPrefix("batch=").toLong > w)
+          .map(_.toString)
+      }
+    if (live.isEmpty) base
+    else base.unionByName(
+      spark.read.option("basePath", dp.toString)
+        .parquet(live: _*).select(cols: _*))
+  }
+
+  /** Fold live deltas into the base `cid=` layout and advance the
+    * watermark — ONE atomic publish: the new base is staged to a tmp
+    * directory WITH its `_compacted_to` marker already inside, then
+    * swapped via the MergeOnRead double-rename. Crash before the swap →
+    * old base + live deltas, nothing lost; crash after the swap but
+    * before the delta GC → the new base's own watermark hides exactly
+    * the folded deltas from [[readIvfAssignments]], so the GC is pure
+    * garbage collection, never correctness. Idempotent: re-running with
+    * no live deltas is a no-op. Returns (rows in new base, deltas
+    * folded). */
+  def ivfCompactDeltas(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dp = new org.apache.hadoop.fs.Path(s"$path/deltas")
+    val w = ivfWatermark(spark, path)
+    val live: Seq[Long] =
+      if (!fs.exists(dp)) Seq.empty
+      else Option(fs.listStatus(dp)).toSeq.flatten
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch=") =>
+          n.stripPrefix("batch=").toLong }
+        .filter(_ > w).sorted
+    if (live.isEmpty) {
+      // GC any dead delta dirs a crashed predecessor left, then no-op
+      if (fs.exists(dp)) Option(fs.listStatus(dp)).toSeq.flatten
+        .filter(_.getPath.getName.startsWith("batch="))
+        .foreach(st => fs.delete(st.getPath, true))
+      return (spark.read.parquet(s"$path/assignments").count(), 0)
+    }
+    val folded = readIvfAssignments(spark, path).localCheckpoint()
+    val n = folded.count()
+    val stamp = live.max // deterministic tmp names — no wall clock
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.assignments_staging_$stamp")
+    folded.write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
+    val mk = fs.create(new org.apache.hadoop.fs.Path(tmp, "_compacted_to"), true)
+    try mk.write(live.max.toString.getBytes("UTF-8")) finally mk.close()
+    val target = new org.apache.hadoop.fs.Path(s"$path/assignments")
+    val old = new org.apache.hadoop.fs.Path(s"$path/.assignments_old_$stamp")
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"rename $target -> $old failed")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(old, target)
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+    }
+    fs.delete(old, true)
+    // GC below-watermark deltas — correctness no longer depends on this
+    Option(fs.listStatus(dp)).toSeq.flatten
+      .filter(st => st.getPath.getName.startsWith("batch=") &&
+        st.getPath.getName.stripPrefix("batch=").toLong <= live.max)
+      .foreach(st => fs.delete(st.getPath, true))
+    (n, live.length)
+  }
+
   /** Per-cell centroid STALENESS of a persisted IVF index: the L2
     * distance between each stored (frozen) centroid and the CURRENT
     * mean of its cell's members — the rebuild trigger [[ivfAppend]]

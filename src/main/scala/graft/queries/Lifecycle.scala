@@ -440,6 +440,57 @@ object Lifecycle {
         sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
   }
 
+  /** Cross-table ATOMIC publish ([[graft.core.Snapshots]]) exercised end
+    * to end: snapshot 1 stages TWO report tables (H1-1996 revenue per
+    * returnflag; 1996 order counts per priority) and commits them with
+    * ONE rename; snapshot 2 re-stages only the revenue table widened to
+    * all of 1996 and commits — the counts table must CARRY FORWARD at
+    * its v=1 directory while revenue flips to v=2, atomically. The
+    * result reads both through the pinned current snapshot, so
+    * hash-green proves (a) the staged parquet round-trips exactly,
+    * (b) the carry-forward resolves to the old version, (c) the reader
+    * sees the post-commit world — the mixed-day state a per-table swap
+    * can leak is impossible by construction. The commit itself is one
+    * O(tables) metadata file + one rename at ANY data volume — the
+    * Iceberg snapshot-commit contract on plain parquet (reference's
+    * 33-table ProcessDaily publish, `ProcessDaily.usql:229-3650`, made
+    * cross-table-consistent). */
+  def q273SnapshotPublish(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Snapshots
+    val root = System.getProperty("java.io.tmpdir") +
+      s"/graft_q273_${math.abs(dir.hashCode)}"
+    // deterministic rebuild: the monotone-id contract forbids replaying
+    // ids over a prior run's history, so the scratch root starts empty
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val revCents =
+      round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")
+    def lineRev(until: String): DataFrame =
+      table(spark, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit(until).cast("timestamp"))
+        .groupBy(col("l_returnflag").as("k"))
+        .agg(sum(revCents).as("val"))
+    val orderCounts = table(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("o_orderpriority").as("k"))
+      .agg(count(lit(1)).as("val"))
+    Snapshots.stage(spark, root, "line_rev", lineRev("1996-07-01"), 1)
+    Snapshots.stage(spark, root, "order_counts", orderCounts, 1)
+    Snapshots.commit(spark, root, 1)
+    Snapshots.stage(spark, root, "line_rev", lineRev("1997-01-01"), 2)
+    val published = Snapshots.commit(spark, root, 2)
+    require(published == Map("line_rev" -> 2, "order_counts" -> 1),
+      s"q273: expected line_rev@2 + carried order_counts@1, got $published")
+    val s = Snapshots.open(spark, root)
+    s.read(spark, "line_rev").select(lit("line_rev").as("tbl"),
+        col("k"), col("val"))
+      .unionByName(s.read(spark, "order_counts")
+        .select(lit("order_counts").as("tbl"), col("k"), col("val")))
+  }
+
   /** Result cache round-trip ([[graft.plans.ResultCache]]): the
     * priority-revenue report is served through the fingerprinted cache
     * — first call materializes, second call must HIT (asserted: the
@@ -467,6 +518,7 @@ object Lifecycle {
     "q269_result_cache" -> q269ResultCache,
     "q268_avro_count" -> q268AvroCount,
     "q272_avro_export" -> q272AvroExport,
+    "q273_snapshot_publish" -> q273SnapshotPublish,
     "q210_incremental_join" -> q210IncrementalJoin,
     "q244_process_daily" -> q244ProcessDaily,
     "q245_avro_roundtrip" -> q245AvroRoundtrip,
@@ -520,6 +572,25 @@ object Lifecycle {
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
         |    AS qty_cents
         |FROM lineitem""".stripMargin,
+    // the snapshot hop is identity on content: the oracle computes the
+    // POST-s2 world directly — full-1996 revenue (line_rev@v2) next to
+    // the carried-forward 1996 counts (order_counts@v1; identical SQL
+    // because s1 and s2 share the counts definition)
+    "q273_snapshot_publish" ->
+      """SELECT 'line_rev' AS tbl, l_returnflag AS k,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS val
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'order_counts' AS tbl, o_orderpriority AS k,
+        |  count(*) AS val
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 2""".stripMargin,
     // the avro hop is identity — the oracle aggregates the source parquet
     "q245_avro_roundtrip" ->
       """SELECT o_orderstatus, year(o_orderdate) AS o_year,

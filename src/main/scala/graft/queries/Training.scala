@@ -136,6 +136,50 @@ object Training {
         round(col("__cos"), 6).as("cosine"), col("rank"))
   }
 
+  /** Streaming IVF ingestion lifecycle ([[Ann.ivfDeltaAppend]] →
+    * [[Ann.ivfCompactDeltas]] → [[Ann.readIvfAssignments]]): the index
+    * is built from the `vec_id % 3 ≠ 0` two-thirds, the remaining third
+    * arrives as TWO micro-batch deltas (`batch=0/1` overwrite dirs —
+    * the exactly-once-by-layout contract behind
+    * [[graft.streaming.Streams.ivfIngestSink]]), batch 1 is REPLAYED
+    * (at-least-once delivery), and the deltas are compacted into the
+    * pruned `cid=` base before the intra-cell top-3. The oracle is
+    * q270's verbatim — a one-shot assignment of ALL vectors against the
+    * frozen build-subset seeds — so hash-green proves, in one gate:
+    * replay idempotence, delta∪base read correctness, and compaction
+    * invariance. Cost model: each delta is O(batch) broadcast
+    * assignment, the compaction one index rewrite amortized over
+    * however many triggers accumulated — the firehose-fed 100 TB
+    * embedding index's steady state. */
+  def q274StreamIvfIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_q274_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val e = embs(spark, dir)
+    Ann.buildIvfIndex(e.where(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", Dim, 16, base)
+    val rest = e.where(col("vec_id") % 3 === 0)
+    val b0 = rest.where((col("vec_id") / 3).cast("long") % 2 === 0)
+    val b1 = rest.where((col("vec_id") / 3).cast("long") % 2 === 1)
+    Ann.ivfDeltaAppend(spark, base, b0, "vec_id", "embedding", Dim, 0L)
+    Ann.ivfDeltaAppend(spark, base, b1, "vec_id", "embedding", Dim, 1L)
+    Ann.ivfDeltaAppend(spark, base, b1, "vec_id", "embedding", Dim, 1L) // replay
+    Ann.ivfCompactDeltas(spark, base)
+    val idx = Ann.readIvfAssignments(spark, base)
+    val a = idx.select(col("cid"), col("vec_id"), col("vec"), col("nrm"))
+    val b = idx.select(col("cid"), col("vec_id").as("neighbor_id"),
+      col("vec").as("bvec"), col("nrm").as("bnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("__cos").desc, col("neighbor_id"))
+    a.join(b, Seq("cid"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("__cos",
+        Ann.dot(col("vec"), col("bvec"), Dim) / (col("nrm") * col("bnrm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("vec_id"), col("neighbor_id"),
+        round(col("__cos"), 6).as("cosine"), col("rank"))
+  }
+
   /** Multimodal plumbing: opaque binary payload metadata (byte length,
     * content digest, magic byte) — the schema/partitioning contract decode
     * UDFs plug into (see graft.ops.Multimodal). */
@@ -816,6 +860,7 @@ object Training {
     "q25_fingerprint" -> q25Fingerprint,
     "q26_ann_ivf" -> q26AnnIvf,
     "q270_ivf_append" -> q270IvfAppend,
+    "q274_stream_ivf_ingest" -> q274StreamIvfIngest,
     "q27_binary_meta" -> q27BinaryMeta,
     "q29_seq_packing" -> q29SeqPacking,
     "q30_embed_dups" -> q30EmbedDups,
@@ -1363,6 +1408,26 @@ object Training {
     // append ≡ one-shot assignment against the SAME frozen centroids —
     // the oracle assigns every vector to the build-subset seeds directly
     "q270_ivf_append" ->
+      s"""WITH $normCte,
+         |c AS (SELECT vec_id cid, embedding, nrm FROM n
+         |      WHERE vec_id < 16 AND vec_id % 3 <> 0),
+         |asg AS (SELECT vec_id, embedding, nrm, cid FROM (
+         |  SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      (${dotSql("v", "c")}) / (v.nrm * c.nrm) DESC, c.cid) rn
+         |  FROM n v CROSS JOIN c) WHERE rn = 1),
+         |p AS (SELECT a.vec_id vec_id, b.vec_id neighbor_id,
+         |        (${dotSql("a", "b")}) / (a.nrm * b.nrm) cosine
+         |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, neighbor_id, round(cosine, 6) AS cosine, "rank" FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM p) WHERE "rank" <= 3""".stripMargin,
+    // delta ingest + replay + compaction is content-identical to q270's
+    // append — same frozen-seed one-shot assignment oracle, verbatim:
+    // hash-green here certifies replay idempotence and compaction
+    // invariance, not just assignment correctness
+    "q274_stream_ivf_ingest" ->
       s"""WITH $normCte,
          |c AS (SELECT vec_id cid, embedding, nrm FROM n
          |      WHERE vec_id < 16 AND vec_id % 3 <> 0),

@@ -454,6 +454,31 @@ object Streams {
       .foreachBatch(nearDupBatch(stateDir, idCol, textCol) _)
       .start()
 
+  /** Streaming ANN index ingestion: every micro-batch of (id, vector)
+    * rows is assigned against the index's FROZEN centroids and lands as
+    * a `batch=<id>` delta via [[graft.ops.Ann.ivfDeltaAppend]] —
+    * exactly-once by the overwrite layout (a replayed foreachBatch
+    * rewrites its own delta dir), O(batch) per trigger, the base `cid=`
+    * files never touched. Queries read the live index through
+    * [[graft.ops.Ann.readIvfAssignments]]; the nightly
+    * [[graft.ops.Ann.ivfCompactDeltas]] folds accumulated deltas into
+    * the pruned layout and [[graft.jobs.Maintain.maintainIvf]] retrains
+    * when the stream has drifted the cells — together the full life of
+    * a 100 TB embedding index fed by a firehose: build once, ingest
+    * per-trigger at batch cost, compact and retrain on maintenance
+    * windows. */
+  def ivfIngestSink(stream: DataFrame, indexPath: String, idCol: String,
+      vecCol: String, dim: Int, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Ann.ivfDeltaAppend(batch.sparkSession, indexPath,
+          batch, idCol, vecCol, dim, batchId): Unit
+      }
+      .start()
+
   /** Exactly-once streaming upsert: every micro-batch MERGEs into the
     * warehouse table through [[upsertBatch]] — the streaming twin of a
     * nightly MERGE INTO job, with the commit ledger upgrading

@@ -537,4 +537,52 @@ class AnnSpec extends SparkSpec {
       assert(incCells(v) == c, s"vec $v cell diverged after append")
     }
   }
+
+  test("ivfDeltaAppend/compact: replay-idempotent, crash-window-correct, compaction-invariant") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = scratch("ivf-delta")
+    Ann.buildIvfIndex(e.where(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", 64, 16, idx)
+    // two micro-batches of the remaining third, by parity of vec_id/3
+    val rest = e.where(col("vec_id") % 3 === 0)
+    val b0 = rest.where((col("vec_id") / 3).cast("long") % 2 === 0)
+    val b1 = rest.where((col("vec_id") / 3).cast("long") % 2 === 1)
+    Ann.ivfDeltaAppend(spark, idx, b0, "vec_id", "embedding", 64, 0L)
+    Ann.ivfDeltaAppend(spark, idx, b1, "vec_id", "embedding", 64, 1L)
+    def state() = Ann.readIvfAssignments(spark, idx)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val afterIngest = state()
+    assert(afterIngest.size == e.count(), "live read must see base + deltas")
+    // REPLAY batch 1 (foreachBatch is at-least-once) → state unchanged
+    Ann.ivfDeltaAppend(spark, idx, b1, "vec_id", "embedding", 64, 1L)
+    assert(state() == afterIngest, "delta replay must be idempotent")
+    // one-shot assignment against the frozen centroids is the truth
+    val cents = spark.read.parquet(s"$idx/centroids")
+      .select(col("cid").as("vec_id"), col("cvec").as("embedding"))
+    val oneShot = Ann.assignClusters(e, cents, "vec_id", "embedding", 64)
+      .select(col("__vid"), col("__cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(afterIngest == oneShot, "delta ingest diverged from one-shot")
+    // crash-window: keep a copy of a folded delta, compact, restore it —
+    // the watermark inside the swapped base must hide the stale delta
+    val d1 = new java.io.File(s"$idx/deltas/batch=1")
+    val stash = new java.io.File(scratch("ivf-stash"), "batch=1")
+    org.apache.commons.io.FileUtils.copyDirectory(d1, stash)
+    val (nBase, folded) = Ann.ivfCompactDeltas(spark, idx)
+    assert(folded == 2 && nBase == e.count())
+    assert(Ann.ivfWatermark(spark, idx) == 1L)
+    assert(state() == afterIngest, "compaction must be read-invisible")
+    org.apache.commons.io.FileUtils.copyDirectory(stash, d1) // failed GC sim
+    assert(state() == afterIngest,
+      "a below-watermark delta must be invisible (crashed GC window)")
+    // compacted base carries every vector in pruned cid= partitions
+    assert(spark.read.parquet(s"$idx/assignments")
+      .where(col("cid").isNotNull).count() == e.count())
+    // idempotent re-compaction: no live deltas → no-op + GC of the stale dir
+    val (n2, f2) = Ann.ivfCompactDeltas(spark, idx)
+    assert(f2 == 0 && n2 == e.count())
+    assert(!d1.exists(), "re-compaction must GC the dead delta")
+  }
 }

@@ -335,6 +335,39 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$state/sigs").count() == 5)
   }
 
+  test("ivfIngestSink: streamed vectors land as deltas; live read ≡ one-shot assignment") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Ann
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Files.createTempDirectory("graft-ivf-stream").toString
+    val ckpt = Files.createTempDirectory("graft-ivf-stream-ckpt").toString
+    Ann.buildIvfIndex(e.where(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", 64, 16, idx)
+    val rest = e.where(col("vec_id") % 3 === 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val (half0, half1) = rest.splitAt(rest.length / 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    def drain(): Unit = Streams.ivfIngestSink(
+      input.toDS().toDF("vec_id", "embedding"), idx, "vec_id",
+      "embedding", 64, ckpt).awaitTermination()
+    input.addData(half0.toSeq); drain() // micro-batch 0
+    input.addData(half1.toSeq); drain() // micro-batch 1
+    // each trigger wrote its own batch= delta; base files untouched
+    assert(new java.io.File(s"$idx/deltas").listFiles()
+      .count(_.getName.startsWith("batch=")) == 2)
+    val live = Ann.readIvfAssignments(spark, idx)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = spark.read.parquet(s"$idx/centroids")
+      .select(col("cid").as("vec_id"), col("cvec").as("embedding"))
+    val oneShot = Ann.assignClusters(e, cents, "vec_id", "embedding", 64)
+      .select(col("__vid"), col("__cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(live == oneShot, "streamed index diverged from one-shot assignment")
+  }
+
   test("latestPerKeyTws (transformWithState + RocksDB) matches the fMGWS semantics") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
