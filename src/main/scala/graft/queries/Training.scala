@@ -629,6 +629,20 @@ object Training {
     Ann.srpDupPairs(embs(spark, dir), "vec_id", "embedding", Dim,
       bits = 32, bands = 8, maxHamming = 7)
 
+  /** [[q213SrpLsh]]'s SCALE configuration as a retrieval shortlist:
+    * 48-bit signatures in 8×6-bit bands — 64 buckets per band instead of
+    * q213's 16, cutting per-band candidate volume ~16× (the bits/bands
+    * dial from [[Ann.srpDupPairs]]'s sizing note; 56×8 is the 10^8+
+    * step). The banded candidates are re-ranked EXACTLY and cut to the
+    * global top-20 by (hamming, pair id) — LSH proposes, exact distance
+    * disposes — so the gate is non-vacuous even on a corpus whose
+    * thresholded near-dup set is legitimately empty (sf0.01's max
+    * cosine is 0.51). The oracle replays the same block-share candidate
+    * predicate + exact re-rank quadratically. */
+  def q275SrpLshWide(spark: SparkSession, dir: String): DataFrame =
+    Ann.srpCandidatesTopK(embs(spark, dir), "vec_id", "embedding", Dim,
+      bits = 48, bands = 8, k = 20)
+
   /** Incremental corpus dedup — the daily-ingest shape: docs ending in 0
     * play the "new day" increment, the rest the indexed corpus. The
     * corpus's MinHash signatures are PERSISTED once
@@ -853,6 +867,7 @@ object Training {
     "q20_simhash" -> q20Simhash,
     "q211_kcenter" -> q211Kcenter,
     "q213_srp_lsh" -> q213SrpLsh,
+    "q275_srp_lsh_wide" -> q275SrpLshWide,
     "q21_cosine_topk" -> q21CosineTopk,
     "q22_lang_id" -> q22LangId,
     "q23_quality" -> q23Quality,
@@ -922,8 +937,8 @@ object Training {
     * bit j, column i = component i — [[Ann.srpWeight]] is public md5
     * parity, rebuilt here in the same JVM so the literal IS the op's
     * matrix). */
-  private lazy val srpOracle: String = {
-    val h = (0 until 32).map { j =>
+  private def srpOracle(bits: Int): String = {
+    val h = (0 until bits).map { j =>
       (0 until Dim).map(i => Ann.srpWeight(i, j)).mkString("[", ",", "]")
     }.mkString("[", ",\n    ", "]")
     s"""WITH h AS (SELECT $h AS H),
@@ -932,7 +947,7 @@ object Training {
        |     for i in generate_series(1, $Dim)] qv
        |  FROM embeddings),
        |s AS (SELECT vec_id,
-       |    list_sum(list_transform(generate_series(1, 32), j ->
+       |    list_sum(list_transform(generate_series(1, $bits), j ->
        |      CASE WHEN list_sum([H[j][i] * qv[i]
        |                          for i in generate_series(1, $Dim)]) >= 0
        |      THEN 1::BIGINT << (j - 1) ELSE 0::BIGINT END)) sig
@@ -943,9 +958,40 @@ object Training {
        |WHERE bit_count(xor(a.sig, b.sig)) <= 7""".stripMargin
   }
 
+  /** [[srpOracle]]'s shortlist twin: block-share candidate predicate
+    * (any of the `bands` fixed-width signature blocks equal) + exact
+    * hamming re-rank, global top-k with total-order tiebreak. */
+  private def srpShortlistOracle(bits: Int, bands: Int, k: Int): String = {
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val blockEq = (0 until bands)
+      .map(b => s"((a.sig >> ${b * width}) & $mask) = ((b.sig >> ${b * width}) & $mask)")
+      .mkString("(", "\n       |   OR ", ")")
+    val h = (0 until bits).map { j =>
+      (0 until Dim).map(i => Ann.srpWeight(i, j)).mkString("[", ",", "]")
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH h AS (SELECT $h AS H),
+       |q AS (SELECT vec_id,
+       |    [CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)
+       |     for i in generate_series(1, $Dim)] qv
+       |  FROM embeddings),
+       |s AS (SELECT vec_id,
+       |    list_sum(list_transform(generate_series(1, $bits), j ->
+       |      CASE WHEN list_sum([H[j][i] * qv[i]
+       |                          for i in generate_series(1, $Dim)]) >= 0
+       |      THEN 1::BIGINT << (j - 1) ELSE 0::BIGINT END)) sig
+       |  FROM q CROSS JOIN h)
+       |SELECT a.vec_id vec_a, b.vec_id vec_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) hamming
+       |FROM s a JOIN s b ON a.vec_id < b.vec_id
+       |WHERE $blockEq
+       |ORDER BY hamming, vec_a, vec_b LIMIT $k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q211_kcenter" -> kcenterOracle,
-    "q213_srp_lsh" -> srpOracle,
+    "q213_srp_lsh" -> srpOracle(32),
+    "q275_srp_lsh_wide" -> srpShortlistOracle(48, 8, 20),
     // DCG folds rel/log2(rank+1) in rank order: DuckDB list_reduce seeds
     // with the first TERM — IEEE 0.0 + t1 = t1, so the fold sequences
     // identically to the engine's zero-seeded ordered fold
