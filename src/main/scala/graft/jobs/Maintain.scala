@@ -85,7 +85,16 @@ object Maintain {
     * original build — which is the point of gating it on a threshold
     * instead of rebuilding nightly. The vectors are re-read from the
     * index's OWN assignment files (localCheckpoint'd before the
-    * overwrite so the rebuild never reads the path it writes). */
+    * overwrite so the rebuild never reads the path it writes).
+    *
+    * `numCentroids <= 0`: the retrain FOLLOWS CORPUS GROWTH — the same
+    * appends that drifted the centroids also grew n, so the rebuild
+    * re-sizes K from the corpus it rebuilds over
+    * ([[graft.ops.Ann.autoGranularity]]: cell population pinned,
+    * in-cell candidate volume linear in n). A fixed K drifts toward
+    * quadratic in-cell cost as the index absorbs batches; the auto dial
+    * is what keeps a long-lived, append-heavy index at its design
+    * point without an operator remembering to re-tune it. */
   def maintainIvf(spark: SparkSession, indexPath: String, dim: Int,
       numCentroids: Int, staleThreshold: Double,
       kmeansIters: Int = 5): DataFrame = {

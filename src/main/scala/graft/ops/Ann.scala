@@ -135,20 +135,56 @@ object Ann {
     topKPerKey(pairs, k)
   }
 
-  /** Assign each vector to its nearest centroid by cosine (broadcast join
-    * against the K centroids; ties → lowest centroid id). */
+  /** Assign each vector to its nearest centroid by cosine (ties → lowest
+    * centroid id) — as a pure PROJECTION against the K centroids baked
+    * into a [[graft.functions.NearestCentroidIdx]] plan literal.
+    *
+    * Why not the composable crossJoin(broadcast) + argmax: that spelling
+    * EXPANDS every vector to K rows each carrying the full dim-float
+    * payload, and the argmax — `row_number` window or array-carrying
+    * aggregate — degenerates to sorting K·N wide rows (neither an array
+    * `first` buffer nor a struct-keyed `max_by` buffer is
+    * hash-aggregable). Measured at the 100× probe: K=256 assignment over
+    * 200k vectors cost 45.7 s vs K=16's 5.8 s — turning the granularity
+    * DIAL up made assignment slower, inverting the algorithm's intent.
+    * Centroids are K·dim floats — the PQ-codebook bounded class — so the
+    * one collect here is O(K·dim) plan-literal data, and assignment
+    * becomes a projection: no join, no expansion; K costs FLOPs only.
+    * At 100 TB this is the difference between an embarrassingly parallel
+    * scan and a K·N-row exchange.
+    *
+    * The one exchange kept is the [[srpSignature]] spread: K×dim mul-adds
+    * per row dwarf the ~4·dim input bytes, so a byte-sized plan (a
+    * single-file corpus scans as ONE partition; measured: K=256 over
+    * 200k vectors evaluated serially, ~6 s per downstream action) must
+    * not decide the parallelism — a hash repartition on the id moves
+    * only raw vectors and decouples compute width from file count.
+    *
+    * Scoring and tie-breaks replay the join spelling bit-for-bit (same
+    * FloatVecDot summation order, sim = dot/(‖v‖·‖c‖), lowest cid on
+    * exact ties) — the DuckDB oracles that replay assignment in SQL
+    * stay hash-identical. Null centroid vectors are dropped (a null sim
+    * never won the window either); an empty centroid set yields the
+    * empty frame the crossJoin produced. */
   def assignClusters(df: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, dim: Int): DataFrame = {
-    val v = withNorm(df, idCol, vecCol, dim)
-    val c = withNorm(centroids, idCol, vecCol, dim)
-      .select(col("__vid").as("__cid"), col("__vec").as("__cv"), col("__nrm").as("__cn"))
-    val scored = v.crossJoin(broadcast(c))
-      .withColumn("__sim",
-        dot(col("__vec"), col("__cv"), dim) / (col("__nrm") * col("__cn")))
-    val w = Window.partitionBy("__vid").orderBy(col("__sim").desc, col("__cid").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col("__vid"), col("__vec"), col("__nrm"), col("__cid"))
+    val spread = df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
+    val v = withNorm(spread, idCol, vecCol, dim)
+    val crows = centroids.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).collect().filter(_.get(1) != null)
+    if (crows.isEmpty) {
+      v.select(col("__vid"), col("__vec"), col("__nrm"),
+        lit(null).cast(centroids.schema(idCol).dataType).as("__cid"))
+        .where(lit(false))
+    } else {
+      val mat = crows.map(_.getSeq[Float](1).toArray)
+      val cids = crows.map(r => lit(r.get(0)))
+      val idx = graft.functions.VectorFunctions
+        .nearestCentroidIdx(col("__vec"), mat)
+      v.select(col("__vid"), col("__vec"), col("__nrm"),
+        element_at(array(cids: _*), idx + lit(1)).as("__cid"))
+    }
   }
 
   /** IVF approximate top-k: centroids are the vectors whose id is below
@@ -263,8 +299,9 @@ object Ann {
 
   /** K-means centroid training (Lloyd's algorithm), the production
     * replacement for the deterministic id<K IVF seeding: init from the
-    * first K vectors, then `iters` rounds of assign (broadcast cosine
-    * argmax) + recompute (element-wise mean via posexplode — a (cid,
+    * first K vectors, then `iters` rounds of assign (plan-literal cosine
+    * argmax projection, [[assignClusters]]) + recompute (element-wise
+    * mean via posexplode — a (cid,
     * position) aggregation that scales out; no vectors on the driver).
     * Empty clusters keep their previous centroid. Returns (cid, vec) with
     * `vec` float — drop-in wherever centroids are consumed
@@ -534,11 +571,14 @@ object Ann {
     * way, so queries don't care how the index was built. */
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       numCentroids: Int, path: String, kmeansIters: Int = 0): Unit = {
+    // numCentroids <= 0: dial self-turned — K follows the corpus
+    // ([[autoGranularity]]), so a rebuild over grown data gets more cells
+    val k = if (numCentroids > 0) numCentroids else autoGranularity(df.count())
     val centroids =
       if (kmeansIters > 0)
-        kmeansCentroids(df, idCol, vecCol, dim, numCentroids, kmeansIters)
+        kmeansCentroids(df, idCol, vecCol, dim, k, kmeansIters)
           .select(col("cid").as(idCol), col("vec").as(vecCol))
-      else df.where(col(idCol) < numCentroids)
+      else df.where(col(idCol) < k)
         .select(col(idCol), col(vecCol))
     withNorm(centroids, idCol, vecCol, dim)
       .select(col("__vid").as("cid"), col("__vec").as("cvec"),
@@ -795,9 +835,31 @@ object Ann {
     topKPerKey(scored, k)
   }
 
+  /** The granularity DIAL, turned by the engine: the K that holds the
+    * CELL POPULATION at `targetCell` as the corpus grows — K =
+    * ⌈n / targetCell⌉, clamped to [1, 2^20]. Fixing the cell size (not
+    * K) keeps in-cell candidate volume LINEAR in n: K cells ×
+    * targetCell² pairs = n · targetCell. The 100× probe (BASELINE.md)
+    * measured what a FIXED K does instead — per-cell population grows
+    * with the corpus and candidate volume goes quadratic (q83's 16-cell
+    * gate config: 13× wall at 10× data; re-dialed to K=256 by hand,
+    * 4.1× faster end-to-end, 11.8× on the pair phase). SemDeDup itself
+    * holds cluster size roughly constant (50k clusters at LAION scale) —
+    * this is that rule as a formula. Deterministic given n, so DuckDB
+    * oracles replay the choice with `ceil(count(*) / targetCell)`. */
+  def autoGranularity(n: Long, targetCell: Int = 512): Int = {
+    require(targetCell >= 1, s"targetCell must be positive: $targetCell")
+    // division-first ceil: n + targetCell - 1 would overflow near Long.Max
+    val cells = n / targetCell + (if (n % targetCell > 0) 1L else 0L)
+    math.max(1L, math.min(1L << 20, cells)).toInt
+  }
+
   /** Embedding-level near-duplicate pairs: cosine ≥ `threshold`, blocked
     * through the same IVF assignment so only same-cluster pairs are
     * scored (near-identical vectors share a nearest centroid).
+    * `numCentroids <= 0` turns the dial automatically —
+    * [[autoGranularity]] over one count of `df` (a count-star fast path
+    * on bare scans; bounded driver class).
     *
     * Skew safety: a HOT cluster of m vectors yields m² candidate pairs,
     * and an unsalted equi-join on cluster id lands all of them on one
@@ -812,7 +874,8 @@ object Ann {
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, numCentroids: Int, maxBlock: Int = 4096): DataFrame = {
     require(maxBlock >= 1, s"maxBlock must be positive, got $maxBlock")
-    val centroids = df.where(col(idCol) < numCentroids)
+    val k = if (numCentroids > 0) numCentroids else autoGranularity(df.count())
+    val centroids = df.where(col(idCol) < k)
     val assigned = assignClusters(df, centroids, idCol, vecCol, dim)
     val gees = assigned.groupBy("__cid")
       .agg(ceil(count(lit(1)) / lit(maxBlock.toDouble)).cast("int").as("__g"))
@@ -839,7 +902,10 @@ object Ann {
     * its `component` label and a `keep` flag; ids untouched by any dup
     * pair keep themselves. Same composition discipline as
     * [[TextDedup.dedupCascade]]: every stage is the already-verified
-    * distributed primitive, no collect, O(log n) CC rounds. */
+    * distributed primitive, no collect, O(log n) CC rounds.
+    * `numCentroids <= 0` self-turns the blocking dial
+    * ([[autoGranularity]]) — cell population pinned, candidate volume
+    * linear in corpus size. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, numCentroids: Int, maxBlock: Int = 4096): DataFrame = {
     val pairs =

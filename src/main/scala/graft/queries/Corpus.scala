@@ -25,6 +25,16 @@ object Corpus {
     Ann.semanticDedup(embs(spark, dir), "vec_id", "embedding", Dim,
       threshold = 0.4, numCentroids = 16)
 
+  /** q83's dedup with the granularity dial turned BY THE ENGINE:
+    * `numCentroids <= 0` sizes K = ⌈n/512⌉ ([[Ann.autoGranularity]]) —
+    * cell population pinned, so in-cell candidate volume stays linear
+    * in corpus size (the 100×-probe lesson as a default instead of a
+    * footnote; BASELINE.md dial table). The oracle replays the choice:
+    * a scalar subquery computes the same K from the same count. */
+  def q276AutoDialDedup(spark: SparkSession, dir: String): DataFrame =
+    Ann.semanticDedup(embs(spark, dir), "vec_id", "embedding", Dim,
+      threshold = 0.4, numCentroids = 0)
+
   /** Corpus-wide chunk dedup: 10-token chunks, first occurrence wins,
     * documents rebuilt from surviving chunks. [[TextDedup.lineDedup]]. */
   def q84LineDedup(spark: SparkSession, dir: String): DataFrame =
@@ -311,6 +321,7 @@ object Corpus {
     "q166_sorted_neighborhood" -> q166SortedNeighborhood,
     "q93_source_entropy" -> q93SourceEntropy,
     "q83_semantic_dedup" -> q83SemanticDedup,
+    "q276_auto_dial_dedup" -> q276AutoDialDedup,
     "q84_line_dedup" -> q84LineDedup,
     "q85_bm25" -> q85Bm25,
     "q162_shuffle" -> q162Shuffle,
@@ -580,6 +591,34 @@ object Corpus {
          |n AS (SELECT vec_id, embedding, sqrt(${dotSql("e", "e")}) nrm
          |      FROM embeddings e),
          |c AS (SELECT vec_id cid, embedding, nrm FROM n WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, embedding, nrm, cid FROM (
+         |  SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      (${dotSql("v", "c")}) / (v.nrm * c.nrm) DESC, c.cid) rn
+         |  FROM n v CROSS JOIN c) WHERE rn = 1),
+         |p AS (SELECT a.vec_id vec_a, b.vec_id vec_b
+         |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |      WHERE (${dotSql("a", "b")}) / (a.nrm * b.nrm) >= 0.4),
+         |und AS (SELECT vec_a u, vec_b v FROM p
+         |        UNION SELECT vec_b, vec_a FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u vec_id, min(v) component FROM reach GROUP BY u)
+         |SELECT em.vec_id,
+         |  coalesce(comp.component, em.vec_id) AS component,
+         |  (em.vec_id = coalesce(comp.component, em.vec_id)) AS keep
+         |FROM embeddings em LEFT JOIN comp ON comp.vec_id = em.vec_id""".stripMargin,
+    // q83's replay with the seed cutoff computed the way the engine
+    // computes it: K = ceil(n / 512) by scalar subquery
+    "q276_auto_dial_dedup" ->
+      s"""WITH RECURSIVE
+         |n AS (SELECT vec_id, embedding, sqrt(${dotSql("e", "e")}) nrm
+         |      FROM embeddings e),
+         |c AS (SELECT vec_id cid, embedding, nrm FROM n
+         |      WHERE vec_id < (SELECT CAST(ceil(count(*) / 512.0) AS BIGINT)
+         |                      FROM embeddings)),
          |asg AS (SELECT vec_id, embedding, nrm, cid FROM (
          |  SELECT v.vec_id, v.embedding, v.nrm, c.cid,
          |    row_number() OVER (PARTITION BY v.vec_id ORDER BY

@@ -134,4 +134,28 @@ class MaintainSpec extends SparkSpec {
       .agg(max(col("stale"))).collect().head.getDouble(0)
     assert(staleAfter < 0.5, s"post-rebuild staleness should collapse: $staleAfter")
   }
+
+  test("maintainIvf: auto-dial retrain re-sizes K from the GROWN corpus") {
+    import graft.ops.Ann
+    val idx = scratch("mt_ivf_auto")
+    // explicit K=2 at build over 200 vectors, then a drifted 900-vector
+    // blob grows the corpus to 1100 — the retrain (numCentroids = 0)
+    // must re-size to ceil(1100/512) = 3. Assertion is vs the formula.
+    Ann.buildIvfIndex(blobs(200, 7).toDF("vec_id", "vec"), "vec_id", "vec",
+      4, numCentroids = 2, idx, kmeansIters = 3)
+    val rnd = new scala.util.Random(8)
+    val far = (0 until 900).map(i => (9000L + i,
+      Array(0f, 0f, 5f, 5f).map(_ + rnd.nextFloat() * 0.05f)))
+      .toDF("vec_id", "vec")
+    Ann.ivfAppend(spark, idx, far, "vec_id", "vec", 4)
+    val n = spark.read.parquet(s"$idx/assignments").count()
+    assert(n == 1100L)
+    val r = Maintain.maintainIvf(spark, idx, 4, numCentroids = 0,
+      staleThreshold = 0.5, kmeansIters = 3).collect().head
+    assert(r.getBoolean(3), s"drifted fixture must rebuild: $r")
+    val k = spark.read.parquet(s"$idx/centroids").count()
+    assert(k == Ann.autoGranularity(n).toLong,
+      s"retrain must re-size K = ceil($n/512) = ${Ann.autoGranularity(n)}, got $k")
+    assert(spark.read.parquet(s"$idx/assignments").count() == n)
+  }
 }

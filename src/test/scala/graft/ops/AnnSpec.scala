@@ -182,6 +182,35 @@ class AnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("autoGranularity: cell population pinned, clamped, deterministic") {
+    assert(Ann.autoGranularity(0L) == 1)
+    assert(Ann.autoGranularity(1L) == 1)
+    assert(Ann.autoGranularity(512L) == 1)
+    assert(Ann.autoGranularity(513L) == 2)
+    assert(Ann.autoGranularity(5120L) == 10)
+    assert(Ann.autoGranularity(1100L) == 3) // the MaintainSpec fixture
+    assert(Ann.autoGranularity(Long.MaxValue) == (1 << 20)) // clamp
+    assert(Ann.autoGranularity(100L, targetCell = 1) == 100)
+    intercept[IllegalArgumentException](Ann.autoGranularity(10L, 0))
+  }
+
+  test("semanticDedup(numCentroids = 0): auto dial ≡ the formula's explicit K") {
+    // 1100 vectors in two tight blobs → auto K = ceil(1100/512) = 3;
+    // the auto path must be row-identical to passing 3 explicitly
+    val rnd = new scala.util.Random(13)
+    val corpus = (0L until 1100L).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      i -> base.map(_ + rnd.nextFloat() * 0.01f)
+    }.toDF("vec_id", "embedding")
+    def rows(k: Int) =
+      Ann.semanticDedup(corpus, "vec_id", "embedding", 4,
+          threshold = 0.999, numCentroids = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val auto = rows(0)
+    assert(auto == rows(Ann.autoGranularity(1100L)))
+    assert(auto.exists(!_._3), "fixture should mark some non-survivors")
+  }
+
   test("cosineDupPairs: hot-cluster salting is bit-identical to the unsalted join") {
     // skew fixture: ONE cluster holds everything (numCentroids = 1), so an
     // unsalted equi-join on cluster id puts all m² pairs on a single task;
