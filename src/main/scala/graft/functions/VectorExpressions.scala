@@ -153,6 +153,105 @@ case class Int8VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** PQ encoding against a literal codebook — `m` per-subspace argmin codes
+  * plus their 4-bit packing, as ONE codegen expression.
+  *
+  * Why an Expression: the composable spelling — per subspace, `array_min`
+  * over k literal `(dist², cid)` structs, each carrying a `slice` and two
+  * dot products — inlines m·k (=128 at dim 64) subexpressions into the
+  * generated projection. That blows janino's 64 KB method limit and the
+  * WHOLE stage silently falls back to interpreted eval — on the CORPUS
+  * side of PQ, the exact hot path the codes exist to make cheap (the
+  * 17 `Failed to compile ... grows beyond 64 KB` errors in the round-5
+  * logs were this). Codebooks are k·dim floats — plan-literal bounded,
+  * the [[NearestCentroidIdx]] class — so the whole encode is one fused
+  * m×k×(dim/m) loop per row: no slices materialized, no struct churn,
+  * and the generated code is one reference call.
+  *
+  * Bit-for-bit replay of the composable spelling (the DuckDB oracles
+  * replay THAT): per subspace j over components [j·sub, j·sub+sub),
+  * dist² = (ss − 2.0·dot) + cc with every dot left-associated
+  * ascending-index double accumulation ([[FloatVecDot]]'s order, which
+  * `slice`+vec_dot produced), argmin keeps the LOWEST cid on exact ties
+  * (candidates are scanned in ascending-cid order with a strict
+  * NaN-greatest compare — `array_min`'s struct ordering), and packed =
+  * Σ code_j·2^(4j) exactly as the old integer fold. Short vectors clamp
+  * the loops the way `slice` + vec_dot's min-length clamp did.
+  *
+  * `cents(j)(t)`/`cids(j)(t)`/`ccs(j)(t)`: subspace j's t-th candidate
+  * subvector, its code id (ascending per subspace), and its |c|². */
+case class PqEncodeCodes(child: Expression,
+    cents: Array[Array[Array[Float]]], cids: Array[Array[Int]],
+    ccs: Array[Array[Double]], sub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
+
+  require(cents.nonEmpty && cents.forall(_.nonEmpty),
+    "PQ codebook must cover every subspace with at least one codeword")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("packed", org.apache.spark.sql.types.LongType,
+      nullable = false)))
+  override def prettyName: String = "pq_encode"
+
+  /** One row's encode: m fused subspace argmins, zero allocation beyond
+    * the output. */
+  def encode(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val m = cents.length
+    val codes = new Array[Int](m)
+    var packed = 0L
+    var j = 0
+    while (j < m) {
+      val off = j * sub
+      val lim = math.max(0, math.min(sub, n - off)) // slice's clamp
+      var ss = 0.0
+      var i = 0
+      while (i < lim) {
+        val x = v.getFloat(off + i).toDouble; ss += x * x; i += 1
+      }
+      val cj = cents(j)
+      var best = 0.0
+      var bestIdx = -1
+      var t = 0
+      while (t < cj.length) {
+        val cv = cj(t)
+        val dl = math.min(lim, cv.length) // vec_dot's min-length clamp
+        var d = 0.0
+        var p = 0
+        while (p < dl) {
+          d += v.getFloat(off + p).toDouble * cv(p).toDouble; p += 1
+        }
+        val dist = (ss - 2.0 * d) + ccs(j)(t)
+        if (bestIdx < 0 || java.lang.Double.compare(dist, best) < 0) {
+          best = dist; bestIdx = t
+        }
+        t += 1
+      }
+      codes(j) = cids(j)(bestIdx)
+      packed += codes(j).toLong << (4 * j)
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes), packed)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = encode(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this,
+      classOf[PqEncodeCodes].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.encode($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Argmax-cosine nearest-centroid INDEX over a literal centroid matrix —
   * the expression that makes IVF assignment a pure PROJECTION.
   *
@@ -244,6 +343,18 @@ object VectorFunctions {
     * against the literal matrix — see [[NearestCentroidIdx]]). */
   def nearestCentroidIdx(v: Column, cents: Array[Array[Float]]): Column =
     GraftSqlShim.column(NearestCentroidIdx(GraftSqlShim.expression(v), cents))
+
+  /** struct(codes array<int>, packed long) — PQ codes against the literal
+    * codebook (see [[PqEncodeCodes]]). `cb` in [[graft.ops.Ann.pqCodebook]]
+    * layout: (subspace, cid, subvector, |c|²). */
+  def pqEncodeCodes(v: Column, cb: Seq[(Int, Int, Array[Float], Double)],
+      m: Int, sub: Int): Column = {
+    val byJ = (0 until m).map(j => cb.filter(_._1 == j).sortBy(_._2))
+    GraftSqlShim.column(PqEncodeCodes(GraftSqlShim.expression(v),
+      byJ.map(_.map(_._3).toArray).toArray,
+      byJ.map(_.map(_._2).toArray).toArray,
+      byJ.map(_.map(_._4).toArray).toArray, sub))
+  }
 
   /** Cosine similarity from precomputed norms — callers should compute
     * norms once per vector, not once per pair. */

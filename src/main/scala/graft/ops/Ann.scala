@@ -1008,10 +1008,16 @@ object Ann {
   /** PQ encoding: `dim` float32s → `m` codes (one per subspace, each
     * < `k`) + the codes packed into ONE long — 32× compression at
     * dim=64/m=8/k=16. A PURE PROJECTION: the codebook rides in the plan
-    * as literals, each subspace's code is `array_min` over k exact
-    * (dist², cid) structs (squared L2 via `dot(s,s) − 2·dot(s,c) + |c|²`,
-    * ties → lowest cid) — no shuffle, no join, embarrassingly parallel
-    * over any corpus size. */
+    * baked into ONE [[graft.functions.PqEncodeCodes]] expression (per
+    * subspace: argmin over k exact (dist², cid) candidates, squared L2
+    * via `dot(s,s) − 2·dot(s,c) + |c|²`, ties → lowest cid) — no
+    * shuffle, no join, embarrassingly parallel over any corpus size.
+    * The earlier composable spelling (per subspace `array_min` over k
+    * literal structs each carrying a slice + two dots) inlined m·k
+    * subexpressions, blew janino's 64 KB method limit, and silently ran
+    * the CORPUS-side encode interpreted; the fused expression replays
+    * its arithmetic bit-for-bit (oracles unchanged) inside whole-stage
+    * codegen. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       m: Int = 8, k: Int = 16,
       codebook: Seq[(Int, Int, Array[Float], Double)] = Seq.empty): DataFrame = {
@@ -1020,22 +1026,11 @@ object Ann {
       if (codebook.nonEmpty) codebook
       else pqCodebook(df, idCol, vecCol, dim, m, k)
     val sub = dim / m
-    val codes = (0 until m).map { j =>
-      val sv = slice(col(vecCol), j * sub + 1, sub)
-      val ss = dot(sv, sv, sub)
-      val cands = cb.filter(_._1 == j).sortBy(_._2).map {
-        case (_, cid, cv, cc) =>
-          struct(
-            (ss - lit(2.0) * dot(sv, typedlit(cv.toSeq), sub) + lit(cc)).as("d"),
-            lit(cid).as("cid"))
-      }
-      array_min(array(cands: _*)).getField("cid")
-    }
-    val packed = codes.zipWithIndex
-      .map { case (c, j) => c.cast("long") * lit(1L << (4 * j)) }
-      .reduce(_ + _)
-    df.select(col(idCol).as("vec_id"), array(codes: _*).as("codes"),
-      packed.as("packed_code"))
+    val enc = graft.functions.VectorFunctions
+      .pqEncodeCodes(col(vecCol), cb, m, sub)
+    df.select(col(idCol).as("vec_id"), enc.as("__enc"))
+      .select(col("vec_id"), col("__enc.codes").as("codes"),
+        col("__enc.packed").as("packed_code"))
   }
 
   /** ADC (asymmetric distance) top-k over a PQ-encoded corpus: per query,
@@ -1047,22 +1042,48 @@ object Ann {
     * replays it exactly. One broadcast (queries × m·k lookup rows), one
     * (vid, qid) partial agg, bounded-heap top-k ([[graft.functions
     * .TopKByScore]]); self-pairs excluded. */
+  /** The codebook as a BROADCAST m·k-row frame (j, code, __cv, __cc) —
+    * the data-driven spelling of the distance-table build. The earlier
+    * literal spelling exploded an array of m·k structs each carrying a
+    * slice + two dots: >64 KB of generated code, janino bails, and the
+    * whole generate stage ran interpreted. A join against k·m ROWS keeps
+    * the generated code one dot-product wide no matter the codebook
+    * size; the arithmetic columns are the same Catalyst ops in the same
+    * order, so tables are bit-identical. (Contrast [[pqEncode]]: there
+    * the expansion would be per CORPUS row — that side gets a fused
+    * expression, not a join.) */
+  private def codebookDf(spark: org.apache.spark.sql.SparkSession,
+      codebook: Seq[(Int, Int, Array[Float], Double)]): DataFrame = {
+    import spark.implicits._
+    broadcast(codebook.map { case (j, cid, cv, cc) => (j, cid, cv.toSeq, cc) }
+      .toDF("j", "code", "__cv", "__cc"))
+  }
+
+  /** (prefixCols..., j, qs) rows: each query-side vector exploded into
+    * its m subvectors — the probe side of the ADC table join. */
+  private def subvectors(df: DataFrame, prefixCols: Seq[String],
+      vecCol: String, m: Int, sub: Int): DataFrame =
+    df.select(prefixCols.map(col) :+
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"),
+            slice(col(vecCol), j * sub + 1, sub).as("qs"))): _*)).as("__e"): _*)
+      .select(prefixCols.map(col) ++
+        Seq(col("__e.j").as("j"), col("__e.qs").as("qs")): _*)
+
   /** Per-query ADC lookup table: (qid, subspace, code) → distance² in
     * exact 1e-6 long units. */
   private def adcTable(queries: DataFrame, idCol: String, vecCol: String,
       dim: Int, codebook: Seq[(Int, Int, Array[Float], Double)]): DataFrame = {
     val m = codebook.map(_._1).max + 1
     val sub = dim / m
-    val dtabStructs = codebook.map { case (j, cid, cv, cc) =>
-      val qs = slice(col(vecCol), j * sub + 1, sub)
-      struct(lit(j).as("j"), lit(cid).as("code"),
-        round((dot(qs, qs, sub) - lit(2.0) * dot(qs, typedlit(cv.toSeq), sub)
-          + lit(cc)) * lit(1e6), 0).cast("long").as("dq"))
-    }
-    queries
-      .select(col(idCol).as("qid"), explode(array(dtabStructs: _*)).as("__e"))
-      .select(col("qid"), col("__e.j").as("j"), col("__e.code").as("code"),
-        col("__e.dq").as("dq"))
+    val qsub = subvectors(
+      queries.select(col(idCol).as("qid"), col(vecCol)),
+      Seq("qid"), vecCol, m, sub)
+    qsub.join(codebookDf(queries.sparkSession, codebook), Seq("j"))
+      .select(col("qid"), col("j"), col("code"),
+        round((dot(col("qs"), col("qs"), sub)
+          - lit(2.0) * dot(col("qs"), col("__cv"), sub)
+          + col("__cc")) * lit(1e6), 0).cast("long").as("dq"))
   }
 
   /** (qid, vec_id, codes) candidate rows → ADC-summed top-k result frame. */
@@ -1206,16 +1227,14 @@ object Ann {
       .join(broadcast(cvecs), Seq("__cid"))
       .select(col("qid"), col("__cid"),
         zip_with(col("__qv"), col("__centv"), (a, b) => a - b).as("__qres"))
-    val dtabStructs = cb.map { case (j, cid, cv, cc) =>
-      val qs = slice(col("__qres"), j * sub + 1, sub)
-      struct(lit(j).as("j"), lit(cid).as("code"),
-        round((dot(qs, qs, sub) - lit(2.0) * dot(qs, typedlit(cv.toSeq), sub)
-          + lit(cc)) * lit(1e6), 0).cast("long").as("dq"))
-    }
-    val dtab = qres
-      .select(col("qid"), col("__cid"), explode(array(dtabStructs: _*)).as("__e"))
-      .select(col("qid"), col("__cid"), col("__e.j").as("j"),
-        col("__e.code").as("code"), col("__e.dq").as("dq"))
+    // data-driven table build (see [[codebookDf]]): per-(query, cell)
+    // residual subvectors join the m·k-row broadcast codebook
+    val dtab = subvectors(qres, Seq("qid", "__cid"), "__qres", m, sub)
+      .join(codebookDf(df.sparkSession, cb), Seq("j"))
+      .select(col("qid"), col("__cid"), col("j"), col("code"),
+        round((dot(col("qs"), col("qs"), sub)
+          - lit(2.0) * dot(col("qs"), col("__cv"), sub)
+          + col("__cc")) * lit(1e6), 0).cast("long").as("dq"))
     enc.join(broadcast(probes), Seq("__cid"))
       .select(col("qid"), col("__cid"), col("vec_id"),
         posexplode(col("codes")).as(Seq("j", "code")))

@@ -97,8 +97,8 @@ object DialProbe {
     }
     // registry queries whose plans contain the assignment — re-measured
     // here whenever assignClusters changes shape
-    for (q <- Seq("q83_semantic_dedup", "q270_ivf_append",
-        "q274_stream_ivf_ingest")) {
+    for (q <- Seq("q83_semantic_dedup", "q276_auto_dial_dedup",
+        "q270_ivf_append", "q274_stream_ivf_ingest")) {
       val fn = graft.SparkEntry.queries(q)
       fn(spark, warmDir).count() // warmup
       time(q) { fn(spark, dir).count() }
