@@ -469,4 +469,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"))
   }
+
+  test("global top-k ranks (bm25) never single-partition-sort the corpus") {
+    // a no-partition row_number window moves everything to one partition;
+    // the rank<=k filter must bound what reaches it — either
+    // TakeOrderedAndProject (distributed bounded heap below the window,
+    // what Spark actually plans here) or WindowGroupLimit (per-partition
+    // local top-k). Without one of these, the window sorts the corpus.
+    val p = plan("q85_bm25")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"),
+      s"global rank fully sorts the corpus on one partition:\n$p")
+  }
+
+  test("PQ encode is ONE fused codegen expression — no 64KB interpreted fallback") {
+    val p = plan("q173_pq_ann")
+    assert(p.contains("pq_encode"),
+      s"corpus-side encode lost the fused expression:\n$p")
+    // the old m*k-literal spelling shows up as array_min over struct arrays
+    assert(!p.contains("array_min"),
+      s"literal argmin spelling is back (64KB codegen risk):\n$p")
+  }
+
+  test("auto-dial dedup assigns via the projection expression, no row expansion") {
+    // q276's own executed plan is lineage-truncated by the CC
+    // localCheckpoint, so probe the pair stage (the plan that carries the
+    // assignment) directly at the same auto dial
+    import org.apache.spark.sql.functions.col
+    val df = graft.ops.Ann.cosineDupPairs(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      "vec_id", "embedding", 64, threshold = 0.4, numCentroids = 0)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("nearest_centroid_idx"),
+      s"assignment lost the projection expression:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("row_number"), s"assignment re-expanded:\n$p")
+  }
 }
