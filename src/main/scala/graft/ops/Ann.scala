@@ -62,7 +62,14 @@ object Ann {
     * deterministic output. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int): DataFrame = {
-    val q = withNorm(queries, idCol, vecCol, dim)
+    // spread the PROBE side before the corpus fan-out: probes are
+    // byte-tiny (a filter of a single-file scan plans as ONE partition)
+    // but each probe row fans out |corpus| dot products — the
+    // per-row-compute-dwarfs-bytes rule ([[assignClusters]]), so a
+    // probe-count shuffle of raw vectors buys cluster-wide parallelism
+    val q = withNorm(queries.repartition(
+      queries.sparkSession.sessionState.conf.numShufflePartitions,
+      col(idCol)), idCol, vecCol, dim)
     val c = withNorm(corpus, idCol, vecCol, dim)
     // project the vectors away BEFORE the top-k aggregation: its exchange
     // moves 3 scalar columns, not two 64-float arrays per pair
@@ -122,7 +129,10 @@ object Ann {
         .withColumn("__sc", int8Scale(col("__vec")))
         .select(col("__vid"), int8Pack(col("__vec"), col("__sc")).as("__codes"),
           col("__sc"), col("__nrm"))
-    val q = packed(queries)
+    // spread the probe side — same rationale as [[cosineTopK]]
+    val q = packed(queries.repartition(
+      queries.sparkSession.sessionState.conf.numShufflePartitions,
+      col(idCol)))
     val c = packed(corpus)
     val pairs = q.select(col("__vid").as("vec_id"), col("__codes").as("__qc"),
         col("__sc").as("__qs"), col("__nrm").as("__qn"))
