@@ -98,7 +98,10 @@ object DialProbe {
     // registry queries whose plans contain the assignment — re-measured
     // here whenever assignClusters changes shape
     for (q <- Seq("q83_semantic_dedup", "q276_auto_dial_dedup",
-        "q270_ivf_append", "q274_stream_ivf_ingest")) {
+        "q270_ivf_append", "q274_stream_ivf_ingest",
+        // compute-spread consumers: re-measure when the
+        // per-row-compute-dwarfs-bytes repartitions change shape
+        "q21_cosine_topk", "q62_ann_int8", "q173_pq_ann")) {
       val fn = graft.SparkEntry.queries(q)
       fn(spark, warmDir).count() // warmup
       time(q) { fn(spark, dir).count() }
