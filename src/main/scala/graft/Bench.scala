@@ -16,14 +16,15 @@ object Bench {
     * the bound with 100 synthetic reruns. */
   def compactLine(total: Double, nQueries: Int,
       official: Seq[(String, Double)], reruns: Seq[(String, Double)],
-      hostFactor: Double, detail: String, sfDir: String): String = {
+      hostFactor: Double, detail: String, sfDir: String,
+      codegenFallbacks: Long = 0L): String = {
     def entries(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
     val top = official.sortBy(-_._2).take(10)
     val worst = reruns.sortBy(-_._2).take(3)
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${entries(top)},"n_queries":$nQueries,"n_reruns":${reruns.size},"worst_reruns":${entries(worst)},"host_factor":${f"$hostFactor%.3f"},"detail":"$detail","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${entries(top)},"n_queries":$nQueries,"n_reruns":${reruns.size},"worst_reruns":${entries(worst)},"host_factor":${f"$hostFactor%.3f"},"codegen_fallbacks":$codegenFallbacks,"detail":"$detail","sf":"$sfDir"}"""
     if (line.length <= 1500) line
     else
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${entries(top.take(3))},"n_queries":$nQueries,"n_reruns":${reruns.size},"detail":"$detail","sf":"$sfDir"}"""
@@ -66,6 +67,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.CodegenWatch.install()
     // one untimed pass of the flagship absorbs JVM/codegen/parquet-footer
     // warmup so per-query timings reflect steady state
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -170,15 +172,19 @@ object Bench {
     val rr = reruns.map { case (k, t) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     val total = official.map(_._2).sum
+    // every query just ran ≥4 times; nonzero = some hot path silently
+    // left compiled code ([[graft.core.CodegenWatch]])
+    val cgf = graft.core.CodegenWatch.fallbacks()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"reruns":$rr,"host_factor":$hf,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"reruns":$rr,"host_factor":$hf,"codegen_fallbacks":$cgf,"sf":"$sfDir"}"""
     // FULL artifact to file + stderr; stdout gets ONLY the bounded compact
     // line (see [[compactLine]]).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     System.err.println(line)
-    println(compactLine(total, official.size, official, reruns, hf, out, sfDir))
+    println(compactLine(total, official.size, official, reruns, hf, out,
+      sfDir, cgf))
     spark.stop()
   }
 }

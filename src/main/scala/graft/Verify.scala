@@ -25,6 +25,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.CodegenWatch.install()
     new java.io.File(outDir).mkdirs()
     // dev-only subset (SPARK_GRAFT_ONLY=q43_asof_join,...); driver sets no env
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -52,6 +53,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the whole registry just executed — record that it stayed inside
+    // compiled code (see [[graft.core.CodegenWatch]]); a nonzero count
+    // here is a silent interpreted fallback on some query's hot path
+    System.err.println(
+      s"[verify] codegen_fallbacks=${graft.core.CodegenWatch.fallbacks()}")
     spark.stop()
   }
 }

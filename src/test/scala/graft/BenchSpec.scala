@@ -47,6 +47,29 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains("\"host_factor\":1.200"))
   }
 
+  test("compactLine carries codegen_fallbacks and stays bounded") {
+    val line = Bench.compactLine(12.5, 42, officials(42), Seq.empty,
+      1.0, "out.json", "sfX", codegenFallbacks = 17L)
+    assert(line.contains("\"codegen_fallbacks\":17"))
+    assert(line.length <= 1500)
+  }
+
+  test("CodegenWatch counts CodeGenerator errors and codegen-disabled warns") {
+    graft.core.CodegenWatch.install()
+    val before = graft.core.CodegenWatch.fallbacks()
+    // the two real signal paths, driven through the same loggers Spark uses
+    org.apache.logging.log4j.LogManager.getLogger(
+      "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
+      .error("synthetic janino failure")
+    org.apache.logging.log4j.LogManager.getLogger(
+      "org.apache.spark.sql.execution.WholeStageCodegenExec")
+      .warn("Whole-stage codegen disabled for plan (id=0)")
+    assert(graft.core.CodegenWatch.fallbacks() == before + 2)
+    // unrelated logger noise is not counted
+    org.apache.logging.log4j.LogManager.getLogger("some.Other").error("x")
+    assert(graft.core.CodegenWatch.fallbacks() == before + 2)
+  }
+
   test("hostFactor is the clamped median of canary/floor ratios") {
     val floors = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0)
     // uniformly 1.5x-slow host
