@@ -21,13 +21,21 @@ object Bench {
     def entries(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
+    // the free-text interpolations must be bounded too, or a long
+    // SPARK_GRAFT_BENCH_OUT / sf path re-opens the overflow this
+    // function exists to close (tail-truncate: the end of a path is the
+    // identifying part)
+    def cap(s: String, n: Int): String =
+      if (s.length <= n) s else "..." + s.substring(s.length - n)
+    val det = cap(detail, 120)
+    val sfd = cap(sfDir, 120)
     val top = official.sortBy(-_._2).take(10)
     val worst = reruns.sortBy(-_._2).take(3)
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${entries(top)},"n_queries":$nQueries,"n_reruns":${reruns.size},"worst_reruns":${entries(worst)},"host_factor":${f"$hostFactor%.3f"},"codegen_fallbacks":$codegenFallbacks,"detail":"$detail","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${entries(top)},"n_queries":$nQueries,"n_reruns":${reruns.size},"worst_reruns":${entries(worst)},"host_factor":${f"$hostFactor%.3f"},"codegen_fallbacks":$codegenFallbacks,"detail":"$det","sf":"$sfd"}"""
     if (line.length <= 1500) line
     else
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${entries(top.take(3))},"n_queries":$nQueries,"n_reruns":${reruns.size},"detail":"$detail","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${entries(top.take(3))},"n_queries":$nQueries,"n_reruns":${reruns.size},"detail":"$det","sf":"$sfd"}"""
   }
 
   /** Host speed factor from a canary measurement: median over canaries of

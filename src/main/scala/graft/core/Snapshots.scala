@@ -123,8 +123,12 @@ object Snapshots {
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
       buf.toString("UTF-8")
     } finally in.close()
-    """"([A-Za-z0-9_]+)":(\d+)""".r.findAllMatchIn(txt)
-      .filter(_.group(1) != "id")
+    // parse INSIDE the structural "tables":{...} object only — filtering
+    // the whole text by key name dropped a real table literally named
+    // "id" (legal per requireIdent). Values are ints, so the structural
+    // `"tables":{` cannot be shadowed by a table entry.
+    val body = txt.substring(txt.indexOf("\"tables\":{") + "\"tables\":{".length)
+    """"([A-Za-z0-9_]+)":(\d+)""".r.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toInt).toMap
   }
 
@@ -152,7 +156,16 @@ object Snapshots {
     * older ones, then drop every `v=` directory no retained snapshot
     * references (including orphaned staging dirs from crashed publishes).
     * O(snapshots + version dirs) metadata work, no data reads. Returns
-    * (snapshots removed, version dirs removed). */
+    * (snapshots removed, version dirs removed).
+    *
+    * IN-FLIGHT SAFETY: version dirs NEWER than the newest committed
+    * snapshot are never touched — they are a concurrent writer's staged
+    * (not yet committed) data, and reaping them would turn that writer's
+    * subsequent commit into a silent partial publish. Orphans from a
+    * crashed publish are reaped on the vacuum AFTER the next successful
+    * commit (their version is then ≤ current and unreferenced). With no
+    * committed snapshot at all, nothing is reaped — everything on disk
+    * is potentially a first publish in flight. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val f = fs(spark, root)
@@ -167,18 +180,21 @@ object Snapshots {
     val live: Set[(String, Int)] = keep.flatMap(i =>
       readSnapshot(spark, root, i).toSeq).toSet
     var reaped = 0
-    Option(f.listStatus(new Path(root))).toSeq.flatten
-      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
-      .foreach { t =>
-        Option(f.listStatus(t.getPath)).toSeq.flatten
-          .filter(v => v.isDirectory && v.getPath.getName.startsWith("v="))
-          .foreach { v =>
-            val ver = v.getPath.getName.stripPrefix("v=").toInt
-            if (!live.contains((t.getPath.getName, ver))) {
-              f.delete(v.getPath, true); reaped += 1
+    keep.lastOption.foreach { newestCommitted =>
+      Option(f.listStatus(new Path(root))).toSeq.flatten
+        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+        .foreach { t =>
+          Option(f.listStatus(t.getPath)).toSeq.flatten
+            .filter(v => v.isDirectory && v.getPath.getName.startsWith("v="))
+            .foreach { v =>
+              val ver = v.getPath.getName.stripPrefix("v=").toInt
+              if (ver <= newestCommitted &&
+                  !live.contains((t.getPath.getName, ver))) {
+                f.delete(v.getPath, true); reaped += 1
+              }
             }
-          }
-      }
+        }
+    }
     (drop.length, reaped)
   }
 

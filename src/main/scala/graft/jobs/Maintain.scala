@@ -83,9 +83,13 @@ object Maintain {
     * Scale: the decision reads K staleness rows (bounded driver class);
     * the rebuild, when triggered, is the same O(corpus) cost as the
     * original build — which is the point of gating it on a threshold
-    * instead of rebuilding nightly. The vectors are re-read from the
-    * index's OWN assignment files (localCheckpoint'd before the
-    * overwrite so the rebuild never reads the path it writes).
+    * instead of rebuilding nightly. The rebuild first FOLDS any live
+    * streaming deltas into the base (so retraining sees every vector
+    * the index owns), re-reads the index's own assignment files
+    * (localCheckpoint'd before the overwrite so the rebuild never reads
+    * the path it writes), and re-stamps the compaction watermark the
+    * overwrite wiped — replayed micro-batches stay hidden across a
+    * retrain.
     *
     * `numCentroids <= 0`: the retrain FOLLOWS CORPUS GROWTH — the same
     * appends that drifted the centroids also grew n, so the rebuild
@@ -104,12 +108,22 @@ object Maintain {
     val maxStale = if (st.isEmpty) 0.0 else st.map(_.getDouble(2)).max
     val rebuilt = maxStale > staleThreshold
     if (rebuilt) {
+      // streaming-fed indexes may hold un-compacted deltas: fold them
+      // FIRST so the retrain sees every live vector, and capture the
+      // advanced watermark — buildIvfIndex's overwrite wipes the
+      // `_compacted_to` marker, and without re-stamping it a replayed
+      // (already-folded) micro-batch would surface again and
+      // double-count in every read after the rebuild
+      graft.ops.Ann.ivfCompactDeltas(spark, indexPath)
+      val watermark = graft.ops.Ann.ivfWatermark(spark, indexPath)
       val all = spark.read.parquet(s"$indexPath/assignments")
         .select(org.apache.spark.sql.functions.col("vec_id"),
           org.apache.spark.sql.functions.col("vec"))
         .localCheckpoint() // materialize BEFORE overwriting the source path
       graft.ops.Ann.buildIvfIndex(all, "vec_id", "vec", dim, numCentroids,
         indexPath, kmeansIters)
+      if (watermark >= 0)
+        graft.ops.Ann.writeIvfWatermark(spark, indexPath, watermark)
     }
     Seq(IvfReport(indexPath, st.length.toLong, maxStale, rebuilt)).toDF()
   }

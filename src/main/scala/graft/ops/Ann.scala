@@ -175,7 +175,14 @@ object Ann {
     * exact ties) — the DuckDB oracles that replay assignment in SQL
     * stay hash-identical. Null centroid vectors are dropped (a null sim
     * never won the window either); an empty centroid set yields the
-    * empty frame the crossJoin produced. */
+    * empty frame the crossJoin produced. One DELIBERATE divergence: a
+    * null INPUT vector now gets a null `__cid` (the expression is
+    * null-intolerant), so such rows fall out of every cid-keyed
+    * layout/join — the old window spelling arbitrarily assigned them to
+    * the LOWEST cid (all-NaN sims tie-broken by cid), which put
+    * unsearchable vectors in a real cell. An un-embeddable row does not
+    * belong in the index; gate corpora carry no null vectors, so the
+    * oracles see no difference (AnnSpec pins the null behavior). */
   def assignClusters(df: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, dim: Int): DataFrame = {
     val spread = df.repartition(
@@ -192,8 +199,14 @@ object Ann {
       val cids = crows.map(r => lit(r.get(0)))
       val idx = graft.functions.VectorFunctions
         .nearestCentroidIdx(col("__vec"), mat)
+      // the explicit null guard matters: element_at's generated code
+      // reads the index's VALUE slot without honoring its null flag
+      // (observed: element_at(array(...), null_idx + 1) returned a real
+      // element), which would sort an un-embeddable null-vector row
+      // into a real cell instead of excluding it
       v.select(col("__vid"), col("__vec"), col("__nrm"),
-        element_at(array(cids: _*), idx + lit(1)).as("__cid"))
+        when(idx.isNull, lit(null))
+          .otherwise(element_at(array(cids: _*), idx + lit(1))).as("__cid"))
     }
   }
 
@@ -678,6 +691,20 @@ object Ann {
     }
   }
 
+  /** Re-stamp the compaction watermark into a (re)built assignments dir.
+    * [[buildIvfIndex]]'s overwrite wipes `_compacted_to`; a maintenance
+    * rebuild over a streaming-fed index must restore it, or a replayed
+    * micro-batch (≤ the old watermark, already folded into the rebuilt
+    * base) becomes visible again and double-counts. */
+  private[graft] def writeIvfWatermark(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, id: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/assignments/_compacted_to")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Read the LIVE index: base `cid=` assignments ∪ deltas above the
     * compaction watermark. Correct under every crash window of the
     * ingest/compact cycle — a replayed delta overwrote itself, a
@@ -685,6 +712,24 @@ object Ann {
     * swapped in WITH the folded base. Base reads keep partition pruning;
     * the un-pruned delta scan is the standard merge-on-read trade
     * (deltas are batch-sized until the next compaction). */
+  /** LIVE delta dirs: `batch=N` with N above the watermark AND a parquet
+    * `_SUCCESS` marker. The marker gate matters for crash windows: a
+    * delta whose writing job died mid-commit has some part files but no
+    * `_SUCCESS`; the stream WILL replay that batch (its checkpoint never
+    * advanced), so the partial dir must be invisible to reads and —
+    * critically — to compaction: folding a partial batch and advancing
+    * the watermark past it would hide the eventual complete replay
+    * forever, silently losing the batch's missing rows. */
+  private def liveDeltaDirs(fs: org.apache.hadoop.fs.FileSystem,
+      dp: org.apache.hadoop.fs.Path, watermark: Long)
+      : Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(dp)) Seq.empty
+    else Option(fs.listStatus(dp)).toSeq.flatten
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("batch=") &&
+        p.getName.stripPrefix("batch=").toLong > watermark &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+
   def readIvfAssignments(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val cols = Seq(col("vec_id"), col("vec"), col("nrm"),
@@ -692,18 +737,11 @@ object Ann {
     val base = spark.read.parquet(s"$path/assignments").select(cols: _*)
     val dp = new org.apache.hadoop.fs.Path(s"$path/deltas")
     val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // list the LIVE delta dirs explicitly: dead ones never get scanned,
-    // and an emptied deltas/ dir (post-GC) can't break schema inference
+    // list the LIVE delta dirs explicitly ([[liveDeltaDirs]]): dead and
+    // partially-written ones never get scanned, and an emptied deltas/
+    // dir (post-GC) can't break schema inference
     val live: Seq[String] =
-      if (!fs.exists(dp)) Seq.empty
-      else {
-        val w = ivfWatermark(spark, path)
-        Option(fs.listStatus(dp)).toSeq.flatten
-          .map(_.getPath)
-          .filter(p => p.getName.startsWith("batch=") &&
-            p.getName.stripPrefix("batch=").toLong > w)
-          .map(_.toString)
-      }
+      liveDeltaDirs(fs, dp, ivfWatermark(spark, path)).map(_.toString)
     if (live.isEmpty) base
     else base.unionByName(
       spark.read.option("basePath", dp.toString)
@@ -726,17 +764,19 @@ object Ann {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dp = new org.apache.hadoop.fs.Path(s"$path/deltas")
     val w = ivfWatermark(spark, path)
-    val live: Seq[Long] =
-      if (!fs.exists(dp)) Seq.empty
-      else Option(fs.listStatus(dp)).toSeq.flatten
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith("batch=") =>
-          n.stripPrefix("batch=").toLong }
-        .filter(_ > w).sorted
+    // _SUCCESS-gated ([[liveDeltaDirs]]): a partially-committed delta is
+    // NOT folded — its batch will be replayed complete, and folding the
+    // partial would advance the watermark past the replay
+    val live: Seq[Long] = liveDeltaDirs(fs, dp, w)
+      .map(_.getName.stripPrefix("batch=").toLong).sorted
     if (live.isEmpty) {
-      // GC any dead delta dirs a crashed predecessor left, then no-op
+      // GC dead delta dirs (≤ watermark, already folded) a crashed
+      // predecessor left. Above-watermark dirs without _SUCCESS are left
+      // alone: their batch is about to be replayed (the overwrite
+      // rewrites the dir), and deleting mid-replay could race the writer.
       if (fs.exists(dp)) Option(fs.listStatus(dp)).toSeq.flatten
-        .filter(_.getPath.getName.startsWith("batch="))
+        .filter(st => st.getPath.getName.startsWith("batch=") &&
+          st.getPath.getName.stripPrefix("batch=").toLong <= w)
         .foreach(st => fs.delete(st.getPath, true))
       return (spark.read.parquet(s"$path/assignments").count(), 0)
     }

@@ -483,6 +483,15 @@ class AvroBatchWrite(dir: String, schema: StructType,
   // as committed data. Names are uuid-unique, so name-level comparison
   // is exact and immune to scheme differences (file:/ vs bare paths)
   // between driver and executor Path rendering.
+  //
+  // SINGLE WRITER PER DIRECTORY: the reconciliation makes concurrent
+  // jobs appending to the SAME directory mutually destructive (job B's
+  // commit would delete job A's files — committed after B's snapshot,
+  // absent from B's messages). That is the standard contract for file
+  // sinks without a transaction log (Spark's own FileOutputCommitter
+  // corrupts under concurrent same-dir writers too); writers needing
+  // concurrency should target distinct subdirectories, or publish
+  // through [[graft.core.Snapshots]] which serializes by snapshot id.
   private var preExisting: Set[String] = Set.empty
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = SparkSession.active.sessionState.newHadoopConf()

@@ -47,6 +47,16 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains("\"host_factor\":1.200"))
   }
 
+  test("compactLine bounds even pathological detail/sf paths") {
+    // a 2000-char SPARK_GRAFT_BENCH_OUT path must not re-open the
+    // stdout-tail overflow; the identifying TAIL of the path survives
+    val longPath = "/very/deep/" + ("x" * 1990) + "/bench_out.json"
+    val line = Bench.compactLine(9.9, 276, officials(276),
+      (1 to 60).map(i => (f"q$i%03d_x", 1.0)), 1.5, longPath, longPath)
+    assert(line.length <= 1500, s"len=${line.length}")
+    assert(line.contains("bench_out.json"), "path tail must survive")
+  }
+
   test("compactLine carries codegen_fallbacks and stays bounded") {
     val line = Bench.compactLine(12.5, 42, officials(42), Seq.empty,
       1.0, "out.json", "sfX", codegenFallbacks = 17L)

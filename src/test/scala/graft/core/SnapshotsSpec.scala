@@ -77,14 +77,43 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.stage(spark, root, "t", Seq(i).toDF("v"), i)
       Snapshots.commit(spark, root, i)
     }
-    // an orphaned staging dir from a crashed publish (never committed)
+    // a staging dir ABOVE the newest committed snapshot: could be a
+    // crashed publish's orphan, could be a concurrent writer mid-publish
+    // — vacuum cannot tell, so it must be SPARED (reaping it would turn
+    // that writer's commit into a silent partial publish)
     Snapshots.stage(spark, root, "t", Seq(99).toDF("v"), 9)
     val (snaps, vers) = Snapshots.vacuum(spark, root, keepLast = 2)
     assert(snaps == 1, "s1 expired")
-    assert(vers == 2, s"v=1 (unreferenced) + v=9 (orphan) reaped, got $vers")
+    assert(vers == 1, s"only v=1 (unreferenced, below current) reaped, got $vers")
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$root/t/v=9")),
+      "in-flight staging must survive vacuum")
     // retained snapshots still read
     assert(Snapshots.open(spark, root, Some(2)).read(spark, "t").as[Int].head() == 2)
     assert(Snapshots.open(spark, root).read(spark, "t").as[Int].head() == 3)
     intercept[Exception] { Snapshots.open(spark, root, Some(1)).read(spark, "t") }
+    // the v=9 publish never commits (crashed); once a LATER snapshot
+    // commits, v=9 is below current + unreferenced → reaped as garbage
+    Snapshots.stage(spark, root, "t", Seq(10).toDF("v"), 10)
+    Snapshots.commit(spark, root, 10)
+    val (_, vers2) = Snapshots.vacuum(spark, root, keepLast = 2)
+    assert(vers2 == 2, s"v=2 (expired) + v=9 (dead orphan) reaped, got $vers2")
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$root/t/v=9")))
+  }
+
+  test("a table literally named 'id' round-trips through the manifest") {
+    val root = scratch("snap_id")
+    Snapshots.stage(spark, root, "id", Seq(7).toDF("v"), 1)
+    Snapshots.stage(spark, root, "tables", Seq(8).toDF("v"), 1)
+    Snapshots.commit(spark, root, 1)
+    val snap = Snapshots.open(spark, root)
+    assert(snap.tables == Map("id" -> 1, "tables" -> 1))
+    assert(snap.read(spark, "id").as[Int].head() == 7)
+    assert(snap.read(spark, "tables").as[Int].head() == 8)
+    // carry-forward keeps both under a later partial publish
+    Snapshots.stage(spark, root, "tables", Seq(9).toDF("v"), 2)
+    Snapshots.commit(spark, root, 2)
+    assert(Snapshots.open(spark, root).tables == Map("id" -> 1, "tables" -> 2))
   }
 }

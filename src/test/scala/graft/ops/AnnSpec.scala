@@ -182,6 +182,20 @@ class AnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("assignClusters: null input vector gets null cid, never a real cell") {
+    val withNull = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (9L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val out = Ann.assignClusters(withNull,
+        withNull.where(col("vec_id") < 2), "vec_id", "embedding", 4)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(0L).contains(0L) && out(1L).contains(1L))
+    assert(out(9L).isEmpty,
+      "an un-embeddable row must not land in a real cell")
+  }
+
   test("autoGranularity: cell population pinned, clamped, deterministic") {
     assert(Ann.autoGranularity(0L) == 1)
     assert(Ann.autoGranularity(1L) == 1)
@@ -613,5 +627,35 @@ class AnnSpec extends SparkSpec {
     val (n2, f2) = Ann.ivfCompactDeltas(spark, idx)
     assert(f2 == 0 && n2 == e.count())
     assert(!d1.exists(), "re-compaction must GC the dead delta")
+  }
+
+  test("a partially-committed delta (no _SUCCESS) is invisible and never folded") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = scratch("ivf-partial")
+    Ann.buildIvfIndex(e.where(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", 64, 16, idx)
+    val baseCount = Ann.readIvfAssignments(spark, idx).count()
+    val batch = e.where(col("vec_id") % 3 === 0)
+    Ann.ivfDeltaAppend(spark, idx, batch, "vec_id", "embedding", 64, 0L)
+    // simulate the crash window: the writing job died mid-commit —
+    // part files exist, _SUCCESS does not
+    val marker = new java.io.File(s"$idx/deltas/batch=0/_SUCCESS")
+    assert(marker.exists()); marker.delete()
+    assert(Ann.readIvfAssignments(spark, idx).count() == baseCount,
+      "a partial delta must be invisible to reads")
+    // compaction must NOT fold it nor advance the watermark past it —
+    // that would permanently hide the batch's complete replay
+    val (_, folded) = Ann.ivfCompactDeltas(spark, idx)
+    assert(folded == 0, "partial delta must not be folded")
+    assert(Ann.ivfWatermark(spark, idx) == -1L,
+      "watermark must not advance past an un-replayed batch")
+    assert(new java.io.File(s"$idx/deltas/batch=0").exists(),
+      "the about-to-be-replayed dir must not be GC'd")
+    // the stream replays the batch (overwrite) → now complete → folds
+    Ann.ivfDeltaAppend(spark, idx, batch, "vec_id", "embedding", 64, 0L)
+    val (n, folded2) = Ann.ivfCompactDeltas(spark, idx)
+    assert(folded2 == 1 && n == e.count())
+    assert(Ann.readIvfAssignments(spark, idx).count() == e.count())
   }
 }
