@@ -789,13 +789,7 @@ object Ann {
     try mk.write(live.max.toString.getBytes("UTF-8")) finally mk.close()
     val target = new org.apache.hadoop.fs.Path(s"$path/assignments")
     val old = new org.apache.hadoop.fs.Path(s"$path/.assignments_old_$stamp")
-    if (!fs.rename(target, old))
-      throw new java.io.IOException(s"rename $target -> $old failed")
-    if (!fs.rename(tmp, target)) {
-      fs.rename(old, target)
-      throw new java.io.IOException(s"rename $tmp -> $target failed")
-    }
-    fs.delete(old, true)
+    graft.core.FsOps.atomicSwap(fs, tmp, target, old)
     // GC below-watermark deltas — correctness no longer depends on this
     Option(fs.listStatus(dp)).toSeq.flatten
       .filter(st => st.getPath.getName.startsWith("batch=") &&

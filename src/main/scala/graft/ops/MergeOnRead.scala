@@ -134,14 +134,7 @@ object MergeOnRead {
     val tmp = new Path(s"$dir/$table/.base_staging_$stamp")
     snap.write.mode("overwrite").parquet(tmp.toString)
     val old = new Path(s"$dir/$table/.base_old_$stamp")
-    val hadPrior = fs.exists(target)
-    if (hadPrior && !fs.rename(target, old))
-      throw new java.io.IOException(s"rename $target -> $old failed")
-    if (!fs.rename(tmp, target)) {
-      if (hadPrior) fs.rename(old, target)
-      throw new java.io.IOException(s"rename $tmp -> $target failed")
-    }
-    if (hadPrior) fs.delete(old, true)
+    graft.core.FsOps.atomicSwap(fs, tmp, target, old)
     // deltas are folded in; clear them AFTER the base swap succeeded
     val dp = new Path(deltaPath(dir, table))
     if (fs.exists(dp)) fs.delete(dp, true)
