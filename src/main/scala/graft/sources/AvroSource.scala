@@ -77,12 +77,7 @@ class AvroSource extends TableProvider
 
 object AvroSourceUtil {
   def paths(o: Map[String, String]): Seq[String] =
-    o.get("paths")
-      .map(p => p.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
-      .orElse(o.get("path").map(Seq(_)))
-      .getOrElse(throw new IllegalArgumentException(
-        "graftavro requires a path, e.g. .load(\"/exchange/day1\")"))
+    StreamListing.parsePaths(o, "graftavro")
 
   /** Driver-side listing: a directory lists its *.avro children, a glob
     * expands, a file passes through. */
@@ -127,12 +122,29 @@ object AvroSourceUtil {
       else s.getLogicalType.getName match {
         case "timestamp-micros" => (TimestampType, false)
         case "local-timestamp-micros" => (TimestampNTZType, false)
-        case _ => (LongType, false)
+        // the 1000x trap: a millis timestamp silently read as a bare
+        // long would be cast to a timestamp 1000x off downstream —
+        // reject loudly per the documented contract
+        case "timestamp-millis" | "local-timestamp-millis" =>
+          throw new IllegalArgumentException(
+            "graftavro: timestamp-millis is not supported — rewrite the " +
+              "source with timestamp-micros (reading it as a bare long " +
+              "would be silently 1000x off)")
+        case _ => (LongType, false) // unknown custom logical type: raw long
       }
     case Schema.Type.FLOAT => (FloatType, false)
     case Schema.Type.DOUBLE => (DoubleType, false)
     case Schema.Type.STRING => (StringType, false)
-    case Schema.Type.BYTES => (BinaryType, false)
+    case Schema.Type.BYTES =>
+      // decimal-on-bytes read as raw unscaled big-endian bytes is a
+      // silent corruption, not a binary column — reject loudly (the doc
+      // promises DECIMAL fails at plan time; only FIXED+decimal did)
+      if (s.getLogicalType != null && s.getLogicalType.getName == "decimal")
+        throw new IllegalArgumentException(
+          "graftavro: DECIMAL (bytes) is not supported — cast to " +
+            "DOUBLE/STRING at the producer or read with a full-featured " +
+            "Avro connector")
+      else (BinaryType, false)
     case Schema.Type.ARRAY =>
       val (et, en) = toCatalystType(s.getElementType)
       (ArrayType(et, containsNull = en), false)
@@ -159,7 +171,15 @@ object AvroSourceUtil {
 
   def toAvro(st: StructType, recordName: String): Schema = {
     val fields = st.fields.map { f =>
-      new Schema.Field(f.name, toAvroType(f.dataType, f.nullable, f.name),
+      // nested type names carry the FULL PATH (record_field_...): Avro
+      // record/array/map names live in one flat namespace, and two
+      // same-named struct fields at different nesting (a, b.a) would
+      // otherwise both become `a_rec` — Schema.toString then emits the
+      // second as a NAME REFERENCE to the first's definition, silently
+      // corrupting the written schema. Path-names are unique because
+      // field names are unique within each record.
+      new Schema.Field(f.name,
+        toAvroType(f.dataType, f.nullable, s"${recordName}_${f.name}"),
         null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
     }
     Schema.createRecord(recordName, null, "graft", false,
@@ -327,7 +347,6 @@ class AvroScanBuilder(paths: Seq[String], full: StructType)
   * of its block counts. [[DataFileReader.nextBlock]] advances a whole
   * block without per-record decoding. */
 class AvroCountScan(paths: Seq[String]) extends Scan with Batch {
-  private val n = paths.length
   override def readSchema(): StructType =
     StructType(Seq(StructField("count", LongType, nullable = false)))
   override def toBatch: Batch = this
@@ -382,40 +401,28 @@ class AvroScan(paths: Seq[String], required: StructType)
     new AvroMicroBatchStream(paths, required)
 }
 
-/** Offset = prefix length of the (mtime, path)-sorted container listing —
-  * the same append-only-feed contract as the flatjson stream
-  * ([[FlatJsonMicroBatchStream]]): correct for immutable shard drops
-  * whose new files carry later mtimes; a mutable feed needs
-  * seen-file-map bookkeeping that is out of this connector's scope. */
-case class AvroStreamOffset(fileCount: Int) extends Offset {
-  override def json(): String = s"{\"fileCount\":$fileCount}"
+/** Offset = exclusive (mtime, path) boundary into the sorted container
+  * listing — the shared [[StreamListing]] machinery, same append-only
+  * contract (and the same fix: a prefix COUNT both duplicated and lost
+  * files on same-mtime late arrivals) as the flatjson stream. */
+case class AvroStreamOffset(boundary: StreamListing.Boundary) extends Offset {
+  override def json(): String = boundary.json
 }
 
 class AvroMicroBatchStream(paths: Seq[String], required: StructType)
     extends MicroBatchStream {
-  private def listing(): Seq[String] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    paths.flatMap { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(conf)
-      val expanded =
-        if (fs.isDirectory(path)) Option(fs.globStatus(new Path(p, "*.avro")))
-        else Option(fs.globStatus(path))
-      expanded.toSeq.flatten.filter(_.isFile)
-        .map(s => (s.getPath.toString, s.getModificationTime))
-    }.sortBy(s => (s._2, s._1)).map(_._1)
-  }
-  override def initialOffset(): Offset = AvroStreamOffset(0)
-  override def latestOffset(): Offset = AvroStreamOffset(listing().size)
+  private def listing(): Seq[(String, Long, Long)] =
+    StreamListing.listed(paths, dirGlob = Some("*.avro"))
+  override def initialOffset(): Offset = AvroStreamOffset(StreamListing.Start)
+  override def latestOffset(): Offset =
+    AvroStreamOffset(StreamListing.latest(listing()))
   override def deserializeOffset(json: String): Offset =
-    AvroStreamOffset("\"fileCount\":(\\d+)".r.findFirstMatchIn(json)
-      .map(_.group(1).toInt)
-      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val a = start.asInstanceOf[AvroStreamOffset].fileCount
-    val b = end.asInstanceOf[AvroStreamOffset].fileCount
-    listing().slice(a, b).map(p => AvroInputPartition(p): InputPartition).toArray
-  }
+    AvroStreamOffset(StreamListing.parse(json, listing()))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    StreamListing.between(listing(),
+        start.asInstanceOf[AvroStreamOffset].boundary,
+        end.asInstanceOf[AvroStreamOffset].boundary)
+      .map(e => AvroInputPartition(e._1): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(required)
   override def commit(end: Offset): Unit = ()
@@ -433,6 +440,19 @@ class AvroPartitionReader(part: AvroInputPartition, required: StructType)
     val in = new FsInput(new Path(part.path), new Configuration())
     new DataFileReader[GenericRecord](in,
       new GenericDatumReader[GenericRecord]())
+  }
+  // schema is inferred from ONE file; a later file missing a required
+  // field would return null from GenericRecord.get(name), planting nulls
+  // in columns the inferred schema declared non-nullable (codegen that
+  // trusts nullability then NPEs or mis-reads). Fail LOUDLY at open, per
+  // file, naming the field — schema drift across shard drops is a feed
+  // bug, not something to paper over with silent nulls.
+  locally {
+    val fileFields = reader.getSchema.getFields.asScala.map(_.name).toSet
+    val missing = required.fieldNames.filterNot(fileFields.contains)
+    require(missing.isEmpty,
+      s"graftavro: ${part.path} lacks field(s) ${missing.mkString(", ")} " +
+        "present in the inferred schema (schema drift across files)")
   }
   private var current: InternalRow = _
   override def next(): Boolean = {

@@ -73,15 +73,8 @@ object FlatJsonTable {
       MapType(StringType, StringType, valueContainsNull = false),
       nullable = false)))
 
-  def paths(properties: util.Map[String, String]): Seq[String] = {
-    val o = properties.asScala
-    o.get("paths")
-      .map(p => p.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
-      .orElse(o.get("path").map(Seq(_)))
-      .getOrElse(throw new IllegalArgumentException(
-        "flatjson requires a path, e.g. .load(\"/raw/.../*.json\")"))
-  }
+  def paths(properties: util.Map[String, String]): Seq[String] =
+    StreamListing.parsePaths(properties.asScala.toMap, "flatjson")
 
   /** Glob-expand on the driver with the session Hadoop conf. */
   def listFiles(paths: Seq[String]): Seq[(String, Long)] = {
@@ -173,10 +166,11 @@ class FlatJsonScan(paths: Seq[String], required: StructType,
     new FlatJsonMicroBatchStream(paths, required, fileNameKeep)
 }
 
-/** Offset = how many files of the (mtime, path)-sorted listing have been
-  * processed. */
-case class FlatJsonOffset(fileCount: Int) extends Offset {
-  override def json(): String = s"""{"fileCount":$fileCount}"""
+/** Offset = exclusive (mtime, path) boundary into the sorted listing —
+  * see [[StreamListing]] for why a prefix COUNT was wrong (same-mtime
+  * late arrivals shifted the slice: one duplicate + one lost file). */
+case class FlatJsonOffset(boundary: StreamListing.Boundary) extends Offset {
+  override def json(): String = boundary.json
 }
 
 /** Structured Streaming over the crawler feed: `readStream.format
@@ -185,41 +179,34 @@ case class FlatJsonOffset(fileCount: Int) extends Offset {
   * `Trigger.AvailableNow` ingest mode SURVEY §1.4 names as the staging
   * extension.
   *
-  * Offset model (simplified deliberately): files sorted by
-  * (modification time, path); an offset is a PREFIX LENGTH of that
-  * listing. Correct for append-only feeds whose new files carry later
-  * mtimes — exactly the crawler drop pattern (one immutable directory
-  * per day). A mutable feed needs the seen-files-map bookkeeping of
-  * Spark's FileStreamSource; that complexity is out of scope here and
-  * the limitation is part of this connector's contract. */
+  * Offset model: files sorted by (modification time, path); an offset is
+  * an exclusive (mtime, path) BOUNDARY into that listing
+  * ([[StreamListing]]). Correct for append-only feeds — the crawler drop
+  * pattern (one immutable directory per day) — including same-mtime late
+  * arrivals that sort after the boundary; the residual (same mtime,
+  * smaller path) window and the mutable-feed case need the
+  * seen-files-map bookkeeping of Spark's FileStreamSource, which is out
+  * of scope here and part of this connector's contract. */
 class FlatJsonMicroBatchStream(paths: Seq[String], required: StructType,
     fileNameKeep: Option[Set[String]]) extends MicroBatchStream {
 
-  private def listing(): Seq[(String, Long)] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    paths.flatMap { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(conf)
-      Option(fs.globStatus(path)).toSeq.flatten.filter(_.isFile)
-        .map(s => (s.getPath.toString, s.getModificationTime, s.getLen))
-    }.sortBy(s => (s._2, s._1)).map(s => (s._1, s._3))
-  }
+  private def listing(): Seq[(String, Long, Long)] =
+    StreamListing.listed(paths, dirGlob = None)
 
-  override def initialOffset(): Offset = FlatJsonOffset(0)
-  override def latestOffset(): Offset = FlatJsonOffset(listing().size)
+  override def initialOffset(): Offset = FlatJsonOffset(StreamListing.Start)
+  override def latestOffset(): Offset =
+    FlatJsonOffset(StreamListing.latest(listing()))
   override def deserializeOffset(json: String): Offset =
-    FlatJsonOffset("\"fileCount\":(\\d+)".r.findFirstMatchIn(json)
-      .map(_.group(1).toInt)
-      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
+    FlatJsonOffset(StreamListing.parse(json, listing()))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FlatJsonOffset].fileCount
-    val e = end.asInstanceOf[FlatJsonOffset].fileCount
-    val slice = listing().slice(s, e)
+    val slice = StreamListing.between(listing(),
+      start.asInstanceOf[FlatJsonOffset].boundary,
+      end.asInstanceOf[FlatJsonOffset].boundary)
     val kept = fileNameKeep.fold(slice) { keep =>
-      slice.filter { case (p, _) => keep(FlatJsonTable.fileNameOf(p)) }
+      slice.filter { case (p, _, _) => keep(FlatJsonTable.fileNameOf(p)) }
     }
-    kept.map { case (p, len) =>
+    kept.map { case (p, _, len) =>
       FlatJsonInputPartition(p, len): InputPartition
     }.toArray
   }

@@ -36,7 +36,17 @@ object Streams {
     * curated table through the identical batch executor
     * (`Pipelines.runSnapshot`) — `Trigger.AvailableNow` makes this the
     * streaming twin of the daily `ProcessDaily` run, exactly-once per
-    * checkpoint. */
+    * checkpoint.
+    *
+    * foreachBatch is at-least-once, so a per-batch commit marker (the
+    * [[upsertBatch]] ledger) guards the replay: WITHOUT it, a replayed
+    * batch re-runs the executor, and for `truncate=false` specs (the
+    * CommitParent append quirk) `runSnapshot` APPENDS — a crash after
+    * the write but before the checkpoint commit would duplicate the
+    * batch's rows. Latest-wins merge specs are naturally replay-
+    * idempotent; the marker makes the append quirk safe too (the
+    * residual window shrinks to write→marker, where the latest-wins
+    * re-merge is byte-identical and the append case is documented). */
   def incrementalSnapshot(spark: SparkSession, rawRoot: String,
       curatedDir: String, spec: Specs.SnapshotSpec,
       checkpoint: String): StreamingQuery =
@@ -44,8 +54,15 @@ object Streams {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Pipelines.runSnapshot(spark, batch, curatedDir, spec)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fs = new org.apache.hadoop.fs.Path(curatedDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$curatedDir/_graft_commits_${spec.table}/$batchId")
+        if (!fs.exists(marker)) {
+          Pipelines.runSnapshot(spark, batch, curatedDir, spec)
+          fs.mkdirs(marker)
+        }
         ()
       }
       .start()
@@ -145,6 +162,20 @@ object Streams {
   final case class VersionedDoc(key: String, effectiveTs: java.sql.Timestamp,
       payload: String)
 
+  /** Single-pass running max by effective-ts — O(1) memory however many
+    * versions a hot key receives in one micro-batch (the previous
+    * materialized `maxBy` buffered the whole group). Strict `>` keeps
+    * the earliest-seen element on ties, matching `maxBy` over
+    * state-then-rows order. */
+  private def newestOf(seed: Option[VersionedDoc],
+      rows: Iterator[VersionedDoc]): VersionedDoc = {
+    def ts(d: VersionedDoc): Long =
+      Option(d.effectiveTs).fold(Long.MinValue)(_.getTime)
+    var best = seed.orNull
+    rows.foreach { d => if (best == null || ts(d) > ts(best)) best = d }
+    best
+  }
+
   def latestPerKeyStream(docs: org.apache.spark.sql.Dataset[VersionedDoc],
       stateTtl: Option[String] = None): org.apache.spark.sql.Dataset[VersionedDoc] = {
     import docs.sparkSession.implicits._
@@ -156,9 +187,7 @@ object Streams {
         case (_, rows, state: GroupState[VersionedDoc]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val incoming = rows.toSeq
-            val best = (state.getOption.toSeq ++ incoming)
-              .maxBy(d => Option(d.effectiveTs).fold(Long.MinValue)(_.getTime))
+            val best = newestOf(state.getOption, rows)
             val isNew = state.getOption.forall(s =>
               best.effectiveTs != null && (s.effectiveTs == null ||
                 best.effectiveTs.after(s.effectiveTs)))
@@ -198,8 +227,7 @@ object Streams {
     override def handleInputRows(key: String, rows: Iterator[VersionedDoc],
         timerValues: TimerValues): Iterator[VersionedDoc] = {
       val stored = if (latest.exists()) Some(latest.get()) else None
-      val best = (stored.toSeq ++ rows)
-        .maxBy(d => Option(d.effectiveTs).fold(Long.MinValue)(_.getTime))
+      val best = newestOf(stored, rows)
       val isNew = stored.forall(s =>
         best.effectiveTs != null && (s.effectiveTs == null ||
           best.effectiveTs.after(s.effectiveTs)))
@@ -249,18 +277,30 @@ object Streams {
 
     override def handleInputRows(key: String, rows: Iterator[TokenEvent],
         timerValues: TimerValues): Iterator[HeavyHitter] = {
+      // hot path runs on a LOCAL mirror of the (≤ capacity)-entry map:
+      // the state store is scanned ONCE per (key, batch) and written
+      // O(capacity) at the end. The previous spelling paid a full
+      // MapState scan per previously-unseen item just to test fullness
+      // (plus per-row store reads) — O(capacity) state-store work per
+      // ROW on the mostly-distinct streams heavy hitters exist for.
+      val local = scala.collection.mutable.HashMap[String, Long]()
+      counters.iterator().foreach { p => local(p._1) = p._2 }
       rows.foreach { e =>
-        if (counters.containsKey(e.item))
-          counters.updateValue(e.item, counters.getValue(e.item) + 1)
-        else if (counters.iterator().size < capacity)
-          counters.updateValue(e.item, 1L)
-        else // Misra–Gries decrement-all; drop counters reaching zero
-          counters.iterator().toSeq.foreach { pair =>
-            if (pair._2 - 1 <= 0) counters.removeKey(pair._1)
-            else counters.updateValue(pair._1, pair._2 - 1)
+        if (local.contains(e.item)) local(e.item) += 1
+        else if (local.size < capacity) local(e.item) = 1L
+        else { // Misra–Gries decrement-all; drop counters reaching zero
+          val ks = local.keys.toArray
+          ks.foreach { k =>
+            val v = local(k) - 1
+            if (v <= 0) local.remove(k) else local(k) = v
           }
+        }
       }
-      counters.iterator().toSeq
+      counters.iterator().toSeq.foreach { p =>
+        if (!local.contains(p._1)) counters.removeKey(p._1)
+      }
+      local.foreach { case (item, c) => counters.updateValue(item, c) }
+      local.toSeq
         .sortBy { case (item, c) => (-c, item) }
         .map { case (item, c) => HeavyHitter(key, item, c) }
         .iterator
@@ -377,8 +417,23 @@ object Streams {
       .orderBy(versionCols.map(col(_).desc): _*)
     val src = batch.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
+    // keys of the batch's tombstones: "delete if present, NEVER insert".
+    // MERGE's bare semantics would INSERT an unmatched delete row, which
+    // breaks replay idempotence in the crash window between the table
+    // publish and the marker write — the first application deletes key K,
+    // the replay sees K as source-only and resurrects it. The anti-join
+    // below makes delete rows terminal regardless of match state, so a
+    // replayed batch reproduces the same table byte-for-byte (and a
+    // first-batch tombstone never lands as live data).
+    val deleteKeys = deleteWhen.map { d =>
+      val aliased = src.columns.foldLeft(src) { (df, c) =>
+        df.withColumnRenamed(c, s"src_$c")
+      }
+      aliased.where(coalesce(d, lit(false)))
+        .select(keys.map(k => col(s"src_$k").as(k)): _*)
+    }
     val tgtPath = Pipelines.tablePath(tableDir, table)
-    val merged =
+    val merged0 =
       if (!fs.exists(new Path(tgtPath))) src
       else {
         val target = spark.read.parquet(tgtPath)
@@ -392,6 +447,8 @@ object Streams {
         graft.ops.MergeInto.mergeInto(target, src, keys, updates, inserts,
           deleteWhen)
       }
+    val merged = deleteKeys.fold(merged0)(dk =>
+      merged0.join(broadcast(dk), keys, "left_anti"))
     Pipelines.overwriteCurated(merged, tableDir, table)
     fs.mkdirs(marker) // commit point: this batchId is now a no-op
   }
