@@ -48,13 +48,12 @@ object Layout {
       s".${p.getName}.compact.tmp")
     spark.read.parquet(path).repartition(target)
       .write.mode("overwrite").parquet(tmp.toString)
-    // swap: rename old aside, tmp into place, drop old (same discipline
-    // as Pipelines.overwriteCurated — no delete-before-rename window)
+    // the ONE audited swap ([[graft.core.FsOps.atomicSwap]]): the earlier
+    // hand-rolled copy here had no rollback — a failed second rename left
+    // the table path ABSENT with the data stranded under .old
     val old = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.old")
     fs.delete(old, true)
-    require(fs.rename(p, old), s"compact: could not move $p aside")
-    require(fs.rename(tmp, p), s"compact: could not move $tmp into place")
-    fs.delete(old, true)
+    FsOps.atomicSwap(fs, tmp, p, old)
     val after = fs.listStatus(p).count(s => s.isFile &&
       s.getPath.getName.endsWith(".parquet"))
     (files.length, after)

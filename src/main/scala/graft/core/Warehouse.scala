@@ -77,11 +77,25 @@ object Warehouse {
     val entries = readManifest(spark, root)
     entries.foreach(register(spark, root, _))
     val views = readViews(spark, root)
-    views.foreach { case (db, name, sql) =>
-      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
-      spark.sql(s"CREATE OR REPLACE VIEW `$db`.`$name` AS $sql")
+    // per-view isolation: a view broken by a later dropTable (its base
+    // relation gone) must not abort the replay of every view AFTER it —
+    // that left the whole warehouse unusable until the manifest was
+    // hand-edited. Broken views are skipped and reported on stderr; the
+    // rest of the catalog registers normally.
+    val registered = views.flatMap { case (db, name, sql) =>
+      try {
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+        spark.sql(s"CREATE OR REPLACE VIEW `$db`.`$name` AS $sql")
+        Some(s"$db.$name")
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          System.err.println(
+            s"[warehouse] skipping broken view $db.$name " +
+              s"(likely a dropped base relation): ${e.getMessage.linesIterator.next()}")
+          None
+      }
     }
-    entries.map(_.qualified) ++ views.map { case (db, n, _) => s"$db.$n" }
+    entries.map(_.qualified) ++ registered
   }
 
   /** CREATE VIEW that SURVIVES the session: the view SQL is validated by
@@ -216,13 +230,8 @@ object Warehouse {
         .filterNot(x => x.db == e.db && x.table == e.table) :+ e)
 
   private def readManifest(spark: SparkSession, root: String): Seq[Entry] = {
-    val p = new Path(s"$root/$ManifestName")
     val f = fs(spark, root)
-    if (!f.exists(p)) return Seq.empty
-    val in = f.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    val text = readSmallFile(f, root, ManifestName).getOrElse(return Seq.empty)
     text.linesIterator.filter(_.nonEmpty).map { line =>
       line.split("\t", -1) match {
         case Array(db, t, fmt, parts) =>
@@ -234,34 +243,60 @@ object Warehouse {
     }.toSeq
   }
 
+  /** Publish a small manifest file with no catalog-less crash window:
+    * stage tmp → rename live aside → rename tmp in → drop the aside copy.
+    * The delete-then-rename this replaces had a window where the live
+    * file was GONE — and a missing manifest reads as an EMPTY warehouse,
+    * so a crash there silently unregistered every table on the next
+    * `open()`. Readers fall back to the `.old` aside copy when the live
+    * file is missing (the between-renames crash). */
+  private def publishFile(f: org.apache.hadoop.fs.FileSystem, root: String,
+      name: String, body: String): Unit = {
+    val tmp = new Path(s"$root/.$name.tmp")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(s"$root/$name")
+    val old = new Path(s"$root/.$name.old")
+    f.delete(old, false)
+    if (f.exists(dst) && !f.rename(dst, old))
+      sys.error(s"manifest publish: rename $dst -> $old failed")
+    if (!f.rename(tmp, dst)) {
+      f.rename(old, dst) // restore
+      sys.error(s"manifest publish: rename $tmp -> $dst failed")
+    }
+    f.delete(old, false)
+  }
+
+  /** Read a manifest file, falling back to its `.old` aside copy when
+    * the live file is missing (a [[publishFile]] between-renames crash). */
+  private def readSmallFile(f: org.apache.hadoop.fs.FileSystem, root: String,
+      name: String): Option[String] = {
+    val live = new Path(s"$root/$name")
+    val p =
+      if (f.exists(live)) Some(live)
+      else Some(new Path(s"$root/.$name.old")).filter(f.exists)
+    p.map { path =>
+      val in = f.open(path)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+  }
+
   private def writeManifest(spark: SparkSession, root: String,
       entries: Seq[Entry]): Unit = {
-    val f = fs(spark, root)
-    val tmp = new Path(s"$root/.$ManifestName.tmp")
-    val out = f.create(tmp, true)
-    try {
-      val body = entries.sortBy(e => (e.db, e.table)).map { e =>
-        s"${e.db}\t${e.table}\t${e.format}\t${e.partitionCols.mkString(",")}"
-      }.mkString("", "\n", "\n")
-      out.write(body.getBytes("UTF-8"))
-    } finally out.close()
-    val dst = new Path(s"$root/$ManifestName")
-    f.delete(dst, false)
-    if (!f.rename(tmp, dst))
-      sys.error(s"catalog manifest rename failed: $tmp -> $dst")
+    val body = entries.sortBy(e => (e.db, e.table)).map { e =>
+      s"${e.db}\t${e.table}\t${e.format}\t${e.partitionCols.mkString(",")}"
+    }.mkString("", "\n", "\n")
+    publishFile(fs(spark, root), root, ManifestName, body)
   }
 
   private val ViewManifestName = "_graft_views.tsv"
 
   private def readViews(spark: SparkSession,
       root: String): Seq[(String, String, String)] = {
-    val p = new Path(s"$root/$ViewManifestName")
     val f = fs(spark, root)
-    if (!f.exists(p)) return Seq.empty
-    val in = f.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    val text = readSmallFile(f, root, ViewManifestName)
+      .getOrElse(return Seq.empty)
     text.linesIterator.filter(_.nonEmpty).map { line =>
       line.split("\t", -1) match {
         case Array(db, n, b64) =>
@@ -276,20 +311,11 @@ object Warehouse {
     * views defined over earlier views. */
   private def writeViews(spark: SparkSession, root: String,
       views: Seq[(String, String, String)]): Unit = {
-    val f = fs(spark, root)
-    val tmp = new Path(s"$root/.$ViewManifestName.tmp")
-    val out = f.create(tmp, true)
-    try {
-      val body = views.map { case (db, n, sql) =>
-        s"$db\t$n\t${java.util.Base64.getEncoder
-          .encodeToString(sql.getBytes("UTF-8"))}"
-      }.mkString("", "\n", "\n")
-      out.write(body.getBytes("UTF-8"))
-    } finally out.close()
-    val dst = new Path(s"$root/$ViewManifestName")
-    f.delete(dst, false)
-    if (!f.rename(tmp, dst))
-      sys.error(s"view manifest rename failed: $tmp -> $dst")
+    val body = views.map { case (db, n, sql) =>
+      s"$db\t$n\t${java.util.Base64.getEncoder
+        .encodeToString(sql.getBytes("UTF-8"))}"
+    }.mkString("", "\n", "\n")
+    publishFile(fs(spark, root), root, ViewManifestName, body)
   }
 
   /** Identifiers flow into SQL and filesystem paths — restrict to the

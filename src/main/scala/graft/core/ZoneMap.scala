@@ -127,7 +127,9 @@ object ZoneMap {
     val files = prunedFiles(spark, tablePath, zonePath, c, lo, hi)
     val base =
       if (files.isEmpty) spark.read.parquet(tablePath).where(lit(false))
-      else spark.read.parquet(files: _*)
+      // basePath keeps hive-partition columns resolvable when the
+      // surviving files live inside key= subdirectories
+      else spark.read.option("basePath", tablePath).parquet(files: _*)
     base.where(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 
@@ -140,10 +142,20 @@ object ZoneMap {
   def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(p).toSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
-        !f.getPath.getName.startsWith("_") &&
-        !f.getPath.getName.startsWith("."))
+    // RECURSIVE: a partitioned table keeps its parquet files inside
+    // key= subdirectories; a top-level-only listing returned an empty
+    // live set there, so prunedFiles dropped every mapped file and
+    // readPruned silently returned ZERO rows instead of the documented
+    // "result-identical on ANY layout". Hidden/_ dirs are not descended.
+    def walk(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      Option(fs.listStatus(d)).toSeq.flatten.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st)
+      }
+    walk(p)
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
       .map(f => normalize(f.getPath.toUri.toString))
   }
 }

@@ -119,14 +119,7 @@ object Pipelines {
     df.write.mode("overwrite").parquet(tmp.toString)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(s"$curatedDir/.${table}_old_$stamp")
-    val hadPrior = fs.exists(target)
-    if (hadPrior && !fs.rename(target, old))
-      throw new java.io.IOException(s"rename $target -> $old failed")
-    if (!fs.rename(tmp, target)) {
-      if (hadPrior) fs.rename(old, target) // restore the prior table
-      throw new java.io.IOException(s"rename $tmp -> $target failed")
-    }
-    if (hadPrior) fs.delete(old, true)
+    graft.core.FsOps.atomicSwap(fs, tmp, target, old)
   }
 
   // -- §2.10(a) snapshot merge ----------------------------------------------

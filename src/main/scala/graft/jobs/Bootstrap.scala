@@ -9,12 +9,20 @@ import org.apache.spark.sql.functions.col
   * curated table from the FULL staging history in one pass, instead of
   * replaying days.
   *
-  * Semantics are identical to folding ProcessDaily over all days in order:
-  * the merge is latest-effective-timestamp-wins per key, which is
-  * associative and order-insensitive over the same row multiset (proven by
-  * PropertiesSpec permutation invariance) — so one global dedup over all
-  * history ≡ day-by-day incremental merges, at a fraction of the IO
-  * (each table is written once, not once per day).
+  * Semantics are identical to folding ProcessDaily over all days in order
+  * for every LATEST-WINS table: the merge is latest-effective-timestamp-
+  * wins per key, which is associative and order-insensitive over the same
+  * row multiset (proven by PropertiesSpec permutation invariance) — so
+  * one global dedup over all history ≡ day-by-day incremental merges, at
+  * a fraction of the IO (each table is written once, not once per day).
+  *
+  * ONE deliberate divergence: `truncate=false` specs (the CommitParent
+  * append quirk, `ProcessDaily.usql:409`) ACCUMULATE appended duplicates
+  * under day-by-day replay — that accumulation is a property of the
+  * replay history, not of the data, so the one-pass bootstrap produces
+  * the DEDUPED table (what a fresh CreateAndInitialize run would build
+  * from history, which is exactly this job's role). BootstrapSpec's
+  * replay-equivalence assertions cover the latest-wins tables.
   */
 object Bootstrap {
 

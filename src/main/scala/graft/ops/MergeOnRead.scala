@@ -57,20 +57,19 @@ object MergeOnRead {
   /** Append one day's projected rows as the `ingest_date=day` delta
     * partition. O(delta) write; re-running the day replaces its partition
     * (idempotent). `fresh` must carry `etl_ingest_date`. */
-  def appendDelta(fresh: DataFrame, dir: String, table: String): Unit = {
-    val spark = fresh.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      fresh
-        .withColumn("ingest_date", col("etl_ingest_date"))
-        .write.mode("overwrite").partitionBy("ingest_date")
-        .parquet(deltaPath(dir, table))
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+  def appendDelta(fresh: DataFrame, dir: String, table: String): Unit =
+    // PER-WRITER overwrite mode, never the session conf: ProcessDaily's
+    // runMor fires ~25 appendDelta calls concurrently on one session,
+    // and a set/restore of the shared conf races — a writer executing
+    // under a concurrently-restored STATIC mode truncates the whole
+    // delta/ dir to today's partition, silently deleting every earlier
+    // un-compacted day (the Staging.writeStaging idiom, which is
+    // race-free by construction).
+    fresh
+      .withColumn("ingest_date", col("etl_ingest_date"))
+      .write.mode("overwrite").partitionBy("ingest_date")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(deltaPath(dir, table))
 
   /** The current snapshot view: base ∪ deltas, latest version per key —
     * row-identical to what the full-rewrite executor's table would hold.
@@ -127,17 +126,28 @@ object MergeOnRead {
     if (readOpt(spark, basePath(dir, table)).isEmpty &&
         readOpt(spark, deltaPath(dir, table)).isEmpty)
       return // nothing staged for this table yet — no-op
-    val snap = readSnapshot(spark, dir, table, keys, order)
     val target = new Path(basePath(dir, table))
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ENUMERATE the delta partitions being folded BEFORE reading the
+    // snapshot: a concurrent daily appendDelta can land a new
+    // ingest_date= partition while the (long) rewrite runs, and a
+    // recursive delete of the whole deltas/ dir afterwards would drop
+    // that never-folded day's rows from every subsequent read. Only the
+    // partitions this compaction actually folded are GC'd.
+    val dp = new Path(deltaPath(dir, table))
+    val foldedParts: Seq[Path] =
+      if (!fs.exists(dp)) Seq.empty
+      else Option(fs.listStatus(dp)).toSeq.flatten
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest_date="))
+        .map(_.getPath)
+    val snap = readSnapshot(spark, dir, table, keys, order)
     val stamp = System.nanoTime()
     val tmp = new Path(s"$dir/$table/.base_staging_$stamp")
     snap.write.mode("overwrite").parquet(tmp.toString)
     val old = new Path(s"$dir/$table/.base_old_$stamp")
     graft.core.FsOps.atomicSwap(fs, tmp, target, old)
-    // deltas are folded in; clear them AFTER the base swap succeeded
-    val dp = new Path(deltaPath(dir, table))
-    if (fs.exists(dp)) fs.delete(dp, true)
+    // folded deltas are in the new base; clear ONLY them after the swap
+    foldedParts.foreach(p => fs.delete(p, true))
   }
 
   /** TIME-TRAVEL read: the snapshot as it stood after ingesting

@@ -219,4 +219,34 @@ class WarehouseSpec extends SparkSpec {
       spark.sql("DROP DATABASE IF EXISTS whtest6")
     }
   }
+
+  test("manifest crash window: live file missing, .old fallback keeps the catalog") {
+    val root = scratch("wh-crash")
+    Warehouse.saveTable(spark, root, "db9", "t1", spark.range(5).toDF("id"))
+    // simulate a publishFile crash between the two renames: live gone,
+    // .old present (the previous manifest)
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val live = new org.apache.hadoop.fs.Path(s"$root/_graft_catalog.tsv")
+    val old = new org.apache.hadoop.fs.Path(s"$root/._graft_catalog.tsv.old")
+    assert(fsys.rename(live, old))
+    assert(Warehouse.open(spark, root).contains("db9.t1"),
+      "a between-renames crash must not read as an empty warehouse")
+  }
+
+  test("a broken view (dropped base) is skipped; later views still register") {
+    val root = scratch("wh-brokenview")
+    Warehouse.saveTable(spark, root, "dbv", "t1", spark.range(5).toDF("id"))
+    Warehouse.saveTable(spark, root, "dbv", "t2", spark.range(7).toDF("id"))
+    Warehouse.createView(spark, root, "dbv", "v_broken",
+      "SELECT * FROM dbv.t1")
+    Warehouse.createView(spark, root, "dbv", "v_ok",
+      "SELECT * FROM dbv.t2")
+    Warehouse.dropTable(spark, root, "dbv", "t1")
+    // fresh-session replay: v_broken must be skipped, v_ok registered
+    val registered = Warehouse.open(spark, root)
+    assert(!registered.contains("dbv.v_broken"))
+    assert(registered.contains("dbv.v_ok"))
+    assert(spark.sql("SELECT count(*) FROM dbv.v_ok").head().getLong(0) == 7L)
+  }
 }

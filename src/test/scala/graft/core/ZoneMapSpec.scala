@@ -141,4 +141,25 @@ class ZoneMapSpec extends SparkSpec {
     assert(after.size == before.size - 1,
       "stale zone-map entries for deleted files must not reach the scan")
   }
+
+  test("partitioned table: zone map prunes correctly inside key= subdirs") {
+    // listDataFiles must walk partition subdirectories — a top-level-only
+    // listing made prunedFiles drop every mapped file and readPruned
+    // silently returned ZERO rows on partitioned layouts
+    val tbl = scratch("zm_part"); val zm = scratch("zm_part_map")
+    spark.range(1000L)
+      .select(col("id"), (col("id") % 4).as("k"),
+        (col("id") * 3 % 500).as("v"))
+      .repartition(col("k"))
+      .write.partitionBy("k").mode("overwrite").parquet(tbl)
+    ZoneMap.build(spark, tbl, Seq("id"), zm)
+    val live = ZoneMap.listDataFiles(spark, tbl)
+    assert(live.nonEmpty, "recursive listing must see partitioned files")
+    val got = ZoneMap.readPruned(spark, tbl, zm, "id", 100L, 199L)
+    assert(got.count() == 100L,
+      "pruned read on a partitioned table must return the real rows")
+    // partition column survives (basePath) and is correct
+    assert(got.select("k").distinct().count() == 4L)
+    assert(got.where(col("k") =!= col("id") % 4).count() == 0L)
+  }
 }

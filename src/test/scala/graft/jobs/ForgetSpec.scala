@@ -50,4 +50,23 @@ class ForgetSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/t2")
       .where(col("owner") === 2L).count() == 0)
   }
+
+  test("multi-column subject frame erases on keyCol, not the first column") {
+    val dir = scratch("forget-multi")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("user_id", "v")
+      .write.parquet(s"$dir/t")
+    // request frame leads with a request id — the OLD code keyed the
+    // anti-join on it and erased nothing while auditing success
+    val subjects = Seq((900L, 2L)).toDF("request_id", "user_id")
+    val audit = Forget.eraseSubjects(spark, dir, "t", "user_id", subjects)
+      .collect().head
+    assert(audit.getLong(2) == 1L, s"must erase exactly one row: $audit")
+    assert(spark.read.parquet(s"$dir/t").select("user_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // ambiguous frame (no keyCol, multiple columns) fails loudly
+    intercept[IllegalArgumentException] {
+      Forget.eraseSubjects(spark, dir, "t", "user_id",
+        Seq((1L, 2L)).toDF("a", "b"))
+    }
+  }
 }
