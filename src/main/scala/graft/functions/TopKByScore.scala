@@ -85,6 +85,20 @@ case class TopKByScore(
 
   require(k >= 1, s"k must be >= 1, got $k")
 
+  // analysis-time type check: without it a non-(double, long) call (an
+  // INT id column, say) passes analysis and dies mid-job with a
+  // ClassCastException inside update() on executors
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType == DoubleType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_by_score expects (DOUBLE score, BIGINT id), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString}) — " +
+        "cast the arguments explicitly")
+  }
+
   override def prettyName: String = "topk_by_score"
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

@@ -24,13 +24,17 @@ object Governance {
 
   /** Email mask that preserves the domain (the analytically useful
     * part): local part → pseudonym, domain kept. Non-email values mask
-    * whole. */
-  def maskEmail(c: Column, salt: String = ""): Column = {
-    val at = instr(c, "@")
-    when(at > 1, concat(pseudonym(substring_index(c, "@", 1), salt),
-      lit("@"), substring_index(c, "@", -1)))
+    * WHOLE — the shape test is strict (one `@`, no whitespace, dotted
+    * domain) because the earlier `contains('@')` test let any PII
+    * free-text with an `@` ("DM me @john", "x@internal-host") publish
+    * everything after the last `@` verbatim in the "masked" column. A
+    * well-formed email takes the same branch either way, so consumers
+    * masking real emails are value-identical. */
+  def maskEmail(c: Column, salt: String = ""): Column =
+    when(c.rlike("^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$"),
+      concat(pseudonym(substring_index(c, "@", 1), salt),
+        lit("@"), substring_index(c, "@", -1)))
       .otherwise(pseudonym(c, salt))
-  }
 
   /** IPv4 mask preserving the /24 network (geo/abuse analytics keep
     * working): last octet → x. */

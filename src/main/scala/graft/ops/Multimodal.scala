@@ -453,13 +453,23 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
     val nBlocks = maxHamming + 1
-    val width = (64 + nBlocks - 1) / nBlocks
-    val mask = if (width >= 64) -1L else (1L << width) - 1
+    // BALANCED partition of the 64 bits: block i covers
+    // [64i/n, 64(i+1)/n) — every block is ≥1 bit wide for n ≤ 64. The
+    // earlier fixed-width spelling (width = ceil(64/n)) pushed the last
+    // block's start past bit 63 for n ∈ {9, 11, ...}; long shifts are
+    // mod-64, so that block silently ALIASED block 0 instead of covering
+    // its own bits, and the pigeonhole guarantee (hamming ≤ n−1 ⇒ some
+    // block equal) was broken — true near-dups at exactly maxHamming
+    // with one flipped bit per real block were never proposed.
+    val bounds = (0 to nBlocks).map(i => 64 * i / nBlocks)
     val blocked = hashes.where(col("phash").isNotNull)
       .select(col("media_id"), col("phash"),
         explode(array((0 until nBlocks).map { i =>
+          val start = bounds(i)
+          val width = bounds(i + 1) - start
+          val mask = if (width >= 64) -1L else (1L << width) - 1
           struct(lit(i).as("blk"),
-            shiftrightunsigned(col("phash"), i * width)
+            shiftrightunsigned(col("phash"), start)
               .bitwiseAND(lit(mask)).as("blkval"))
         }: _*)).as("__b"))
       .select(col("media_id"), col("phash"),
@@ -514,6 +524,12 @@ object Multimodal {
     * row (stub chunking stands in for keyframe extraction). posexplode
     * keeps it a narrow generator — no shuffle. */
   def sampleFrames(media: DataFrame, stride: Int, frameBytes: Int): DataFrame = {
+    // reject bad arguments at CALL time, not per-row inside the UDF —
+    // stride=0 was an ArithmeticException (i % 0) on every video row,
+    // failing the whole job after retries (the module's other entry
+    // points all require() up front; a 100 TB job cannot die on one row)
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
     val chunk: UserDefinedFunction =
       udf { (payload: Array[Byte]) =>
         if (payload == null) Array.empty[Array[Byte]]

@@ -62,10 +62,14 @@ object TextAnalysis {
     round((length(text) - (n - 1)).cast("double") / n, 6)
   }
 
-  /** Non-alphanumeric (punctuation/symbol) character ratio. */
+  /** Non-alphanumeric (punctuation/symbol) character ratio. Case-folded
+    * first — without `lower()` every CAPITAL letter counted as
+    * punctuation, so ordinary title-case prose blew past qualityScore's
+    * 0.1 punctuation gate purely for not being pre-lowercased
+    * ([[fleschScore]] already folded; this aligns the family). */
   def punctRatio(text: Column): Column =
-    round(size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0))).cast("double")
-      / length(text), 6)
+    round(size(regexp_extract_all(lower(text), lit("[^a-z0-9 ]"), lit(0)))
+      .cast("double") / length(text), 6)
 
   /** English stopword ratio — the classic fluency proxy. */
   def stopwordRatio(text: Column): Column =

@@ -355,13 +355,18 @@ object TextDedup {
     val sigs = rows.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
     val cands = lshCandidates(sigs, bands, numHashes / bands)
     // broadcast the SMALL side (candidate pairs), stream the persisted doc
-    // frame — never broadcast the array frame itself (see jaccardPairs)
+    // frame — never broadcast an array-carrying frame (see jaccardPairs):
+    // withA carries one full shingle array PER CANDIDATE PAIR, and a
+    // boilerplate-heavy corpus can propose millions of pairs, so the
+    // second join stays a shuffle join (AQE may still choose broadcast
+    // when it measures withA as genuinely small — a measurement, not a
+    // hard hint past the size gate)
     val withA = sets
       .select(col("__id").as("doc_a"), col("__shs").as("__sa"))
       .join(broadcast(cands), Seq("doc_a"))
     sets
       .select(col("__id").as("doc_b"), col("__shs").as("__sb"))
-      .join(broadcast(withA), Seq("doc_b"))
+      .join(withA, Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
           size(array_union(col("__sa"), col("__sb"))))
@@ -463,8 +468,15 @@ object TextDedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
+    // DECIMAL(38,0) sum: labels only ever DECREASE under min-label
+    // propagation, so an unchanged sum is a SOUND fixpoint certificate —
+    // but hash60-derived ids are ~2^59 and a LONG sum overflows (ANSI:
+    // ArithmeticException kills the job) on a few dozen nodes. 38-digit
+    // decimal headroom covers ~8e19 such labels; no collision risk the
+    // way an xor checksum would have (xor is not monotone).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var lastSum = labelSum(labels)
     var round = 0
     var converged = labels.isEmpty
@@ -476,7 +488,9 @@ object TextDedup {
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint()
       val s = labelSum(labels)
-      converged = s == lastSum // labels only decrease: equal sum = fixpoint
+      // labels only decrease: equal sum = fixpoint (compareTo: BigDecimal
+      // equals() is scale-sensitive)
+      converged = s.compareTo(lastSum) == 0
       lastSum = s
       round += 1
     }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project, Window => WindowPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, LeafNode, LogicalPlan, Project, Union, Window => WindowPlan}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -54,6 +54,26 @@ object Lineage {
         case a: Alias => defs(a.exprId.id) = a.child
         case _ => ()
       }
+      p match {
+        // a generator OUTPUT attribute (explode/posexplode/inline) is
+        // neither a leaf attribute nor an Alias — without a definition
+        // it resolved to the EMPTY set and a column exploded straight
+        // out of a PII array was reported clean (a false negative in
+        // the taint tool's one job). Every generator output derives
+        // from the generator expression.
+        case g: Generate =>
+          g.generatorOutput.foreach(a => defs(a.exprId.id) = g.generator)
+        // Union reuses the FIRST child's exprIds for its output — map
+        // each output to the same-position attribute of EVERY branch,
+        // or sources feeding only the 2nd+ branch were never reported
+        case u: Union =>
+          u.output.zipWithIndex.foreach { case (out, i) =>
+            val branches = u.children.map(_.output(i))
+            defs(out.exprId.id) = org.apache.spark.sql.catalyst.expressions
+              .Coalesce(branches)
+          }
+        case _ => ()
+      }
       p.children.foreach(collectDefs)
       p.subqueries.foreach(collectDefs)
     }
@@ -70,8 +90,15 @@ object Lineage {
       case a: Attribute =>
         val id = a.exprId.id
         if (seen(id)) Set.empty
-        else leafAttr.get(id).map(Set(_)).getOrElse(
-          defs.get(id).map(resolve(_, seen + id)).getOrElse(Set.empty))
+        else {
+          // BOTH, not either-or: Union reuses its head child's exprIds
+          // for its output, so one id can be a leaf attribute (head
+          // branch) AND carry a definition spanning the other branches
+          val leaf = leafAttr.get(id).toSet
+          val viaDef = defs.get(id)
+            .map(resolve(_, seen + id)).getOrElse(Set.empty[String])
+          leaf ++ viaDef
+        }
       case other =>
         other.children.flatMap(resolve(_, seen)).toSet
     }

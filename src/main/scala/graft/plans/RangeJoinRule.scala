@@ -98,9 +98,17 @@ object RangeJoinRule extends Rule[LogicalPlan] {
           // stop, which errors under step=1 but walks backwards under the
           // inferred step — producing two phantom bins the exact residual
           // then rejects (same treatment as ops.Temporal.rangeJoin).
-          val seq = Sequence(
-            IntegralDivide(lo, width),
+          // The stop is CLAMPED to start−1 so a malformed INVERTED
+          // interval (hi ≪ lo) also degrades to those same two rejected
+          // phantom bins — without the clamp the inferred step walked
+          // backwards through every intervening bin (a hi=0/lo=10^12 row
+          // tried to generate ~10^9 elements and failed the query that
+          // the un-rewritten BNLJ plan simply answered with no matches).
+          val start = IntegralDivide(lo, width)
+          val stop = Greatest(Seq(
             IntegralDivide(Subtract(hi, one), width),
+            Subtract(start, one)))
+          val seq = Sequence(start, stop,
             None, Some(conf.sessionLocalTimeZone))
           val binL = AttributeReference("__graft_bin_l", LongType)()
           val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,

@@ -57,6 +57,15 @@ object ResultCache {
     * hit and miss. */
   def through(df: DataFrame, cacheDir: String): DataFrame = {
     val spark = df.sparkSession
+    // no input files = no observable data version (JDBC, temp views over
+    // checkpointed frames, pure literals): the fingerprint would bind
+    // the PLAN alone and serve the first answer forever — bypass the
+    // cache instead of caching something invalidation can never reach
+    if (df.inputFiles.isEmpty) {
+      System.err.println("[result-cache] plan has no file inputs — " +
+        "data version unobservable, executing uncached")
+      return df
+    }
     val fp = fingerprint(df)
     val dest = new Path(s"$cacheDir/$fp")
     val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())

@@ -391,7 +391,7 @@ object Corpus {
       val en = graft.queries.Training.stopwordIn
       s"""WITH f AS (SELECT text, string_split(text, ' ') ws FROM documents),
          |m AS (SELECT
-         |    round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+         |    round(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE
          |      / length(text), 6) punct_ratio,
          |    round(len(list_filter(ws, t -> t IN $en))::DOUBLE
          |      / len(ws), 6) stopword_ratio,
@@ -446,7 +446,7 @@ object Corpus {
          |f AS (SELECT doc_id, text, string_split(text, ' ') ws
          |      FROM documents),
          |m AS (SELECT doc_id,
-         |  round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+         |  round(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE
          |    / length(text), 6) punct_ratio,
          |  round(len(list_filter(ws, t -> t IN $en))::DOUBLE / len(ws), 6)
          |    stopword_ratio,

@@ -1049,7 +1049,7 @@ object Training {
       val en = stopIn(TextAnalysis.stopwords.head._2)
       s"""WITH f AS (SELECT doc_id, text, source, lang,
          |    string_split(text, ' ') ws FROM documents),
-         |m AS (SELECT *, round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+         |m AS (SELECT *, round(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE
          |    / length(text), 6) punct_ratio,
          |  round(len(list_filter(ws, t -> t IN $en))::DOUBLE / len(ws), 6) stopword_ratio,
          |  length(text) n_chars, len(ws)::BIGINT toks FROM f),
@@ -1069,7 +1069,7 @@ object Training {
       val en = stopIn(TextAnalysis.stopwords.head._2)
       s"""WITH f AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents),
          |m AS (SELECT doc_id, text, ws,
-         |  round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text), 6) punct_ratio,
+         |  round(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE / length(text), 6) punct_ratio,
          |  round(len(list_filter(ws, t -> t IN $en))::DOUBLE / len(ws), 6) stopword_ratio,
          |  length(text) n_chars FROM f),
          |kept AS (SELECT doc_id, text, ws FROM m
@@ -1202,7 +1202,7 @@ object Training {
          |f AS (SELECT doc_id, text, string_split(text, ' ') ws
          |      FROM documents),
          |mq AS (SELECT doc_id,
-         |  round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+         |  round(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE
          |    / length(text), 6) punct_ratio,
          |  round(len(list_filter(ws, t -> t IN $en))::DOUBLE / len(ws), 6)
          |    stopword_ratio,
@@ -1442,7 +1442,7 @@ object Training {
       s"""WITH f AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents),
          |m AS (SELECT doc_id,
          |  round((length(text) - (len(ws) - 1))::DOUBLE / len(ws), 6) avg_word_len,
-         |  round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text), 6) punct_ratio,
+         |  round(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE / length(text), 6) punct_ratio,
          |  round(len(list_filter(ws, t -> t IN $en))::DOUBLE / len(ws), 6) stopword_ratio,
          |  length(text) n_chars FROM f)
          |SELECT doc_id, avg_word_len, punct_ratio, stopword_ratio,
@@ -1543,7 +1543,7 @@ object Training {
          |             string_split(text, ' ') ws FROM documents),
          |q AS (SELECT doc_id, source, n_chars,
          |  round(((CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END)
-         |       + (CASE WHEN round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+         |       + (CASE WHEN round(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE
          |                        / length(text), 6) <= 0.1 THEN 1.0 ELSE 0.0 END)
          |       + (CASE WHEN round(len(list_filter(ws, t -> t IN $en))::DOUBLE
          |                        / len(ws), 6) > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
@@ -1612,7 +1612,7 @@ object Training {
          |             string_split(text, ' ') ws FROM documents),
          |sc AS (SELECT doc_id, lang, text, len(ws)::INT n_tokens,
          |  round(((CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END)
-         |       + (CASE WHEN round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+         |       + (CASE WHEN round(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE
          |                        / length(text), 6) <= 0.1 THEN 1.0 ELSE 0.0 END)
          |       + (CASE WHEN round(len(list_filter(ws, t -> t IN $en))::DOUBLE
          |                        / len(ws), 6) > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
@@ -1651,7 +1651,7 @@ object Training {
          |             string_split(text, ' ') ws FROM documents),
          |q AS (SELECT doc_id, source, len(ws)::INT n_tokens,
          |  round(((CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END)
-         |       + (CASE WHEN round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+         |       + (CASE WHEN round(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE
          |                        / length(text), 6) <= 0.1 THEN 1.0 ELSE 0.0 END)
          |       + (CASE WHEN round(len(list_filter(ws, t -> t IN $en))::DOUBLE
          |                        / len(ws), 6) > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality

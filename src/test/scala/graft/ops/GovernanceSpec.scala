@@ -53,6 +53,23 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("non-email PII containing '@' masks WHOLE — no cleartext tail leak") {
+    // the earlier contains('@') shape test published everything after
+    // the last '@' verbatim for free-text PII like handles or hostnames
+    val df = Seq((1L, "DM me @john.doe"), (2L, "x@internal-hostname"),
+      (3L, "a@b@c.example")).toDF("id", "v")
+    val masked = Governance.maskColumns(df, Seq("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!masked(1L).contains("john"), s"handle leaked: ${masked(1L)}")
+    assert(!masked(2L).contains("internal"), s"host leaked: ${masked(2L)}")
+    assert(!masked(3L).contains("c.example") || masked(3L).length == 16,
+      s"multi-@ leaked: ${masked(3L)}")
+    // a well-formed email still keeps its domain
+    val email = Governance.maskColumns(
+      Seq((4L, "dev@x.example")).toDF("id", "v"), Seq("v")).head().getString(1)
+    assert(email.endsWith("@x.example") && !email.startsWith("dev@"))
+  }
+
   test("kAnonymityAudit flags small cohorts and single-valued sensitives") {
     import spark.implicits._
     val rows = Seq(

@@ -270,6 +270,31 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 3), (2L, 3L, 1)))
   }
 
+  test("phashDupPairs: losslessness holds where fixed-width blocks aliased (mod-64 shifts)") {
+    import spark.implicits._
+    // maxHamming=8 → 9 blocks; ceil(64/9)=8-bit fixed blocks put block 8
+    // at start bit 64, which mod-64 shift ALIASED to block 0 — an
+    // adversarial pair flipping one bit in each of the 8 REAL blocks
+    // (none in the aliased phantom) was silently dropped. With the
+    // balanced partition [64i/9, 64(i+1)/9) the pigeonhole must hold.
+    // Balanced bounds: 0,7,14,21,28,35,42,49,56,64 — flip one bit in
+    // each of the FIRST 8 blocks; block 8 ([56,64)) stays equal.
+    val flips = Seq(0, 7, 14, 21, 28, 35, 42, 49)
+      .map(b => 1L << b).reduce(_ | _)
+    val hashes = Seq((1L, Some(0L)), (2L, Some(flips))).toDF("media_id", "phash")
+    assert(java.lang.Long.bitCount(flips) == 8)
+    val got = Multimodal.phashDupPairs(hashes, maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 8)),
+      "a true pair at hamming exactly maxHamming must be proposed")
+    // differential: blocked result ≡ quadratic exact filter at h=8
+    val quad = hashes.as("a").crossJoin(hashes.as("b"))
+      .where(col("a.media_id") < col("b.media_id"))
+      .select(bit_count(col("a.phash").bitwiseXOR(col("b.phash"))))
+      .collect().map(_.getInt(0)).count(_ <= 8)
+    assert(got.size == quad)
+  }
+
   test("sizeBuckets gives big rows dedicated buckets, bounds small buckets") {
     import spark.implicits._
     val skewed = Multimodal.synthetic(spark, 20).unionByName(

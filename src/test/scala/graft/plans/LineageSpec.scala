@@ -62,4 +62,29 @@ class LineageSpec extends SparkSpec {
     assert(Lineage.taintedBy(rpt, Seq("uid"))
       .isEmpty, "uid feeds only the join keys, not surviving outputs")
   }
+
+  test("explode output and 2nd union branch carry taint (no false negatives)") {
+    import org.apache.spark.sql.functions._
+    // parquet-backed sources so the LEAF attributes carry real names
+    // (a toDF over a tuple LocalRelation names its leaves _1/_2)
+    val d = scratch("lineage-gu")
+    Seq((1L, Seq("a@x", "b@y"))).toDF("id", "emails")
+      .write.parquet(s"$d/src")
+    Seq((1L, "ok")).toDF("id", "v").write.parquet(s"$d/l")
+    Seq((2L, "pii@x")).toDF("id", "secret").write.parquet(s"$d/r")
+    // generator output: a column exploded straight out of a PII array
+    val gen = spark.read.parquet(s"$d/src")
+      .select(explode(col("emails")).as("e"))
+    assert(Lineage.taintedBy(gen, Seq("emails")) == Seq("e"),
+      "explode output must inherit the array's taint")
+    // union: a source feeding only the SECOND branch must be reported
+    val l = spark.read.parquet(s"$d/l")
+    val r = spark.read.parquet(s"$d/r")
+      .select(col("id"), col("secret").as("v"))
+    val u = l.unionByName(r)
+    assert(Lineage.taintedBy(u, Seq("secret")).contains("v"),
+      "2nd union branch's source must taint the output")
+    // and the FIRST branch's source still reports too
+    assert(Lineage.taintedBy(u, Seq("v")).contains("v"))
+  }
 }
