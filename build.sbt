@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON (BENCH_r{N}.json). Two sbt framing artifacts made that parse
+// null for six rounds: the forked JVM's stdout was re-logged with an
+// "[info] " prefix, and sbt's "[success] Total time..." trailer printed
+// AFTER the compact JSON line. Pass child stdout through verbatim and
+// drop the success trailer so the JSON is the final, unprefixed line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — lintUnused
+// can't see that and warns; exclude it (the trailer is verifiably gone).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
