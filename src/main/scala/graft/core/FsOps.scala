@@ -4,12 +4,23 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** The ONE audited implementation of the crash-safe directory swap that
   * publishes a prepared replacement: `target`→`old`, `tmp`→`target`,
-  * rollback to `old` if the second rename fails, GC `old` on success.
-  * Every window leaves a readable state: crash before the first rename →
-  * old target intact (tmp is invisible dot-prefixed staging); crash
-  * between the renames → rollback restores the target (and a dead `old`
-  * dir is re-adopted by the caller's next attempt or reaped by its GC);
-  * crash after the swap → new target is live, `old` is garbage.
+  * rollback to `old` if the second rename FAILS (returns false), GC
+  * `old` on success.
+  *
+  * Crash windows, stated honestly: a rename that returns false rolls
+  * back in-process, but a PROCESS CRASH between the two renames leaves
+  * the target ABSENT with the prior data stranded under `old` — two
+  * renames on a plain filesystem cannot be one atomic step. Readers
+  * therefore recover via [[reAdopt]]: when the target is missing, the
+  * newest matching `old` dir is renamed back into place before the
+  * read proceeds (idempotent, safe to race — rename-to-existing fails
+  * and the winner's result is read). Callers that need a crash window
+  * of ZERO across tables use [[Snapshots]] (manifest flip) instead.
+  *
+  * A pre-existing `old` dir (a previous crash's leftover) is cleared
+  * before the first rename — Hadoop rename into an existing directory
+  * NESTS instead of replacing, which would both corrupt the rollback
+  * path and strand the prior leftover forever.
   *
   * Extracted from the two hand-rolled copies in `MergeOnRead.compact`
   * and `Ann.ivfCompactDeltas` — crash-safety-critical code should exist
@@ -19,6 +30,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object FsOps {
 
   def atomicSwap(fs: FileSystem, tmp: Path, target: Path, old: Path): Unit = {
+    // clear a leftover `old` (crashed prior swap): rename into an
+    // existing dir nests, breaking both the rollback and the GC
+    if (fs.exists(old)) fs.delete(old, true)
     val hadPrior = fs.exists(target)
     if (hadPrior && !fs.rename(target, old))
       throw new java.io.IOException(s"rename $target -> $old failed")
@@ -27,5 +41,25 @@ object FsOps {
       throw new java.io.IOException(s"rename $tmp -> $target failed")
     }
     if (hadPrior) fs.delete(old, true)
+  }
+
+  /** Read-side recovery for [[atomicSwap]]'s process-crash window: if
+    * `target` is absent but a sibling dir matching `oldPrefix` exists
+    * (the stranded `old` of a swap that died between its two renames),
+    * re-adopt the NEWEST one — by directory modification time, since the
+    * embedded numeric stamps are not zero-padded and lexicographic order
+    * lies across attempts — by renaming it back to `target`. No-op when
+    * the target exists. Returns true if a re-adoption happened.
+    * Concurrent callers are safe: the loser's rename onto the
+    * now-existing target fails and it reads the winner's result. */
+  def reAdopt(fs: FileSystem, target: Path, oldPrefix: String): Boolean = {
+    if (fs.exists(target)) return false
+    val parent = target.getParent
+    if (parent == null || !fs.exists(parent)) return false
+    val cand = Option(fs.listStatus(parent)).toSeq.flatten
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(oldPrefix))
+      .sortBy(st => (st.getModificationTime, st.getPath.getName))
+      .lastOption
+    cand.exists(st => fs.rename(st.getPath, target))
   }
 }

@@ -83,6 +83,12 @@ object Snapshots {
       .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
       .map(_.getPath.getName)
       .filter(t => f.exists(new Path(s"$root/$t/v=$id/_SUCCESS")))
+    // fail LOUDLY on a staged dir whose name the manifest parser cannot
+    // round-trip ([[readSnapshot]]'s [A-Za-z0-9_]+ regex): committing it
+    // would publish a silently truncated name that resolves to a
+    // nonexistent path on read. Only [[stage]] enforced this before, so
+    // a directory created beside the root by hand slipped through.
+    staged.foreach(requireIdent)
     require(staged.nonEmpty || parent.nonEmpty,
       s"commit($id): nothing staged and no parent snapshot to carry")
     val published = parent ++ staged.map(_ -> id).toMap
@@ -185,7 +191,12 @@ object Snapshots {
         .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
         .foreach { t =>
           Option(f.listStatus(t.getPath)).toSeq.flatten
-            .filter(v => v.isDirectory && v.getPath.getName.startsWith("v="))
+            // \d+ match, not startsWith: a stray non-numeric dir (v=tmp
+            // left by a tool) must not NumberFormatException-abort the
+            // whole vacuum and leave retention unenforced — skip it, as
+            // the snapshot-file listing already does for its names
+            .filter(v => v.isDirectory &&
+              v.getPath.getName.matches("v=\\d+"))
             .foreach { v =>
               val ver = v.getPath.getName.stripPrefix("v=").toInt
               if (ver <= newestCommitted &&

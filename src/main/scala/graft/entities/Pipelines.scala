@@ -99,6 +99,10 @@ object Pipelines {
       like: DataFrame): DataFrame = {
     val p = new Path(tablePath(curatedDir, table))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // [[overwriteCurated]]'s swap can die between its two renames — the
+    // table path is then absent with the prior day stranded under
+    // .{table}_old_<stamp>; re-adopt before concluding bootstrap-day
+    graft.core.FsOps.reAdopt(fs, p, s".${table}_old_")
     if (fs.exists(p)) spark.read.schema(like.schema).parquet(p.toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
   }

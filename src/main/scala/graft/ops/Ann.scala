@@ -184,10 +184,20 @@ object Ann {
     * belong in the index; gate corpora carry no null vectors, so the
     * oracles see no difference (AnnSpec pins the null behavior). */
   def assignClusters(df: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String, dim: Int): DataFrame = {
+      vecCol: String, dim: Int,
+      literalMaxK: Int = AssignLiteralMaxK): DataFrame = {
     val spread = df.repartition(
       df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
     val v = withNorm(spread, idCol, vecCol, dim)
+    // the literal path collects K·dim floats into the plan — count K
+    // FIRST (one cheap job on the K-row frame) and refuse to bake a
+    // centroid set the plan-literal path cannot carry: beyond
+    // `literalMaxK`, a K×dim matrix literal means hundreds of MB of
+    // expression object, task-serialized with every stage, plus a
+    // K-element CreateArray that janino cannot compile — the broadcast
+    // join below ships the same floats ONCE per executor instead
+    if (centroids.count() > literalMaxK)
+      return assignClustersJoin(v, centroids, idCol, vecCol, dim)
     val crows = centroids.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).collect().filter(_.get(1) != null)
     if (crows.isEmpty) {
@@ -208,6 +218,46 @@ object Ann {
         when(idx.isNull, lit(null))
           .otherwise(element_at(array(cids: _*), idx + lit(1))).as("__cid"))
     }
+  }
+
+  /** Ceiling for the plan-literal assignment path: K ≤ 64k × dim 128
+    * floats ≈ 32 MB of literal — comfortably inside driver memory, task
+    * serialization, and the codegen limits the fused expression was
+    * built under. Above it, [[assignClustersJoin]] takes over. */
+  val AssignLiteralMaxK = 65536
+
+  /** The >64k-centroid assignment spillway: broadcast-join + window
+    * argmin instead of a plan-literal matrix. Same scoring spelling
+    * bit-for-bit (same [[dot]] summation order, sim = dot/(‖v‖·‖c‖),
+    * lowest cid on exact ties), same null semantics (null centroid
+    * vectors dropped; null INPUT vectors get a null `__cid` — they are
+    * split out before the join so desc-nulls-last ordering can never
+    * sort them into a real cell). Cost: a K·N-row window exchange — the
+    * price of a centroid set too large to bake into the plan; at that
+    * scale K·dim floats broadcast once per executor is the only sane
+    * transport. Differential spec asserts literal ≡ join output. */
+  private def assignClustersJoin(v: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, dim: Int): DataFrame = {
+    val cidType = centroids.schema(idCol).dataType
+    val c = centroids.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+      .where(col("__cv").isNotNull)
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"), dim)))
+    if (c.isEmpty) // mirror the literal path: no usable centroid → empty
+      return v.select(col("__vid"), col("__vec"), col("__nrm"),
+        lit(null).cast(cidType).as("__cid")).where(lit(false))
+    val nonNull = v.where(col("__vec").isNotNull)
+    val w = Window.partitionBy(col("__vid"))
+      .orderBy(col("__sim").desc, col("__cid").asc)
+    val assigned = nonNull.crossJoin(broadcast(c))
+      .withColumn("__sim",
+        dot(col("__vec"), col("__cv"), dim) / (col("__nrm") * col("__cn")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("__vid"), col("__vec"), col("__nrm"), col("__cid"))
+    val nulls = v.where(col("__vec").isNull)
+      .select(col("__vid"), col("__vec"), col("__nrm"),
+        lit(null).cast(cidType).as("__cid"))
+    assigned.unionByName(nulls)
   }
 
   /** IVF approximate top-k: centroids are the vectors whose id is below
@@ -473,6 +523,29 @@ object Ann {
     spread.select(col(idCol).as("vec_id"), sig.as("sig"))
   }
 
+  /** The SRP blocking dial, turned by the engine — [[autoGranularity]]'s
+    * twin for the signature family: the per-band block WIDTH that pins
+    * expected bucket population at `targetBucket` as the corpus grows.
+    * Buckets per band = 2^width, so width = the smallest w with
+    * 2^w ≥ ⌈n / targetBucket⌉, clamped to [1, 63/bands] (the whole
+    * signature must fit one long). Returned as total bits =
+    * bands · width, the unit [[srpDupPairs]]/[[srpCandidatesTopK]] take.
+    * Candidate volume per band is then ≤ n · targetBucket — LINEAR in n,
+    * where any fixed bits went quadratic (the sf10 probe measured
+    * exponent 1.48 on q213's fixed 32-bit dial). Pure integer math —
+    * deterministic given n and SQL-replayable: the oracle picks the
+    * same smallest-w by scanning 1..63/bands. */
+  def srpAutoBits(n: Long, bands: Int, targetBucket: Int = 512): Int = {
+    require(bands >= 1 && bands <= 31, s"bands must be in [1,31], got $bands")
+    require(targetBucket >= 1, s"targetBucket must be positive: $targetBucket")
+    val maxWidth = 63 / bands
+    // division-first ceil: n + targetBucket - 1 could overflow near Long.Max
+    val cells = n / targetBucket + (if (n % targetBucket > 0) 1L else 0L)
+    val width = (1 to maxWidth).find(w => (1L << w) >= cells)
+      .getOrElse(maxWidth)
+    bands * width
+  }
+
   /** Embedding near-duplicate pairs by SRP signature hamming distance,
     * found WITHOUT a quadratic join: signatures split into `bands`
     * equal bit-blocks; pairs sharing any block meet in a band equi-join
@@ -485,21 +558,26 @@ object Ann {
     *
     * Sizing: candidate volume per band is Σ bucket², buckets = 2^(bits/
     * bands) — narrow bands (q213's 8×4 bits = 16 buckets) are fine at
-    * corpus ≤ 10^5 but collide quadratically beyond; at 10^8+ vectors
-    * use `bits = 56, bands = 8` (128 buckets of 7 bits, hamming ≤ 7
-    * still lossless; signatures stay in one long) or concatenate a
-    * second blocking key — the bits/bands pair is the
-    * recall-vs-candidates dial, same as MinHash's (k, b). */
+    * corpus ≤ 10^5 but collide quadratically beyond; `bits <= 0` turns
+    * the dial AUTOMATICALLY ([[srpAutoBits]]: bucket population pinned
+    * at `targetBucket`, candidate volume linear in n — the production
+    * default), a positive `bits` pins it for gate twins and recall
+    * studies. The bits/bands pair is the recall-vs-candidates dial,
+    * same as MinHash's (k, b). */
   def srpDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       bits: Int = 32, bands: Int = 4, maxHamming: Int = 3,
-      scale: Long = 1000000L): DataFrame = {
-    require(bits % bands == 0, s"bits ($bits) must divide into bands ($bands)")
+      scale: Long = 1000000L, targetBucket: Int = 512): DataFrame = {
+    // bits <= 0: dial self-turned — width follows the corpus count
+    // ([[srpAutoBits]]), pinning bucket population like the IVF
+    // autoGranularity does for cells (one count, bounded driver class)
+    val nb = if (bits > 0) bits else srpAutoBits(df.count(), bands, targetBucket)
+    require(nb % bands == 0, s"bits ($nb) must divide into bands ($bands)")
     require(maxHamming <= bands - 1,
       s"band blocking is only lossless for maxHamming <= bands-1 " +
         s"(got maxHamming=$maxHamming, bands=$bands)")
-    val width = bits / bands
+    val width = nb / bands
     val mask = (1L << width) - 1
-    val sigs = srpSignature(df, idCol, vecCol, dim, bits, scale)
+    val sigs = srpSignature(df, idCol, vecCol, dim, nb, scale)
     // PIN the candidate explosion's parallelism: the banded frame is
     // BYTE-tiny (≤ a few longs per vector) but the band self-join below
     // fans out quadratically per bucket, so any byte-based plan decision
@@ -543,11 +621,13 @@ object Ann {
     * sort. */
   def srpCandidatesTopK(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, bits: Int, bands: Int, k: Int,
-      scale: Long = 1000000L): DataFrame = {
-    require(bits % bands == 0, s"bits ($bits) must divide into bands ($bands)")
-    val width = bits / bands
+      scale: Long = 1000000L, targetBucket: Int = 512): DataFrame = {
+    // bits <= 0: self-turned dial, same convention as [[srpDupPairs]]
+    val nb = if (bits > 0) bits else srpAutoBits(df.count(), bands, targetBucket)
+    require(nb % bands == 0, s"bits ($nb) must divide into bands ($bands)")
+    val width = nb / bands
     val mask = (1L << width) - 1
-    val sigs = srpSignature(df, idCol, vecCol, dim, bits, scale)
+    val sigs = srpSignature(df, idCol, vecCol, dim, nb, scale)
     // same explicit-width repartition as srpDupPairs: the banded frame
     // is byte-tiny, the self-join fan-out is the real work
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -681,6 +761,7 @@ object Ann {
     * disagree. −1 = nothing compacted (fresh build). */
   def ivfWatermark(spark: org.apache.spark.sql.SparkSession,
       path: String): Long = {
+    recoverAssignments(spark, path)
     val p = new org.apache.hadoop.fs.Path(s"$path/assignments/_compacted_to")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) -1L
@@ -689,6 +770,21 @@ object Ann {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
       finally in.close()
     }
+  }
+
+  /** Read-side recovery for [[ivfCompactDeltas]]'s swap: a process crash
+    * between the swap's two renames leaves `assignments/` absent with
+    * the prior base (and its in-dir watermark) stranded under
+    * `.assignments_old_<stamp>` — re-adopt it before any read concludes
+    * the index is gone ([[graft.core.FsOps.reAdopt]]). Called from
+    * every assignments read path via [[ivfWatermark]] plus the direct
+    * readers; idempotent and O(1) metadata when the target exists. */
+  private def recoverAssignments(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(s"$path/assignments")
+    graft.core.FsOps.reAdopt(
+      target.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      target, ".assignments_old_")
   }
 
   /** Re-stamp the compaction watermark into a (re)built assignments dir.
@@ -732,6 +828,7 @@ object Ann {
 
   def readIvfAssignments(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
+    recoverAssignments(spark, path) // before the eager schema resolve below
     val cols = Seq(col("vec_id"), col("vec"), col("nrm"),
       col("cid").cast("int").as("cid"))
     val base = spark.read.parquet(s"$path/assignments").select(cols: _*)
@@ -819,6 +916,7 @@ object Ann {
   def ivfStaleness(spark: org.apache.spark.sql.SparkSession, path: String,
       dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 512, s"dim must be in [1, 512], got $dim")
+    recoverAssignments(spark, path)
     val cells = spark.read.parquet(s"$path/assignments")
       .select(col("cid").cast("long").as("cid"),
         posexplode(transform(col("vec"),
@@ -852,6 +950,7 @@ object Ann {
   def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, nprobe: Int): DataFrame = {
+    recoverAssignments(spark, path)
     val cents = spark.read.parquet(s"$path/centroids")
     val q = withNorm(queries, idCol, vecCol, dim)
     val probes = q.crossJoin(broadcast(cents))

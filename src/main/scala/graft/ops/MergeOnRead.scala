@@ -45,7 +45,16 @@ object MergeOnRead {
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
 
-  private def readOpt(spark: SparkSession, p: String): Option[DataFrame] =
+  private def readOpt(spark: SparkSession, p: String): Option[DataFrame] = {
+    // [[compact]]'s swap can die between its two renames, leaving base
+    // absent with the data stranded under .base_old_<stamp> — re-adopt
+    // before concluding the base does not exist ([[graft.core.FsOps.reAdopt]])
+    if (p.endsWith("/base")) {
+      val path = new Path(p)
+      graft.core.FsOps.reAdopt(
+        path.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        path, ".base_old_")
+    }
     if (!exists(spark, p)) None
     else
       // an entity with no rows for any staged day writes an empty delta
@@ -53,6 +62,7 @@ object MergeOnRead {
       // inference fails there; treat it as absent
       try Some(spark.read.parquet(p))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
 
   /** Append one day's projected rows as the `ingest_date=day` delta
     * partition. O(delta) write; re-running the day replaces its partition

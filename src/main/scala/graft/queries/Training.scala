@@ -653,6 +653,27 @@ object Training {
     Ann.srpCandidatesTopK(embs(spark, dir), "vec_id", "embedding", Dim,
       bits = 48, bands = 8, k = 20)
 
+  /** [[q213SrpLsh]] with the dial SELF-TURNED (`bits = 0` →
+    * [[Ann.srpAutoBits]]): the per-band block width follows the corpus
+    * count, pinning expected bucket population at 512 so in-bucket
+    * candidate volume stays LINEAR in n — q276's autoGranularity
+    * pattern applied to the signature family. This is the production
+    * default; q213 keeps its fixed 32-bit dial only as the comparison
+    * twin. The oracle replays the same smallest-width integer chain
+    * from count(*) and the quadratic hamming filter over the
+    * identically-dialed signatures (lossless by pigeonhole:
+    * maxHamming = bands − 1). */
+  def q277SrpAutoDedup(spark: SparkSession, dir: String): DataFrame =
+    Ann.srpDupPairs(embs(spark, dir), "vec_id", "embedding", Dim,
+      bits = 0, bands = 8, maxHamming = 7)
+
+  /** [[q275SrpLshWide]]'s retrieval shortlist with the self-turned dial
+    * — same auto width as [[q277SrpAutoDedup]], banded candidates
+    * re-ranked exactly and cut to the global top-20. */
+  def q278SrpAutoTopk(spark: SparkSession, dir: String): DataFrame =
+    Ann.srpCandidatesTopK(embs(spark, dir), "vec_id", "embedding", Dim,
+      bits = 0, bands = 8, k = 20)
+
   /** Incremental corpus dedup — the daily-ingest shape: docs ending in 0
     * play the "new day" increment, the rest the indexed corpus. The
     * corpus's MinHash signatures are PERSISTED once
@@ -878,6 +899,8 @@ object Training {
     "q211_kcenter" -> q211Kcenter,
     "q213_srp_lsh" -> q213SrpLsh,
     "q275_srp_lsh_wide" -> q275SrpLshWide,
+    "q277_srp_auto_dedup" -> q277SrpAutoDedup,
+    "q278_srp_auto_topk" -> q278SrpAutoTopk,
     "q21_cosine_topk" -> q21CosineTopk,
     "q22_lang_id" -> q22LangId,
     "q23_quality" -> q23Quality,
@@ -998,10 +1021,75 @@ object Training {
        |ORDER BY hamming, vec_a, vec_b LIMIT $k""".stripMargin
   }
 
+  /** The dial replayed in SQL — [[Ann.srpAutoBits]]'s exact integer
+    * chain: cells = ⌈n/512⌉ (n = count(*)), width = the smallest w in
+    * [1, 63/bands] with 2^w ≥ cells (else the clamp), bits = bands·w.
+    * Emitted as a `dial` CTE exposing both `width` and `bits`. */
+  private def srpDialCte(bands: Int): String = {
+    val maxW = 63 / bands
+    s"""nn AS (SELECT count(*) n FROM embeddings),
+       |dial AS (SELECT COALESCE(
+       |    (SELECT MIN(w) FROM generate_series(1, $maxW) t(w), nn
+       |      WHERE (1::BIGINT << w) >= (n + 511) // 512), $maxW) AS width,
+       |  $bands * COALESCE(
+       |    (SELECT MIN(w) FROM generate_series(1, $maxW) t(w), nn
+       |      WHERE (1::BIGINT << w) >= (n + 511) // 512), $maxW) AS bits
+       |  FROM nn)""".stripMargin
+  }
+
+  /** Signature CTEs for the AUTO-dialed SRP oracles: the hyperplane
+    * literal carries rows for the MAX width (bands · ⌊63/bands⌋ bits);
+    * the signature fold reads only the first `dial.bits` of them, so
+    * the one literal serves every corpus size. */
+  private def srpAutoSigCtes(bands: Int): String = {
+    val maxBits = bands * (63 / bands)
+    val h = (0 until maxBits).map { j =>
+      (0 until Dim).map(i => Ann.srpWeight(i, j)).mkString("[", ",", "]")
+    }.mkString("[", ",\n    ", "]")
+    s"""h AS (SELECT $h AS H),
+       |${srpDialCte(bands)},
+       |q AS (SELECT vec_id,
+       |    [CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)
+       |     for i in generate_series(1, $Dim)] qv
+       |  FROM embeddings),
+       |s AS (SELECT vec_id,
+       |    list_sum(list_transform(generate_series(1, d.bits), j ->
+       |      CASE WHEN list_sum([H[j][i] * qv[i]
+       |                          for i in generate_series(1, $Dim)]) >= 0
+       |      THEN 1::BIGINT << (j - 1) ELSE 0::BIGINT END)) sig
+       |  FROM q CROSS JOIN h CROSS JOIN dial d)""".stripMargin
+  }
+
+  /** [[srpOracle]]'s auto-dial twin: same quadratic hamming filter,
+    * signatures built at the dial-chosen width. */
+  private def srpAutoOracle(bands: Int, maxHamming: Int): String =
+    s"""WITH ${srpAutoSigCtes(bands)}
+       |SELECT a.vec_id vec_a, b.vec_id vec_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) hamming
+       |FROM s a JOIN s b ON a.vec_id < b.vec_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming""".stripMargin
+
+  /** [[srpShortlistOracle]]'s auto-dial twin: the block-share predicate
+    * reads its width from the dial CTE instead of a baked constant. */
+  private def srpAutoShortlistOracle(bands: Int, k: Int): String = {
+    val blockEq = (0 until bands)
+      .map(bi => s"((a.sig >> ($bi * d.width)) & ((1::BIGINT << d.width) - 1)) = " +
+        s"((b.sig >> ($bi * d.width)) & ((1::BIGINT << d.width) - 1))")
+      .mkString("(", "\n   OR ", ")")
+    s"""WITH ${srpAutoSigCtes(bands)}
+       |SELECT a.vec_id vec_a, b.vec_id vec_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) hamming
+       |FROM s a JOIN s b ON a.vec_id < b.vec_id CROSS JOIN dial d
+       |WHERE $blockEq
+       |ORDER BY hamming, vec_a, vec_b LIMIT $k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q211_kcenter" -> kcenterOracle,
     "q213_srp_lsh" -> srpOracle(32),
     "q275_srp_lsh_wide" -> srpShortlistOracle(48, 8, 20),
+    "q277_srp_auto_dedup" -> srpAutoOracle(8, 7),
+    "q278_srp_auto_topk" -> srpAutoShortlistOracle(8, 20),
     // DCG folds rel/log2(rank+1) in rank order: DuckDB list_reduce seeds
     // with the first TERM — IEEE 0.0 + t1 = t1, so the fold sequences
     // identically to the engine's zero-seeded ordered fold

@@ -1,0 +1,67 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+class FsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs = new Path("/").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  test("atomicSwap clears a leftover old dir instead of nesting into it") {
+    val root = scratch("fsops_leftover")
+    Seq(1).toDF("v").write.parquet(s"$root/target")
+    Seq(2).toDF("v").write.parquet(s"$root/tmp")
+    // a previous crash's stranded `old` — Hadoop rename into an existing
+    // dir NESTS, which would corrupt both the rollback and the GC
+    Seq(0).toDF("v").write.parquet(s"$root/old")
+    FsOps.atomicSwap(fs, new Path(s"$root/tmp"), new Path(s"$root/target"),
+      new Path(s"$root/old"))
+    assert(spark.read.parquet(s"$root/target").as[Int].head() == 2)
+    assert(!fs.exists(new Path(s"$root/old")), "old must be GC'd, not nested")
+  }
+
+  test("reAdopt recovers the crash window between the swap's two renames") {
+    val root = scratch("fsops_readopt")
+    val target = new Path(s"$root/assignments")
+    Seq(1).toDF("v").write.parquet(target.toString)
+    // simulate the window: target renamed aside, process died before the
+    // staging dir moved in — target ABSENT, data stranded under old
+    assert(fs.rename(target, new Path(s"$root/.assignments_old_42")))
+    assert(!fs.exists(target))
+    assert(FsOps.reAdopt(fs, target, ".assignments_old_"))
+    assert(spark.read.parquet(target.toString).as[Int].head() == 1)
+    // idempotent: target now exists → no-op
+    assert(!FsOps.reAdopt(fs, target, ".assignments_old_"))
+    // absent parent / nothing to adopt → false, no throw
+    assert(!FsOps.reAdopt(fs, new Path(s"$root/nope/sub"), ".x_old_"))
+  }
+
+  test("reAdopt picks the newest stranded attempt by mtime") {
+    val root = scratch("fsops_newest")
+    val target = new Path(s"$root/t")
+    Seq(1).toDF("v").write.parquet(s"$root/.t_old_900")
+    Thread.sleep(20) // distinct mtimes; names sort the WRONG way (9 > 1)
+    Seq(2).toDF("v").write.parquet(s"$root/.t_old_1000")
+    assert(FsOps.reAdopt(fs, target, ".t_old_"))
+    assert(spark.read.parquet(target.toString).as[Int].head() == 2,
+      "must re-adopt the newest attempt, not the lexicographic max")
+  }
+
+  test("IVF read path self-heals after a compaction crash window") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = scratch("fsops_ivf_heal")
+    graft.ops.Ann.buildIvfIndex(e, "vec_id", "embedding", 64, 8, idx)
+    val before = graft.ops.Ann.readIvfAssignments(spark, idx)
+      .select(col("vec_id"), col("cid")).collect().map(_.toString).sorted
+    // crash between ivfCompactDeltas' two renames: assignments absent,
+    // the full base (with its in-dir watermark) stranded under old
+    assert(fs.rename(new Path(s"$idx/assignments"),
+      new Path(s"$idx/.assignments_old_7")))
+    val after = graft.ops.Ann.readIvfAssignments(spark, idx)
+      .select(col("vec_id"), col("cid")).collect().map(_.toString).sorted
+    assert(after.sameElements(before), "read must re-adopt the stranded base")
+  }
+}

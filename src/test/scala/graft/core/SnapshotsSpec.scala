@@ -116,4 +116,34 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.commit(spark, root, 2)
     assert(Snapshots.open(spark, root).tables == Map("id" -> 1, "tables" -> 2))
   }
+
+  test("commit fails loudly on a staged dir the manifest cannot round-trip") {
+    val root = scratch("snap_badname")
+    Snapshots.stage(spark, root, "good", Seq((1, "d1")).toDF("k", "day"), 1)
+    // a directory created OUTSIDE stage() with a hyphenated name, staged
+    // for the same snapshot id — committing it would publish a silently
+    // truncated name that reads back as a nonexistent path
+    Seq((1, "d1")).toDF("k", "day")
+      .write.mode("overwrite").parquet(s"$root/bad-name/v=1")
+    val e = intercept[IllegalArgumentException](Snapshots.commit(spark, root, 1))
+    assert(e.getMessage.contains("bad-name"))
+    // after removing the offender the commit goes through
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$root/bad-name"))
+    assert(Snapshots.commit(spark, root, 1) == Map("good" -> 1))
+  }
+
+  test("vacuum skips a stray non-numeric v= dir instead of aborting") {
+    val root = scratch("snap_straydir")
+    Snapshots.stage(spark, root, "t", Seq((1, "d1")).toDF("k", "day"), 1)
+    Snapshots.commit(spark, root, 1)
+    Snapshots.stage(spark, root, "t", Seq((1, "d2")).toDF("k", "day"), 2)
+    Snapshots.commit(spark, root, 2)
+    // a tool-left junk dir that stripPrefix().toInt would throw on
+    new java.io.File(s"$root/t/v=tmp").mkdirs()
+    val (snaps, vers) = Snapshots.vacuum(spark, root, keepLast = 1)
+    assert(snaps == 1 && vers == 1, s"vacuum must still enforce retention: $snaps/$vers")
+    assert(!new java.io.File(s"$root/t/v=1").exists())
+    assert(new java.io.File(s"$root/t/v=tmp").exists(), "junk dir is skipped, not deleted")
+  }
 }

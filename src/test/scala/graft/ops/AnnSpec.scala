@@ -658,4 +658,60 @@ class AnnSpec extends SparkSpec {
     assert(folded2 == 1 && n == e.count())
     assert(Ann.readIvfAssignments(spark, idx).count() == e.count())
   }
+
+  test("srpAutoBits: bucket population pinned, clamped to one long") {
+    assert(Ann.srpAutoBits(0L, 8) == 8)          // cells=0  -> width 1
+    assert(Ann.srpAutoBits(512L, 8) == 8)        // cells=1  -> width 1
+    assert(Ann.srpAutoBits(1024L, 8) == 8)       // cells=2  -> width 1
+    assert(Ann.srpAutoBits(1025L, 8) == 16)      // cells=3  -> width 2
+    assert(Ann.srpAutoBits(512L * 128, 8) == 56) // cells=128 -> width 7
+    assert(Ann.srpAutoBits(Long.MaxValue, 8) == 56) // clamp: 63/8 = 7
+    assert(Ann.srpAutoBits(Long.MaxValue, 4) == 60) // clamp: 63/4 = 15
+    assert(Ann.srpAutoBits(100L, 8, targetBucket = 1) == 56) // cells=100 -> width 7
+    intercept[IllegalArgumentException](Ann.srpAutoBits(10L, 0))
+    intercept[IllegalArgumentException](Ann.srpAutoBits(10L, 8, 0))
+  }
+
+  test("srpDupPairs/srpCandidatesTopK: bits<=0 self-turns the dial == the fixed twin") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = e.count()
+    // small targetBucket so the dial picks a width > 1 even on sf0.001
+    val expected = Ann.srpAutoBits(n, bands = 8, targetBucket = 8)
+    assert(expected > 8, s"fixture too small to exercise the dial: $expected")
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    assert(set(Ann.srpDupPairs(e, "vec_id", "embedding", 64,
+        bits = 0, bands = 8, maxHamming = 7, targetBucket = 8)) ==
+      set(Ann.srpDupPairs(e, "vec_id", "embedding", 64,
+        bits = expected, bands = 8, maxHamming = 7)))
+    assert(set(Ann.srpCandidatesTopK(e, "vec_id", "embedding", 64,
+        bits = 0, bands = 8, k = 10, targetBucket = 8)) ==
+      set(Ann.srpCandidatesTopK(e, "vec_id", "embedding", 64,
+        bits = expected, bands = 8, k = 10)))
+  }
+
+  test("assignClusters: >literalMaxK spillway (broadcast join) == literal path, nulls included") {
+    import spark.implicits._
+    val withNull = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0.1f, 0.9f, 0f, 0f)),
+      (9L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val cents = withNull.where(col("vec_id") < 2)
+    def byId(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    val lit = byId(Ann.assignClusters(withNull, cents, "vec_id", "embedding", 4))
+    val joined = byId(Ann.assignClusters(withNull, cents, "vec_id", "embedding", 4,
+      literalMaxK = 1))
+    assert(lit.keySet == joined.keySet)
+    lit.foreach { case (id, row) => assert(joined(id) == row, s"vec $id diverged") }
+    assert(joined(9L)._3.isEmpty, "null vector must get a null cid on the spillway too")
+    // all-null centroid set: both paths yield the empty frame
+    val nullCents = Seq((7L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    assert(Ann.assignClusters(withNull, nullCents, "vec_id", "embedding", 4,
+      literalMaxK = 0).count() == 0)
+  }
 }
