@@ -61,6 +61,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the engine's standard extensions: native functions in SQL text +
+      // the conf-gated rewrite rules (range join, MV, zone-map pruning)
+      // — all inert unless a query opts in, so the registry's plans are
+      // unchanged except where a _zonemap synopsis exists by design
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       // shuffle/spill scratch on tmpfs: the build VM's virtio disk
       // intermittently stalls writes for seconds at a time, which shows up

@@ -37,6 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object ZoneMap {
 
+  /** The synopsis location the STANDARD read path consults
+    * ([[graft.plans.ZoneMapRule]]): inside the table directory,
+    * underscore-prefixed so the data scan never lists it — the
+    * stats-in-log convention (_delta_log) on plain parquet. Build with
+    * `build(spark, tbl, cols, ZoneMap.defaultZonePath(tbl))` and every
+    * banded `spark.read.parquet(tbl).where(...)` in a
+    * GraftExtensions session prunes automatically. */
+  def defaultZonePath(tablePath: String): String = s"$tablePath/_zonemap"
+
   private def statCols(cols: Seq[String]): Seq[Column] =
     cols.flatMap { c =>
       Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
@@ -53,6 +62,7 @@ object ZoneMap {
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"), statCols(cols): _*)
       .write.mode("overwrite").parquet(zonePath)
+    graft.plans.ZoneMapRule.invalidateCache()
 
   /** Incremental maintenance: stat ONLY files present under `tablePath`
     * but absent from the zone map, and append their rows. Deletes are
@@ -78,6 +88,7 @@ object ZoneMap {
         .groupBy(input_file_name().as("file"))
         .agg(count(lit(1)).as("n_rows"), statCols(cols): _*)
         .write.mode("append").parquet(zonePath)
+    graft.plans.ZoneMapRule.invalidateCache()
     missing.size
   }
 

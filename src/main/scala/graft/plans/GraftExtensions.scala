@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // fact-table aggregates → Incremental partials reads (opt-in via the
     // spark.graft.mv.* conf set; inert otherwise)
     ext.injectOptimizerRule(_ => MvRewriteRule)
+    // banded scans over tables carrying a _zonemap synopsis → pruned
+    // file lists (inert for tables without one; kill switch
+    // spark.graft.zonemap.enabled=false)
+    ext.injectOptimizerRule(_ => ZoneMapRule)
   }
 }
 

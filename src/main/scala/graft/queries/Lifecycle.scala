@@ -514,7 +514,95 @@ object Lifecycle {
     served.orderBy(col("o_orderpriority"))
   }
 
+  /** The warehouse self-optimizing loop, end-to-end in one query:
+    * DETECT ([[graft.plans.Reuse.commonSubplans]]) → MATERIALIZE
+    * ([[Incremental.buildPartials]]/`writePartials`) → SERVE
+    * ([[graft.plans.MvRewriteRule]]) — each half exists and is spec'd
+    * separately; this composite proves they close into one story.
+    *
+    * A 3-query workload (the day×priority revenue cube, an urgent-only
+    * filter of it, a priority rollup of it) goes through the SparkCruise
+    * detection pass, which must surface the shared cube subtree as its
+    * top candidate (driver-side plan walk, nothing executes). The cube's
+    * (part, keys, measure) shape is then materialized as mergeable
+    * day-grain partials and registered with the MV rewrite rule, and the
+    * NATURAL fact query — written against the fact table, no partials
+    * mention — must come out of the optimizer reading the partials path
+    * and NOT the fact path (require'd here; ReuseLoopSpec plan-asserts
+    * the same through `extraOptimizations`). The oracle replays the
+    * plain fact-side aggregate: the whole loop must be result-invisible.
+    *
+    * At 100 TB this is the difference between every dashboard query
+    * paying an O(history) fact scan and paying O(days×keys): detection
+    * is free (plan metadata), the materialization is one pass kept fresh
+    * in O(delta) by `Incremental.refresh`, and serving needs no query
+    * rewrites from users. */
+  def q280ReuseLoop(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Reuse
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_q280_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val partials = base + "/partials"
+    val served = base + "/served"
+    val marker = new java.io.File(base + "/_GRAFT_COMMITTED")
+    val factPath = s"$dir/orders.parquet"
+    if (!marker.exists()) {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val day = date_format(col("o_orderdate"), "yyyy-MM-dd")
+      def fact = spark.read.parquet(factPath)
+      def cube = fact.groupBy(day.as("day"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents).as("cents"),
+          min(cents).as("min_cents"), max(cents).as("max_cents"))
+      // 1. DETECT: the shared cube must rank first across the workload
+      val workload = Seq(cube,
+        cube.where(col("o_orderpriority") === "1-URGENT"),
+        cube.groupBy(col("o_orderpriority")).agg(sum(col("cents")).as("cents")))
+      val cands = Reuse.commonSubplans(workload)
+      require(cands.nonEmpty && cands.head.nQueries == 3 &&
+        cands.head.sample.contains("Aggregate"),
+        s"q280: detection must surface the shared cube, got $cands")
+      // 2. MATERIALIZE the detected shape as mergeable day-grain partials
+      Incremental.writePartials(
+        Incremental.buildPartials(fact, day, Seq("o_orderpriority"), cents),
+        partials)
+      // 3. SERVE: register, re-run the NATURAL fact query, and require
+      // the optimizer swapped the fact scan for the partials read
+      spark.conf.set("spark.graft.mv.fact", factPath)
+      spark.conf.set("spark.graft.mv.partials", partials)
+      spark.conf.set("spark.graft.mv.part",
+        "date_format(o_orderdate, 'yyyy-MM-dd')")
+      spark.conf.set("spark.graft.mv.keys", "o_orderpriority")
+      spark.conf.set("spark.graft.mv.measure",
+        "cast(round(o_totalprice * 100) as bigint)")
+      try {
+        def scanned(df: DataFrame): Seq[String] =
+          df.queryExecution.optimizedPlan.collect {
+            case lr: LogicalRelation => lr.relation match {
+              case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+          }.flatten
+        val natural = cube
+        val roots = scanned(natural)
+        require(roots.exists(_.contains("/partials")),
+          s"q280: served plan must read the partials, scans=$roots")
+        require(!roots.exists(_.endsWith("orders.parquet")),
+          s"q280: served plan must NOT read the fact table, scans=$roots")
+        natural.write.mode("overwrite").parquet(served)
+      } finally {
+        Seq("fact", "partials", "part", "keys", "measure")
+          .foreach(k => spark.conf.unset(s"spark.graft.mv.$k"))
+      }
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+    spark.read.parquet(served)
+      .select(col("day"), col("o_orderpriority"), col("n_orders"),
+        col("cents"), col("min_cents"), col("max_cents"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_reuse_loop" -> q280ReuseLoop,
     "q269_result_cache" -> q269ResultCache,
     "q268_avro_count" -> q268AvroCount,
     "q272_avro_export" -> q272AvroExport,
@@ -554,6 +642,19 @@ object Lifecycle {
        |      FROM $t GROUP BY $x) g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the whole detect→materialize→serve loop is result-invisible: the
+    // oracle is the NATURAL fact-side aggregate the MV rewrite answered
+    // from partials
+    "q280_reuse_loop" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS min_cents,
+        |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS max_cents
+        |FROM orders GROUP BY 1, 2""".stripMargin,
     // caching is result-invisible — the oracle is the direct aggregate
     "q269_result_cache" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

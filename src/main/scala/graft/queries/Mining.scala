@@ -674,6 +674,41 @@ object Mining {
       .orderBy(col("month"))
   }
 
+  /** Zone-map pruning through the STANDARD read path
+    * ([[graft.plans.ZoneMapRule]]): the same clustered orders as q263,
+    * but the synopsis lives at the default in-table `_zonemap` location
+    * and the query is a PLAIN `spark.read.parquet(tbl).where(band)` —
+    * no readPruned call anywhere. The optimizer consults the synopsis
+    * at planning time and shrinks the file list (the Delta/Iceberg
+    * stats-in-log behavior on plain parquet); the oracle replays the
+    * direct band filter, so equality proves the automatic pruning is
+    * result-invisible. ZoneMapSpec plan-asserts the pruned file list
+    * through this exact read shape. */
+  def q279ZoneAutoPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Layout, ZoneMap}
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_q279_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = base + "/orders_clustered"
+    val marker = new java.io.File(base + "/_GRAFT_COMMITTED")
+    if (!marker.exists()) {
+      Layout.writeRangeClustered(table(spark, dir, "orders"), tbl, 16,
+        col("o_orderdate"))
+      ZoneMap.build(spark, tbl, Seq("o_orderdate"),
+        ZoneMap.defaultZonePath(tbl))
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+    spark.read.parquet(tbl)
+      .where(col("o_orderdate") >=
+          lit(java.sql.Timestamp.valueOf("1997-03-01 00:00:00")) &&
+        col("o_orderdate") <=
+          lit(java.sql.Timestamp.valueOf("1997-05-31 00:00:00")))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy(col("month"))
+  }
+
   /** Mergeable equi-width histogram quantiles
     * ([[graft.ops.Sketches.histBuild]]): order totals at cents grain
     * binned into a 256-bucket counter table PER PRIORITY (the
@@ -787,6 +822,7 @@ object Mining {
     "q266_bpe_encode" -> q266BpeEncode,
     "q264_hist_quantiles" -> q264HistQuantiles,
     "q263_zone_pruned_scan" -> q263ZonePrunedScan,
+    "q279_zone_auto_prune" -> q279ZoneAutoPrune,
     "q253_sketch_cube" -> q253SketchCube,
     "q252_kmv_overlap" -> q252KmvOverlap,
     "q250_cms_heavy_hitters" -> q250CmsHeavyHitters,
@@ -943,6 +979,17 @@ object Mining {
     // DIRECT band filter over orders — equality IS the proof that
     // zone pruning dropped only files that couldn't match
     "q263_zone_pruned_scan" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+        |  AND o_orderdate <= TIMESTAMP '1997-05-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q279 = the same report through the STANDARD read path (automatic
+    // zone-map pruning) — the identical replay proves result-invisibility
+    "q279_zone_auto_prune" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -162,4 +162,69 @@ class ZoneMapSpec extends SparkSpec {
     assert(got.select("k").distinct().count() == 4L)
     assert(got.where(col("k") =!= col("id") % 4).count() == 0L)
   }
+
+  test("ZoneMapRule: the STANDARD read path prunes automatically, result-identically") {
+    import graft.plans.ZoneMapRule
+    val tbl = scratch("zm_auto")
+    clustered(10000, 10, tbl)
+    ZoneMap.build(spark, tbl, Seq("id"), ZoneMap.defaultZonePath(tbl))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ ZoneMapRule
+    try {
+      val all = ZoneMap.listDataFiles(spark, tbl).size
+      // the PLAIN read path — no readPruned anywhere
+      def banded = spark.read.parquet(tbl)
+        .where(col("id") >= 2000L && col("id") <= 2999L)
+      assert(banded.inputFiles.length < all,
+        s"rule must shrink the scan: ${banded.inputFiles.length}/$all")
+      // plan-assert against the explicit-pruning truth
+      def norm(f: String) = f.replaceFirst("^file:/+", "/")
+      val expected = ZoneMap.prunedFiles(spark, tbl,
+        ZoneMap.defaultZonePath(tbl), "id", 2000L, 2999L).map(norm).toSet
+      assert(banded.inputFiles.map(norm).toSet == expected)
+      // result identical to the unpruned plan
+      spark.conf.set("spark.graft.zonemap.enabled", "false")
+      val direct = banded.select("id", "v").as[(Long, Long)].collect().toSet
+      assert(banded.inputFiles.length == all, "kill switch must disable pruning")
+      spark.conf.set("spark.graft.zonemap.enabled", "true")
+      assert(banded.select("id", "v").as[(Long, Long)].collect().toSet == direct)
+      assert(direct.size == 1000)
+      // empty survivor band: empty result, schema intact, no scan error
+      val none = spark.read.parquet(tbl).where(col("id") > 999999L)
+      assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+      // freshness safety: a file landing AFTER the map was built is
+      // UNMAPPED and must always be scanned — rows cannot vanish
+      Seq((2500L, -1L)).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(tbl)
+      ZoneMapRule.invalidateCache() // the append changed the listing
+      val withNew = banded.select("id", "v").as[(Long, Long)].collect().toSet
+      assert(withNew.contains((2500L, -1L)),
+        "an unmapped fresh file must survive pruning unconditionally")
+      assert(withNew.size == 1001)
+    } finally {
+      spark.conf.set("spark.graft.zonemap.enabled", "true")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == ZoneMapRule)
+    }
+  }
+
+  test("ZoneMapRule is inert without a _zonemap synopsis or prunable conjunct") {
+    import graft.plans.ZoneMapRule
+    val tbl = scratch("zm_inert")
+    clustered(2000, 4, tbl)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ ZoneMapRule
+    try {
+      val noMap = spark.read.parquet(tbl).where(col("id") <= 100L)
+      assert(noMap.inputFiles.length == 4, "no synopsis -> untouched scan")
+      ZoneMap.build(spark, tbl, Seq("id"), ZoneMap.defaultZonePath(tbl))
+      // a filter the extractor must ignore: function of the column
+      val fn = spark.read.parquet(tbl).where(abs(col("id")) <= lit(100L))
+      assert(fn.inputFiles.length == 4, "non-bare conjunct must not prune")
+      assert(fn.count() == 101)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == ZoneMapRule)
+    }
+  }
 }
