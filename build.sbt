@@ -39,6 +39,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Bench/Verify run local[32] through ONE long-lived session (280 queries,
+// probe sweeps up to sf1) — at 8g the session's accumulated state forced
+// GC thrash late in long sweeps (measured: the same binary's q244 ran
+// 32/53/125 s across its three sf1 samples, and solo in 14 s). The host
+// contract is 128 GiB; give the single run JVM a real heap. The later
+// -Xmx wins, so SPARK_DRIVER_MEM still overrides. Tests keep 8g ×4 JVMs.
+run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}"
 // Suite-level parallelism: split the ~60 suites across N forked JVMs,
 // each with its own SparkSession (graft.TestSession is per-JVM), instead
 // of one JVM running them serially — the suite hit 7:45 on the round-5

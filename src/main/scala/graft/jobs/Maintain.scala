@@ -124,6 +124,7 @@ object Maintain {
         indexPath, kmeansIters)
       if (watermark >= 0)
         graft.ops.Ann.writeIvfWatermark(spark, indexPath, watermark)
+      graft.core.Ckpt.free(all) // rebuild consumed it; blocks are dead
     }
     Seq(IvfReport(indexPath, st.length.toLong, maxStale, rebuilt)).toDF()
   }

@@ -409,10 +409,10 @@ object Ann {
         .select(col("__cid"),
           transform(sequence(lit(0), lit(dim - 1)),
             i => element_at(col("__bypos"), i).cast("float")).as("__mvec"))
-      centroids = centroids.join(means, Seq("__cid"), "left_outer")
-        .select(col("__cid"),
-          coalesce(col("__mvec"), col("__cvec")).as("__cvec"))
-        .localCheckpoint() // eager: materializes K rows, truncates lineage
+      centroids = graft.core.Ckpt.roll( // eager K-row materialize + free prior
+        centroids.join(means, Seq("__cid"), "left_outer")
+          .select(col("__cid"),
+            coalesce(col("__mvec"), col("__cvec")).as("__cvec")), centroids)
     }
     centroids.select(col("__cid").as("cid"), col("__cvec").as("vec"))
   }
@@ -724,6 +724,7 @@ object Ann {
     val n = assigned.count()
     assigned.write.mode("append").partitionBy("cid")
       .parquet(s"$path/assignments")
+    graft.core.Ckpt.free(assigned) // count + write done; blocks are dead
     n
   }
 
@@ -749,6 +750,7 @@ object Ann {
     val n = assigned.count()
     assigned.write.mode("overwrite")
       .parquet(f"$path/deltas/batch=$batchId%d")
+    graft.core.Ckpt.free(assigned) // count + write done; blocks are dead
     n
   }
 
@@ -892,6 +894,7 @@ object Ann {
       .filter(st => st.getPath.getName.startsWith("batch=") &&
         st.getPath.getName.stripPrefix("batch=").toLong <= live.max)
       .foreach(st => fs.delete(st.getPath, true))
+    graft.core.Ckpt.free(folded) // count + staging write done
     (n, live.length)
   }
 

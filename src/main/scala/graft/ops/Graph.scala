@@ -75,11 +75,11 @@ object Graph {
         .select(col("dst"),
           expr(s"($dampNum * r) div ($dampDen * outdeg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodes
+      // roll: checkpoint the new round, free the superseded one's blocks
+      ranks = graft.core.Ckpt.roll(nodes
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
-          (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
-        .localCheckpoint()
+          (lit(base) + coalesce(col("s"), lit(0L))).as("r")), ranks)
     }
     edgesDeg.unpersist()
     nodes.unpersist()
@@ -118,10 +118,14 @@ object Graph {
         .localCheckpoint()
       done = next.isEmpty
       if (!done) {
-        dist = dist.unionByName(next).localCheckpoint()
+        // roll: old dist and old frontier (same object at hop 1 —
+        // Ckpt.free is idempotent) are dead once the union materializes
+        val nd = graft.core.Ckpt.roll(dist.unionByName(next), dist, frontier)
+        dist = nd
         frontier = next
-      }
+      } else graft.core.Ckpt.free(next)
     }
+    if (frontier ne dist) graft.core.Ckpt.free(frontier)
     e.unpersist()
     dist
   }
@@ -146,11 +150,11 @@ object Graph {
     var dist = sources.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("dist")).localCheckpoint()
     for (_ <- 1 to iters) {
-      dist = e.join(dist, col("src") === col("node"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
-        .unionByName(dist.select(col("node"), col("dist").as("cand")))
-        .groupBy(col("node")).agg(min(col("cand")).as("dist"))
-        .localCheckpoint()
+      dist = graft.core.Ckpt.roll(
+        e.join(dist, col("src") === col("node"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+          .unionByName(dist.select(col("node"), col("dist").as("cand")))
+          .groupBy(col("node")).agg(min(col("cand")).as("dist")), dist)
     }
     e.unpersist()
     dist
@@ -206,10 +210,10 @@ object Graph {
     while (!done && it < maxIters) {
       val peel = degrees(edges).where(col("degree") < k).select(col("node"))
       if (peel.limit(1).count() == 0) done = true
-      else edges = edges
+      else edges = graft.core.Ckpt.roll(edges
         .join(peel.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
-        .join(peel.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
-        .localCheckpoint()
+        .join(peel.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti"),
+        edges)
       it += 1
     }
     degrees(edges)
@@ -261,12 +265,11 @@ object Graph {
         .select(col("dst"),
           expr(s"($dampNum * r) div ($dampDen * outdeg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodes
+      ranks = graft.core.Ckpt.roll(nodes
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (col("is_seed").cast("long") * base +
-            coalesce(col("s"), lit(0L))).as("r"))
-        .localCheckpoint()
+            coalesce(col("s"), lit(0L))).as("r")), ranks)
     }
     edgesDeg.unpersist(); seeds.unpersist(); nodes.unpersist()
     ranks.where(col("r") > 0).select(col("node"), col("r").as("rank_nano"))
@@ -312,10 +315,9 @@ object Graph {
         .select(col("dst").as("node"), col("label"))
       val votes =
         if (includeSelf) neighborVotes.unionByName(labels) else neighborVotes
-      labels = votes
+      labels = graft.core.Ckpt.roll(votes
         .groupBy(col("node"))
-        .agg(mode(col("label"), deterministic = true).as("label"))
-        .localCheckpoint()
+        .agg(mode(col("label"), deterministic = true).as("label")), labels)
     }
     e.unpersist(); nodes.unpersist()
     labels
@@ -366,15 +368,15 @@ object Graph {
       val aRaw = e.join(hub, col("src") === col("node"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
         .select(col("node"), col("a"))
-      auth = renorm(aRaw, "a").localCheckpoint()
+      auth = graft.core.Ckpt.roll(renorm(aRaw, "a"), auth)
       val hRaw = e.join(auth, col("dst") === col("node"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
         .select(col("node"), col("h"))
-      hub = renorm(hRaw, "h").localCheckpoint()
+      hub = graft.core.Ckpt.roll(renorm(hRaw, "h"), hub)
     }
-    val out = hub.withColumnRenamed("h", "hub_1e6")
-      .join(auth.withColumnRenamed("a", "auth_1e6"), Seq("node"))
-      .localCheckpoint()
+    val out = graft.core.Ckpt.roll(hub.withColumnRenamed("h", "hub_1e6")
+      .join(auth.withColumnRenamed("a", "auth_1e6"), Seq("node")),
+      hub, auth)
     e.unpersist(); nodes.unpersist()
     out
   }

@@ -441,11 +441,17 @@ object TextAnalysis {
         .orderBy(col("freq").desc, col("left"), col("right"))
         .limit(1)
         .withColumn("round", lit(r.toLong))
+        // 1-row checkpoint: `merges` must not lazily reference a vocab
+        // round whose checkpoint the roll below is about to free (the
+        // final merges evaluation would find truncated lineage with its
+        // blocks gone) — and it also spares the closing evaluation from
+        // re-running every round's aggregate
+        .localCheckpoint()
       merges = if (merges == null) top else merges.unionByName(top)
       // apply the winning merge greedily left-to-right to every word:
       // fold the token array, replacing the trailing `left` with
       // `left||right` whenever `right` follows it
-      vocab = vocab.crossJoin(broadcast(
+      vocab = graft.core.Ckpt.roll(vocab.crossJoin(broadcast(
           top.select(col("left").as("__l"), col("right").as("__r"))))
         .select(col("wc"), aggregate(col("toks"),
           array().cast("array<string>"),
@@ -455,8 +461,9 @@ object TextAnalysis {
             concat(slice(acc, lit(1), size(acc) - 1),
               array(concat(col("__l"), col("__r")))))
             .otherwise(concat(acc, array(t)))).as("toks"))
-        .localCheckpoint()
+        , vocab)
     }
+    graft.core.Ckpt.free(vocab) // only `merges` leaves the function
     merges.select(col("round"), col("left"), col("right"), col("freq"))
   }
 
@@ -488,6 +495,7 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
       .select(col("word"), col("wc"), split(col("word"), "").as("toks"))
       .localCheckpoint()
+    var lastCkpt = vocab
     ms.zipWithIndex.foreach { case ((l, r), i) =>
       vocab = vocab.select(col("word"), col("wc"),
         aggregate(col("toks"), array().cast("array<string>"),
@@ -495,7 +503,13 @@ object TextAnalysis {
             size(acc) > 0 && element_at(acc, -1) === lit(l) && t === lit(r),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
             .otherwise(concat(acc, array(t)))).as("toks"))
-      if ((i + 1) % 4 == 0) vocab = vocab.localCheckpoint()
+      if ((i + 1) % 4 == 0) {
+        // roll: the previous checkpoint 4 merges back is dead once the
+        // new one materializes (prior is first in the chained plan)
+        val prev = lastCkpt
+        vocab = graft.core.Ckpt.roll(vocab, prev)
+        lastCkpt = vocab
+      }
     }
     vocab
   }

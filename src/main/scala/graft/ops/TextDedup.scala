@@ -481,12 +481,11 @@ object TextDedup {
     var round = 0
     var converged = labels.isEmpty
     while (!converged && round < maxRounds) {
-      labels = labels
+      labels = graft.core.Ckpt.roll(labels
         .join(edges, col("id") === col("src"))
         .select(col("dst").as("id"), col("component"))
         .unionByName(labels)
-        .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint()
+        .groupBy("id").agg(min("component").as("component")), labels)
       val s = labelSum(labels)
       // labels only decrease: equal sum = fixpoint (compareTo: BigDecimal
       // equals() is scale-sensitive)
@@ -732,7 +731,7 @@ object TextDedup {
     var round = 0
     var converged = edges.isEmpty
     while (!converged && round < maxRounds) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = graft.core.Ckpt.roll(smallStar(largeStar(edges)), edges)
       val s = checksum(edges)
       converged = s == sig
       sig = s

@@ -18,4 +18,29 @@ object GraftSqlShim {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
+
+  /** Release the block-manager storage behind a `localCheckpoint()`ed
+    * frame NOW instead of waiting for driver GC + ContextCleaner.
+    *
+    * `Dataset.localCheckpoint()` persists the materialized RDD at
+    * MEMORY_AND_DISK and wraps it in a `LogicalRDD` leaf; nothing
+    * unpins those blocks until the RDD object is garbage-collected —
+    * which on a roomy driver heap can be never. Iterative operators
+    * that checkpoint every round (PageRank, BFS, connected components,
+    * BPE) therefore accumulate one dead round-state per iteration, and
+    * a long-lived session (the 280-query bench) accumulates one per
+    * QUERY — measured as monotonic per-run slowdowns once the heap
+    * fills (sf1 sweep: q244 32→53→125 s across three runs of the same
+    * binary). Calling this on the SUPERSEDED frame caps live
+    * checkpoint storage at one round's state.
+    *
+    * Only frames whose content is never read again may be freed: the
+    * checkpoint truncated lineage, so a freed block cannot be
+    * recomputed — a later action on the frame would fail. */
+  def freeLocalCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
