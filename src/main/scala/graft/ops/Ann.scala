@@ -534,7 +534,23 @@ object Ann {
     * where any fixed bits went quadratic (the sf10 probe measured
     * exponent 1.48 on q213's fixed 32-bit dial). Pure integer math —
     * deterministic given n and SQL-replayable: the oracle picks the
-    * same smallest-w by scanning 1..63/bands. */
+    * same smallest-w by scanning 1..63/bands.
+    *
+    * KNOWN CEILING (measured, round-7 probe): the one-long packing
+    * clamps width at ⌊63/bands⌋, so the dial saturates once
+    * n > targetBucket · 2^(63/bands) — with bands=8 that is 128
+    * buckets/band, binding above ~65k vectors (at 200k the dial wanted
+    * width 9, the clamp gave 7; bucket population ran 3× over target,
+    * q277 measured exponent 0.90 — volume-linear, the one-shot
+    * operator family's floor, but the constant grows past the clamp).
+    * The lift is mechanical and loses nothing: store the signature as
+    * an array<bigint> of per-band blocks (width ≤ 63 EACH), band key =
+    * element_at, hamming = Σ bit_count per block — the pigeonhole
+    * losslessness argument is unchanged because bands stay exact
+    * bit-blocks of the full signature. At 100 TB the steady state is
+    * the INCREMENTAL index path regardless (see
+    * [[graft.ops.TextDedup.incrementalDupPairs]]'s shape); the one-shot
+    * op prices initial corpus builds. */
   def srpAutoBits(n: Long, bands: Int, targetBucket: Int = 512): Int = {
     require(bands >= 1 && bands <= 31, s"bands must be in [1,31], got $bands")
     require(targetBucket >= 1, s"targetBucket must be positive: $targetBucket")
