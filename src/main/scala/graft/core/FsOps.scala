@@ -50,8 +50,16 @@ object FsOps {
     * embedded numeric stamps are not zero-padded and lexicographic order
     * lies across attempts — by renaming it back to `target`. No-op when
     * the target exists. Returns true if a re-adoption happened.
-    * Concurrent callers are safe: the loser's rename onto the
-    * now-existing target fails and it reads the winner's result. */
+    * Concurrent READERS are safe: the loser's rename onto the
+    * now-existing target fails and it reads the winner's result.
+    * A reader concurrent with an IN-FLIGHT swap is NOT: between the
+    * writer's two renames the layout is indistinguishable from a crash,
+    * and a re-adoption there makes the writer's second rename fail
+    * (swap aborts with an IOException; no data is lost, but the write
+    * must be retried). Recovery is therefore part of the same
+    * SINGLE-WRITER contract the swap itself carries — this engine's
+    * maintenance jobs run compaction and its readers sequentially; a
+    * multi-process deployment needs an external lock around the pair. */
   def reAdopt(fs: FileSystem, target: Path, oldPrefix: String): Boolean = {
     if (fs.exists(target)) return false
     val parent = target.getParent

@@ -191,12 +191,13 @@ object Snapshots {
         .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
         .foreach { t =>
           Option(f.listStatus(t.getPath)).toSeq.flatten
-            // \d+ match, not startsWith: a stray non-numeric dir (v=tmp
-            // left by a tool) must not NumberFormatException-abort the
-            // whole vacuum and leave retention unenforced — skip it, as
-            // the snapshot-file listing already does for its names
+            // bounded \d{1,9} match, not startsWith: a stray non-numeric
+            // dir (v=tmp left by a tool) must not NumberFormatException-
+            // abort the whole vacuum and leave retention unenforced — and
+            // neither may a NUMERIC name past Int range (v=<epoch-millis>
+            // overflows toInt), so the digit count is capped below 2^31
             .filter(v => v.isDirectory &&
-              v.getPath.getName.matches("v=\\d+"))
+              v.getPath.getName.matches("v=\\d{1,9}"))
             .foreach { v =>
               val ver = v.getPath.getName.stripPrefix("v=").toInt
               if (ver <= newestCommitted &&

@@ -57,12 +57,16 @@ object ZoneMap {
     * max keep the column's own type, so pruning predicates compare in
     * the table's native ordering (dates as dates, longs as longs). */
   def build(spark: SparkSession, tablePath: String, cols: Seq[String],
-      zonePath: String): Unit =
+      zonePath: String): Unit = {
     spark.read.parquet(tablePath)
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"), statCols(cols): _*)
       .write.mode("overwrite").parquet(zonePath)
+    // braces matter: as a brace-less single-expression def this line sat
+    // OUTSIDE the body and ran once at object load — a session that had
+    // already negative-cached the table's root never saw the new synopsis
     graft.plans.ZoneMapRule.invalidateCache()
+  }
 
   /** Incremental maintenance: stat ONLY files present under `tablePath`
     * but absent from the zone map, and append their rows. Deletes are

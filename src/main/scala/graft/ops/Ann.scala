@@ -189,14 +189,18 @@ object Ann {
     val spread = df.repartition(
       df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
     val v = withNorm(spread, idCol, vecCol, dim)
-    // the literal path collects K·dim floats into the plan — count K
-    // FIRST (one cheap job on the K-row frame) and refuse to bake a
-    // centroid set the plan-literal path cannot carry: beyond
-    // `literalMaxK`, a K×dim matrix literal means hundreds of MB of
-    // expression object, task-serialized with every stage, plus a
-    // K-element CreateArray that janino cannot compile — the broadcast
-    // join below ships the same floats ONCE per executor instead
-    if (centroids.count() > literalMaxK)
+    // the literal path collects K·dim floats into the plan — gate on K
+    // FIRST and refuse to bake a centroid set the plan-literal path
+    // cannot carry: beyond `literalMaxK`, a K×dim matrix literal means
+    // hundreds of MB of expression object, task-serialized with every
+    // stage, plus a K-element CreateArray that janino cannot compile —
+    // the broadcast join below ships the same floats ONCE per executor
+    // instead. limit(max+1).count, not count: `centroids` is often an
+    // UNMATERIALIZED corpus derivation (buildIvfIndex seeds with
+    // df.where(id < k)), and a bare count would scan the full corpus
+    // for a decision that only needs "more than max or not" — the limit
+    // stops the scan at the threshold
+    if (centroids.limit(literalMaxK + 1).count() > literalMaxK)
       return assignClustersJoin(v, centroids, idCol, vecCol, dim)
     val crows = centroids.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).collect().filter(_.get(1) != null)
@@ -909,6 +913,15 @@ object Ann {
     Option(fs.listStatus(dp)).toSeq.flatten
       .filter(st => st.getPath.getName.startsWith("batch=") &&
         st.getPath.getName.stripPrefix("batch=").toLong <= live.max)
+      .foreach(st => fs.delete(st.getPath, true))
+    // GC stale .assignments_old_* from compactions that crashed AFTER
+    // their swap's publishing rename but before its delete(old) — the
+    // live base is correct, but each stranded old is a full-size dead
+    // copy of a previous base (and a candidate for a future mtime-based
+    // reAdopt). This swap's own `old` is already gone; sweep the rest.
+    Option(fs.listStatus(new org.apache.hadoop.fs.Path(path))).toSeq.flatten
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".assignments_old_"))
       .foreach(st => fs.delete(st.getPath, true))
     graft.core.Ckpt.free(folded) // count + staging write done
     (n, live.length)

@@ -45,20 +45,41 @@ object ZoneMapRule extends Rule[LogicalPlan] {
 
   private val EnabledKey = "spark.graft.zonemap.enabled"
 
-  private val zoneDirCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** Per-root synopsis cache: None = no `_zonemap` beside the table
+    * (negative result — a miss only costs pruning, never correctness);
+    * Some(schema, rows) = the COLLECTED stat rows, so repeat plannings
+    * of banded queries are driver-local — the optimizer may run this
+    * rule several times per query (two operator-optimization batches +
+    * AQE replans), and re-reading the synopsis parquet each pass paid
+    * footer opens and a collect job for identical input. O(files) rows
+    * on the driver — the same bounded class as the collect the rewrite
+    * already performs. */
+  private val zoneCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[(org.apache.spark.sql.types.StructType,
+      Array[org.apache.spark.sql.Row])]]()
 
   /** Called by ZoneMap.build/refresh so a newly-written synopsis is seen
     * by this session without a restart. */
-  def invalidateCache(): Unit = zoneDirCache.clear()
+  def invalidateCache(): Unit = zoneCache.clear()
 
-  private def hasZoneMap(root: org.apache.hadoop.fs.Path): Boolean =
-    zoneDirCache.computeIfAbsent(root.toString, _ => {
+  private def zoneStats(root: org.apache.hadoop.fs.Path)
+      : Option[(org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.Row])] =
+    zoneCache.computeIfAbsent(root.toString, _ => {
       try {
         val zp = new org.apache.hadoop.fs.Path(root, "_zonemap")
-        zp.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+        val exists = zp
+          .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
           .exists(new org.apache.hadoop.fs.Path(zp, "_SUCCESS"))
-      } catch { case _: Exception => java.lang.Boolean.FALSE }
+        if (!exists) None
+        else {
+          // glob the part files: handing DataSource the underscore-
+          // prefixed dir itself trips its hidden-path filter into a
+          // spurious "All paths were ignored" WARN per planning pass
+          val zone = SparkSession.active.read.parquet(s"$zp/part-*")
+          Some((zone.schema, zone.collect()))
+        }
+      } catch { case _: Exception => None }
     })
 
   private def normalize(uri: String): String =
@@ -107,43 +128,52 @@ object ZoneMapRule extends Rule[LogicalPlan] {
     plan.transformUp {
       case f @ Filter(cond, lr: LogicalRelation) =>
         (lr.relation match {
-          case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 &&
-              hasZoneMap(fs.location.rootPaths.head) =>
-            try prune(f, cond, lr, fs)
-            catch { case e: Exception =>
-              logWarning(s"zone-map pruning skipped: $e"); None }
+          case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+            zoneStats(fs.location.rootPaths.head).flatMap { stats =>
+              try prune(cond, lr, fs, stats)
+              catch { case e: Exception =>
+                logWarning(s"zone-map pruning skipped: $e"); None }
+            }
           case _ => None
         }).getOrElse(f)
     }
   }
 
-  private def prune(f: Filter, cond: Expression, lr: LogicalRelation,
-      fsRel: HadoopFsRelation): Option[LogicalPlan] = {
-    import org.apache.spark.sql.functions.{col, lit}
+  private def prune(cond: Expression, lr: LogicalRelation,
+      fsRel: HadoopFsRelation,
+      stats: (org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.Row])): Option[LogicalPlan] = {
     val spark = SparkSession.active
     val root = fsRel.location.rootPaths.head.toString
-    // glob the part files: handing DataSource the underscore-prefixed dir
-    // itself trips its hidden-path filter into a spurious "All paths were
-    // ignored" WARN on every planning pass (the read still works — root
-    // paths are exempt downstream — but the noise isn't)
-    val zonePath = s"$root/_zonemap/part-*"
-    val zone = spark.read.parquet(zonePath)
-    val mapped: Set[String] = zone.schema.fieldNames
+    val (zoneSchema, zoneRows) = stats
+    val mapped: Set[String] = zoneSchema.fieldNames
       .filter(_.endsWith("__min")).map(_.stripSuffix("__min").toLowerCase).toSet
     val bs = bands(cond, mapped)
     if (bs.isEmpty) return None
-    // one synopsis pass: every mapped file with its pass/fail verdict.
-    // Literal wrapping goes through the shim — Literal.value is the
-    // CATALYST-internal representation (UTF8String, Int days, Long
-    // micros), which functions.lit would re-encode wrongly
-    def litCol(l: Literal) = org.apache.spark.sql.GraftSqlShim.column(l)
-    val zpred = bs.map { case (c, lo, hi) =>
-      val loOk = lo.map(l => col(s"${c}__max") >= litCol(l)).getOrElse(lit(true))
-      val hiOk = hi.map(l => col(s"${c}__min") <= litCol(l)).getOrElse(lit(true))
-      loOk && hiOk
-    }.reduce(_ && _)
-    val verdicts = zone.select(col("file"), zpred.as("pass")).collect()
-      .map(r => normalize(r.getString(0)) -> (r.get(1) == true)).toMap
+    // evaluate the zone predicate over the CACHED stat rows, driver-
+    // local (no job): per band, pass = max >= lo && min <= hi with SQL
+    // null semantics (null stat → null compare → fail → pruned, which
+    // is correct for range predicates: an all-null file cannot match).
+    // Literal.value is the Catalyst-internal representation (UTF8String,
+    // Int days, Long micros) — compare via the type's ordering against
+    // the stats, which ZoneMap wrote in the column's own type.
+    val fileIdx = zoneSchema.fieldIndex("file")
+    def cmp(statVal: Any, l: Literal): Option[Int] =
+      if (statVal == null) None
+      else Some(org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(l.dataType)
+        .compare(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToCatalyst(statVal), l.value))
+    val verdicts = zoneRows.map { r =>
+      val pass = bs.forall { case (c, lo, hi) =>
+        val mx = r.get(zoneSchema.fieldIndex(s"${c}__max"))
+        val mn = r.get(zoneSchema.fieldIndex(s"${c}__min"))
+        val loOk = lo.forall(l => cmp(mx, l).exists(_ >= 0))
+        val hiOk = hi.forall(l => cmp(mn, l).exists(_ <= 0))
+        loOk && hiOk
+      }
+      normalize(r.getString(fileIdx)) -> pass
+    }.toMap
     // freshness-safe survivor set: unmapped live files ALWAYS survive
     val inputFiles = fsRel.location.inputFiles
     val survivors = inputFiles.filter { p =>

@@ -36,9 +36,16 @@ object GraftSqlShim {
     *
     * Only frames whose content is never read again may be freed: the
     * checkpoint truncated lineage, so a freed block cannot be
-    * recomputed — a later action on the frame would fail. */
+    * recomputed — a later action on the frame would fail.
+    *
+    * Deliberately frees ONLY a bare checkpoint (the plan's ROOT is the
+    * LogicalRDD, which is exactly what `localCheckpoint()` returns) —
+    * walking to arbitrary leaves would let a derived frame silently
+    * free checkpoints it merely references and other frames still need
+    * (e.g. a projection over the BPE merge table, whose leaves are the
+    * per-round winner checkpoints). A non-checkpoint plan is a no-op. */
   def freeLocalCheckpoint(df: Dataset[_]): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
+    df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
       case _ => ()

@@ -208,6 +208,29 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("a build AFTER a negative-cached read is seen: build() itself invalidates") {
+    import graft.plans.ZoneMapRule
+    val tbl = scratch("zm_latebuild")
+    clustered(8000, 8, tbl)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ ZoneMapRule
+    try {
+      def banded = spark.read.parquet(tbl)
+        .where(col("id") >= 1000L && col("id") <= 1999L)
+      // query FIRST: the rule negative-caches "no synopsis" for this root
+      assert(banded.inputFiles.length == 8)
+      // the build must invalidate that cache itself (it sat outside the
+      // brace-less def body once — this is the regression pin)
+      ZoneMap.build(spark, tbl, Seq("id"), ZoneMap.defaultZonePath(tbl))
+      assert(banded.inputFiles.length < 8,
+        "a synopsis built after a negative-cached read must start pruning")
+      assert(banded.count() == 1000)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == ZoneMapRule)
+    }
+  }
+
   test("ZoneMapRule is inert without a _zonemap synopsis or prunable conjunct") {
     import graft.plans.ZoneMapRule
     val tbl = scratch("zm_inert")
