@@ -30,9 +30,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object FsOps {
 
   def atomicSwap(fs: FileSystem, tmp: Path, target: Path, old: Path): Unit = {
-    // clear a leftover `old` (crashed prior swap): rename into an
-    // existing dir nests, breaking both the rollback and the GC
-    if (fs.exists(old)) fs.delete(old, true)
+    // clear a leftover `old` (crashed prior swap) — but only when the
+    // target EXISTS. If the target is absent, the leftover under `old`
+    // is the sole live copy of the data (a prior attempt died between
+    // its two renames): deleting it would turn a recoverable crash into
+    // data loss, so re-adopt it as the target instead (the same recovery
+    // [[reAdopt]] performs) and let the swap proceed over it. A rename
+    // into an existing dir NESTS instead of replacing, which is why the
+    // existing-target case must delete before the first rename.
+    if (fs.exists(old)) {
+      if (fs.exists(target)) fs.delete(old, true)
+      else if (!fs.rename(old, target))
+        throw new java.io.IOException(
+          s"re-adopt of stranded $old -> $target failed")
+    }
     val hadPrior = fs.exists(target)
     if (hadPrior && !fs.rename(target, old))
       throw new java.io.IOException(s"rename $target -> $old failed")

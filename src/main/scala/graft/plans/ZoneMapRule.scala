@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
 
 /** Optimizer rule: automatic planning-time file pruning from an external
   * zone map — the Delta/Iceberg stats-in-log behavior on plain parquet,
@@ -14,7 +15,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * the same pruning implicit: when a `Filter` sits over a parquet scan
   * whose root directory carries a `_zonemap` synopsis
   * ([[graft.core.ZoneMap.defaultZonePath]] — underscore-prefixed, so the
-  * data scan never sees it), every range/equality conjunct on a mapped
+  * data scan never sees it), every range/equality/IN conjunct on a mapped
   * column shrinks the scan's file list BEFORE the physical scan is
   * planned. `spark.read.parquet(dir).where(...)` — or any
   * `Tables.table`/`readCurated` read — gets O(matching files) I/O with
@@ -26,9 +27,20 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *  - freshness cannot lose rows: survivors = (mapped files whose zones
   *    intersect every extracted band) ∪ (live files ABSENT from the map)
   *    — a file written after the last `refresh` is always scanned;
-  *  - only bare `col {=,>,>=,<,<=} literal` conjuncts prune (strict
-  *    bounds prune as inclusive — a superset); casts, functions, nulls,
-  *    disjunctions and unmapped columns are ignored, never mis-pruned;
+  *  - prunable conjuncts: `col {=,>,>=,<,<=} literal` (strict bounds
+  *    prune as inclusive — a superset), `col IN (literals)` / `InSet`
+  *    (a file survives when ANY value intersects its zone), and the
+  *    same shapes through an ORDER-PRESERVING `Cast` of the column
+  *    (integral widening, date→timestamp, timestamp→date: x ≤ y ⟹
+  *    f(x) ≤ f(y), so the band compares against f(min)/f(max) of the
+  *    zone). Other casts, functions, nulls, disjunctions and unmapped
+  *    columns are ignored, never mis-pruned;
+  *  - multi-root scans (`spark.read.parquet(dirA, dirB)`) prune via the
+  *    UNION of each root's synopsis; files under a root with no synopsis
+  *    — or mapped under one root but not another — always survive.
+  *    Multi-root relations with a partition schema are left untouched
+  *    (rebuilding their partition discovery from a file list is not
+  *    worth the edge);
   *  - any failure inside the rewrite logs and leaves the plan untouched.
   *
   * Scale: the synopsis read is O(files) metadata rows (the accepted
@@ -45,27 +57,41 @@ object ZoneMapRule extends Rule[LogicalPlan] {
 
   private val EnabledKey = "spark.graft.zonemap.enabled"
 
+  /** One root's collected synopsis plus the lookup structures every
+    * planning pass needs: a LOWERCASED column→(minIdx, maxIdx, statType)
+    * map (parquet column names are case-preserved but the rule matches
+    * case-insensitively — fieldIndex on the raw schema is case-SENSITIVE
+    * and would throw on a mixed-case mapped column, silently disabling
+    * pruning), and the normalized file→row map. */
+  private case class Synopsis(
+      cols: Map[String, (Int, Int, DataType)],
+      byFile: Map[String, org.apache.spark.sql.Row])
+
   /** Per-root synopsis cache: None = no `_zonemap` beside the table
-    * (negative result — a miss only costs pruning, never correctness);
-    * Some(schema, rows) = the COLLECTED stat rows, so repeat plannings
-    * of banded queries are driver-local — the optimizer may run this
-    * rule several times per query (two operator-optimization batches +
-    * AQE replans), and re-reading the synopsis parquet each pass paid
-    * footer opens and a collect job for identical input. O(files) rows
-    * on the driver — the same bounded class as the collect the rewrite
-    * already performs. */
-  private val zoneCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Option[(org.apache.spark.sql.types.StructType,
-      Array[org.apache.spark.sql.Row])]]()
+    * (negative result — a miss only costs pruning, never correctness).
+    * The optimizer may run this rule several times per query (two
+    * operator-optimization batches + AQE replans); re-reading the
+    * synopsis parquet each pass paid footer opens and a collect job for
+    * identical input. O(files) rows on the driver — the same bounded
+    * class as the survivor filtering the rewrite already performs. */
+  private val zoneCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Synopsis]]()
 
   /** Called by ZoneMap.build/refresh so a newly-written synopsis is seen
     * by this session without a restart. */
   def invalidateCache(): Unit = zoneCache.clear()
 
-  private def zoneStats(root: org.apache.hadoop.fs.Path)
-      : Option[(org.apache.spark.sql.types.StructType,
-        Array[org.apache.spark.sql.Row])] =
-    zoneCache.computeIfAbsent(root.toString, _ => {
+  private def zoneStats(root: org.apache.hadoop.fs.Path): Option[Synopsis] = {
+    // compute OUTSIDE the map's bin lock: the load runs a Spark job
+    // (parquet read + collect), and computeIfAbsent would hold the
+    // ConcurrentHashMap bin for its whole duration — blocking any
+    // concurrent planning thread whose root hashes to the same bin, and
+    // throwing IllegalStateException on a re-entrant same-key lookup.
+    // get-then-putIfAbsent accepts a rare duplicate read instead.
+    val key = root.toString
+    val cached = zoneCache.get(key)
+    if (cached != null) return cached
+    val loaded: Option[Synopsis] =
       try {
         val zp = new org.apache.hadoop.fs.Path(root, "_zonemap")
         val exists = zp
@@ -77,10 +103,23 @@ object ZoneMapRule extends Rule[LogicalPlan] {
           // prefixed dir itself trips its hidden-path filter into a
           // spurious "All paths were ignored" WARN per planning pass
           val zone = SparkSession.active.read.parquet(s"$zp/part-*")
-          Some((zone.schema, zone.collect()))
+          val schema = zone.schema
+          val idx = schema.fieldNames.zipWithIndex.toMap
+          val cols = schema.fieldNames.filter(_.endsWith("__min")).flatMap { mn =>
+            val base = mn.stripSuffix("__min")
+            idx.get(s"${base}__max").map { mxI =>
+              base.toLowerCase -> ((idx(mn), mxI, schema(mn).dataType))
+            }
+          }.toMap
+          val fileIdx = schema.fieldIndex("file")
+          val byFile = zone.collect()
+            .map(r => normalize(r.getString(fileIdx)) -> r).toMap
+          Some(Synopsis(cols, byFile))
         }
       } catch { case _: Exception => None }
-    })
+    val prior = zoneCache.putIfAbsent(key, loaded)
+    if (prior != null) prior else loaded
+  }
 
   private def normalize(uri: String): String =
     uri.replaceFirst("^file:/+", "/")
@@ -90,47 +129,100 @@ object ZoneMapRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** (column name, lower bounds, upper bounds) extracted from the
-    * prunable conjuncts. Strict bounds are kept as-is and compared
-    * inclusively against the zones — a correct superset. */
-  private def bands(cond: Expression, mapped: Set[String])
-      : Seq[(String, Option[Literal], Option[Literal])] =
-    splitConjuncts(cond).flatMap {
-      case EqualTo(a: AttributeReference, l: Literal) if ok(a, l, mapped) =>
-        Some((a.name.toLowerCase, Some(l), Some(l)))
-      case EqualTo(l: Literal, a: AttributeReference) if ok(a, l, mapped) =>
-        Some((a.name.toLowerCase, Some(l), Some(l)))
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if ok(a, l, mapped) =>
-        Some((a.name.toLowerCase, Some(l), None))
-      case GreaterThan(a: AttributeReference, l: Literal) if ok(a, l, mapped) =>
-        Some((a.name.toLowerCase, Some(l), None))
-      case LessThanOrEqual(a: AttributeReference, l: Literal) if ok(a, l, mapped) =>
-        Some((a.name.toLowerCase, None, Some(l)))
-      case LessThan(a: AttributeReference, l: Literal) if ok(a, l, mapped) =>
-        Some((a.name.toLowerCase, None, Some(l)))
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if ok(a, l, mapped) =>
-        Some((a.name.toLowerCase, None, Some(l)))
-      case GreaterThan(l: Literal, a: AttributeReference) if ok(a, l, mapped) =>
-        Some((a.name.toLowerCase, None, Some(l)))
-      case LessThanOrEqual(l: Literal, a: AttributeReference) if ok(a, l, mapped) =>
-        Some((a.name.toLowerCase, Some(l), None))
-      case LessThan(l: Literal, a: AttributeReference) if ok(a, l, mapped) =>
-        Some((a.name.toLowerCase, Some(l), None))
+  /** A prunable conjunct, normalized: the (lowercased) column, the
+    * order-preserving cast applied to the column (identity = None), and
+    * either a range band or an IN value set — all literal values are
+    * Catalyst-internal, in the COMPARISON type (the cast's target). */
+  private sealed trait ZBand { def col: String; def castTo: Option[DataType] }
+  private case class RangeBand(col: String, castTo: Option[DataType],
+      lo: Option[Literal], hi: Option[Literal]) extends ZBand
+  private case class InBand(col: String, castTo: Option[DataType],
+      values: Seq[Literal]) extends ZBand
+
+  /** The column side of a prunable conjunct: a bare attribute, or an
+    * attribute under ONE order-preserving cast (monotone f: x ≤ y ⟹
+    * f(x) ≤ f(y), so [min,max] of the column maps to [f(min),f(max)]
+    * and band comparison against the casted stats is exact). */
+  private def colSide(e: Expression): Option[(AttributeReference, Option[DataType])] =
+    e match {
+      case a: AttributeReference => Some((a, None))
+      case Cast(a: AttributeReference, dt, _, _) if monotoneCast(a.dataType, dt) =>
+        Some((a, Some(dt)))
       case _ => None
     }
 
-  private def ok(a: AttributeReference, l: Literal, mapped: Set[String]): Boolean =
-    l.value != null && mapped.contains(a.name.toLowerCase) &&
-      l.dataType == a.dataType
+  /** Order-preserving (monotone non-decreasing) casts this rule trusts:
+    * integral widening and date↔timestamp. Timestamp→date is monotone
+    * but not injective — fine, strict bounds are already compared
+    * inclusively (a superset). Anything string-, float-format- or
+    * overflow-adjacent stays out. */
+  private def monotoneCast(from: DataType, to: DataType): Boolean = {
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 3
+      case LongType => 4; case _ => -1
+    }
+    (from, to) match {
+      case (DateType, TimestampType) => true
+      case (TimestampType, DateType) => true
+      case _ => rank(from) > 0 && rank(to) >= rank(from)
+    }
+  }
+
+  private def bands(cond: Expression, mapped: Set[String]): Seq[ZBand] =
+    splitConjuncts(cond).flatMap {
+      case EqualTo(e, l: Literal) => range(e, l, mapped, Some(l), Some(l))
+      case EqualTo(l: Literal, e) => range(e, l, mapped, Some(l), Some(l))
+      case GreaterThanOrEqual(e, l: Literal) => range(e, l, mapped, Some(l), None)
+      case GreaterThan(e, l: Literal) => range(e, l, mapped, Some(l), None)
+      case LessThanOrEqual(e, l: Literal) => range(e, l, mapped, None, Some(l))
+      case LessThan(e, l: Literal) => range(e, l, mapped, None, Some(l))
+      case GreaterThanOrEqual(l: Literal, e) => range(e, l, mapped, None, Some(l))
+      case GreaterThan(l: Literal, e) => range(e, l, mapped, None, Some(l))
+      case LessThanOrEqual(l: Literal, e) => range(e, l, mapped, Some(l), None)
+      case LessThan(l: Literal, e) => range(e, l, mapped, Some(l), None)
+      case In(e, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val lits = vs.map(_.asInstanceOf[Literal]).filter(_.value != null)
+        colSide(e).collect {
+          case (a, c) if lits.nonEmpty && mapped.contains(a.name.toLowerCase) &&
+              lits.head.dataType == cmpType(a, c) =>
+            InBand(a.name.toLowerCase, c, lits)
+        }
+      case InSet(e, hset) =>
+        colSide(e).collect {
+          case (a, c) if mapped.contains(a.name.toLowerCase) => (a, c)
+        }.flatMap { case (a, c) =>
+          val vs = hset.toSeq.filter(_ != null)
+            .map(v => Literal(v, cmpType(a, c)))
+          if (vs.nonEmpty) Some(InBand(a.name.toLowerCase, c, vs)) else None
+        }
+      case _ => None
+    }
+
+  /** The type band literals are compared in: the cast target when the
+    * column sits under a monotone cast, the column's own type otherwise. */
+  private def cmpType(a: AttributeReference, castTo: Option[DataType]): DataType =
+    castTo.getOrElse(a.dataType)
+
+  private def range(e: Expression, l: Literal, mapped: Set[String],
+      lo: Option[Literal], hi: Option[Literal]): Option[ZBand] =
+    colSide(e).collect {
+      case (a, c) if l.value != null && mapped.contains(a.name.toLowerCase) &&
+          l.dataType == cmpType(a, c) =>
+        RangeBand(a.name.toLowerCase, c, lo, hi)
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
     plan.transformUp {
       case f @ Filter(cond, lr: LogicalRelation) =>
         (lr.relation match {
-          case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
-            zoneStats(fs.location.rootPaths.head).flatMap { stats =>
-              try prune(cond, lr, fs, stats)
+          case fs: HadoopFsRelation
+              if fs.location.rootPaths.length == 1 ||
+                fs.partitionSchema.isEmpty =>
+            val syns = fs.location.rootPaths.flatMap(zoneStats)
+            if (syns.isEmpty) None
+            else {
+              try prune(cond, lr, fs, syns)
               catch { case e: Exception =>
                 logWarning(s"zone-map pruning skipped: $e"); None }
             }
@@ -140,14 +232,12 @@ object ZoneMapRule extends Rule[LogicalPlan] {
   }
 
   private def prune(cond: Expression, lr: LogicalRelation,
-      fsRel: HadoopFsRelation,
-      stats: (org.apache.spark.sql.types.StructType,
-        Array[org.apache.spark.sql.Row])): Option[LogicalPlan] = {
+      fsRel: HadoopFsRelation, syns: Seq[Synopsis]): Option[LogicalPlan] = {
     val spark = SparkSession.active
-    val root = fsRel.location.rootPaths.head.toString
-    val (zoneSchema, zoneRows) = stats
-    val mapped: Set[String] = zoneSchema.fieldNames
-      .filter(_.endsWith("__min")).map(_.stripSuffix("__min").toLowerCase).toSet
+    val roots = fsRel.location.rootPaths
+    // a column prunes when ANY root maps it — files of a root that does
+    // NOT map it skip that band (see verdict loop), which only widens
+    val mapped: Set[String] = syns.flatMap(_.cols.keys).toSet
     val bs = bands(cond, mapped)
     if (bs.isEmpty) return None
     // evaluate the zone predicate over the CACHED stat rows, driver-
@@ -156,24 +246,54 @@ object ZoneMapRule extends Rule[LogicalPlan] {
     // is correct for range predicates: an all-null file cannot match).
     // Literal.value is the Catalyst-internal representation (UTF8String,
     // Int days, Long micros) — compare via the type's ordering against
-    // the stats, which ZoneMap wrote in the column's own type.
-    val fileIdx = zoneSchema.fieldIndex("file")
-    def cmp(statVal: Any, l: Literal): Option[Int] =
-      if (statVal == null) None
-      else Some(org.apache.spark.sql.catalyst.util.TypeUtils
-        .getInterpretedOrdering(l.dataType)
-        .compare(org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .convertToCatalyst(statVal), l.value))
-    val verdicts = zoneRows.map { r =>
-      val pass = bs.forall { case (c, lo, hi) =>
-        val mx = r.get(zoneSchema.fieldIndex(s"${c}__max"))
-        val mn = r.get(zoneSchema.fieldIndex(s"${c}__min"))
-        val loOk = lo.forall(l => cmp(mx, l).exists(_ >= 0))
-        val hiOk = hi.forall(l => cmp(mn, l).exists(_ <= 0))
-        loOk && hiOk
+    // the stats, which ZoneMap wrote in the column's own type; a
+    // monotone cast band first maps the stat through the SAME cast.
+    def statVal(syn: Synopsis, r: org.apache.spark.sql.Row, idx: Int,
+        statType: DataType, castTo: Option[DataType]): Any = {
+      val raw = r.get(idx)
+      if (raw == null) null
+      else {
+        val cat = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToCatalyst(raw)
+        castTo match {
+          case None => cat
+          case Some(to) =>
+            Cast(Literal(cat, statType), to,
+              Some(conf.sessionLocalTimeZone)).eval(null)
+        }
       }
-      normalize(r.getString(fileIdx)) -> pass
-    }.toMap
+    }
+    def cmp(s: Any, l: Literal): Option[Int] =
+      if (s == null) None
+      else Some(org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(l.dataType).compare(s, l.value))
+    // per-file verdicts, unioned across roots: a file mapped by several
+    // synopses (shouldn't happen — roots are distinct dirs) keeps the
+    // FIRST verdict; files in no synopsis never enter the map → survive
+    val verdicts = scala.collection.mutable.HashMap.empty[String, Boolean]
+    syns.foreach { syn =>
+      syn.byFile.foreach { case (file, r) =>
+        if (!verdicts.contains(file)) {
+          val pass = bs.forall { b =>
+            syn.cols.get(b.col) match {
+              case None => true // column unmapped under THIS root
+              case Some((mnI, mxI, st)) =>
+                val mx = statVal(syn, r, mxI, st, b.castTo)
+                val mn = statVal(syn, r, mnI, st, b.castTo)
+                b match {
+                  case RangeBand(_, _, lo, hi) =>
+                    lo.forall(l => cmp(mx, l).exists(_ >= 0)) &&
+                      hi.forall(l => cmp(mn, l).exists(_ <= 0))
+                  case InBand(_, _, vs) =>
+                    vs.exists(v => cmp(mx, v).exists(_ >= 0) &&
+                      cmp(mn, v).exists(_ <= 0))
+                }
+            }
+          }
+          verdicts.put(file, pass)
+        }
+      }
+    }
     // freshness-safe survivor set: unmapped live files ALWAYS survive
     val inputFiles = fsRel.location.inputFiles
     val survivors = inputFiles.filter { p =>
@@ -181,11 +301,15 @@ object ZoneMapRule extends Rule[LogicalPlan] {
     }
     if (survivors.length == inputFiles.length) return None // nothing to prune
     logInfo(s"zone map pruned ${inputFiles.length - survivors.length}/" +
-      s"${inputFiles.length} files of $root")
+      s"${inputFiles.length} files of ${roots.mkString(",")}")
     if (survivors.isEmpty) return Some(Filter(cond, LocalRelation(lr.output)))
-    val pruned = spark.read.option("basePath", root)
-      .schema(fsRel.dataSchema) // pin the data schema: no footer re-read
-      .parquet(survivors.toIndexedSeq: _*)
+    val reader = spark.read.schema(fsRel.dataSchema) // no footer re-read
+    // basePath re-derives partition columns from the survivor paths;
+    // only meaningful (and only well-defined) for a single root — the
+    // multi-root arm is gated to partitionSchema.isEmpty in apply()
+    val withBase = if (roots.length == 1)
+      reader.option("basePath", roots.head.toString) else reader
+    val pruned = withBase.parquet(survivors.toIndexedSeq: _*)
       .queryExecution.analyzed.collectFirst { case l: LogicalRelation => l }
     pruned.flatMap { nl =>
       // the new relation must expose the SAME columns in the same order

@@ -22,6 +22,20 @@ class FsOpsSpec extends SparkSpec {
     assert(!fs.exists(new Path(s"$root/old")), "old must be GC'd, not nested")
   }
 
+  test("atomicSwap re-adopts a stranded old when the target is absent") {
+    val root = scratch("fsops_strand")
+    // a prior swap died between its two renames: target ABSENT, the
+    // sole live copy stranded under `old`. A caller reusing the same
+    // old path must not have that copy deleted out from under it —
+    // the swap re-adopts it as the prior generation instead.
+    Seq(1).toDF("v").write.parquet(s"$root/old")
+    Seq(2).toDF("v").write.parquet(s"$root/tmp")
+    FsOps.atomicSwap(fs, new Path(s"$root/tmp"), new Path(s"$root/target"),
+      new Path(s"$root/old"))
+    assert(spark.read.parquet(s"$root/target").as[Int].head() == 2)
+    assert(!fs.exists(new Path(s"$root/old")), "re-adopted prior is GC'd")
+  }
+
   test("reAdopt recovers the crash window between the swap's two renames") {
     val root = scratch("fsops_readopt")
     val target = new Path(s"$root/assignments")

@@ -250,4 +250,139 @@ class ZoneMapSpec extends SparkSpec {
         spark.experimental.extraOptimizations.filterNot(_ == ZoneMapRule)
     }
   }
+
+  test("ZoneMapRule: mixed-case mapped columns prune (case-insensitive stat lookup)") {
+    import graft.plans.ZoneMapRule
+    val tbl = scratch("zm_case")
+    Layout.writeRangeClustered(
+      spark.range(8000L).select(col("id").as("OrderKey"),
+        (col("id") % 7).as("V")),
+      tbl, 8, col("OrderKey"))
+    ZoneMap.build(spark, tbl, Seq("OrderKey"), ZoneMap.defaultZonePath(tbl))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ ZoneMapRule
+    try {
+      // the synopsis carries OrderKey__min/__max; a case-SENSITIVE
+      // fieldIndex on the lowercased band name threw per planning pass
+      // and silently disabled pruning — this is the regression pin
+      val banded = spark.read.parquet(tbl)
+        .where(col("OrderKey") >= 1000L && col("OrderKey") <= 1999L)
+      assert(banded.inputFiles.length < 8,
+        s"mixed-case column must prune: ${banded.inputFiles.length}/8")
+      assert(banded.count() == 1000)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == ZoneMapRule)
+    }
+  }
+
+  test("ZoneMapRule: IN lists prune — both In and the InSet conversion") {
+    import graft.plans.ZoneMapRule
+    val tbl = scratch("zm_in")
+    clustered(10000, 10, tbl)
+    ZoneMap.build(spark, tbl, Seq("id"), ZoneMap.defaultZonePath(tbl))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ ZoneMapRule
+    try {
+      val all = ZoneMap.listDataFiles(spark, tbl).size
+      // 3 values (stays an In): all inside one ~1000-row zone
+      val small = spark.read.parquet(tbl)
+        .where(col("id").isin(2100L, 2200L, 2300L))
+      assert(small.inputFiles.length < all,
+        s"In must prune: ${small.inputFiles.length}/$all")
+      assert(small.count() == 3)
+      // 12 values (> inSetConversionThreshold 10 → InSet), two zones
+      val vals = (0 until 12).map(i => 2000L + i * 80) // 2000..2880
+      val big = spark.read.parquet(tbl).where(col("id").isin(vals: _*))
+      assert(big.inputFiles.length < all,
+        s"InSet must prune: ${big.inputFiles.length}/$all")
+      assert(big.count() == 12)
+      // a value set straddling zones keeps every intersecting file: the
+      // result must equal the unpruned truth
+      spark.conf.set("spark.graft.zonemap.enabled", "false")
+      val truth = big.select("id").as[Long].collect().toSet
+      spark.conf.set("spark.graft.zonemap.enabled", "true")
+      assert(big.select("id").as[Long].collect().toSet == truth)
+    } finally {
+      spark.conf.set("spark.graft.zonemap.enabled", "true")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == ZoneMapRule)
+    }
+  }
+
+  test("ZoneMapRule: order-preserving casts prune; non-monotone shapes never do") {
+    import graft.plans.ZoneMapRule
+    val tbl = scratch("zm_cast")
+    // 4 month-files of timestamps; the zone map stores TIMESTAMP stats
+    val months = Seq("2024-01", "2024-02", "2024-03", "2024-04")
+    months.zipWithIndex.foreach { case (m, i) =>
+      spark.range(100).select(col("id") + i * 100,
+          lit(s"$m-15 12:00:00").cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("append").parquet(tbl)
+    }
+    ZoneMap.build(spark, tbl, Seq("ts"), ZoneMap.defaultZonePath(tbl))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ ZoneMapRule
+    try {
+      // timestamp→date is monotone: the band casts the zone's timestamp
+      // stats through the SAME cast and prunes to the one March file
+      val mar = spark.read.parquet(tbl)
+        .where(col("ts").cast("date") === lit("2024-03-15").cast("date"))
+      assert(mar.inputFiles.length == 1,
+        s"ts→date cast must prune to 1 file: ${mar.inputFiles.length}/4")
+      assert(mar.count() == 100)
+      // a function of the column must stay unprunable
+      val fn = spark.read.parquet(tbl)
+        .where(date_format(col("ts"), "yyyy-MM") === "2024-03")
+      assert(fn.inputFiles.length == 4, "non-cast shapes must not prune")
+      assert(fn.count() == 100)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == ZoneMapRule)
+    }
+  }
+
+  test("ZoneMapRule: multi-root scans prune via per-root synopsis union") {
+    import graft.plans.ZoneMapRule
+    val tblA = scratch("zm_ma"); val tblB = scratch("zm_mb")
+    clustered(4000, 4, tblA)
+    // B's ids live in a disjoint range so A's band never matches them
+    Layout.writeRangeClustered(
+      spark.range(4000L).select((col("id") + 100000L).as("id"),
+        (col("id") % 7).as("v")),
+      tblB, 4, col("id"))
+    ZoneMap.build(spark, tblA, Seq("id"), ZoneMap.defaultZonePath(tblA))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ ZoneMapRule
+    try {
+      // only A has a synopsis: A's non-matching files prune, EVERY B
+      // file survives (unmapped-root freshness safety)
+      val band = spark.read.parquet(tblA, tblB)
+        .where(col("id") >= 1000L && col("id") <= 1999L)
+      val files = band.inputFiles
+      assert(files.count(_.contains("zm_mb")) == 4,
+        "files under a synopsis-less root must all survive")
+      assert(files.count(_.contains("zm_ma")) < 4,
+        s"mapped root must prune: ${files.count(_.contains("zm_ma"))}/4")
+      assert(band.count() == 1000)
+      // both roots mapped: the union prunes B's files on A's band too
+      ZoneMap.build(spark, tblB, Seq("id"), ZoneMap.defaultZonePath(tblB))
+      val both = spark.read.parquet(tblA, tblB)
+        .where(col("id") >= 1000L && col("id") <= 1999L)
+      assert(both.inputFiles.count(_.contains("zm_mb")) == 0,
+        "a disjoint mapped root must prune to zero files")
+      assert(both.count() == 1000)
+      // result identity vs the unpruned plan on a straddling band
+      val wide = spark.read.parquet(tblA, tblB)
+        .where(col("id") >= 3500L && col("id") <= 100500L)
+      spark.conf.set("spark.graft.zonemap.enabled", "false")
+      val truth = wide.select("id").as[Long].collect().toSet
+      spark.conf.set("spark.graft.zonemap.enabled", "true")
+      assert(wide.select("id").as[Long].collect().toSet == truth)
+    } finally {
+      spark.conf.set("spark.graft.zonemap.enabled", "true")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == ZoneMapRule)
+    }
+  }
 }
