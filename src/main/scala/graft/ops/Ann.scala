@@ -249,8 +249,15 @@ object Ann {
     if (c.isEmpty) // mirror the literal path: no usable centroid → empty
       return v.select(col("__vid"), col("__vec"), col("__nrm"),
         lit(null).cast(cidType).as("__cid")).where(lit(false))
+    // per-ROW surrogate, not __vid: the literal path is a pure
+    // projection (one output row per input row even when ids repeat),
+    // and a window partitioned by id alone would collapse duplicate-id
+    // rows to one — silently dropping rows only on the spillway path.
+    // monotonically_increasing_id is only a within-query distinct key
+    // here (never emitted), so its partition-dependence is harmless.
     val nonNull = v.where(col("__vec").isNotNull)
-    val w = Window.partitionBy(col("__vid"))
+      .withColumn("__row", monotonically_increasing_id())
+    val w = Window.partitionBy(col("__row"))
       .orderBy(col("__sim").desc, col("__cid").asc)
     val assigned = nonNull.crossJoin(broadcast(c))
       .withColumn("__sim",
@@ -527,43 +534,84 @@ object Ann {
     spread.select(col(idCol).as("vec_id"), sig.as("sig"))
   }
 
+  /** [[srpSignature]] without the one-long ceiling: the signature as an
+    * `array<bigint>` of `bands` per-band BLOCKS, each `width ≤ 63` bits
+    * — block `b`, bit `t` is the sign of hyperplane `j = b·width + t`
+    * ([[srpWeight]]), i.e. exactly bits [b·width, (b+1)·width) of the
+    * conceptual full signature. When bands·width ≤ 63 the concatenated
+    * blocks equal [[srpSignature]]'s one long bit-for-bit (spec-pinned),
+    * so the lift changes the TRANSPORT, never the sketch. Hamming
+    * distance = Σ bit_count(a[b] ^ b[b]); band key = one array element.
+    * Same cost shape as the one-long spelling: O(dim · bands · width)
+    * codegen'd arithmetic per row, no shuffle — downstream near-dup
+    * work now moves 8·bands bytes per vector instead of 8. */
+  def srpSignatureBlocks(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bands: Int, width: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(bands >= 1, s"bands must be positive, got $bands")
+    require(width >= 1 && width <= 63, s"width must be in [1,63], got $width")
+    // same partition spread as srpSignature: the per-row fold is the
+    // real work, a byte-sized plan must not serialize it
+    val spread = df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
+    val qv = transform(col(vecCol),
+      x => round(x.cast("double") * scale).cast("long"))
+    val blocks = (0 until bands).map { b =>
+      (0 until width).map { t =>
+        val j = b * width + t
+        val h: Seq[Long] = (0 until dim).map(i => srpWeight(i, j).toLong)
+        val proj = aggregate(
+          zip_with(qv, typedLit(h), (a, x) => a * x),
+          lit(0L), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << t)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    spread.select(col(idCol).as("vec_id"), array(blocks: _*).as("sig"))
+  }
+
+  /** Per-block hamming sum for two [[srpSignatureBlocks]] columns —
+    * Σ bit_count(a[b] ^ b[b]), equal to the full-signature hamming
+    * because blocks are disjoint bit-ranges. */
+  private def blockHamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
   /** The SRP blocking dial, turned by the engine — [[autoGranularity]]'s
     * twin for the signature family: the per-band block WIDTH that pins
     * expected bucket population at `targetBucket` as the corpus grows.
     * Buckets per band = 2^width, so width = the smallest w with
-    * 2^w ≥ ⌈n / targetBucket⌉, clamped to [1, 63/bands] (the whole
-    * signature must fit one long). Returned as total bits =
-    * bands · width, the unit [[srpDupPairs]]/[[srpCandidatesTopK]] take.
-    * Candidate volume per band is then ≤ n · targetBucket — LINEAR in n,
-    * where any fixed bits went quadratic (the sf10 probe measured
-    * exponent 1.48 on q213's fixed 32-bit dial). Pure integer math —
-    * deterministic given n and SQL-replayable: the oracle picks the
-    * same smallest-w by scanning 1..63/bands.
+    * 2^w ≥ ⌈n / targetBucket⌉ ([[srpAutoWidth]]). Returned as total
+    * bits = bands · width, the unit [[srpDupPairs]]/
+    * [[srpCandidatesTopK]] take. Candidate volume per band is then
+    * ≤ n · targetBucket — LINEAR in n, where any fixed bits went
+    * quadratic (the sf10 probe measured exponent 1.48 on q213's fixed
+    * 32-bit dial). Pure integer math — deterministic given n and
+    * SQL-replayable: the oracle picks the same smallest-w.
     *
-    * KNOWN CEILING (measured, round-7 probe): the one-long packing
-    * clamps width at ⌊63/bands⌋, so the dial saturates once
-    * n > targetBucket · 2^(63/bands) — with bands=8 that is 128
-    * buckets/band, binding above ~65k vectors (at 200k the dial wanted
-    * width 9, the clamp gave 7; bucket population ran 3× over target,
-    * q277 measured exponent 0.90 — volume-linear, the one-shot
-    * operator family's floor, but the constant grows past the clamp).
-    * The lift is mechanical and loses nothing: store the signature as
-    * an array<bigint> of per-band blocks (width ≤ 63 EACH), band key =
-    * element_at, hamming = Σ bit_count per block — the pigeonhole
-    * losslessness argument is unchanged because bands stay exact
-    * bit-blocks of the full signature. At 100 TB the steady state is
-    * the INCREMENTAL index path regardless (see
-    * [[graft.ops.TextDedup.incrementalDupPairs]]'s shape); the one-shot
-    * op prices initial corpus builds. */
-  def srpAutoBits(n: Long, bands: Int, targetBucket: Int = 512): Int = {
+    * The round-7 one-long ceiling is LIFTED: signatures are stored as
+    * an `array<bigint>` of per-band blocks ([[srpSignatureBlocks]] —
+    * width ≤ 63 EACH, band key = one array element, hamming =
+    * Σ bit_count per block), so the dial grants whatever width the
+    * corpus asks for at any n. The pigeonhole losslessness argument is
+    * unchanged: bands are still exact disjoint bit-blocks of the full
+    * signature. The only clamp left is width ≤ 63 per BLOCK — 2^63
+    * buckets per band, never binding (it would need n > 512 · 2^63).
+    * At 100 TB the steady state is the INCREMENTAL index path
+    * regardless (see [[graft.ops.TextDedup.incrementalDupPairs]]'s
+    * shape); the one-shot op prices initial corpus builds. */
+  def srpAutoBits(n: Long, bands: Int, targetBucket: Int = 512): Int =
+    bands * srpAutoWidth(n, bands, targetBucket)
+
+  /** The per-band block width behind [[srpAutoBits]]: the smallest w in
+    * [1, 63] with 2^w ≥ ⌈n / targetBucket⌉. Pure integer math —
+    * deterministic given n and SQL-replayable. */
+  def srpAutoWidth(n: Long, bands: Int, targetBucket: Int = 512): Int = {
     require(bands >= 1 && bands <= 31, s"bands must be in [1,31], got $bands")
     require(targetBucket >= 1, s"targetBucket must be positive: $targetBucket")
-    val maxWidth = 63 / bands
     // division-first ceil: n + targetBucket - 1 could overflow near Long.Max
     val cells = n / targetBucket + (if (n % targetBucket > 0) 1L else 0L)
-    val width = (1 to maxWidth).find(w => (1L << w) >= cells)
-      .getOrElse(maxWidth)
-    bands * width
+    (1 to 63).find(w => w == 63 || (1L << w) >= cells).getOrElse(63)
   }
 
   /** Embedding near-duplicate pairs by SRP signature hamming distance,
@@ -596,8 +644,7 @@ object Ann {
       s"band blocking is only lossless for maxHamming <= bands-1 " +
         s"(got maxHamming=$maxHamming, bands=$bands)")
     val width = nb / bands
-    val mask = (1L << width) - 1
-    val sigs = srpSignature(df, idCol, vecCol, dim, nb, scale)
+    val sigs = srpSignatureBlocks(df, idCol, vecCol, dim, bands, width, scale)
     // PIN the candidate explosion's parallelism: the banded frame is
     // BYTE-tiny (≤ a few longs per vector) but the band self-join below
     // fans out quadratically per bucket, so any byte-based plan decision
@@ -608,13 +655,7 @@ object Ann {
     // and both join sides reuse the one exchange.
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
     val banded = sigs.select(col("vec_id"), col("sig"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            (shiftrightunsigned(col("sig"), b * width)
-              .bitwiseAND(mask)).as("key"))
-        }: _*)).as("bk"))
-      .select(col("vec_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+        posexplode(col("sig")).as(Seq("band", "key")))
       .repartition(par, col("band"), col("key"))
     val a = banded.select(col("band"), col("key"),
       col("vec_id").as("vec_a"), col("sig").as("__sa"))
@@ -623,7 +664,7 @@ object Ann {
     a.join(b, Seq("band", "key"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        expr("bit_count(__sa ^ __sb)").cast("long").as("hamming"))
+        blockHamming(col("__sa"), col("__sb")).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -646,20 +687,16 @@ object Ann {
     val nb = if (bits > 0) bits else srpAutoBits(df.count(), bands, targetBucket)
     require(nb % bands == 0, s"bits ($nb) must divide into bands ($bands)")
     val width = nb / bands
-    val mask = (1L << width) - 1
-    val sigs = srpSignature(df, idCol, vecCol, dim, nb, scale)
+    val sigs = srpSignatureBlocks(df, idCol, vecCol, dim, bands, width, scale)
     // same explicit-width repartition as srpDupPairs: the banded frame
     // is byte-tiny, the self-join fan-out is the real work
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
     val banded = sigs.select(col("vec_id"), col("sig"),
-        explode(array((0 until bands).map { b =>
-          (shiftrightunsigned(col("sig"), b * width)
-            .bitwiseAND(mask) + lit(b.toLong << width)).as("key")
-        }: _*)).as("key"))
-      .repartition(par, col("key"))
-    val a = banded.select(col("key"),
+        posexplode(col("sig")).as(Seq("band", "key")))
+      .repartition(par, col("band"), col("key"))
+    val a = banded.select(col("band"), col("key"),
       col("vec_id").as("vec_a"), col("sig").as("__sa"))
-    val b = banded.select(col("key"),
+    val b = banded.select(col("band"), col("key"),
       col("vec_id").as("vec_b"), col("sig").as("__sb"))
     // top-(k·bands) FIRST (TakeOrdered = per-partition bounded heaps, no
     // shuffle of the candidate volume), then dedup the ≤ k·bands rows: a
@@ -668,10 +705,10 @@ object Ann {
     // naive distinct()-then-top-k spelling shuffles EVERY candidate pair
     // (measured 24.6 s vs 4.4 s at 20k vectors) for rows the heap cut
     // would discard anyway.
-    a.join(b, Seq("key"))
+    a.join(b, Seq("band", "key"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        expr("bit_count(__sa ^ __sb)").cast("long").as("hamming"))
+        blockHamming(col("__sa"), col("__sb")).as("hamming"))
       .orderBy(col("hamming"), col("vec_a"), col("vec_b"))
       .limit(k * bands)
       .dropDuplicates("vec_a", "vec_b")

@@ -1021,65 +1021,79 @@ object Training {
        |ORDER BY hamming, vec_a, vec_b LIMIT $k""".stripMargin
   }
 
-  /** The dial replayed in SQL — [[Ann.srpAutoBits]]'s exact integer
+  /** The dial replayed in SQL — [[Ann.srpAutoWidth]]'s exact integer
     * chain: cells = ⌈n/512⌉ (n = count(*)), width = the smallest w in
-    * [1, 63/bands] with 2^w ≥ cells (else the clamp), bits = bands·w.
-    * Emitted as a `dial` CTE exposing both `width` and `bits`. */
-  private def srpDialCte(bands: Int): String = {
-    val maxW = 63 / bands
+    * [1, 63] with 2^w ≥ cells (w = 63 accepts unconditionally, exactly
+    * like the Scala `w == 63 ||` arm — 1<<63 would overflow signed).
+    * Emitted as a `dial` CTE exposing `width`. */
+  private def srpDialCte: String =
     s"""nn AS (SELECT count(*) n FROM embeddings),
        |dial AS (SELECT COALESCE(
-       |    (SELECT MIN(w) FROM generate_series(1, $maxW) t(w), nn
-       |      WHERE (1::BIGINT << w) >= (n + 511) // 512), $maxW) AS width,
-       |  $bands * COALESCE(
-       |    (SELECT MIN(w) FROM generate_series(1, $maxW) t(w), nn
-       |      WHERE (1::BIGINT << w) >= (n + 511) // 512), $maxW) AS bits
-       |  FROM nn)""".stripMargin
-  }
+       |    (SELECT MIN(w) FROM generate_series(1, 63) t(w), nn
+       |      WHERE w = 63 OR (1::BIGINT << w) >= (n + 511) // 512),
+       |    63) AS width FROM nn)""".stripMargin
 
-  /** Signature CTEs for the AUTO-dialed SRP oracles: the hyperplane
-    * literal carries rows for the MAX width (bands · ⌊63/bands⌋ bits);
-    * the signature fold reads only the first `dial.bits` of them, so
-    * the one literal serves every corpus size. */
+  /** The widest per-band block the auto oracles' hyperplane literal
+    * covers: bands · 12 bits serves any corpus up to 512 · 2^12 ≈ 2M
+    * vectors — far past every oracle scale factor. (The ENGINE has no
+    * such cap: [[Ann.srpSignatureBlocks]] derives hyperplanes on the
+    * fly up to width 63.) */
+  private val OracleMaxWidth = 12
+
+  /** Signature CTEs for the AUTO-dialed SRP oracles, mirroring the
+    * array-of-blocks transport ([[Ann.srpSignatureBlocks]]): `sig` is a
+    * LIST of `bands` per-band blocks, block b bit t = sign of
+    * hyperplane j = (b−1)·width + t. The hyperplane literal carries
+    * bands · [[OracleMaxWidth]] rows; the fold reads only the first
+    * dial-chosen width of each band. */
   private def srpAutoSigCtes(bands: Int): String = {
-    val maxBits = bands * (63 / bands)
+    val maxBits = bands * OracleMaxWidth
     val h = (0 until maxBits).map { j =>
       (0 until Dim).map(i => Ann.srpWeight(i, j)).mkString("[", ",", "]")
     }.mkString("[", ",\n    ", "]")
     s"""h AS (SELECT $h AS H),
-       |${srpDialCte(bands)},
+       |$srpDialCte,
        |q AS (SELECT vec_id,
        |    [CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)
        |     for i in generate_series(1, $Dim)] qv
        |  FROM embeddings),
        |s AS (SELECT vec_id,
-       |    list_sum(list_transform(generate_series(1, d.bits), j ->
-       |      CASE WHEN list_sum([H[j][i] * qv[i]
+       |    [list_sum(list_transform(generate_series(1, d.width), t ->
+       |      CASE WHEN list_sum([H[(b - 1) * d.width + t][i] * qv[i]
        |                          for i in generate_series(1, $Dim)]) >= 0
-       |      THEN 1::BIGINT << (j - 1) ELSE 0::BIGINT END)) sig
+       |      THEN 1::BIGINT << (t - 1) ELSE 0::BIGINT END))
+       |     for b in generate_series(1, $bands)] sig
        |  FROM q CROSS JOIN h CROSS JOIN dial d)""".stripMargin
   }
 
+  /** Per-band hamming sum over the block lists — Σ bit_count per block,
+    * equal to the full-signature hamming (blocks are disjoint). Outer
+    * cast: DuckDB list_sum(BIGINT) yields HUGEINT, which the driver's
+    * type-sensitive hash rejects against Spark's int64. */
+  private def blockHammingSql(bands: Int): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, $bands), bb ->
+       |    CAST(bit_count(xor(a.sig[bb], b.sig[bb])) AS BIGINT))) AS BIGINT)""".stripMargin
+
   /** [[srpOracle]]'s auto-dial twin: same quadratic hamming filter,
-    * signatures built at the dial-chosen width. */
+    * signatures built at the dial-chosen width as block lists. */
   private def srpAutoOracle(bands: Int, maxHamming: Int): String =
     s"""WITH ${srpAutoSigCtes(bands)}
        |SELECT a.vec_id vec_a, b.vec_id vec_b,
-       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) hamming
+       |  ${blockHammingSql(bands)} hamming
        |FROM s a JOIN s b ON a.vec_id < b.vec_id
-       |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming""".stripMargin
+       |WHERE ${blockHammingSql(bands)} <= $maxHamming""".stripMargin
 
   /** [[srpShortlistOracle]]'s auto-dial twin: the block-share predicate
-    * reads its width from the dial CTE instead of a baked constant. */
+    * is a plain per-element equality over the block lists — no width
+    * arithmetic at all. */
   private def srpAutoShortlistOracle(bands: Int, k: Int): String = {
-    val blockEq = (0 until bands)
-      .map(bi => s"((a.sig >> ($bi * d.width)) & ((1::BIGINT << d.width) - 1)) = " +
-        s"((b.sig >> ($bi * d.width)) & ((1::BIGINT << d.width) - 1))")
-      .mkString("(", "\n   OR ", ")")
+    val blockEq = (1 to bands)
+      .map(bi => s"a.sig[$bi] = b.sig[$bi]")
+      .mkString("(", " OR ", ")")
     s"""WITH ${srpAutoSigCtes(bands)}
        |SELECT a.vec_id vec_a, b.vec_id vec_b,
-       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) hamming
-       |FROM s a JOIN s b ON a.vec_id < b.vec_id CROSS JOIN dial d
+       |  ${blockHammingSql(bands)} hamming
+       |FROM s a JOIN s b ON a.vec_id < b.vec_id
        |WHERE $blockEq
        |ORDER BY hamming, vec_a, vec_b LIMIT $k""".stripMargin
   }

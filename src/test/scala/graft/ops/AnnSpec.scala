@@ -659,17 +659,62 @@ class AnnSpec extends SparkSpec {
     assert(Ann.readIvfAssignments(spark, idx).count() == e.count())
   }
 
-  test("srpAutoBits: bucket population pinned, clamped to one long") {
+  test("srpAutoBits: bucket population pinned, unclamped past the old one-long ceiling") {
     assert(Ann.srpAutoBits(0L, 8) == 8)          // cells=0  -> width 1
     assert(Ann.srpAutoBits(512L, 8) == 8)        // cells=1  -> width 1
     assert(Ann.srpAutoBits(1024L, 8) == 8)       // cells=2  -> width 1
     assert(Ann.srpAutoBits(1025L, 8) == 16)      // cells=3  -> width 2
     assert(Ann.srpAutoBits(512L * 128, 8) == 56) // cells=128 -> width 7
-    assert(Ann.srpAutoBits(Long.MaxValue, 8) == 56) // clamp: 63/8 = 7
-    assert(Ann.srpAutoBits(Long.MaxValue, 4) == 60) // clamp: 63/4 = 15
     assert(Ann.srpAutoBits(100L, 8, targetBucket = 1) == 56) // cells=100 -> width 7
+    // past the round-7 clamp (⌊63/8⌋ = 7): the dial keeps growing, so
+    // bucket population stays pinned instead of scaling with n
+    assert(Ann.srpAutoBits(512L * 256, 8) == 64)  // cells=256 -> width 8
+    assert(Ann.srpAutoBits(200000L, 8) == 72)     // sf10's ask: width 9
+    // the dial keeps following cells all the way up: ⌈Long.Max/512⌉ ≈
+    // 2^54 → width 54 (the old clamp would have stopped at 7)
+    assert(Ann.srpAutoWidth(Long.MaxValue, 8) == 54)
+    // only clamp left: 63 bits per BLOCK — binds when cells > 2^62
+    assert(Ann.srpAutoWidth(Long.MaxValue, 8, targetBucket = 1) == 63)
+    assert(Ann.srpAutoBits(Long.MaxValue, 4) == 4 * 54)
     intercept[IllegalArgumentException](Ann.srpAutoBits(10L, 0))
     intercept[IllegalArgumentException](Ann.srpAutoBits(10L, 8, 0))
+  }
+
+  test("srpSignatureBlocks: concatenated blocks == srpSignature's one long") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val one = Ann.srpSignature(e, "vec_id", "embedding", 64, bits = 48)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val blocks = Ann.srpSignatureBlocks(e, "vec_id", "embedding", 64,
+        bands = 8, width = 6)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(one.keySet == blocks.keySet)
+    blocks.foreach { case (id, bs) =>
+      val packed = bs.zipWithIndex.map { case (blk, b) => blk << (b * 6) }.sum
+      assert(packed == one(id), s"vec $id: blocks must be exact bit-ranges")
+    }
+  }
+
+  test("srpDupPairs: widths past ⌊63/bands⌋ work and stay lossless (the lifted ceiling)") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // 8 bands × width 10 = 80 bits — impossible under the one-long
+    // packing (max was 56); the array-of-blocks transport carries it
+    val blocked = Ann.srpDupPairs(e, "vec_id", "embedding", dim = 64,
+        bits = 80, bands = 8, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = Ann.srpSignatureBlocks(e, "vec_id", "embedding", 64,
+      bands = 8, width = 10)
+    val quadratic = sigs.select(col("vec_id").as("vec_a"), col("sig").as("sa"))
+      .crossJoin(sigs.select(col("vec_id").as("vec_b"), col("sig").as("sb")))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        expr("aggregate(zip_with(sa, sb, (x, y) -> cast(bit_count(x ^ y)" +
+          " as bigint)), cast(0 as bigint), (acc, v) -> acc + v)").as("h"))
+      .where(col("h") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked == quadratic,
+      "band blocking must stay lossless at widths the one long could not hold")
   }
 
   test("srpDupPairs/srpCandidatesTopK: bits<=0 self-turns the dial == the fixed twin") {
@@ -713,5 +758,28 @@ class AnnSpec extends SparkSpec {
     val nullCents = Seq((7L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
     assert(Ann.assignClusters(withNull, nullCents, "vec_id", "embedding", 4,
       literalMaxK = 0).count() == 0)
+  }
+
+  test("assignClusters spillway: duplicate ids keep one output row per input row") {
+    import spark.implicits._
+    // the literal path is a pure projection (row-preserving); the
+    // spillway's argmin window once partitioned by id alone, silently
+    // collapsing duplicate-id rows — this is the regression pin
+    val dups = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (5L, Array(0.9f, 0.1f, 0f, 0f)),
+      (5L, Array(0.1f, 0.9f, 0f, 0f)), // same id, different vector
+      (5L, Array(0.9f, 0.1f, 0f, 0f))  // exact duplicate row
+    ).toDF("vec_id", "embedding")
+    val cents = dups.where(col("vec_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), Option(r.get(3)))).sortBy(_.toString)
+    val lit = rows(Ann.assignClusters(dups, cents, "vec_id", "embedding", 4))
+    val joined = rows(Ann.assignClusters(dups, cents, "vec_id", "embedding", 4,
+      literalMaxK = 1))
+    assert(lit.length == 5, "literal path is row-preserving")
+    assert(joined.length == 5, "spillway must not collapse duplicate-id rows")
+    assert(lit.sameElements(joined), "paths must agree per (id, cid) multiset")
   }
 }
