@@ -81,4 +81,39 @@ object FsOps {
       .lastOption
     cand.exists(st => fs.rename(st.getPath, target))
   }
+
+  /** Bounded retry-through-recovery for readers that traverse
+    * swap-managed directories: run `recover` (typically a [[reAdopt]]),
+    * then `read`; when the read fails on a MISSING path — a swap moved
+    * the directory between the recovery and the read's file listing —
+    * recover and retry, at most `attempts` more times. Any other
+    * failure, or a missing path that recovery cannot restore, surfaces
+    * unchanged. This closes the plan-time half of the reader-vs-swap
+    * race the [[reAdopt]] contract documents; the execution-time half
+    * (a task reading a file the plan already listed) stays under the
+    * single-writer contract — a retry there would need to re-run the
+    * caller's whole action. */
+  def convergeRead[T](attempts: Int = 3)(recover: => Unit)(read: => T): T = {
+    var tries = 0
+    while (true) {
+      recover
+      try return read
+      catch { case e: Throwable if tries < attempts && isMissingPath(e) =>
+        tries += 1 }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** A missing file/dir anywhere in the failure — FileNotFoundException
+    * in the cause chain, or an AnalysisException for a nonexistent path
+    * (Spark raises PATH_NOT_FOUND at read resolution). */
+  @scala.annotation.tailrec
+  def isMissingPath(e: Throwable): Boolean = e match {
+    case null => false
+    case _: java.io.FileNotFoundException => true
+    case a: org.apache.spark.sql.AnalysisException
+        if a.getErrorClass == "PATH_NOT_FOUND" ||
+          a.getMessage.contains("Path does not exist") => true
+    case other => isMissingPath(other.getCause)
+  }
 }

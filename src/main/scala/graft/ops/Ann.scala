@@ -887,10 +887,14 @@ object Ann {
 
   def readIvfAssignments(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    recoverAssignments(spark, path) // before the eager schema resolve below
     val cols = Seq(col("vec_id"), col("vec"), col("nrm"),
       col("cid").cast("int").as("cid"))
-    val base = spark.read.parquet(s"$path/assignments").select(cols: _*)
+    // recover BEFORE the eager schema resolve, and retry through
+    // re-adoption if a racing compaction swap moves the dir between the
+    // recovery and the listing ([[graft.core.FsOps.convergeRead]])
+    val base = graft.core.FsOps.convergeRead()(
+      recoverAssignments(spark, path))(
+      spark.read.parquet(s"$path/assignments").select(cols: _*))
     val dp = new org.apache.hadoop.fs.Path(s"$path/deltas")
     val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // list the LIVE delta dirs explicitly ([[liveDeltaDirs]]): dead and

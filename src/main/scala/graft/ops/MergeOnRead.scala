@@ -46,22 +46,28 @@ object MergeOnRead {
   }
 
   private def readOpt(spark: SparkSession, p: String): Option[DataFrame] = {
-    // [[compact]]'s swap can die between its two renames, leaving base
-    // absent with the data stranded under .base_old_<stamp> — re-adopt
-    // before concluding the base does not exist ([[graft.core.FsOps.reAdopt]])
+    def attempt(): Option[DataFrame] =
+      if (!exists(spark, p)) None
+      else
+        // an entity with no rows for any staged day writes an empty delta
+        // dir (_SUCCESS, no part files, no partition dirs) — schema
+        // inference fails there; treat it as absent. A MISSING-path
+        // failure is NOT that case — let it escape so the swap retry
+        // below can recover instead of silently reading an empty base.
+        try Some(spark.read.parquet(p))
+        catch { case e: org.apache.spark.sql.AnalysisException
+            if !graft.core.FsOps.isMissingPath(e) => None }
     if (p.endsWith("/base")) {
+      // [[compact]]'s swap can die between its two renames, leaving base
+      // absent with the data stranded under .base_old_<stamp> — re-adopt
+      // before concluding the base does not exist, and retry through
+      // re-adoption if a racing swap moves the dir between the recovery
+      // and the read's file listing ([[graft.core.FsOps.convergeRead]])
       val path = new Path(p)
-      graft.core.FsOps.reAdopt(
-        path.getFileSystem(spark.sparkContext.hadoopConfiguration),
-        path, ".base_old_")
-    }
-    if (!exists(spark, p)) None
-    else
-      // an entity with no rows for any staged day writes an empty delta
-      // dir (_SUCCESS, no part files, no partition dirs) — schema
-      // inference fails there; treat it as absent
-      try Some(spark.read.parquet(p))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.core.FsOps.convergeRead()(
+        graft.core.FsOps.reAdopt(fs, path, ".base_old_"))(attempt())
+    } else attempt()
   }
 
   /** Append one day's projected rows as the `ingest_date=day` delta

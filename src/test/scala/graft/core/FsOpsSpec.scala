@@ -63,6 +63,65 @@ class FsOpsSpec extends SparkSpec {
       "must re-adopt the newest attempt, not the lexicographic max")
   }
 
+  test("convergeRead: retries missing-path failures through recovery, bounded") {
+    // a swap racing between the recovery and the read's listing: the
+    // first read attempt sees the dir gone, the second recovery restores
+    // it — the reader must converge without surfacing the FNF
+    var recoveries = 0
+    var reads = 0
+    val got = FsOps.convergeRead()( { recoveries += 1 } )({
+      reads += 1
+      if (reads == 1)
+        throw new java.io.FileNotFoundException("raced away")
+      42
+    })
+    assert(got == 42 && recoveries == 2 && reads == 2)
+    // non-missing failures escape immediately, no retry
+    var calls = 0
+    intercept[IllegalStateException] {
+      FsOps.convergeRead()(())({ calls += 1; throw new IllegalStateException("boom") })
+    }
+    assert(calls == 1)
+    // a missing path recovery cannot restore gives up after the bound
+    var attempts = 0
+    intercept[java.io.FileNotFoundException] {
+      FsOps.convergeRead(attempts = 2)(())(
+        { attempts += 1; throw new java.io.FileNotFoundException("gone") })
+    }
+    assert(attempts == 3, "initial try + 2 retries")
+    // FNF nested under a wrapper (Spark task failure shape) still retries
+    var nested = 0
+    val ok = FsOps.convergeRead()(())({
+      nested += 1
+      if (nested == 1) throw new RuntimeException("job aborted",
+        new java.io.FileNotFoundException("part-0000 missing"))
+      "ok"
+    })
+    assert(ok == "ok" && nested == 2)
+  }
+
+  test("MOR snapshot read converges across a staged compaction crash window") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val dir = scratch("fsops_mor_window")
+    val df = Seq((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"))
+      .toDF("id", "effective", "v")
+    graft.ops.MergeOnRead.appendDelta(
+      df.withColumn("etl_ingest_date", lit("2024-01-01")), dir, "t")
+    graft.ops.MergeOnRead.compact(spark, dir, "t", Seq("id"),
+      Seq(col("effective")))
+    val before = graft.ops.MergeOnRead.readSnapshot(spark, dir, "t",
+      Seq("id"), Seq(col("effective"))).collect().map(_.toString).sorted
+    // the window: base renamed aside, the new base never renamed in
+    val base = new Path(s"$dir/t/base")
+    assert(fs.rename(base, new Path(s"$dir/t/.base_old_99")))
+    assert(!fs.exists(base))
+    val after = graft.ops.MergeOnRead.readSnapshot(spark, dir, "t",
+      Seq("id"), Seq(col("effective"))).collect().map(_.toString).sorted
+    assert(after.sameElements(before), "reader must re-adopt the stranded base")
+    assert(fs.exists(base), "re-adoption must restore the base dir")
+  }
+
   test("IVF read path self-heals after a compaction crash window") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
