@@ -17,7 +17,7 @@ object Bench {
   def compactLine(total: Double, nQueries: Int,
       official: Seq[(String, Double)], reruns: Seq[(String, Double)],
       hostFactor: Double, detail: String, sfDir: String,
-      codegenFallbacks: Long = 0L): String = {
+      codegenFallbacks: Long = 0L, robustFactor: Double = 0.0): String = {
     def entries(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
@@ -32,7 +32,7 @@ object Bench {
     val top = official.sortBy(-_._2).take(10)
     val worst = reruns.sortBy(-_._2).take(3)
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${entries(top)},"n_queries":$nQueries,"n_reruns":${reruns.size},"worst_reruns":${entries(worst)},"host_factor":${f"$hostFactor%.3f"},"codegen_fallbacks":$codegenFallbacks,"detail":"$det","sf":"$sfd"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${entries(top)},"n_queries":$nQueries,"n_reruns":${reruns.size},"worst_reruns":${entries(worst)},"host_factor":${f"$hostFactor%.3f"},"robust_factor":${f"$robustFactor%.3f"},"codegen_fallbacks":$codegenFallbacks,"detail":"$det","sf":"$sfd"}"""
     if (line.length <= 1500) line
     else
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${entries(top.take(3))},"n_queries":$nQueries,"n_reruns":${reruns.size},"detail":"$det","sf":"$sfd"}"""
@@ -54,6 +54,26 @@ object Bench {
     }.sorted
     if (ratios.isEmpty) 1.0
     else math.max(1.0, ratios(ratios.length / 2))
+  }
+
+  /** Full-sweep host calibration, computed AFTER the sweep: the median
+    * over every floored query of (best sample / committed floor). The
+    * 3-query canary [[hostFactor]] prices the floor-rerun threshold
+    * cheaply BEFORE the sweep, but its precision bounds every
+    * cross-round "faster/slower" claim — two same-day round-7 sweeps
+    * normalized 28% apart on the canary alone. A median over the whole
+    * registry's best-of-samples is robust to per-query stalls AND to
+    * canary luck; BASELINE.md's round-over-round table divides by this.
+    * NOT clamped to ≥1 (a descriptive statistic, not a rerun
+    * threshold), and computed from RAW floors, not effective ones. */
+  def robustFactor(samples: Seq[(String, Seq[Double])],
+      floors: Map[String, Double]): Double = {
+    val ratios = samples.flatMap { case (name, ts) =>
+      val valid = ts.filter(_ > 0)
+      floors.get(name).filter(_ > 0)
+        .flatMap(fl => valid.minOption.map(_ / fl))
+    }.sorted
+    if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2)
   }
 
   def main(args: Array[String]): Unit = {
@@ -188,8 +208,13 @@ object Bench {
     // every query just ran ≥4 times; nonzero = some hot path silently
     // left compiled code ([[graft.core.CodegenWatch]])
     val cgf = graft.core.CodegenWatch.fallbacks()
+    // full-sweep calibration: best sample (reruns included) vs raw floor
+    val rf = robustFactor(
+      results.map { case (n, _, ts) => n -> (ts ++ rerunByName.get(n)) },
+      floors)
+    System.err.println(f"[bench] robust factor (median best/floor): $rf%.3f")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"reruns":$rr,"host_factor":$hf,"codegen_fallbacks":$cgf,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"reruns":$rr,"host_factor":$hf,"robust_factor":$rf,"codegen_fallbacks":$cgf,"sf":"$sfDir"}"""
     // FULL artifact to file + stderr; stdout gets ONLY the bounded compact
     // line (see [[compactLine]]).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -197,7 +222,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     System.err.println(line)
     println(compactLine(total, official.size, official, reruns, hf, out,
-      sfDir, cgf))
+      sfDir, cgf, rf))
     spark.stop()
   }
 }

@@ -569,13 +569,65 @@ object Ann {
     spread.select(col(idCol).as("vec_id"), array(blocks: _*).as("sig"))
   }
 
-  /** Per-block hamming sum for two [[srpSignatureBlocks]] columns —
-    * Σ bit_count(a[b] ^ b[b]), equal to the full-signature hamming
-    * because blocks are disjoint bit-ranges. */
-  private def blockHamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b,
-        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+  /** Shared banded-candidate scaffolding for the two SRP ops: block
+    * signatures re-packed into the MINIMUM number of 63-bit longs
+    * (⌊63/width⌋ bands per long), the per-band (band, key) explode, and
+    * the explicit-width repartition. Returns (banded frame, packed
+    * column count k).
+    *
+    * Why pack instead of carrying the block ARRAY through the band
+    * join: the join's output is the candidate-pair volume
+    * (~n·targetBucket rows), and every array column costs an
+    * UnsafeArrayData materialization per OUTPUT pair — measured 10×
+    * on the whole op at sf1 (24 s vs 2.5 s) with two array columns,
+    * and an aggregate/zip_with hamming (a CodegenFallback lambda HOF)
+    * measured the same before it. Flat longs keep the join row narrow
+    * and the hamming a straight xor + bit_count chain inside
+    * whole-stage codegen. width ≤ 7 (n ≤ 512·2^7 per band) packs to
+    * ONE long — the exact round-7 shape; sf10's width 9 packs to two;
+    * k only reaches 8 at width 63 (n > 512·2^62). */
+  private def srpBanded(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bands: Int, width: Int, scale: Long): (DataFrame, Int) = {
+    val bpl = math.max(1, 63 / width) // bands per packed long
+    val k = (bands + bpl - 1) / bpl
+    val blocks = srpSignatureBlocks(df, idCol, vecCol, dim, bands, width, scale)
+    val packedCols = (0 until k).map { g =>
+      val lo = g * bpl
+      val hi = math.min(bands, lo + bpl)
+      (lo until hi).map(b =>
+        shiftleft(element_at(col("sig"), b + 1), (b - lo) * width))
+        .reduce(_.bitwiseOR(_)).as(s"__s$g")
+    }
+    val sigs = blocks.select(col("vec_id") +: packedCols: _*)
+    val mask = (1L << width) - 1
+    val sigRefs = (0 until k).map(g => col(s"__s$g"))
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    val banded = sigs.select((col("vec_id") +: sigRefs) :+
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col(s"__s${b / bpl}"), (b % bpl) * width)
+              .bitwiseAND(mask).as("key"))
+        }: _*)).as("bk"): _*)
+      .select((col("vec_id") +: sigRefs) :+ col("bk.band").as("band") :+
+        col("bk.key").as("key"): _*)
+      .repartition(par, col("band"), col("key"))
+    (banded, k)
+  }
+
+  /** One join side of the banded self-join: (band, key, id, packed
+    * signature longs renamed to `__s<side><g>`). */
+  private def srpSide(banded: DataFrame, k: Int, side: String,
+      idAs: String): DataFrame =
+    banded.select(Seq(col("band"), col("key"), col("vec_id").as(idAs)) ++
+      (0 until k).map(g => col(s"__s$g").as(s"__s$side$g")): _*)
+
+  /** Hamming over the packed signature longs — Σ bit_count per long ==
+    * the full-signature hamming (bands are disjoint bit-ranges and the
+    * padding bits are zero on both sides). Straight-line codegen. */
+  private def packedHamming(k: Int): Column =
+    (0 until k).map(g =>
+      bit_count(col(s"__sa$g").bitwiseXOR(col(s"__sb$g"))).cast("long"))
+      .reduce(_ + _)
 
   /** The SRP blocking dial, turned by the engine — [[autoGranularity]]'s
     * twin for the signature family: the per-band block WIDTH that pins
@@ -644,27 +696,21 @@ object Ann {
       s"band blocking is only lossless for maxHamming <= bands-1 " +
         s"(got maxHamming=$maxHamming, bands=$bands)")
     val width = nb / bands
-    val sigs = srpSignatureBlocks(df, idCol, vecCol, dim, bands, width, scale)
-    // PIN the candidate explosion's parallelism: the banded frame is
-    // BYTE-tiny (≤ a few longs per vector) but the band self-join below
-    // fans out quadratically per bucket, so any byte-based plan decision
-    // serializes the expensive part — a single-file corpus scans as ONE
-    // partition, and AQE would happily coalesce a tiny shuffle the same
-    // way (measured: 62 s single-task vs 8 s wide at 200k vectors). An
-    // explicit numPartitions repartition is exempt from AQE coalescing
-    // and both join sides reuse the one exchange.
-    val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    val banded = sigs.select(col("vec_id"), col("sig"),
-        posexplode(col("sig")).as(Seq("band", "key")))
-      .repartition(par, col("band"), col("key"))
-    val a = banded.select(col("band"), col("key"),
-      col("vec_id").as("vec_a"), col("sig").as("__sa"))
-    val b = banded.select(col("band"), col("key"),
-      col("vec_id").as("vec_b"), col("sig").as("__sb"))
-    a.join(b, Seq("band", "key"))
+    // PIN the candidate explosion's parallelism (inside [[srpBanded]]):
+    // the banded frame is BYTE-tiny (≤ a few longs per vector) but the
+    // band self-join below fans out quadratically per bucket, so any
+    // byte-based plan decision serializes the expensive part — a
+    // single-file corpus scans as ONE partition, and AQE would happily
+    // coalesce a tiny shuffle the same way (measured: 62 s single-task
+    // vs 8 s wide at 200k vectors). An explicit numPartitions
+    // repartition is exempt from AQE coalescing and both join sides
+    // reuse the one exchange.
+    val (banded, k) = srpBanded(df, idCol, vecCol, dim, bands, width, scale)
+    srpSide(banded, k, "a", "vec_a")
+      .join(srpSide(banded, k, "b", "vec_b"), Seq("band", "key"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        blockHamming(col("__sa"), col("__sb")).as("hamming"))
+        packedHamming(k).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -687,17 +733,9 @@ object Ann {
     val nb = if (bits > 0) bits else srpAutoBits(df.count(), bands, targetBucket)
     require(nb % bands == 0, s"bits ($nb) must divide into bands ($bands)")
     val width = nb / bands
-    val sigs = srpSignatureBlocks(df, idCol, vecCol, dim, bands, width, scale)
-    // same explicit-width repartition as srpDupPairs: the banded frame
-    // is byte-tiny, the self-join fan-out is the real work
-    val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    val banded = sigs.select(col("vec_id"), col("sig"),
-        posexplode(col("sig")).as(Seq("band", "key")))
-      .repartition(par, col("band"), col("key"))
-    val a = banded.select(col("band"), col("key"),
-      col("vec_id").as("vec_a"), col("sig").as("__sa"))
-    val b = banded.select(col("band"), col("key"),
-      col("vec_id").as("vec_b"), col("sig").as("__sb"))
+    // same packed transport + explicit-width repartition as srpDupPairs:
+    // the banded frame is byte-tiny, the self-join fan-out is the real work
+    val (banded, kk) = srpBanded(df, idCol, vecCol, dim, bands, width, scale)
     // top-(k·bands) FIRST (TakeOrdered = per-partition bounded heaps, no
     // shuffle of the candidate volume), then dedup the ≤ k·bands rows: a
     // pair can appear once per shared band with the SAME hamming, so the
@@ -705,10 +743,11 @@ object Ann {
     // naive distinct()-then-top-k spelling shuffles EVERY candidate pair
     // (measured 24.6 s vs 4.4 s at 20k vectors) for rows the heap cut
     // would discard anyway.
-    a.join(b, Seq("band", "key"))
+    srpSide(banded, kk, "a", "vec_a")
+      .join(srpSide(banded, kk, "b", "vec_b"), Seq("band", "key"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        blockHamming(col("__sa"), col("__sb")).as("hamming"))
+        packedHamming(kk).as("hamming"))
       .orderBy(col("hamming"), col("vec_a"), col("vec_b"))
       .limit(k * bands)
       .dropDuplicates("vec_a", "vec_b")

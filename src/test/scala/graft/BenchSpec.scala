@@ -64,6 +64,32 @@ class BenchSpec extends AnyFunSuite {
     assert(line.length <= 1500)
   }
 
+  test("compactLine carries the full-sweep robust factor") {
+    val line = Bench.compactLine(12.5, 42, officials(42), Seq.empty,
+      1.2, "out.json", "sfX", robustFactor = 1.84)
+    assert(line.contains("\"robust_factor\":1.840"))
+    assert(line.length <= 1500)
+  }
+
+  test("robustFactor: median of best-sample/floor, stall-robust, unclamped") {
+    val floors = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0, "nofloor" -> 0.0)
+    // per-query samples; a's 90 s stall must not move the median (min
+    // sample wins per query), nofloor/zero-floor/unknown queries skipped
+    val samples = Seq(
+      "a" -> Seq(1.5, 90.0, 1.6),      // best 1.5 -> ratio 1.5
+      "b" -> Seq(4.0, 3.0, 3.2),       // best 3.0 -> ratio 1.5
+      "c" -> Seq(7.2, -1.0),           // failed run (-1) skipped -> 1.8
+      "nofloor" -> Seq(1.0),
+      "unknown" -> Seq(1.0))
+    assert(Bench.robustFactor(samples, floors) == 1.5)
+    // UNCLAMPED: a faster-than-floor sweep reports < 1 (descriptive
+    // statistic for cross-round normalization, not a rerun threshold)
+    val fast = Seq("a" -> Seq(0.5), "b" -> Seq(1.0), "c" -> Seq(2.0))
+    assert(Bench.robustFactor(fast, floors) == 0.5)
+    // empty -> neutral 1.0
+    assert(Bench.robustFactor(Seq.empty, floors) == 1.0)
+  }
+
   test("CodegenWatch counts CodeGenerator errors and codegen-disabled warns") {
     graft.core.CodegenWatch.install()
     val before = graft.core.CodegenWatch.fallbacks()
