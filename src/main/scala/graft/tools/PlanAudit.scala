@@ -50,6 +50,43 @@ object PlanAudit {
     "q280_reuse_loop" -> "audited frame is the served-result read-back; the MV-rewrite plan facts (partials read, fact absent) are require'd inside the query and spec'd in ReuseLoopSpec"
   )
 
+  /** The ACCEPTED shuffle count per headliner — the number read off the
+    * audited `PLANS.md` final plans (ShuffleQueryStage occurrences; see
+    * the counting note in [[main]]). `PlanAuditSpec` re-runs every
+    * headliner in `sbt test` and fails when a plan regrows past its
+    * budget (a lost broadcast, a new exchange) or picks up a
+    * CartesianProduct/codegen fallback — so a plan regression fails CI
+    * instead of waiting for a human to re-read PLANS.md. Raising a
+    * budget is a deliberate, reviewed act. */
+  val shuffleBudgets: Map[String, Int] = Map(
+    "q1_agg" -> 1, "q2_filter_pred" -> 0, "q3_join_inner" -> 1,
+    "q7_window_latest" -> 1, "q18_ngram_jaccard" -> 3,
+    "q19_minhash_lsh" -> 2, "q21_cosine_topk" -> 1, "q26_ann_ivf" -> 2,
+    "q43_asof_join" -> 1, "q44_range_join" -> 1, "q49_bloom_semi" -> 2,
+    "q86_incremental_agg" -> 1, "q104_regional_revenue" -> 1,
+    "q183_label_prop" -> 0, "q207_salted_join" -> 1, "q213_srp_lsh" -> 4,
+    "q244_process_daily" -> 0, "q245_avro_roundtrip" -> 2,
+    "q247_big_orders" -> 1, "q250_cms_heavy_hitters" -> 3,
+    "q254_pricing_summary" -> 2, "q262_waiting_suppliers" -> 8,
+    "q263_zone_pruned_scan" -> 2, "q264_hist_quantiles" -> 7,
+    "q268_avro_count" -> 2, "q270_ivf_append" -> 1,
+    "q271_group_quantiles" -> 4, "q173_pq_ann" -> 2,
+    "q276_auto_dial_dedup" -> 2, "q277_srp_auto_dedup" -> 4,
+    "q279_zone_auto_prune" -> 2, "q280_reuse_loop" -> 0)
+
+  /** Shuffles in the FINAL (post-AQE) plan only — the counting method
+    * both [[main]] and `PlanAuditSpec` share. ShuffleQueryStage appears
+    * once per real shuffle; Broadcast stages are BroadcastQueryStage and
+    * must not count. */
+  def countShuffles(plan: String): Int = {
+    val finalSection = {
+      val a = plan.indexOf("== Final Plan ==")
+      val b = plan.indexOf("== Initial Plan ==")
+      if (a >= 0 && b > a) plan.substring(a, b) else plan
+    }
+    "ShuffleQueryStage".r.findAllIn(finalSection).size
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = args.lift(1).getOrElse("PLANS.md")
@@ -81,16 +118,11 @@ object PlanAudit {
           df.collect()
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
-          // count shuffles in the FINAL (post-AQE) plan tree only — the
-          // Initial Plan section repeats the same operators
-          val finalSection = {
-            val a = plan.indexOf("== Final Plan ==")
-            val b = plan.indexOf("== Initial Plan ==")
-            if (a >= 0 && b > a) plan.substring(a, b) else plan
+          val exchanges = countShuffles(plan)
+          shuffleBudgets.get(name).filter(_ < exchanges).foreach { b =>
+            System.err.println(
+              s"[planaudit] WARN $name: $exchanges shuffles > budget $b")
           }
-          // ShuffleQueryStage appears once per real shuffle; Broadcast
-          // stages are BroadcastQueryStage and must not count
-          val exchanges = "ShuffleQueryStage".r.findAllIn(finalSection).size
           sb.append(s"## $name\n\n")
           sb.append(s"**Why this shape:** $note. ")
           sb.append(s"**Shuffles in final plan:** $exchanges.\n\n")
