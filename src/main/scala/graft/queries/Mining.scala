@@ -709,6 +709,42 @@ object Mining {
       .orderBy(col("month"))
   }
 
+  /** IN-list pruning through the STANDARD read path — [[q279ZoneAutoPrune]]'s
+    * shape for the second prunable conjunct family
+    * ([[graft.plans.ZoneMapRule]]): orders range-clustered on o_custkey,
+    * the in-table `_zonemap` built once, then a PLAIN
+    * `spark.read.parquet(tbl).where(isin(...))` — twelve keys, past the
+    * optimizer's In→InSet conversion threshold (10), so the rule prunes
+    * from an InSet's value set: a file survives when ANY value
+    * intersects its zone. The keys span two low zones of the 16-file
+    * layout, so ~14 files never scan; the oracle replays the direct IN
+    * filter, proving the pruning result-invisible. ZoneMapSpec
+    * plan-asserts both the In and InSet prune shapes. */
+  def q281ZoneInPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Layout, ZoneMap}
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_q281_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = base + "/orders_bycust"
+    val marker = new java.io.File(base + "/_GRAFT_COMMITTED")
+    if (!marker.exists()) {
+      Layout.writeRangeClustered(table(spark, dir, "orders"), tbl, 16,
+        col("o_custkey"))
+      ZoneMap.build(spark, tbl, Seq("o_custkey"),
+        ZoneMap.defaultZonePath(tbl))
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+    // keys ≤ 127 exist at every corpus SF (sf0.001 tops out at 149)
+    val keys = Seq(2L, 3L, 5L, 7L, 11L, 13L,
+      101L, 103L, 107L, 109L, 113L, 127L)
+    spark.read.parquet(tbl)
+      .where(col("o_custkey").isin(keys: _*))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Mergeable equi-width histogram quantiles
     * ([[graft.ops.Sketches.histBuild]]): order totals at cents grain
     * binned into a 256-bucket counter table PER PRIORITY (the
@@ -823,6 +859,7 @@ object Mining {
     "q264_hist_quantiles" -> q264HistQuantiles,
     "q263_zone_pruned_scan" -> q263ZonePrunedScan,
     "q279_zone_auto_prune" -> q279ZoneAutoPrune,
+    "q281_zone_in_prune" -> q281ZoneInPrune,
     "q253_sketch_cube" -> q253SketchCube,
     "q252_kmv_overlap" -> q252KmvOverlap,
     "q250_cms_heavy_hitters" -> q250CmsHeavyHitters,
@@ -986,6 +1023,15 @@ object Mining {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-03-01'
         |  AND o_orderdate <= TIMESTAMP '1997-05-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q281 = IN-list pruning through the standard read path; the direct
+    // replay proves InSet pruning result-invisible
+    "q281_zone_in_prune" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders
+        |WHERE o_custkey IN (2,3,5,7,11,13,101,103,107,109,113,127)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q279 = the same report through the STANDARD read path (automatic
     // zone-map pruning) — the identical replay proves result-invisibility

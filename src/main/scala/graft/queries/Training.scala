@@ -674,6 +674,22 @@ object Training {
     Ann.srpCandidatesTopK(embs(spark, dir), "vec_id", "embedding", Dim,
       bits = 0, bands = 8, k = 20)
 
+  /** The LIFTED dial exercised past the round-7 one-long ceiling:
+    * `targetBucket = 2` makes [[Ann.srpAutoWidth]] ask for width 8 at
+    * the sf0.01 corpus (⌈500/2⌉ = 250 cells → 2^8) — more than the
+    * old ⌊63/8⌋ = 7 clamp could grant — so the signature spans 64 bits
+    * across TWO packed longs ([[Ann.srpSignatureBlocks]]' array-of-
+    * blocks transport). Shaped as the top-20 SHORTLIST (not the
+    * thresholded pair set, which is legitimately EMPTY at this width on
+    * a corpus whose max cosine is 0.51 — a 0-row gate proves nothing),
+    * so the gate stays non-vacuous. The oracle replays the same dial
+    * chain and the block-list signatures quadratically; green here
+    * means the driver gate itself exercises the unclamped machinery,
+    * not just AnnSpec. */
+  def q282SrpUnclamped(spark: SparkSession, dir: String): DataFrame =
+    Ann.srpCandidatesTopK(embs(spark, dir), "vec_id", "embedding", Dim,
+      bits = 0, bands = 8, k = 20, targetBucket = 2)
+
   /** Incremental corpus dedup — the daily-ingest shape: docs ending in 0
     * play the "new day" increment, the rest the indexed corpus. The
     * corpus's MinHash signatures are PERSISTED once
@@ -901,6 +917,7 @@ object Training {
     "q275_srp_lsh_wide" -> q275SrpLshWide,
     "q277_srp_auto_dedup" -> q277SrpAutoDedup,
     "q278_srp_auto_topk" -> q278SrpAutoTopk,
+    "q282_srp_unclamped" -> q282SrpUnclamped,
     "q21_cosine_topk" -> q21CosineTopk,
     "q22_lang_id" -> q22LangId,
     "q23_quality" -> q23Quality,
@@ -1022,15 +1039,16 @@ object Training {
   }
 
   /** The dial replayed in SQL — [[Ann.srpAutoWidth]]'s exact integer
-    * chain: cells = ⌈n/512⌉ (n = count(*)), width = the smallest w in
-    * [1, 63] with 2^w ≥ cells (w = 63 accepts unconditionally, exactly
-    * like the Scala `w == 63 ||` arm — 1<<63 would overflow signed).
-    * Emitted as a `dial` CTE exposing `width`. */
-  private def srpDialCte: String =
+    * chain: cells = ⌈n/targetBucket⌉ (n = count(*)), width = the
+    * smallest w in [1, 63] with 2^w ≥ cells (w = 63 accepts
+    * unconditionally, exactly like the Scala `w == 63 ||` arm — 1<<63
+    * would overflow signed). Emitted as a `dial` CTE exposing `width`. */
+  private def srpDialCte(targetBucket: Int): String =
     s"""nn AS (SELECT count(*) n FROM embeddings),
        |dial AS (SELECT COALESCE(
        |    (SELECT MIN(w) FROM generate_series(1, 63) t(w), nn
-       |      WHERE w = 63 OR (1::BIGINT << w) >= (n + 511) // 512),
+       |      WHERE w = 63 OR
+       |        (1::BIGINT << w) >= (n + ${targetBucket - 1}) // $targetBucket),
        |    63) AS width FROM nn)""".stripMargin
 
   /** The widest per-band block the auto oracles' hyperplane literal
@@ -1046,13 +1064,13 @@ object Training {
     * hyperplane j = (b−1)·width + t. The hyperplane literal carries
     * bands · [[OracleMaxWidth]] rows; the fold reads only the first
     * dial-chosen width of each band. */
-  private def srpAutoSigCtes(bands: Int): String = {
+  private def srpAutoSigCtes(bands: Int, targetBucket: Int = 512): String = {
     val maxBits = bands * OracleMaxWidth
     val h = (0 until maxBits).map { j =>
       (0 until Dim).map(i => Ann.srpWeight(i, j)).mkString("[", ",", "]")
     }.mkString("[", ",\n    ", "]")
     s"""h AS (SELECT $h AS H),
-       |$srpDialCte,
+       |${srpDialCte(targetBucket)},
        |q AS (SELECT vec_id,
        |    [CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)
        |     for i in generate_series(1, $Dim)] qv
@@ -1076,8 +1094,9 @@ object Training {
 
   /** [[srpOracle]]'s auto-dial twin: same quadratic hamming filter,
     * signatures built at the dial-chosen width as block lists. */
-  private def srpAutoOracle(bands: Int, maxHamming: Int): String =
-    s"""WITH ${srpAutoSigCtes(bands)}
+  private def srpAutoOracle(bands: Int, maxHamming: Int,
+      targetBucket: Int = 512): String =
+    s"""WITH ${srpAutoSigCtes(bands, targetBucket)}
        |SELECT a.vec_id vec_a, b.vec_id vec_b,
        |  ${blockHammingSql(bands)} hamming
        |FROM s a JOIN s b ON a.vec_id < b.vec_id
@@ -1086,11 +1105,12 @@ object Training {
   /** [[srpShortlistOracle]]'s auto-dial twin: the block-share predicate
     * is a plain per-element equality over the block lists — no width
     * arithmetic at all. */
-  private def srpAutoShortlistOracle(bands: Int, k: Int): String = {
+  private def srpAutoShortlistOracle(bands: Int, k: Int,
+      targetBucket: Int = 512): String = {
     val blockEq = (1 to bands)
       .map(bi => s"a.sig[$bi] = b.sig[$bi]")
       .mkString("(", " OR ", ")")
-    s"""WITH ${srpAutoSigCtes(bands)}
+    s"""WITH ${srpAutoSigCtes(bands, targetBucket)}
        |SELECT a.vec_id vec_a, b.vec_id vec_b,
        |  ${blockHammingSql(bands)} hamming
        |FROM s a JOIN s b ON a.vec_id < b.vec_id
@@ -1104,6 +1124,7 @@ object Training {
     "q275_srp_lsh_wide" -> srpShortlistOracle(48, 8, 20),
     "q277_srp_auto_dedup" -> srpAutoOracle(8, 7),
     "q278_srp_auto_topk" -> srpAutoShortlistOracle(8, 20),
+    "q282_srp_unclamped" -> srpAutoShortlistOracle(8, 20, targetBucket = 2),
     // DCG folds rel/log2(rank+1) in rank order: DuckDB list_reduce seeds
     // with the first TERM — IEEE 0.0 + t1 = t1, so the fold sequences
     // identically to the engine's zero-seeded ordered fold

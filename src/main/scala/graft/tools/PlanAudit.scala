@@ -47,6 +47,7 @@ object PlanAudit {
     "q276_auto_dial_dedup" -> "self-turned K = ceil(n/512); assignment one nearest_centroid_idx projection, pair join keyed on (cid, salt) only",
     "q277_srp_auto_dedup" -> "self-turned SRP width (bucket population pinned); band join keys on (band, block), signature build one projection",
     "q279_zone_auto_prune" -> "PLAIN read path: ZoneMapRule shrank the scan's file list at planning; band Filter retained above for straddlers",
+    "q281_zone_in_prune" -> "InSet conjunct prunes through the standard read path: survivors = files whose zone intersects ANY of the 12 keys",
     "q280_reuse_loop" -> "audited frame is the served-result read-back; the MV-rewrite plan facts (partials read, fact absent) are require'd inside the query and spec'd in ReuseLoopSpec"
   )
 
@@ -72,7 +73,8 @@ object PlanAudit {
     "q268_avro_count" -> 2, "q270_ivf_append" -> 1,
     "q271_group_quantiles" -> 4, "q173_pq_ann" -> 2,
     "q276_auto_dial_dedup" -> 2, "q277_srp_auto_dedup" -> 4,
-    "q279_zone_auto_prune" -> 2, "q280_reuse_loop" -> 0)
+    "q279_zone_auto_prune" -> 2, "q280_reuse_loop" -> 0,
+    "q281_zone_in_prune" -> 2)
 
   /** Shuffles in the FINAL (post-AQE) plan only — the counting method
     * both [[main]] and `PlanAuditSpec` share. ShuffleQueryStage appears

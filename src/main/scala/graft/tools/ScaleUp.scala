@@ -44,6 +44,11 @@ object ScaleUp {
     val Array(src, dst, factorS) = args.take(3)
     val n = factorS.toInt
     require(n >= 1, s"factor must be >= 1, got $n")
+    // optional 4th arg: comma-list of tables to emit (default: all).
+    // Deep-scale probes of a single operator family (e.g. the sf100
+    // documents/embeddings spot-probe) should not pay for a 600M-row
+    // single-task lineitem write they never read.
+    val only = args.lift(3).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -53,11 +58,13 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, dst, n)
+    run(spark, src, dst, n, only)
     spark.stop()
   }
 
-  def run(spark: SparkSession, src: String, dst: String, n: Int): Unit = {
+  def run(spark: SparkSession, src: String, dst: String, n: Int,
+      only: Option[Set[String]] = None): Unit = {
+    def want(t: String) = only.forall(_.contains(t))
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
     // the corpus contract (TESTDATA.md) is ONE parquet FILE per table,
     // not a Spark table directory: the streaming queries list the sf dir
@@ -82,37 +89,42 @@ object ScaleUp {
       df.agg(max(col(key).cast("long"))).head.getLong(0) + 1L
 
     // fixed dims: the 25-nation/5-region star head does not grow with sf
-    wr(rd("region"), "region")
-    wr(rd("nation"), "nation")
+    if (want("region")) wr(rd("region"), "region")
+    if (want("nation")) wr(rd("nation"), "nation")
 
-    val cust = rd("customer"); val cStride = stride(cust, "c_custkey")
-    wr(copies(cust, n)((d, c) =>
+    // key strides are computed lazily: a subset run (`only`) must not
+    // scan tables it never writes
+    lazy val cStride = stride(rd("customer"), "c_custkey")
+    lazy val sStride = stride(rd("supplier"), "s_suppkey")
+    lazy val pStride = stride(rd("part"), "p_partkey")
+    lazy val oStride = stride(rd("orders"), "o_orderkey")
+    if (want("customer")) wr(copies(rd("customer"), n)((d, c) =>
       d.withColumn("c_custkey", col("c_custkey") + c * cStride)), "customer")
 
-    val supp = rd("supplier"); val sStride = stride(supp, "s_suppkey")
-    wr(copies(supp, n)((d, c) =>
+    if (want("supplier")) wr(copies(rd("supplier"), n)((d, c) =>
       d.withColumn("s_suppkey", col("s_suppkey") + c * sStride)), "supplier")
 
-    val part = rd("part"); val pStride = stride(part, "p_partkey")
-    wr(copies(part, n)((d, c) =>
+    if (want("part")) wr(copies(rd("part"), n)((d, c) =>
       d.withColumn("p_partkey", col("p_partkey") + c * pStride)), "part")
 
-    val ord = rd("orders"); val oStride = stride(ord, "o_orderkey")
-    wr(copies(ord, n)((d, c) => d
+    if (want("orders")) wr(copies(rd("orders"), n)((d, c) => d
       .withColumn("o_orderkey", col("o_orderkey") + c * oStride)
       .withColumn("o_custkey", col("o_custkey") + c * cStride)), "orders")
 
-    wr(copies(rd("lineitem"), n)((d, c) => d
+    if (want("lineitem")) wr(copies(rd("lineitem"), n)((d, c) => d
       .withColumn("l_orderkey", col("l_orderkey") + c * oStride)
       .withColumn("l_partkey", col("l_partkey") + c * pStride)
       .withColumn("l_suppkey", col("l_suppkey") + c * sStride)), "lineitem")
 
-    val ev = rd("events"); val eStride = stride(ev, "event_id")
-    wr(copies(ev, n)((d, c) => d
-      .withColumn("event_id", col("event_id") + c * eStride)
-      .withColumn("user_id", col("user_id") + c * cStride)), "events")
+    if (want("events")) {
+      val ev = rd("events"); val eStride = stride(ev, "event_id")
+      wr(copies(ev, n)((d, c) => d
+        .withColumn("event_id", col("event_id") + c * eStride)
+        .withColumn("user_id", col("user_id") + c * cStride)), "events")
+    }
 
-    val docs = rd("documents"); val dStride = stride(docs, "doc_id")
+    if (want("documents")) {
+      val docs = rd("documents"); val dStride = stride(docs, "doc_id")
     wr(copies(docs, n)((d0, c) =>
       if (c == 0) d0
       else d0
@@ -120,7 +132,9 @@ object ScaleUp {
         .withColumn("text",
           array_join(transform(split(col("text"), " "),
             w => concat(w, lit(c.toString))), " "))), "documents")
+    }
 
+    if (want("embeddings")) {
     val emb = rd("embeddings"); val vStride = stride(emb, "vec_id")
     wr(copies(emb, n)((d, c) =>
       if (c == 0) d
@@ -136,5 +150,6 @@ object ScaleUp {
                 lit(2001L)) - 1000L)
                 .cast("double") / 100000.0)
               .cast("float")))), "embeddings")
+    }
   }
 }
