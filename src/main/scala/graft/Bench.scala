@@ -125,10 +125,17 @@ object Bench {
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; s(s.length / 2) // odd n → middle; even → upper mid
     }
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+    // a run that THROWS still reports its wall (the sweep keeps timing
+    // whatever the query cost before failing), but is flagged so the
+    // robust-factor statistic can exclude it — a 0.02 s analysis error
+    // over a 2 s floor would otherwise inject a near-zero ratio into
+    // the cross-round normalization median
+    val failed = scala.collection.mutable.Set.empty[String]
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        name: String = ""): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable =>
+        if (name.nonEmpty) failed += name }
       (System.nanoTime() - t0) / 1e9
     }
     // Floors file: min sample of the last quiet-window sweep per query.
@@ -166,7 +173,7 @@ object Bench {
     val effFloors = floors.map { case (k, v) => k -> v * hf }
     val results = selected.map { case (name, fn) =>
       if (warmup) { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
-      val times = (1 to repeat).map(_ => timeOne(fn))
+      val times = (1 to repeat).map(_ => timeOne(fn, name))
       System.err.println(s"[bench] $name runs: ${times.map(t => f"$t%.3f").mkString(", ")}")
       (name, median(times), times)
     }
@@ -180,7 +187,7 @@ object Bench {
     // "real regression" (rerun still slow).
     val reruns = results.flatMap { case (name, med, _) =>
       effFloors.get(name).filter(fl => fl > 0 && med > 2 * fl).map { fl =>
-        val t = timeOne(selected.find(_._1 == name).get._2)
+        val t = timeOne(selected.find(_._1 == name).get._2, name)
         System.err.println(f"[bench] $name rerun (median $med%.3f > 2x eff-floor $fl%.3f): $t%.3f")
         (name, t)
       }
@@ -210,7 +217,8 @@ object Bench {
     val cgf = graft.core.CodegenWatch.fallbacks()
     // full-sweep calibration: best sample (reruns included) vs raw floor
     val rf = robustFactor(
-      results.map { case (n, _, ts) => n -> (ts ++ rerunByName.get(n)) },
+      results.collect { case (n, _, ts) if !failed(n) =>
+        n -> (ts ++ rerunByName.get(n)) },
       floors)
     System.err.println(f"[bench] robust factor (median best/floor): $rf%.3f")
     val line =

@@ -33,14 +33,21 @@ import org.apache.spark.sql.types._
   *    same shapes through an ORDER-PRESERVING `Cast` of the column
   *    (integral widening, date→timestamp, timestamp→date: x ≤ y ⟹
   *    f(x) ≤ f(y), so the band compares against f(min)/f(max) of the
-  *    zone). Other casts, functions, nulls, disjunctions and unmapped
-  *    columns are ignored, never mis-pruned;
+  *    zone — computed with the SAME timeZoneId the analyzed Cast
+  *    carries, not the current session zone, which may have changed
+  *    between analysis and execution). Other casts, functions, nulls,
+  *    disjunctions and unmapped columns are ignored, never mis-pruned;
+  *  - column matching follows `spark.sql.caseSensitive`: exact names
+  *    when case-sensitive (two columns differing only in case must not
+  *    read each other's zones), case-insensitive otherwise;
   *  - multi-root scans (`spark.read.parquet(dirA, dirB)`) prune via the
   *    UNION of each root's synopsis; files under a root with no synopsis
   *    — or mapped under one root but not another — always survive.
   *    Multi-root relations with a partition schema are left untouched
   *    (rebuilding their partition discovery from a file list is not
-  *    worth the edge);
+  *    worth the edge), and relations with more than [[MaxRoots]] roots
+  *    are skipped entirely — a 10k-explicit-file read must not pay 10k
+  *    sequential `_zonemap` existence probes inside the optimizer;
   *  - any failure inside the rewrite logs and leaves the plan untouched.
   *
   * Scale: the synopsis read is O(files) metadata rows (the accepted
@@ -57,15 +64,28 @@ object ZoneMapRule extends Rule[LogicalPlan] {
 
   private val EnabledKey = "spark.graft.zonemap.enabled"
 
+  /** Most roots a relation may have before the rule skips it: each root
+    * costs one filesystem existence probe on first sight (cached after),
+    * and multi-root reads beyond a handful of dirs are the
+    * explicit-file-list pattern zone maps don't serve. */
+  val MaxRoots = 16
+
   /** One root's collected synopsis plus the lookup structures every
-    * planning pass needs: a LOWERCASED column→(minIdx, maxIdx, statType)
-    * map (parquet column names are case-preserved but the rule matches
-    * case-insensitively — fieldIndex on the raw schema is case-SENSITIVE
-    * and would throw on a mixed-case mapped column, silently disabling
-    * pruning), and the normalized file→row map. */
+    * planning pass needs: stat column indices keyed by the RAW base
+    * name, a lowercase→raw alias for case-insensitive resolution, and
+    * the normalized file→row map. */
   private case class Synopsis(
       cols: Map[String, (Int, Int, DataType)],
+      lower: Map[String, String],
       byFile: Map[String, org.apache.spark.sql.Row])
+
+  /** Stat lookup under the session's resolution rules
+    * (`spark.sql.caseSensitive`): exact when case-sensitive — a filter
+    * on `orderkey` must NOT read `OrderKey`'s zones when they are
+    * distinct columns — case-insensitive otherwise. */
+  private def colFor(syn: Synopsis, name: String): Option[(Int, Int, DataType)] =
+    if (conf.caseSensitiveAnalysis) syn.cols.get(name)
+    else syn.lower.get(name.toLowerCase).flatMap(syn.cols.get)
 
   /** Per-root synopsis cache: None = no `_zonemap` beside the table
     * (negative result — a miss only costs pruning, never correctness).
@@ -108,13 +128,14 @@ object ZoneMapRule extends Rule[LogicalPlan] {
           val cols = schema.fieldNames.filter(_.endsWith("__min")).flatMap { mn =>
             val base = mn.stripSuffix("__min")
             idx.get(s"${base}__max").map { mxI =>
-              base.toLowerCase -> ((idx(mn), mxI, schema(mn).dataType))
+              base -> ((idx(mn), mxI, schema(mn).dataType))
             }
           }.toMap
+          val lower = cols.keys.map(k => k.toLowerCase -> k).toMap
           val fileIdx = schema.fieldIndex("file")
           val byFile = zone.collect()
             .map(r => normalize(r.getString(fileIdx)) -> r).toMap
-          Some(Synopsis(cols, byFile))
+          Some(Synopsis(cols, lower, byFile))
         }
       } catch { case _: Exception => None }
     val prior = zoneCache.putIfAbsent(key, loaded)
@@ -129,25 +150,31 @@ object ZoneMapRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** A prunable conjunct, normalized: the (lowercased) column, the
+  /** The monotone cast an extracted band carries: target type plus the
+    * timeZoneId the ANALYZED Cast resolved with — zone stats must map
+    * through the identical cast, or a session-timezone change between
+    * analysis and execution mis-prunes date↔timestamp bands. */
+  private case class CastSpec(to: DataType, tz: Option[String])
+
+  /** A prunable conjunct, normalized: the column's RAW name, the
     * order-preserving cast applied to the column (identity = None), and
     * either a range band or an IN value set — all literal values are
     * Catalyst-internal, in the COMPARISON type (the cast's target). */
-  private sealed trait ZBand { def col: String; def castTo: Option[DataType] }
-  private case class RangeBand(col: String, castTo: Option[DataType],
+  private sealed trait ZBand { def col: String; def castTo: Option[CastSpec] }
+  private case class RangeBand(col: String, castTo: Option[CastSpec],
       lo: Option[Literal], hi: Option[Literal]) extends ZBand
-  private case class InBand(col: String, castTo: Option[DataType],
+  private case class InBand(col: String, castTo: Option[CastSpec],
       values: Seq[Literal]) extends ZBand
 
   /** The column side of a prunable conjunct: a bare attribute, or an
     * attribute under ONE order-preserving cast (monotone f: x ≤ y ⟹
     * f(x) ≤ f(y), so [min,max] of the column maps to [f(min),f(max)]
     * and band comparison against the casted stats is exact). */
-  private def colSide(e: Expression): Option[(AttributeReference, Option[DataType])] =
+  private def colSide(e: Expression): Option[(AttributeReference, Option[CastSpec])] =
     e match {
       case a: AttributeReference => Some((a, None))
-      case Cast(a: AttributeReference, dt, _, _) if monotoneCast(a.dataType, dt) =>
-        Some((a, Some(dt)))
+      case Cast(a: AttributeReference, dt, tz, _) if monotoneCast(a.dataType, dt) =>
+        Some((a, Some(CastSpec(dt, tz))))
       case _ => None
     }
 
@@ -168,7 +195,7 @@ object ZoneMapRule extends Rule[LogicalPlan] {
     }
   }
 
-  private def bands(cond: Expression, mapped: Set[String]): Seq[ZBand] =
+  private def bands(cond: Expression, mapped: String => Boolean): Seq[ZBand] =
     splitConjuncts(cond).flatMap {
       case EqualTo(e, l: Literal) => range(e, l, mapped, Some(l), Some(l))
       case EqualTo(l: Literal, e) => range(e, l, mapped, Some(l), Some(l))
@@ -183,32 +210,32 @@ object ZoneMapRule extends Rule[LogicalPlan] {
       case In(e, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         val lits = vs.map(_.asInstanceOf[Literal]).filter(_.value != null)
         colSide(e).collect {
-          case (a, c) if lits.nonEmpty && mapped.contains(a.name.toLowerCase) &&
+          case (a, c) if lits.nonEmpty && mapped(a.name) &&
               lits.head.dataType == cmpType(a, c) =>
-            InBand(a.name.toLowerCase, c, lits)
+            InBand(a.name, c, lits)
         }
       case InSet(e, hset) =>
         colSide(e).collect {
-          case (a, c) if mapped.contains(a.name.toLowerCase) => (a, c)
+          case (a, c) if mapped(a.name) => (a, c)
         }.flatMap { case (a, c) =>
           val vs = hset.toSeq.filter(_ != null)
             .map(v => Literal(v, cmpType(a, c)))
-          if (vs.nonEmpty) Some(InBand(a.name.toLowerCase, c, vs)) else None
+          if (vs.nonEmpty) Some(InBand(a.name, c, vs)) else None
         }
       case _ => None
     }
 
   /** The type band literals are compared in: the cast target when the
     * column sits under a monotone cast, the column's own type otherwise. */
-  private def cmpType(a: AttributeReference, castTo: Option[DataType]): DataType =
-    castTo.getOrElse(a.dataType)
+  private def cmpType(a: AttributeReference, castTo: Option[CastSpec]): DataType =
+    castTo.map(_.to).getOrElse(a.dataType)
 
-  private def range(e: Expression, l: Literal, mapped: Set[String],
+  private def range(e: Expression, l: Literal, mapped: String => Boolean,
       lo: Option[Literal], hi: Option[Literal]): Option[ZBand] =
     colSide(e).collect {
-      case (a, c) if l.value != null && mapped.contains(a.name.toLowerCase) &&
+      case (a, c) if l.value != null && mapped(a.name) &&
           l.dataType == cmpType(a, c) =>
-        RangeBand(a.name.toLowerCase, c, lo, hi)
+        RangeBand(a.name, c, lo, hi)
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -217,8 +244,9 @@ object ZoneMapRule extends Rule[LogicalPlan] {
       case f @ Filter(cond, lr: LogicalRelation) =>
         (lr.relation match {
           case fs: HadoopFsRelation
-              if fs.location.rootPaths.length == 1 ||
-                fs.partitionSchema.isEmpty =>
+              if fs.location.rootPaths.length <= MaxRoots &&
+                (fs.location.rootPaths.length == 1 ||
+                  fs.partitionSchema.isEmpty) =>
             val syns = fs.location.rootPaths.flatMap(zoneStats)
             if (syns.isEmpty) None
             else {
@@ -231,13 +259,22 @@ object ZoneMapRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** One band's evaluation machinery against ONE synopsis, hoisted out
+    * of the per-file loop: stat indices, the (optional) monotone-cast
+    * closure over the stat value, and the comparison ordering — a cast
+    * band over a 100k-file table must not allocate 100k Cast+Literal
+    * trees per planning pass. */
+  private case class BandEval(band: ZBand, mnI: Int, mxI: Int,
+      castFn: Any => Any, ord: Ordering[Any])
+
   private def prune(cond: Expression, lr: LogicalRelation,
       fsRel: HadoopFsRelation, syns: Seq[Synopsis]): Option[LogicalPlan] = {
     val spark = SparkSession.active
     val roots = fsRel.location.rootPaths
     // a column prunes when ANY root maps it — files of a root that does
     // NOT map it skip that band (see verdict loop), which only widens
-    val mapped: Set[String] = syns.flatMap(_.cols.keys).toSet
+    val mapped: String => Boolean =
+      name => syns.exists(colFor(_, name).nonEmpty)
     val bs = bands(cond, mapped)
     if (bs.isEmpty) return None
     // evaluate the zone predicate over the CACHED stat rows, driver-
@@ -247,47 +284,53 @@ object ZoneMapRule extends Rule[LogicalPlan] {
     // Literal.value is the Catalyst-internal representation (UTF8String,
     // Int days, Long micros) — compare via the type's ordering against
     // the stats, which ZoneMap wrote in the column's own type; a
-    // monotone cast band first maps the stat through the SAME cast.
-    def statVal(syn: Synopsis, r: org.apache.spark.sql.Row, idx: Int,
-        statType: DataType, castTo: Option[DataType]): Any = {
+    // monotone cast band first maps the stat through the SAME cast,
+    // with the timeZoneId the analyzed Cast carries.
+    def evalsFor(syn: Synopsis): Seq[BandEval] = bs.flatMap { b =>
+      colFor(syn, b.col).map { case (mnI, mxI, statType) =>
+        val castFn: Any => Any = b.castTo match {
+          case None => identity
+          case Some(cs) =>
+            val expr = Cast(BoundReference(0, statType, nullable = true),
+              cs.to, cs.tz.orElse(Some(conf.sessionLocalTimeZone)))
+            val row = new GenericInternalRow(1)
+            (v: Any) => { row.update(0, v); expr.eval(row) }
+        }
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(
+            b.castTo.map(_.to).getOrElse(statType))
+          .asInstanceOf[Ordering[Any]]
+        BandEval(b, mnI, mxI, castFn, ord)
+      }
+      // a column unmapped under THIS root has no BandEval — its files
+      // simply skip that band, which only widens the survivor set
+    }
+    def statVal(e: BandEval, r: org.apache.spark.sql.Row, idx: Int): Any = {
       val raw = r.get(idx)
       if (raw == null) null
-      else {
-        val cat = org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .convertToCatalyst(raw)
-        castTo match {
-          case None => cat
-          case Some(to) =>
-            Cast(Literal(cat, statType), to,
-              Some(conf.sessionLocalTimeZone)).eval(null)
-        }
-      }
+      else e.castFn(org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToCatalyst(raw))
     }
-    def cmp(s: Any, l: Literal): Option[Int] =
-      if (s == null) None
-      else Some(org.apache.spark.sql.catalyst.util.TypeUtils
-        .getInterpretedOrdering(l.dataType).compare(s, l.value))
+    def cmp(e: BandEval, s: Any, l: Literal): Option[Int] =
+      if (s == null) None else Some(e.ord.compare(s, l.value))
     // per-file verdicts, unioned across roots: a file mapped by several
     // synopses (shouldn't happen — roots are distinct dirs) keeps the
     // FIRST verdict; files in no synopsis never enter the map → survive
     val verdicts = scala.collection.mutable.HashMap.empty[String, Boolean]
     syns.foreach { syn =>
+      val evals = evalsFor(syn)
       syn.byFile.foreach { case (file, r) =>
         if (!verdicts.contains(file)) {
-          val pass = bs.forall { b =>
-            syn.cols.get(b.col) match {
-              case None => true // column unmapped under THIS root
-              case Some((mnI, mxI, st)) =>
-                val mx = statVal(syn, r, mxI, st, b.castTo)
-                val mn = statVal(syn, r, mnI, st, b.castTo)
-                b match {
-                  case RangeBand(_, _, lo, hi) =>
-                    lo.forall(l => cmp(mx, l).exists(_ >= 0)) &&
-                      hi.forall(l => cmp(mn, l).exists(_ <= 0))
-                  case InBand(_, _, vs) =>
-                    vs.exists(v => cmp(mx, v).exists(_ >= 0) &&
-                      cmp(mn, v).exists(_ <= 0))
-                }
+          val pass = evals.forall { e =>
+            val mx = statVal(e, r, e.mxI)
+            val mn = statVal(e, r, e.mnI)
+            e.band match {
+              case RangeBand(_, _, lo, hi) =>
+                lo.forall(l => cmp(e, mx, l).exists(_ >= 0)) &&
+                  hi.forall(l => cmp(e, mn, l).exists(_ <= 0))
+              case InBand(_, _, vs) =>
+                vs.exists(v => cmp(e, mx, v).exists(_ >= 0) &&
+                  cmp(e, mn, v).exists(_ <= 0))
             }
           }
           verdicts.put(file, pass)

@@ -1045,17 +1045,24 @@ object Training {
     * would overflow signed). Emitted as a `dial` CTE exposing `width`. */
   private def srpDialCte(targetBucket: Int): String =
     s"""nn AS (SELECT count(*) n FROM embeddings),
-       |dial AS (SELECT COALESCE(
+       |dial AS (SELECT CASE WHEN w > $OracleMaxWidth THEN CAST(error(
+       |      'corpus needs SRP width ' || w || ' > the oracle literal''s ' ||
+       |      '$OracleMaxWidth - regenerate with a larger OracleMaxWidth')
+       |    AS INT) ELSE w END AS width
+       |  FROM (SELECT COALESCE(
        |    (SELECT MIN(w) FROM generate_series(1, 63) t(w), nn
        |      WHERE w = 63 OR
        |        (1::BIGINT << w) >= (n + ${targetBucket - 1}) // $targetBucket),
-       |    63) AS width FROM nn)""".stripMargin
+       |    63) AS w FROM nn))""".stripMargin
 
   /** The widest per-band block the auto oracles' hyperplane literal
-    * covers: bands · 12 bits serves any corpus up to 512 · 2^12 ≈ 2M
-    * vectors — far past every oracle scale factor. (The ENGINE has no
-    * such cap: [[Ann.srpSignatureBlocks]] derives hyperplanes on the
-    * fly up to width 63.) */
+    * covers: 12 bits serves any corpus up to targetBucket · 2^12
+    * vectors — ≈2M at the default 512, 8192 at q282's stress dial of 2,
+    * both far past every oracle scale factor. The dial CTE raises a
+    * DuckDB error() if a corpus ever asks for more, so an overrun fails
+    * LOUDLY instead of silently zeroing out-of-literal signature bits.
+    * (The ENGINE has no such cap: [[Ann.srpSignatureBlocks]] derives
+    * hyperplanes on the fly up to width 63.) */
   private val OracleMaxWidth = 12
 
   /** Signature CTEs for the AUTO-dialed SRP oracles, mirroring the

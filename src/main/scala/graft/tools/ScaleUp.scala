@@ -49,6 +49,14 @@ object ScaleUp {
     // documents/embeddings spot-probe) should not pay for a 600M-row
     // single-task lineitem write they never read.
     val only = args.lift(3).map(_.split(",").toSet)
+    val known = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    only.foreach { o =>
+      val bad = o -- known
+      require(bad.isEmpty,
+        s"unknown table(s) ${bad.mkString(",")} — a typo here would " +
+          s"silently emit nothing; known: ${known.toSeq.sorted.mkString(",")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -276,6 +276,38 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("ZoneMapRule: under caseSensitive=true a case-twin column never reads " +
+      "the other's zones") {
+    import graft.plans.ZoneMapRule
+    val tbl = scratch("zm_cs")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ ZoneMapRule
+    try {
+      // two DISTINCT columns differing only in case; zones exist for K
+      // but k is anti-correlated with it — pruning k on K's stats would
+      // silently lose rows
+      Layout.writeRangeClustered(
+        spark.range(4000L).select(col("id").as("K"),
+          (lit(3999L) - col("id")).as("k")),
+        tbl, 4, col("K"))
+      ZoneMap.build(spark, tbl, Seq("K"), ZoneMap.defaultZonePath(tbl))
+      val onTwin = spark.read.parquet(tbl)
+        .where(col("k") >= 3900L) // the OTHER column
+      assert(onTwin.inputFiles.length == 4,
+        "a filter on the case-twin column must not prune from K's zones")
+      assert(onTwin.count() == 100)
+      // the mapped column itself still prunes under case-sensitive
+      val onK = spark.read.parquet(tbl).where(col("K") >= 3900L)
+      assert(onK.inputFiles.length < 4, "exact-case match must still prune")
+      assert(onK.count() == 100)
+    } finally {
+      spark.conf.set("spark.sql.caseSensitive", "false")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == ZoneMapRule)
+    }
+  }
+
   test("ZoneMapRule: IN lists prune — both In and the InSet conversion") {
     import graft.plans.ZoneMapRule
     val tbl = scratch("zm_in")
