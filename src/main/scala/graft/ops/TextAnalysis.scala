@@ -67,9 +67,22 @@ object TextAnalysis {
     * punctuation, so ordinary title-case prose blew past qualityScore's
     * 0.1 punctuation gate purely for not being pre-lowercased
     * ([[fleschScore]] already folded; this aligns the family). */
-  def punctRatio(text: Column): Column =
-    round(size(regexp_extract_all(lower(text), lit("[^a-z0-9 ]"), lit(0)))
-      .cast("double") / length(text), 6)
+  def punctRatio(text: Column): Column = {
+    // count the chars NOT in [a-z0-9 ] by deleting the ones that ARE:
+    // `translate` with an empty replacement is a straight per-char map,
+    // value-identical to size(regexp_extract_all(folded, "[^a-z0-9 ]"))
+    // for every string (unicode included — chars outside the deletion
+    // alphabet survive and are counted, exactly as the negated class
+    // matched them). The regex spellings measured 19×-per-decade on the
+    // sf100 probe's quality gate (383 s for 5M docs vs 3 s of scan —
+    // java.util.regex per-row cost plus per-match allocation, GC-bound
+    // and flat from 14→32 threads); the translate spelling is a
+    // codegen'd char loop with one output string per row.
+    val folded = lower(text)
+    round(length(translate(folded,
+        "abcdefghijklmnopqrstuvwxyz0123456789 ", "")).cast("double") /
+      length(text), 6)
+  }
 
   /** English stopword ratio — the classic fluency proxy. */
   def stopwordRatio(text: Column): Column =
@@ -81,7 +94,14 @@ object TextAnalysis {
   def qualityScore(text: Column): Column = {
     val lenOk = when(length(text).between(100, 5000), lit(1.0)).otherwise(lit(0.0))
     val punctOk = when(punctRatio(text) <= 0.1, lit(1.0)).otherwise(lit(0.0))
-    val stopOk = when(stopwordRatio(text) > 0, lit(1.0)).otherwise(lit(0.0))
+    // "any stopword present" ≡ stopwordRatio > 0, spelled as the native
+    // codegen'd arrays_overlap instead of the interpreted filter-lambda
+    // HOF behind stopCount — the gate is the full-corpus hot path and a
+    // CodegenFallback per row there measured GC-bound at the sf100 probe
+    // (stopwordRatio itself keeps the exact-count contract for q23)
+    val stopOk = when(
+      arrays_overlap(words(text), typedlit(stopwords.head._2)),
+      lit(1.0)).otherwise(lit(0.0))
     round((lenOk + punctOk + stopOk) / 3.0, 6)
   }
 
