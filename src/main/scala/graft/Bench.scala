@@ -3,6 +3,10 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
+  /** Reserved floors-file key for the FS canary's own committed floor
+    * (same quiet-window recording discipline as query floors). */
+  val FsCanaryKey = "__fs_canary__"
+
   /** The compact FINAL stdout line. The driver keeps only a ~2000-char
     * stdout tail, and three rounds running (BENCH_r03/r04/r05) the line
     * overflowed it and the artifact parsed null — r05's overflow was the
@@ -17,7 +21,8 @@ object Bench {
   def compactLine(total: Double, nQueries: Int,
       official: Seq[(String, Double)], reruns: Seq[(String, Double)],
       hostFactor: Double, detail: String, sfDir: String,
-      codegenFallbacks: Long = 0L, robustFactor: Double = 0.0): String = {
+      codegenFallbacks: Long = 0L, robustFactor: Double = 0.0,
+      fsFactor: Double = 0.0): String = {
     def entries(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
@@ -32,7 +37,7 @@ object Bench {
     val top = official.sortBy(-_._2).take(10)
     val worst = reruns.sortBy(-_._2).take(3)
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${entries(top)},"n_queries":$nQueries,"n_reruns":${reruns.size},"worst_reruns":${entries(worst)},"host_factor":${f"$hostFactor%.3f"},"robust_factor":${f"$robustFactor%.3f"},"codegen_fallbacks":$codegenFallbacks,"detail":"$det","sf":"$sfd"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${entries(top)},"n_queries":$nQueries,"n_reruns":${reruns.size},"worst_reruns":${entries(worst)},"host_factor":${f"$hostFactor%.3f"},"fs_factor":${f"$fsFactor%.3f"},"robust_factor":${f"$robustFactor%.3f"},"codegen_fallbacks":$codegenFallbacks,"detail":"$det","sf":"$sfd"}"""
     if (line.length <= 1500) line
     else
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${entries(top.take(3))},"n_queries":$nQueries,"n_reruns":${reruns.size},"detail":"$det","sf":"$sfd"}"""
@@ -69,11 +74,33 @@ object Bench {
   def robustFactor(samples: Seq[(String, Seq[Double])],
       floors: Map[String, Double]): Double = {
     val ratios = samples.flatMap { case (name, ts) =>
+      // failed runs arrive as NEGATED wall (see timeOne) and are dropped
+      // per-RUN — a query's valid samples still contribute even when one
+      // of its runs threw (blacklisting the whole query thinned the
+      // cross-round normalization median for no reason)
       val valid = ts.filter(_ > 0)
       floors.get(name).filter(_ > 0)
         .flatMap(fl => valid.minOption.map(_ / fl))
     }.sorted
     if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2)
+  }
+
+  /** Resource-class tags for floors: the 3-query compute canary misprices
+    * FS-bound queries (round-8 bisect: q270/q274 at 2.2–2.5× floors on a
+    * slow-DISK day were byte-identical to the prior round's binary — they
+    * rebuild a fresh index under java.io.tmpdir per run and carry the
+    * disk's host factor, not the CPU's). Queries tagged `"fs"` in
+    * `scripts/bench_classes.json` gate floor re-runs against the
+    * [[fsCanary]]-scaled floor instead of the compute-canary-scaled one.
+    * Untagged queries default to `"compute"`. */
+  def loadClasses(path: String): Map[String, String] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) Map.empty
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      """"([^"]+)"\s*:\s*"(fs|compute)"""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -125,18 +152,23 @@ object Bench {
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; s(s.length / 2) // odd n → middle; even → upper mid
     }
+    // official walls are medians over |t|: a thrown run's wall still
+    // counts toward the query's cost (pre-failure work was real), the
+    // negation is only the per-run failure flag for robustFactor
+    def medianWall(xs: Seq[Double]): Double = median(xs.map(math.abs))
     // a run that THROWS still reports its wall (the sweep keeps timing
-    // whatever the query cost before failing), but is flagged so the
-    // robust-factor statistic can exclude it — a 0.02 s analysis error
-    // over a 2 s floor would otherwise inject a near-zero ratio into
-    // the cross-round normalization median
-    val failed = scala.collection.mutable.Set.empty[String]
+    // whatever the query cost before failing) but arrives NEGATED, so
+    // downstream consumers can drop the failed RUN (a 0.02 s analysis
+    // error over a 2 s floor would inject a near-zero ratio into the
+    // robust-factor median) while the same query's healthy samples
+    // still count. medians over |t| preserve the old official wall.
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         name: String = ""): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable =>
-        if (name.nonEmpty) failed += name }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case _: Throwable => false }
+      val w = (System.nanoTime() - t0) / 1e9
+      if (ok) w else -w
     }
     // Floors file: min sample of the last quiet-window sweep per query.
     val floorsPath = sys.env.getOrElse("SPARK_GRAFT_FLOORS", "scripts/bench_floors.json")
@@ -162,7 +194,7 @@ object Bench {
         val meds = canaryNames.flatMap { n =>
           SparkEntry.queries.get(n).filter(_ => floors.contains(n)).map { fn =>
             timeOne(fn) // untimed warmup pass
-            val med = median((1 to 3).map(_ => timeOne(fn)))
+            val med = medianWall((1 to 3).map(_ => timeOne(fn)))
             System.err.println(f"[bench] canary $n: $med%.3f (floor ${floors(n)}%.3f)")
             (n, med)
           }
@@ -170,12 +202,47 @@ object Bench {
         hostFactor(meds, floors)
       }
     System.err.println(f"[bench] host factor: $hf%.3f")
-    val effFloors = floors.map { case (k, v) => k -> v * hf }
+    // FS CANARY: a compute canary prices disk-bound floors wrong in both
+    // directions (round-8: q270/q274 2.2-2.5x floors on a slow-disk day,
+    // bisect-proven not a regression). One write+list+read cycle on
+    // java.io.tmpdir — the same filesystem the index-building queries
+    // scratch on — priced against its own committed floor
+    // ("__fs_canary__" in the floors file).
+    def fsCanaryOnce(): Double = {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_fscanary_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000L).selectExpr("id", "cast(id % 97 as string) s")
+        .repartition(16).write.mode("overwrite").parquet(dir.toString)
+      spark.read.parquet(dir.toString).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+      t
+    }
+    val fsFloor = floors.get(Bench.FsCanaryKey).filter(_ > 0)
+    val fsf: Double = fsFloor match {
+      case Some(fl) =>
+        fsCanaryOnce() // warmup (committer/codegen first-use)
+        val med = median((1 to 3).map(_ => fsCanaryOnce()))
+        System.err.println(f"[bench] fs canary: $med%.3f (floor $fl%.3f)")
+        math.max(1.0, med / fl)
+      case None => hf // no committed fs floor: fall back to compute factor
+    }
+    System.err.println(f"[bench] fs factor: $fsf%.3f")
+    val classesPath = sys.env.getOrElse("SPARK_GRAFT_CLASSES",
+      "scripts/bench_classes.json")
+    val classes = loadClasses(classesPath)
+    def factorOf(name: String): Double =
+      if (classes.getOrElse(name, "compute") == "fs") fsf else hf
+    val effFloors = floors.map { case (k, v) => k -> v * factorOf(k) }
     val results = selected.map { case (name, fn) =>
       if (warmup) { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
       val times = (1 to repeat).map(_ => timeOne(fn, name))
       System.err.println(s"[bench] $name runs: ${times.map(t => f"$t%.3f").mkString(", ")}")
-      (name, median(times), times)
+      (name, medianWall(times), times)
     }
     // Contention self-defense: a shared-host stall can inflate all three
     // samples of one query (q183 measured 9.3 s in a round-4 sweep vs 3.7 s
@@ -194,10 +261,11 @@ object Bench {
     }
     val rerunByName = reruns.toMap
     // official per-query number: the sweep median, unless a rerun proved
-    // it a stall (rerun <= effective floor*1.5) in which case the rerun stands
+    // it a stall (rerun <= effective floor*1.5) in which case the rerun
+    // stands; a FAILED rerun (negative) never stands in
     val official = results.map { case (name, med, _) =>
       val adj = rerunByName.get(name) match {
-        case Some(t) if effFloors.get(name).exists(fl => t <= fl * 1.5) => t
+        case Some(t) if t > 0 && effFloors.get(name).exists(fl => t <= fl * 1.5) => t
         case _ => med
       }
       (name, adj)
@@ -215,14 +283,21 @@ object Bench {
     // every query just ran ≥4 times; nonzero = some hot path silently
     // left compiled code ([[graft.core.CodegenWatch]])
     val cgf = graft.core.CodegenWatch.fallbacks()
-    // full-sweep calibration: best sample (reruns included) vs raw floor
-    val rf = robustFactor(
-      results.collect { case (n, _, ts) if !failed(n) =>
-        n -> (ts ++ rerunByName.get(n)) },
-      floors)
-    System.err.println(f"[bench] robust factor (median best/floor): $rf%.3f")
+    // full-sweep calibration: best sample (reruns included) vs raw floor;
+    // failed runs are negative and dropped per-run inside robustFactor
+    val allSamples = results.map { case (n, _, ts) =>
+      n -> (ts ++ rerunByName.get(n)) }
+    val rf = robustFactor(allSamples, floors)
+    // the same statistic split by resource class (fs medians track the
+    // disk, compute medians the CPU — BASELINE.md's normalization table)
+    val (fsSamples, cpuSamples) = allSamples.partition { case (n, _) =>
+      classes.getOrElse(n, "compute") == "fs" }
+    val rfFs = robustFactor(fsSamples, floors)
+    val rfCpu = robustFactor(cpuSamples, floors)
+    System.err.println(
+      f"[bench] robust factor (median best/floor): $rf%.3f (compute $rfCpu%.3f, fs $rfFs%.3f)")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"reruns":$rr,"host_factor":$hf,"robust_factor":$rf,"codegen_fallbacks":$cgf,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"reruns":$rr,"host_factor":$hf,"fs_factor":$fsf,"robust_factor":$rf,"robust_factor_compute":$rfCpu,"robust_factor_fs":$rfFs,"codegen_fallbacks":$cgf,"sf":"$sfDir"}"""
     // FULL artifact to file + stderr; stdout gets ONLY the bounded compact
     // line (see [[compactLine]]).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -230,7 +305,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     System.err.println(line)
     println(compactLine(total, official.size, official, reruns, hf, out,
-      sfDir, cgf, rf))
+      sfDir, cgf, rf, fsf))
     spark.stop()
   }
 }

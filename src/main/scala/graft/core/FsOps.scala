@@ -104,15 +104,39 @@ object FsOps {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Process-scoped build-once cache root under java.io.tmpdir. The
+    * build-once pattern (write table → createNewFile marker → readers
+    * skip the build) is guarded by a NON-ATOMIC marker: two processes
+    * (a bench and a concurrent sbt test) can race build-vs-read, and a
+    * crash between the table write and the marker leaves a half-built
+    * state a later run rebuilds with mode(overwrite) WHILE the other
+    * process scans it. Staging+rename can't fix it here because zone
+    * synopses record absolute per-file paths. The pid in the path
+    * confines the marker protocol to its single process — the first
+    * execution per process rebuilds, which the bench's untimed warmup
+    * pass absorbs. */
+  def procCacheDir(tag: String, sfDir: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_" + tag +
+      "_p" + java.lang.ProcessHandle.current().pid() + "_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
   /** A missing file/dir anywhere in the failure — FileNotFoundException
-    * in the cause chain, or an AnalysisException for a nonexistent path
-    * (Spark raises PATH_NOT_FOUND at read resolution). */
+    * in the cause chain, or an AnalysisException for a nonexistent path.
+    * Primary signal is the error CLASS (stable across locales; matched by
+    * containment so namespaced/suffixed variants of PATH_NOT_FOUND — the
+    * condition Spark raises at read resolution — keep matching across
+    * versions); the English message substring is a documented LAST-RESORT
+    * fallback only, for builds that surface the failure with no error
+    * class at all. FsOpsSpec pins the real AnalysisException of the
+    * running Spark version against this predicate, so a version bump that
+    * breaks BOTH signals fails CI instead of silently degrading
+    * [[convergeRead]] to non-retrying. */
   @scala.annotation.tailrec
   def isMissingPath(e: Throwable): Boolean = e match {
     case null => false
     case _: java.io.FileNotFoundException => true
     case a: org.apache.spark.sql.AnalysisException
-        if a.getErrorClass == "PATH_NOT_FOUND" ||
+        if Option(a.getCondition).exists(_.contains("PATH_NOT_FOUND")) ||
           a.getMessage.contains("Path does not exist") => true
     case other => isMissingPath(other.getCause)
   }

@@ -26,8 +26,14 @@ object TextAnalysis {
 
   private def words(text: Column): Column = split(text, " ")
 
+  // ≡ size(filter(words(text), t => t.isin(list))) — but that filter
+  // lambda is a CodegenFallback evaluated once per profile per row
+  // (langId runs 4), the same interpreted-full-corpus-projection class
+  // the sf100 probe measured super-linear on punctRatio's regex. The
+  // native scan keeps occurrence multiplicity (array_intersect would
+  // drop duplicate hits) and the whole projection compiled.
   private def stopCount(text: Column, list: Seq[String]): Column =
-    size(filter(words(text), t => t.isin(list.map(lit): _*)))
+    graft.functions.TokenSetCount.count(text, list)
 
   /** Language ID: score each profile by stopword hits per token, pick the
     * best (ties resolved in fixed profile order); zero hits → "und".
@@ -52,9 +58,16 @@ object TextAnalysis {
 
   /** BPE-ish subword proxy count: alpha runs, digit runs, and single
     * punctuation marks each count as one token — the standard cheap
-    * stand-in for a real tokenizer when budgeting training data. */
+    * stand-in for a real tokenizer when budgeting training data.
+    * Spelled as a native class-transition scan
+    * ([[graft.functions.BpeTokenCount]]): the regex form
+    * `size(regexp_extract_all(text, "[a-z]+|[0-9]+|[^a-z0-9\\s]"))`
+    * allocates one UTF8String per TOKEN corpus-wide — the exact
+    * allocation-bound super-linear pattern the round-8 sf100 probe
+    * caught in punctRatio (BASELINE.md). Value-identical: the three
+    * alternatives are disjoint char classes, so greedy runs ≡ runs. */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    graft.functions.BpeTokenCount.count(text)
 
   /** Mean word length (chars / words, separators excluded). */
   def avgWordLen(text: Column): Column = {

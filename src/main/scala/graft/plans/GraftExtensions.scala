@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FlatJsonMap, FloatVecDot, Int8Pack, Int8VecDot, JaroWinkler, NGramShingles, TopKByScore}
+import graft.functions.{BpeTokenCount, FlatJsonMap, FloatVecDot, Int8Pack, Int8VecDot, JaroWinkler, NGramShingles, TokenSetCount, TopKByScore}
 import org.apache.spark.sql.{GraftSqlShim, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -101,6 +101,26 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         require(es.length == 2, "jaro_winkler(a, b) takes two string args")
         JaroWinkler(es.head, es(1))
+      }),
+    ("bpe_token_count",
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1, "bpe_token_count(text) takes one string arg")
+        BpeTokenCount(es.head)
+      }),
+    ("token_set_count",
+      new ExpressionInfo(classOf[TokenSetCount].getName, "token_set_count"),
+      (es: Seq[Expression]) => {
+        require(es.length >= 2,
+          "token_set_count(text, word, ...) takes a text arg plus word literals")
+        val words = es.tail.map { e =>
+          e.eval(null) match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => throw new IllegalArgumentException(
+              s"token_set_count words must be string literals, got $other")
+          }
+        }
+        TokenSetCount(es.head, words)
       })
   )
 

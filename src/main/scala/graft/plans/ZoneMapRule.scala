@@ -35,8 +35,14 @@ import org.apache.spark.sql.types._
   *    f(x) ≤ f(y), so the band compares against f(min)/f(max) of the
   *    zone — computed with the SAME timeZoneId the analyzed Cast
   *    carries, not the current session zone, which may have changed
-  *    between analysis and execution). Other casts, functions, nulls,
-  *    disjunctions and unmapped columns are ignored, never mis-pruned;
+  *    between analysis and execution). Also: `startsWith(prefix)` /
+  *    the leading literal of a LIKE pattern as the byte-range band
+  *    [prefix, prefix▲] (BETWEEN needs no special case — analysis
+  *    already folds it to the two range conjuncts), and OR-of-bands
+  *    (a file survives when ANY disjunct's zone intersects; one
+  *    non-band disjunct disables the whole OR). Other casts,
+  *    functions, nulls and unmapped columns are ignored, never
+  *    mis-pruned;
   *  - column matching follows `spark.sql.caseSensitive`: exact names
   *    when case-sensitive (two columns differing only in case must not
   *    read each other's zones), case-insensitive otherwise;
@@ -137,7 +143,17 @@ object ZoneMapRule extends Rule[LogicalPlan] {
             .map(r => normalize(r.getString(fileIdx)) -> r).toMap
           Some(Synopsis(cols, lower, byFile))
         }
-      } catch { case _: Exception => None }
+      } catch { case e: Exception =>
+        // performance-only (the Filter stays; pruning is just skipped),
+        // but a transient read hiccup must not be indistinguishable from
+        // "no synopsis": log it, and DON'T cache the negative — the next
+        // planning pass retries where a cached None would silently
+        // disable pruning for the session. The no-_SUCCESS case above
+        // still caches (genuinely absent synopsis, cheap to re-check).
+        logWarning(s"zone synopsis read failed for $key " +
+          "(pruning skipped this pass, will retry)", e)
+        return None
+      }
     val prior = zoneCache.putIfAbsent(key, loaded)
     if (prior != null) prior else loaded
   }
@@ -150,6 +166,11 @@ object ZoneMapRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  private def splitDisjuncts(e: Expression): Seq[Expression] = e match {
+    case Or(l, r) => splitDisjuncts(l) ++ splitDisjuncts(r)
+    case other => Seq(other)
+  }
+
   /** The monotone cast an extracted band carries: target type plus the
     * timeZoneId the ANALYZED Cast resolved with — zone stats must map
     * through the identical cast, or a session-timezone change between
@@ -159,12 +180,20 @@ object ZoneMapRule extends Rule[LogicalPlan] {
   /** A prunable conjunct, normalized: the column's RAW name, the
     * order-preserving cast applied to the column (identity = None), and
     * either a range band or an IN value set — all literal values are
-    * Catalyst-internal, in the COMPARISON type (the cast's target). */
-  private sealed trait ZBand { def col: String; def castTo: Option[CastSpec] }
+    * Catalyst-internal, in the COMPARISON type (the cast's target).
+    * [[OrBand]] is a disjunction of leaf bands (possibly on different
+    * columns): a file is prunable under it only when EVERY disjunct's
+    * zone test fails — one unevaluable disjunct makes the whole OR
+    * unprunable, enforced at compile time in [[prune]]. */
+  private sealed trait ZPred
+  private sealed trait ZBand extends ZPred {
+    def col: String; def castTo: Option[CastSpec]
+  }
   private case class RangeBand(col: String, castTo: Option[CastSpec],
       lo: Option[Literal], hi: Option[Literal]) extends ZBand
   private case class InBand(col: String, castTo: Option[CastSpec],
       values: Seq[Literal]) extends ZBand
+  private case class OrBand(disjuncts: Seq[ZBand]) extends ZPred
 
   /** The column side of a prunable conjunct: a bare attribute, or an
     * attribute under ONE order-preserving cast (monotone f: x ≤ y ⟹
@@ -195,8 +224,24 @@ object ZoneMapRule extends Rule[LogicalPlan] {
     }
   }
 
-  private def bands(cond: Expression, mapped: String => Boolean): Seq[ZBand] =
-    splitConjuncts(cond).flatMap {
+  /** Top-level extraction: each conjunct yields a leaf band, or — new —
+    * an [[OrBand]] when the conjunct is a disjunction whose EVERY branch
+    * is itself a leaf band (`day < a OR day > b`, `k = 1 OR k = 9`). A
+    * disjunct that doesn't extract (function, unmapped column, nested
+    * AND) poisons the whole OR — it might match rows the bands don't
+    * cover, so the conjunct is skipped, never mis-pruned. */
+  private def bands(cond: Expression, mapped: String => Boolean): Seq[ZPred] =
+    splitConjuncts(cond).flatMap { c =>
+      leaf(c, mapped).orElse(c match {
+        case o: Or =>
+          val ds = splitDisjuncts(o).map(leaf(_, mapped))
+          if (ds.exists(_.isEmpty)) None else Some(OrBand(ds.flatten))
+        case _ => None
+      })
+    }
+
+  private def leaf(c: Expression, mapped: String => Boolean): Option[ZBand] =
+    c match {
       case EqualTo(e, l: Literal) => range(e, l, mapped, Some(l), Some(l))
       case EqualTo(l: Literal, e) => range(e, l, mapped, Some(l), Some(l))
       case GreaterThanOrEqual(e, l: Literal) => range(e, l, mapped, Some(l), None)
@@ -207,6 +252,20 @@ object ZoneMapRule extends Rule[LogicalPlan] {
       case GreaterThan(l: Literal, e) => range(e, l, mapped, None, Some(l))
       case LessThanOrEqual(l: Literal, e) => range(e, l, mapped, Some(l), None)
       case LessThan(l: Literal, e) => range(e, l, mapped, Some(l), None)
+      // LIKE 'prefix%...' family. The optimizer's LikeSimplification has
+      // usually already rewritten the pure-prefix form to StartsWith
+      // (and 'p%s' to StartsWith AND EndsWith, whose StartsWith conjunct
+      // lands here via splitConjuncts); a raw Like survives only with
+      // multiple inner wildcards, where the LEADING literal run is still
+      // a sound prefix band (the retained Filter rechecks the rest).
+      case StartsWith(e, Literal(p: org.apache.spark.unsafe.types.UTF8String, StringType))
+          if p != null && p.numBytes > 0 =>
+        prefixBand(e, p, mapped)
+      case Like(e, Literal(pat: org.apache.spark.unsafe.types.UTF8String, StringType), esc)
+          if pat != null =>
+        likePrefix(pat.toString, esc).flatMap(pre =>
+          prefixBand(e,
+            org.apache.spark.unsafe.types.UTF8String.fromString(pre), mapped))
       case In(e, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         val lits = vs.map(_.asInstanceOf[Literal]).filter(_.value != null)
         colSide(e).collect {
@@ -224,6 +283,45 @@ object ZoneMapRule extends Rule[LogicalPlan] {
         }
       case _ => None
     }
+
+  /** `startsWith(prefix)` as a range band: binary UTF8String order makes
+    * every match sit in [prefix, prefixUpper] where prefixUpper is the
+    * prefix with its last non-0xFF byte incremented (trailing 0xFF bytes
+    * dropped). The hi compare is inclusive — a superset, only widens.
+    * String columns only, never through a cast (no string cast is
+    * order-preserving). */
+  private def prefixBand(e: Expression,
+      p: org.apache.spark.unsafe.types.UTF8String,
+      mapped: String => Boolean): Option[ZBand] =
+    colSide(e).collect {
+      case (a, None) if mapped(a.name) && a.dataType == StringType =>
+        RangeBand(a.name, None, Some(Literal(p, StringType)),
+          prefixUpper(p).map(u => Literal(u, StringType)))
+    }
+
+  private def prefixUpper(prefix: org.apache.spark.unsafe.types.UTF8String)
+      : Option[org.apache.spark.unsafe.types.UTF8String] = {
+    val b = prefix.getBytes
+    var i = b.length - 1
+    while (i >= 0 && b(i) == -1) i -= 1
+    if (i < 0) None // all-0xFF prefix: no finite upper bound, lo-only band
+    else {
+      val out = java.util.Arrays.copyOf(b, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(out))
+    }
+  }
+
+  /** The leading literal run of a LIKE pattern (up to the first `%`/`_`),
+    * usable as a prefix band. Patterns containing the escape char are
+    * skipped outright — decoding escapes isn't worth the edge; the
+    * Filter still applies the real LIKE either way. */
+  private def likePrefix(pat: String, esc: Char): Option[String] = {
+    if (pat.indexOf(esc) >= 0) return None
+    val i = pat.indexWhere(ch => ch == '%' || ch == '_')
+    val pre = if (i < 0) pat else pat.substring(0, i)
+    if (pre.isEmpty) None else Some(pre)
+  }
 
   /** The type band literals are compared in: the cast target when the
     * column sits under a monotone cast, the column's own type otherwise. */
@@ -264,8 +362,10 @@ object ZoneMapRule extends Rule[LogicalPlan] {
     * closure over the stat value, and the comparison ordering — a cast
     * band over a 100k-file table must not allocate 100k Cast+Literal
     * trees per planning pass. */
+  private sealed trait CompiledPred
   private case class BandEval(band: ZBand, mnI: Int, mxI: Int,
-      castFn: Any => Any, ord: Ordering[Any])
+      castFn: Any => Any, ord: Ordering[Any]) extends CompiledPred
+  private case class OrEval(subs: Seq[BandEval]) extends CompiledPred
 
   private def prune(cond: Expression, lr: LogicalRelation,
       fsRel: HadoopFsRelation, syns: Seq[Synopsis]): Option[LogicalPlan] = {
@@ -286,7 +386,7 @@ object ZoneMapRule extends Rule[LogicalPlan] {
     // the stats, which ZoneMap wrote in the column's own type; a
     // monotone cast band first maps the stat through the SAME cast,
     // with the timeZoneId the analyzed Cast carries.
-    def evalsFor(syn: Synopsis): Seq[BandEval] = bs.flatMap { b =>
+    def compileLeaf(syn: Synopsis, b: ZBand): Option[BandEval] =
       colFor(syn, b.col).map { case (mnI, mxI, statType) =>
         val castFn: Any => Any = b.castTo match {
           case None => identity
@@ -302,8 +402,15 @@ object ZoneMapRule extends Rule[LogicalPlan] {
           .asInstanceOf[Ordering[Any]]
         BandEval(b, mnI, mxI, castFn, ord)
       }
+    def evalsFor(syn: Synopsis): Seq[CompiledPred] = bs.flatMap {
+      case b: ZBand => compileLeaf(syn, b)
       // a column unmapped under THIS root has no BandEval — its files
-      // simply skip that band, which only widens the survivor set
+      // simply skip that band, which only widens the survivor set. For
+      // an OR, ONE unmapped disjunct poisons the whole predicate (rows
+      // matching that disjunct could live anywhere) — skip it entirely.
+      case OrBand(ds) =>
+        val subs = ds.map(compileLeaf(syn, _))
+        if (subs.exists(_.isEmpty)) None else Some(OrEval(subs.flatten))
     }
     def statVal(e: BandEval, r: org.apache.spark.sql.Row, idx: Int): Any = {
       val raw = r.get(idx)
@@ -319,19 +426,23 @@ object ZoneMapRule extends Rule[LogicalPlan] {
     val verdicts = scala.collection.mutable.HashMap.empty[String, Boolean]
     syns.foreach { syn =>
       val evals = evalsFor(syn)
+      def leafPass(e: BandEval, r: org.apache.spark.sql.Row): Boolean = {
+        val mx = statVal(e, r, e.mxI)
+        val mn = statVal(e, r, e.mnI)
+        e.band match {
+          case RangeBand(_, _, lo, hi) =>
+            lo.forall(l => cmp(e, mx, l).exists(_ >= 0)) &&
+              hi.forall(l => cmp(e, mn, l).exists(_ <= 0))
+          case InBand(_, _, vs) =>
+            vs.exists(v => cmp(e, mx, v).exists(_ >= 0) &&
+              cmp(e, mn, v).exists(_ <= 0))
+        }
+      }
       syn.byFile.foreach { case (file, r) =>
         if (!verdicts.contains(file)) {
-          val pass = evals.forall { e =>
-            val mx = statVal(e, r, e.mxI)
-            val mn = statVal(e, r, e.mnI)
-            e.band match {
-              case RangeBand(_, _, lo, hi) =>
-                lo.forall(l => cmp(e, mx, l).exists(_ >= 0)) &&
-                  hi.forall(l => cmp(e, mn, l).exists(_ <= 0))
-              case InBand(_, _, vs) =>
-                vs.exists(v => cmp(e, mx, v).exists(_ >= 0) &&
-                  cmp(e, mn, v).exists(_ <= 0))
-            }
+          val pass = evals.forall {
+            case e: BandEval => leafPass(e, r)
+            case OrEval(subs) => subs.exists(leafPass(_, r))
           }
           verdicts.put(file, pass)
         }

@@ -501,8 +501,7 @@ object Lifecycle {
     * binding (ResultCacheSpec) proves it can never serve stale rows. */
   def q269ResultCache(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.ResultCache
-    val cacheDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-      "/graft_q269_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val cacheDir = graft.core.FsOps.procCacheDir("q269", dir)
     val base = table(spark, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
@@ -540,8 +539,7 @@ object Lifecycle {
   def q280ReuseLoop(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.Reuse
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-      "/graft_q280_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = graft.core.FsOps.procCacheDir("q280", dir)
     val partials = base + "/partials"
     val served = base + "/served"
     val marker = new java.io.File(base + "/_GRAFT_COMMITTED")

@@ -653,8 +653,7 @@ object Mining {
     * (maintenance is `refresh`, O(new files), not rebuild). */
   def q263ZonePrunedScan(spark: SparkSession, dir: String): DataFrame = {
     import graft.core.{Layout, ZoneMap}
-    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-      "/graft_q263_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = graft.core.FsOps.procCacheDir("q263", dir)
     val tbl = base + "/orders_clustered"
     val zm = base + "/zonemap"
     val marker = new java.io.File(base + "/_GRAFT_COMMITTED")
@@ -686,8 +685,7 @@ object Mining {
     * through this exact read shape. */
   def q279ZoneAutoPrune(spark: SparkSession, dir: String): DataFrame = {
     import graft.core.{Layout, ZoneMap}
-    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-      "/graft_q279_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = graft.core.FsOps.procCacheDir("q279", dir)
     val tbl = base + "/orders_clustered"
     val marker = new java.io.File(base + "/_GRAFT_COMMITTED")
     if (!marker.exists()) {
@@ -722,8 +720,7 @@ object Mining {
     * plan-asserts both the In and InSet prune shapes. */
   def q281ZoneInPrune(spark: SparkSession, dir: String): DataFrame = {
     import graft.core.{Layout, ZoneMap}
-    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-      "/graft_q281_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = graft.core.FsOps.procCacheDir("q281", dir)
     val tbl = base + "/orders_bycust"
     val marker = new java.io.File(base + "/_GRAFT_COMMITTED")
     if (!marker.exists()) {
@@ -852,7 +849,43 @@ object Mining {
       .orderBy(col("o_orderpriority"), col("p_den"), col("p_num"))
   }
 
+  /** Prefix + OR-of-bands pruning through the STANDARD read path —
+    * [[q281ZoneInPrune]]'s shape for the third prunable conjunct family
+    * ([[graft.plans.ZoneMapRule]]): events range-clustered on event_type,
+    * the in-table `_zonemap` built once, then a PLAIN
+    * `spark.read.parquet(tbl).where(like('purch%') OR like('sig%'))`.
+    * LikeSimplification turns each pure-prefix LIKE into a StartsWith;
+    * the rule extracts the OR of the two prefix byte-range bands
+    * ([prefix, prefix▲]) and a file survives only when EITHER prefix
+    * interval intersects its zone — the click/error/view files (~3/5 of
+    * the corpus) never scan. Reference motivation: the corpus's own P3
+    * `LIKE "PullRequest%Event"` filters (ProcessDaily.usql:636,1204) —
+    * the leading-literal form is the pruning-eligible variant. The
+    * oracle replays the direct LIKE filter, proving the pruning
+    * result-invisible; ZoneMapSpec plan-asserts the prefix and OR prune
+    * shapes file-by-file. */
+  def q283ZonePrefixPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Layout, ZoneMap}
+    val base = graft.core.FsOps.procCacheDir("q283", dir)
+    val tbl = base + "/events_bytype"
+    val marker = new java.io.File(base + "/_GRAFT_COMMITTED")
+    if (!marker.exists()) {
+      Layout.writeRangeClustered(
+        table(spark, dir, "events").select(col("event_type"), col("user_id")),
+        tbl, 16, col("event_type"))
+      ZoneMap.build(spark, tbl, Seq("event_type"), ZoneMap.defaultZonePath(tbl))
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+    spark.read.parquet(tbl)
+      .where(col("event_type").like("purch%") || col("event_type").like("sig%"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("user_id")).as("uid_sum"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_zone_prefix_prune" -> q283ZonePrefixPrune,
     "q271_group_quantiles" -> q271GroupQuantiles,
     "q267_doc_tokens" -> q267DocTokens,
     "q266_bpe_encode" -> q266BpeEncode,
@@ -1023,6 +1056,14 @@ object Mining {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-03-01'
         |  AND o_orderdate <= TIMESTAMP '1997-05-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q283 = prefix + OR-of-bands pruning through the standard read
+    // path; the direct replay proves the prune result-invisible
+    "q283_zone_prefix_prune" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(user_id) AS BIGINT) AS uid_sum
+        |FROM events
+        |WHERE event_type LIKE 'purch%' OR event_type LIKE 'sig%'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q281 = IN-list pruning through the standard read path; the direct
     // replay proves InSet pruning result-invisible

@@ -48,6 +48,8 @@ object PlanAudit {
     "q277_srp_auto_dedup" -> "self-turned SRP width (bucket population pinned); band join keys on (band, block), signature build one projection",
     "q279_zone_auto_prune" -> "PLAIN read path: ZoneMapRule shrank the scan's file list at planning; band Filter retained above for straddlers",
     "q281_zone_in_prune" -> "InSet conjunct prunes through the standard read path: survivors = files whose zone intersects ANY of the 12 keys",
+    "q282_srp_unclamped" -> "past-the-clamp SRP width: per-band blocks re-packed to TWO flat longs; band join keys on (band, packed block) — no array column crosses the high-fanout join, candidate filter stays whole-stage codegen",
+    "q283_zone_prefix_prune" -> "OR of two LIKE-prefix bands prunes through the standard read path: survivors = files whose zone intersects EITHER [prefix, prefix▲] interval",
     "q280_reuse_loop" -> "audited frame is the served-result read-back; the MV-rewrite plan facts (partials read, fact absent) are require'd inside the query and spec'd in ReuseLoopSpec"
   )
 
@@ -74,7 +76,8 @@ object PlanAudit {
     "q271_group_quantiles" -> 4, "q173_pq_ann" -> 2,
     "q276_auto_dial_dedup" -> 2, "q277_srp_auto_dedup" -> 4,
     "q279_zone_auto_prune" -> 2, "q280_reuse_loop" -> 0,
-    "q281_zone_in_prune" -> 2)
+    "q281_zone_in_prune" -> 2, "q282_srp_unclamped" -> 3,
+    "q283_zone_prefix_prune" -> 2)
 
   /** Shuffles in the FINAL (post-AQE) plan only — the counting method
     * both [[main]] and `PlanAuditSpec` share. ShuffleQueryStage appears

@@ -90,6 +90,50 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.robustFactor(Seq.empty, floors) == 1.0)
   }
 
+  test("compactLine carries the fs factor next to the host factor") {
+    val line = Bench.compactLine(12.5, 42, officials(42), Seq.empty,
+      1.2, "out.json", "sfX", robustFactor = 1.1, fsFactor = 2.37)
+    assert(line.contains("\"fs_factor\":2.370"))
+    assert(line.length <= 1500)
+  }
+
+  test("loadClasses reads fs/compute tags and ignores everything else") {
+    val f = java.io.File.createTempFile("classes", ".json")
+    java.nio.file.Files.writeString(f.toPath,
+      """{"_comment": "why the tags exist", "q270_ivf_append": "fs",
+        |"q6_join_fanout": "compute", "q999_bogus": "gpu"}""".stripMargin)
+    val m = Bench.loadClasses(f.getAbsolutePath)
+    assert(m("q270_ivf_append") == "fs")
+    assert(m("q6_join_fanout") == "compute")
+    assert(!m.contains("q999_bogus"), "unknown class values are dropped")
+    assert(!m.contains("_comment"))
+    assert(Bench.loadClasses("/nonexistent/classes.json").isEmpty)
+    f.delete()
+  }
+
+  test("the committed classes file tags only registered queries, fs floors exist") {
+    val classes = Bench.loadClasses("scripts/bench_classes.json")
+    assert(classes.nonEmpty, "scripts/bench_classes.json must ship tags")
+    val registry = SparkEntry.queries.keySet
+    val unknown = classes.keySet.diff(registry)
+    assert(unknown.isEmpty, s"tags for unregistered queries: $unknown")
+    // the round-8 mispriced pair MUST be fs-tagged — the reason the
+    // class split exists
+    assert(classes.get("q270_ivf_append").contains("fs"))
+    assert(classes.get("q274_stream_ivf_ingest").contains("fs"))
+    // and every fs-tagged query needs a committed floor to gate against
+    val floors = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("scripts/bench_floors.json")), "UTF-8")
+      """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val unfloored = classes.keySet.filterNot(floors.contains)
+    assert(unfloored.isEmpty, s"fs-tagged but no floor: $unfloored")
+    assert(floors.get(Bench.FsCanaryKey).exists(_ > 0),
+      "floors file must carry the __fs_canary__ floor")
+  }
+
   test("CodegenWatch counts CodeGenerator errors and codegen-disabled warns") {
     graft.core.CodegenWatch.install()
     val before = graft.core.CodegenWatch.fallbacks()

@@ -100,6 +100,28 @@ class FsOpsSpec extends SparkSpec {
     assert(ok == "ok" && nested == 2)
   }
 
+  test("isMissingPath matches the RUNNING Spark's real missing-path AnalysisException") {
+    // pin against the live version, not a synthetic message: if a Spark
+    // bump changes both the error class and the English message,
+    // convergeRead silently degrades to non-retrying — this case makes
+    // that a CI failure instead
+    val e = intercept[Throwable] {
+      spark.read.parquet("/definitely/not/a/path/graft_fsops_spec").collect()
+    }
+    assert(FsOps.isMissingPath(e), s"unrecognized missing-path failure: $e")
+    // and the error-CLASS arm alone recognizes it (message fallback is
+    // last-resort, not the load-bearing check)
+    def classArm(t: Throwable): Boolean = t match {
+      case null => false
+      case a: org.apache.spark.sql.AnalysisException
+          if Option(a.getCondition).exists(_.contains("PATH_NOT_FOUND")) => true
+      case other => classArm(other.getCause)
+    }
+    assert(classArm(e), s"error class not matched, only the message would: $e")
+    // close-but-different classes stay unmatched
+    assert(!FsOps.isMissingPath(new RuntimeException("Path does exist")))
+  }
+
   test("MOR snapshot read converges across a staged compaction crash window") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._

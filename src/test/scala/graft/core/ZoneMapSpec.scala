@@ -342,6 +342,71 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("ZoneMapRule: LIKE prefix, BETWEEN and OR-of-bands prune; poisoned OR never does") {
+    import graft.plans.ZoneMapRule
+    val tbl = scratch("zm_like")
+    // 8 files clustered on a zero-padded string key: s000000..s009999
+    Layout.writeRangeClustered(
+      spark.range(10000L).select(col("id"),
+        format_string("s%06d", col("id")).as("sk")),
+      tbl, 8, col("sk"))
+    ZoneMap.build(spark, tbl, Seq("sk", "id"), ZoneMap.defaultZonePath(tbl))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ ZoneMapRule
+    try {
+      val all = ZoneMap.listDataFiles(spark, tbl).size
+      // pure prefix (LikeSimplification → StartsWith): one ~1250-row zone
+      val pre = spark.read.parquet(tbl).where(col("sk").like("s0023%"))
+      assert(pre.inputFiles.length < all,
+        s"prefix must prune: ${pre.inputFiles.length}/$all")
+      assert(pre.count() == 100) // s002300..s002399
+      // prefix+suffix ('p%s' → StartsWith AND EndsWith): the StartsWith
+      // conjunct still prunes; the retained Filter applies the suffix
+      val ps = spark.read.parquet(tbl).where(col("sk").like("s0023%7"))
+      assert(ps.inputFiles.length < all)
+      assert(ps.count() == 10) // s0023_7
+      // multi-wildcard pattern (stays a raw Like): the LEADING literal
+      // run prunes, the Filter rechecks the rest
+      val multi = spark.read.parquet(tbl).where(col("sk").like("s0023%4%"))
+      assert(multi.inputFiles.length < all)
+      assert(multi.count() == 19) // last two digits contain a '4'
+      // a %-leading pattern must NOT prune (no leading literal)
+      val noPre = spark.read.parquet(tbl).where(col("sk").like("%0023"))
+      assert(noPre.inputFiles.length == all)
+      assert(noPre.count() == 1)
+      // BETWEEN folds to two range conjuncts at analysis — prunes as-is
+      val btw = spark.read.parquet(tbl).where(col("id").between(2000L, 2999L))
+      assert(btw.inputFiles.length < all)
+      assert(btw.count() == 1000)
+      // OR of two bands on one column: union of intervals, both ends' zones
+      val orq = spark.read.parquet(tbl)
+        .where(col("id") < 500L || col("id") >= 9500L)
+      assert(orq.inputFiles.length < all,
+        s"OR-of-bands must prune: ${orq.inputFiles.length}/$all")
+      assert(orq.count() == 1000)
+      // OR across two DIFFERENT mapped columns is still sound
+      val orx = spark.read.parquet(tbl)
+        .where(col("id") < 500L || col("sk") >= "s009500")
+      assert(orx.inputFiles.length < all)
+      assert(orx.count() == 1000)
+      // a poisoned OR (one non-band disjunct) must not prune — the
+      // unextractable side could match rows in any file
+      val poisoned = spark.read.parquet(tbl)
+        .where(col("id") < 500L || length(col("sk")) === 99)
+      assert(poisoned.inputFiles.length == all, "poisoned OR must not prune")
+      assert(poisoned.count() == 500)
+      // result-identity: pruned OR equals the unpruned truth
+      spark.conf.set("spark.graft.zonemap.enabled", "false")
+      val truth = orq.select("id").as[Long].collect().toSet
+      spark.conf.set("spark.graft.zonemap.enabled", "true")
+      assert(orq.select("id").as[Long].collect().toSet == truth)
+    } finally {
+      spark.conf.set("spark.graft.zonemap.enabled", "true")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == ZoneMapRule)
+    }
+  }
+
   test("ZoneMapRule: order-preserving casts prune; non-monotone shapes never do") {
     import graft.plans.ZoneMapRule
     val tbl = scratch("zm_cast")

@@ -22,9 +22,7 @@ class ReuseLoopSpec extends SparkSpec {
     import graft.plans.MvRewriteRule
     // a fresh base dir so the detect/serve path actually executes (a
     // marker from a previous run would short-circuit to the read)
-    val base = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft_q280_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val base = new java.io.File(graft.core.FsOps.procCacheDir("q280", dir))
     rmTree(base)
     if (!spark.experimental.extraOptimizations.contains(MvRewriteRule))
       spark.experimental.extraOptimizations =
@@ -51,9 +49,7 @@ class ReuseLoopSpec extends SparkSpec {
     // without the rule the natural query scans the fact table, and the
     // in-query plan require must throw — the gate cannot silently pass
     // on an unserved plan
-    val base = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft_q280_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val base = new java.io.File(graft.core.FsOps.procCacheDir("q280", dir))
     rmTree(base)
     val e = intercept[IllegalArgumentException] {
       Lifecycle.q280ReuseLoop(spark, dir)
