@@ -46,34 +46,91 @@ object Incremental {
     * `partitions × tasks` near-empty files (measured 32× the file count
     * and ~10× the write wall-clock at a 2,400-day span). The repartition
     * on `part` routes each day to exactly one task → ONE file per
-    * partition dir, which is also what the rollup read wants. */
-  def writePartials(partials: DataFrame, path: String): Unit =
+    * partition dir, which is also what the rollup read wants.
+    *
+    * Every write (initial build and [[refresh]]) ends by rebuilding the
+    * [[compactView]] — maintenance pays the store-wide listing ONCE so
+    * that every rollup read skips it. */
+  def writePartials(partials: DataFrame, path: String): Unit = {
     partials.repartition(col("part"))
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("part")
       .parquet(path)
+    compactView(partials.sparkSession, path)
+  }
 
   /** Incremental refresh: recompute partials ONLY for the rows of `delta`
     * (a new/late day, a corrected batch) and overwrite exactly those
-    * partitions. O(delta), not O(history). */
+    * partitions. O(delta) for the fact-side work; the closing
+    * [[compactView]] rebuild is O(partials), which is smaller than the
+    * facts by the group-key cardinality ratio. */
   def refresh(delta: DataFrame, path: String, partExpr: Column,
       keys: Seq[String], measureCents: Column): Unit =
     writePartials(buildPartials(delta, partExpr, keys, measureCents), path)
 
+  /** Rebuild the read-optimized view of the partials store: the same rows
+    * as the day-partitioned dirs, compacted into `<path>/_compact` (a few
+    * large files, `part` carried as a data column) and published with an
+    * atomic tmp→target swap.
+    *
+    * Why it exists (guide §6): a day grain over years is thousands of
+    * partition DIRECTORIES, and every `spark.read.parquet(path)` pays a
+    * driver-side listing + partition-inference pass over all of them
+    * before a single byte of data is read — measured 5.4 s of the
+    * q86 rollup's 6.3 s/run at a 2,406-day store, with the actual scan
+    * + aggregate costing ~0.7 s. Manifest-style metadata (here: the
+    * compacted copy itself) moves that cost to the WRITE side, where it
+    * amortizes over every read — the Iceberg/Delta argument, applied to
+    * this operator's plain-parquet store. The underscore prefix keeps the
+    * view invisible to the day-dir reader's FileIndex, so the fallback
+    * path and partition inference are unchanged.
+    *
+    * Crash between the day-dir write and the swap leaves the PRIOR view
+    * in place — stale but consistent; the retry of the same maintenance
+    * call repairs it. Same single-writer contract as
+    * [[MergeOnRead]] compaction ([[graft.core.FsOps.atomicSwap]]). */
+  def compactView(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(root, "_compact_tmp")
+    val target = new Path(root, "_compact")
+    val old = new Path(root, "_compact_old")
+    fs.delete(tmp, true)
+    val full = spark.read.parquet(path)
+    // target ~512 MB files; the sum excludes the _-prefixed view dirs the
+    // FileIndex also skips, because getContentSummary is only a sizing
+    // hint and over-counting stale views would merely split the output
+    val bytes = fs.getContentSummary(root).getLength
+    val nFiles = math.max(1L, bytes / (512L << 20)).toInt
+    full.coalesce(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    graft.core.FsOps.atomicSwap(fs, tmp, target, old)
+  }
+
   /** Roll partials up to a coarser grain (`grainExpr` over the stored
     * `part` column, e.g. month from day). Count/sum re-add, min/max
-    * re-min/max — exact in any merge order. */
+    * re-min/max — exact in any merge order. Reads the [[compactView]]
+    * when the store has one (every [[writePartials]]/[[refresh]] since
+    * round 9 maintains it), falling back to the day dirs for stores
+    * written by older builds. */
   def rollup(spark: SparkSession, path: String, grainExpr: Column,
-      keys: Seq[String]): DataFrame =
-    spark.read.parquet(path)
+      keys: Seq[String]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val compact = new Path(path, "_compact")
+    val fs = compact.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src =
+      if (fs.exists(compact)) spark.read.parquet(compact.toString)
+      else spark.read.parquet(path)
+    src
       .groupBy((grainExpr.as("grain") +: keys.map(col)): _*)
       .agg(
         sum(col("cnt")).as("cnt"),
         sum(col("sum_cents")).as("sum_cents"),
         min(col("min_cents")).as("min_cents"),
         max(col("max_cents")).as("max_cents"))
+  }
 
   /** Delta term for an INSERT-ONLY materialized join view: with a stored
     * view `V_old = F_old ⋈ D_old`, appending fact rows `ΔF` and dimension

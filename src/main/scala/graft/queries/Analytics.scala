@@ -920,16 +920,24 @@ object Analytics {
   /** Quantity-WEIGHTED median unit price per return flag: the smallest
     * price whose cumulative quantity reaches half the total — spelled as
     * one cumulative window over exact integer weights, never a
-    * percentile buffer. Ties broken by the (price, orderkey, line)
-    * total order in both engines. */
+    * percentile buffer.
+    *
+    * Round 9 (guide §2.3): the old (orderkey, line) tie-break only ordered
+    * rows WITHIN a price group, which the result provably cannot observe —
+    * whether any row of a price group satisfies `cw·2 ≥ tw` is decided by
+    * the group's LAST row, whose cumulative weight is the group-end total
+    * regardless of intra-group order. Dropping the two tie-break columns
+    * narrows every row crossing the window exchange by 16 bytes and
+    * shortens the sort key to one long. (A groupBy(price) pre-aggregate
+    * was measured SLOWER at sf0.1 — extendedprice is near-unique, so the
+    * extra exchange bought no reduction.) */
   def q231WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = table(spark, dir, "lineitem").select(col("l_returnflag"),
       round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
-      col("l_quantity").cast("long").as("qty"),
-      col("l_orderkey"), col("l_linenumber"))
+      col("l_quantity").cast("long").as("qty"))
     val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("price_cents"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("price_cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wt = Window.partitionBy(col("l_returnflag"))
     val cum = li.select(col("l_returnflag"), col("price_cents"),

@@ -71,6 +71,10 @@ object Graphs {
     * without order pinning. Support floor co ≥ 2 keeps the pair set to
     * genuinely co-bought items (and bounds the output). */
   def q91ItemSim(spark: SparkSession, dir: String): DataFrame = {
+    // baskets feed both the pair explode and the per-part counts, but all
+    // consumers land in ONE action — ReusedExchange dedups the shared
+    // lineitem groupBy inside the job, so no persist (measured: a persist
+    // + checkpoint here only added a materialization)
     val b = baskets(spark, dir)
     val co = b.select(explode(pairsFromBasket).as("p"))
       .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
@@ -99,19 +103,29 @@ object Graphs {
     * trade graph (6-hop horizon). The source set is a 1-row aggregate
     * DataFrame — nothing collects to the driver. */
   def q96Bfs(spark: SparkSession, dir: String): DataFrame = {
+    // persist: the source-seed aggregate and the op's own edge persist
+    // otherwise each replay the orders⋈lineitem+distinct build (guide
+    // §2.4; the q187 lesson applied to the whole iterative family).
+    // Safe to unpersist on return — shortestPaths localCheckpoints the
+    // distance table every round, so the result never re-reads edges.
     val edges = tradeEdges(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sources = edges.agg(min(col("src")).as("node"))
-    Graph.shortestPaths(edges, sources, maxHops = 6)
+    val out = Graph.shortestPaths(edges, sources, maxHops = 6)
+    edges.unpersist()
+    out
   }
 
   /** Co-purchase affinity edges (co-bought in ≥2 orders), canonical
     * part_a < part_b by construction — shared by q92/q132/q133. */
-  private def affinityEdges(spark: SparkSession, dir: String): DataFrame =
-    baskets(spark, dir)
-      .select(explode(pairsFromBasket).as("p"))
+  private def affinityEdgesFrom(b: DataFrame): DataFrame =
+    b.select(explode(pairsFromBasket).as("p"))
       .groupBy(col("p.part_a").as("src"), col("p.part_b").as("dst"))
       .agg(count(lit(1)).as("co"))
       .where(col("co") >= 2)
+
+  private def affinityEdges(spark: SparkSession, dir: String): DataFrame =
+    affinityEdgesFrom(baskets(spark, dir))
 
   /** Local clustering coefficient per part over the co-purchase graph:
     * which products sit in tightly-knit "bought-together" communities vs
@@ -126,9 +140,11 @@ object Graphs {
     * part-key tiebreak). All inputs exact integers; one float division
     * per measure, so DuckDB replays the ordering bit-for-bit. */
   def q133AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    // baskets feed three consumers, all inside ONE action — the shared
+    // groupBy exchange is deduped by ReusedExchange, so no persist
     val b = baskets(spark, dir)
     val nb = b.agg(count(lit(1)).as("nb"))
-    val co = affinityEdges(spark, dir)
+    val co = affinityEdgesFrom(b)
     val n = b.select(explode(col("parts")).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("n"))
     val rules = co.select(col("src").as("ante"), col("dst").as("cons"),
@@ -161,9 +177,14 @@ object Graphs {
     * Teleport mass returns only to the seed; quantized nano-rank units
     * ([[graft.ops.Graph.personalizedPageRank]]). */
   def q184Ppr(spark: SparkSession, dir: String): DataFrame = {
+    // persist for the caller-side seed aggregate (the op persists its own
+    // selection, which then reads this cache instead of rebuilding)
     val edges = tradeEdges(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seed = edges.agg(min(col("src")).as("node"))
-    Graph.personalizedPageRank(edges, seed, iters = 3)
+    val out = Graph.personalizedPageRank(edges, seed, iters = 3)
+    edges.unpersist()
+    out
   }
 
   /** Modularity of the q183 label-propagation communities over the trade
@@ -213,8 +234,11 @@ object Graphs {
         col("w"))
       .unionByName(weighted.select(col("s").as("src"), col("c").as("dst"),
         col("w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seed = edges.agg(min(col("src")).as("node"))
-    Graph.weightedShortestPaths(edges, seed, iters = 4)
+    val out = Graph.weightedShortestPaths(edges, seed, iters = 4)
+    edges.unpersist()
+    out
   }
 
   /** One-row graph card for the trade graph: node/edge counts, density
