@@ -92,6 +92,71 @@ object BpeTokenCount {
     GraftSqlShim.column(BpeTokenCount(GraftSqlShim.expression(text)))
 }
 
+/** Count of maximal runs of characters from an ASCII class — ≡
+  * `size(regexp_extract_all(text, "[<chars>]+", 0))` for a class of ASCII
+  * characters (continuation bytes of multi-byte code points are ≥ 0x80
+  * and can never match, so the byte scan sees exactly the code points the
+  * regex sees). Third member of the round-8/9 scanner family: the regex
+  * spelling allocates one UTF8String per MATCH corpus-wide (the measured
+  * super-linear class — see the object scaladoc above); this is one
+  * counter, zero allocation, whole-stage codegen. */
+case class CharClassRunCount(child: Expression, chars: String)
+    extends UnaryExpression {
+  require(chars.nonEmpty && chars.forall(_ < 0x80),
+    "char_class_run_count needs a non-empty ASCII char class")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "char_class_run_count"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"char_class_run_count needs string, got ${child.dataType}")
+  }
+
+  // O(1) membership: 128-slot ASCII table
+  private lazy val member: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    chars.foreach(c => t(c) = true)
+    t
+  }
+
+  def compute(s: UTF8String): Int = {
+    val m = member
+    val n = s.numBytes()
+    var count = 0
+    var inRun = false
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0 && m(b)) { if (!inRun) count += 1; inRun = true }
+      else inRun = false
+      i += 1
+    }
+    count
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("runCounter", this,
+      classOf[CharClassRunCount].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharClassRunCount {
+
+  /** Column API: maximal runs of `chars` members in `text`. */
+  def count(text: Column, chars: String): Column =
+    GraftSqlShim.column(CharClassRunCount(GraftSqlShim.expression(text), chars))
+}
+
 /** Occurrence count of `words` members among the single-space-split
   * segments of the text — ≡ `size(filter(split(text, " "), t =>
   * t.isin(words)))` including empty-segment behavior (consecutive spaces

@@ -787,6 +787,12 @@ object Ann {
     assignClusters(df, centroids, idCol, vecCol, dim)
       .select(col("__vid").as("vec_id"), col("__vec").as("vec"),
         col("__nrm").as("nrm"), col("__cid").as("cid"))
+      // cluster by cell before the partitioned write: without it every
+      // shuffle task writes one file into every cid= dir it touches
+      // (tasks × cells near-empty files — the writePartials lesson,
+      // guide §6); cells are dial-bounded (~target rows), so one file
+      // per cell is right-sized at any corpus
+      .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$path/assignments")
   }
@@ -818,7 +824,8 @@ object Ann {
         col("__nrm").as("nrm"), col("__cid").as("cid"))
       .localCheckpoint()
     val n = assigned.count()
-    assigned.write.mode("append").partitionBy("cid")
+    assigned.repartition(col("cid")) // one appended file per touched cell
+      .write.mode("append").partitionBy("cid")
       .parquet(s"$path/assignments")
     graft.core.Ckpt.free(assigned) // count + write done; blocks are dead
     n
@@ -983,7 +990,8 @@ object Ann {
     val n = folded.count()
     val stamp = live.max // deterministic tmp names — no wall clock
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.assignments_staging_$stamp")
-    folded.write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
+    folded.repartition(col("cid")) // one compacted file per cell
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
     val mk = fs.create(new org.apache.hadoop.fs.Path(tmp, "_compacted_to"), true)
     try mk.write(live.max.toString.getBytes("UTF-8")) finally mk.close()
     val target = new org.apache.hadoop.fs.Path(s"$path/assignments")

@@ -80,15 +80,108 @@ object Profile {
     // sketch (`percentile_approx`): boundaries shift within sketch error
     // but the two-pass bin shape is identical
     val bounds =
-      if (exact) df.agg(percentile(v, lit(probs)).as("__qs"))
+      if (exact) exactPercentiles(df, v, probs)
       else df.agg(percentile_approx(v, lit(probs), lit(10000)).as("__qs"))
+    // bucket = |{q ∈ __qs : v ≥ q}|. The lambda-HOF spelling
+    // (`size(filter(__qs, q => v >= q))`) is CodegenFallback — interpreted
+    // once per ROW over the whole input; __qs has a fixed, small length
+    // (nBuckets−1), so unroll it into a static sum of comparisons that
+    // stays inside whole-stage codegen (round 9, guide §4/§1)
+    val bucket = probs.indices
+      .map(i => when(col("__v") >= element_at(col("__qs"), i + 1), 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
     df.join(broadcast(bounds))
-      .select(v.as("__v"),
-        size(filter(col("__qs"), q => col("__v") >= q)).cast("long")
-          .as("bucket"))
+      .select(v.as("__v"), col("__qs"))
+      .select(col("__v"), bucket.as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
         max(col("__v")).as("hi"))
+  }
+
+  /** Exact percentiles of a double column, DISTRIBUTED — bit-identical to
+    * Spark's `percentile(v, probs)` but without its single aggregation
+    * buffer (the builtin collects a value→count map per partial and
+    * merges + sorts the whole distinct-value set in ONE task — its own
+    * contract caps it around 10^8 rows, this module's one documented
+    * scale ceiling until round 9).
+    *
+    * Shape (guide §2): one map-side-combined `groupBy(value)` count, a
+    * RANGE repartition so every partition owns a contiguous value
+    * interval, per-partition cumulative counts via a window PARTITIONED
+    * by `spark_partition_id()` (parallel — never a global single-task
+    * window), partition offsets from a partition-count-sized aggregate,
+    * and one broadcast-nested-loop probe of the (tiny) percentile
+    * position list against the cumulative table. No driver-side data, no
+    * O(distinct) buffer on any single task.
+    *
+    * Bit-identity with the builtin, replicated step for step:
+    * `position = p · (n−1)` (double product of the exact operands),
+    * bracketing order statistics at `floor(position)` / `ceil(position)`
+    * over the value-sorted multiset, result = the order statistic itself
+    * when the two indices or the two values coincide, else
+    * `(ceil−pos)·vLow + (pos−floor)·vHigh` — the builtin's exact
+    * special-cases and interpolation expression, same IEEE operation
+    * order. Returns a 1-row frame with `__qs` = array in `probs` order
+    * (null entries never arise for non-empty input; empty input returns
+    * an empty frame, which downstream joins propagate like the
+    * builtin's null). */
+  def exactPercentiles(df: DataFrame, v: Column,
+      probs: Array[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val counts = df.select(v.as("__v")).where(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .repartitionByRange(nPart, col("__v"))
+      .select(col("__v"), col("__c"), spark_partition_id().as("__pid"))
+    val wPart = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = counts
+      .withColumn("__lcum", sum(col("__c")).over(wPart))
+    // O(partitions) offsets: cumulative partition totals, exclusive
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts.groupBy(col("__pid"))
+      .agg(sum(col("__c")).as("__ptot"))
+      .select(col("__pid"),
+        coalesce(sum(col("__ptot")).over(wOff), lit(0L)).as("__off"),
+        col("__ptot"))
+    val total = offs.agg(sum(col("__ptot")).as("__n"))
+    // cum = 0-based EXCLUSIVE end position of this value's run; the run
+    // covers positions [cum − c, cum)
+    val glob = local.join(broadcast(offs.select(col("__pid"), col("__off"))),
+        Seq("__pid"))
+      .select(col("__v"), col("__c"), (col("__lcum") + col("__off")).as("__cum"))
+    val probeRows = probs.zipWithIndex.map { case (p, i) => (i, p) }.toSeq
+    val probes = spark.createDataFrame(probeRows).toDF("__i", "__p")
+      .crossJoin(broadcast(total))
+      .select(col("__i"), col("__p"),
+        (col("__p") * (col("__n") - 1L)).as("__pos"))
+      .select(col("__i"), col("__pos"),
+        floor(col("__pos")).cast("long").as("__lo"),
+        ceil(col("__pos")).cast("long").as("__hi"))
+    val hit = glob.join(broadcast(probes),
+      (col("__lo") >= col("__cum") - col("__c") && col("__lo") < col("__cum")) ||
+        (col("__hi") >= col("__cum") - col("__c") && col("__hi") < col("__cum")))
+    val picked = hit.groupBy(col("__i"))
+      .agg(
+        first(col("__pos")).as("__pos"),
+        first(col("__lo")).as("__lo"),
+        first(col("__hi")).as("__hi"),
+        min(when(col("__lo") >= col("__cum") - col("__c") &&
+          col("__lo") < col("__cum"), col("__v"))).as("__vlo"),
+        min(when(col("__hi") >= col("__cum") - col("__c") &&
+          col("__hi") < col("__cum"), col("__v"))).as("__vhi"))
+      .select(col("__i"),
+        when(col("__lo") === col("__hi") || col("__vlo") === col("__vhi"),
+          col("__vlo"))
+          .otherwise(
+            (col("__hi") - col("__pos")) * col("__vlo") +
+              (col("__pos") - col("__lo")) * col("__vhi")).as("__q"))
+    picked
+      .agg(sort_array(collect_list(struct(col("__i"), col("__q")))).as("__s"))
+      .select(expr("transform(__s, x -> x.__q)").as("__qs"))
   }
 
   def histogram(df: DataFrame, c: String, nBuckets: Int = 20): DataFrame = {

@@ -203,12 +203,17 @@ object TextAnalysis {
     * is bit-identical even though the constants aren't exact binary.
     * Projection-only: scan-speed over any corpus size. */
   def fleschScore(text: Column): Column = {
+    // run counts via the codegen'd CharClassRunCount scan, not
+    // `size(regexp_extract_all(...))` — the regex spelling allocates one
+    // UTF8String per match corpus-wide (the measured super-linear class;
+    // see functions/TextScan.scala). Value-identical: both classes are
+    // pure ASCII, and the syllable scan keeps the same lower() input.
     val w = tokenCount(text).cast("double")
     val sentences = greatest(
-      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+      graft.functions.CharClassRunCount.count(text, ".!?"), lit(1))
       .cast("double")
     val syllables =
-      size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      graft.functions.CharClassRunCount.count(lower(text), "aeiouy")
         .cast("double")
     round(lit(206.835) - lit(1.015) * (w / sentences)
       - lit(84.6) * (syllables / w), 6)
@@ -314,7 +319,10 @@ object TextAnalysis {
     * [[scrubPii]]). */
   def piiCounts(text: Column): Seq[(String, Column)] =
     piiPatterns.map { case (kind, pat, _) =>
-      s"n_$kind" -> size(regexp_extract_all(text, lit(pat), lit(0)))
+      // regexp_count: same match count, but no per-match UTF8String array
+      // materialization (the patterns themselves must stay regex — they
+      // are real PII shapes, not char-class runs)
+      s"n_$kind" -> regexp_count(text, lit(pat)).cast("integer")
     }
 
   /** Top-`k` TF-IDF terms per document: tf = in-doc term count, idf =

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BpeTokenCount, FlatJsonMap, FloatVecDot, Int8Pack, Int8VecDot, JaroWinkler, NGramShingles, TokenSetCount, TopKByScore}
+import graft.functions.{BpeTokenCount, CharClassRunCount, FlatJsonMap, FloatVecDot, Int8Pack, Int8VecDot, JaroWinkler, NGramShingles, TokenSetCount, TopKByScore}
 import org.apache.spark.sql.{GraftSqlShim, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -121,6 +121,19 @@ object GraftExtensions {
           }
         }
         TokenSetCount(es.head, words)
+      }),
+    ("char_class_run_count",
+      new ExpressionInfo(classOf[CharClassRunCount].getName,
+        "char_class_run_count"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          "char_class_run_count(text, chars) takes a text arg plus an ASCII class literal")
+        val chars = es(1).eval(null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"char_class_run_count chars must be a string literal, got $other")
+        }
+        CharClassRunCount(es.head, chars)
       })
   )
 

@@ -167,7 +167,7 @@ object Corpus {
   def q171Readability(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("n_words"),
-      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+      graft.functions.CharClassRunCount.count(lower(col("text")), "aeiouy")
         .as("n_syllables"),
       TextAnalysis.fleschScore(col("text")).as("flesch"))
 

@@ -47,9 +47,14 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // tmpfs scratch (the bench default) is WRONG at this tier: the sf100
+      // SRP probe shuffles ~4.6G candidate pairs and filled /dev/shm until
+      // the OOM killer took the JVM. SPARK_GRAFT_LOCAL_DIR overrides; the
+      // default here is the DISK tmpdir because probe tiers are exactly
+      // the runs whose shuffle volume exceeds RAM.
       .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-scratch"
-        else System.getProperty("java.io.tmpdir"))
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+          System.getProperty("java.io.tmpdir")))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -150,13 +150,30 @@ object ScaleUp {
         .withColumn("vec_id", col("vec_id") + c * vStride)
         .withColumn("embedding",
           transform(col("embedding"), (x, i) =>
-            // per-(vector, component, copy) delta in [-0.01, 0.01] — an
-            // independent direction nudge, not a uniform translation
-            (x.cast("double") +
+            // Per-(copy, component) deterministic SIGN pattern (md5 parity)
+            // plus a small per-(vector, component, copy) magnitude nudge.
+            // The round-8 nudge alone (±1%) spread IVF cells but left the
+            // SIGN of every component intact — in sign-random-projection
+            // space all N copies of a base vector hashed to the same
+            // buckets and were genuine near-dups of each other, so the SRP
+            // dedup family's OUTPUT grew ~C(N,2)·base quadratically in the
+            // copy factor (measured: 90,920 pairs at ×10 → 9.9M at ×100;
+            // the ×1000 probe's ~1G survivor pairs filled the scratch
+            // disk) — exactly the fabricated superlinearity the rules
+            // above exist to prevent, the embedding analogue of the
+            // token-suffix rule for text. Flipping signs by a per-copy
+            // pattern is norm-preserving, keeps each copy's WITHIN-copy
+            // dup structure (one shared pattern per copy), and makes
+            // cross-copy sign signatures uncorrelated — copies spread
+            // like genuinely new vectors in both IVF and LSH space.
+            ((x.cast("double") +
               (pmod(conv(substring(md5(concat_ws("_",
                 col("vec_id"), i, lit(c))), 1, 8), 16, 10).cast("long"),
                 lit(2001L)) - 1000L)
-                .cast("double") / 100000.0)
+                .cast("double") / 100000.0) *
+              when(pmod(conv(substring(md5(concat_ws("~",
+                lit(c), i)), 1, 8), 16, 10).cast("long"), lit(2L)) === 0L,
+                1.0).otherwise(-1.0))
               .cast("float")))), "embeddings")
     }
   }

@@ -115,6 +115,70 @@ class TextScanSpec extends SparkSpec {
       assert(r.getAs[Int]("stop_old") == r.getAs[Int]("stop_new"), r.toString)
     }
   }
+
+  // the round-9 third sibling: run counts over an ASCII char class
+  private def runRegex(s: String, cls: String): Int = {
+    val m = java.util.regex.Pattern
+      .compile("[" + java.util.regex.Pattern.quote(cls) + "]+").matcher(s)
+    var c = 0
+    while (m.find()) c += 1
+    c
+  }
+
+  test("CharClassRunCount ≡ size(regexp_extract_all(text, '[cls]+')) on the battery") {
+    for (s <- battery; cls <- Seq(".!?", "aeiouy")) {
+      assert(CharClassRunCount(GraftShimForTest.expr(lit(s)), cls)
+        .compute(UTF8String.fromString(s)) == runRegex(s, cls),
+        s"cls=$cls on ${s.getBytes("UTF-8").map("%02x".format(_)).mkString(" ")}")
+    }
+  }
+
+  test("CharClassRunCount ≡ the regex spelling on random ASCII+unicode strings") {
+    val rnd = new scala.util.Random(43)
+    val tokens = Seq("a", "e", "y", "z", ".", "!", "?", ",", " ", "X",
+      "é", "中", "😀", "aa", "!?", "...")
+    for (_ <- 1 to 500) {
+      val s = (1 to rnd.nextInt(40)).map(_ =>
+        tokens(rnd.nextInt(tokens.length))).mkString
+      for (cls <- Seq(".!?", "aeiouy"))
+        assert(CharClassRunCount(GraftShimForTest.expr(lit(s)), cls)
+          .compute(UTF8String.fromString(s)) == runRegex(s, cls),
+          s"cls=$cls on ${s.getBytes("UTF-8").map("%02x".format(_)).mkString(" ")}")
+    }
+  }
+
+  test("fleschScore / q171 projections match the pre-swap regex spellings") {
+    val docs = battery.zipWithIndex.map(_.swap).toDF("id", "text")
+    val old = docs.select(col("id"),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+        .as("sent_old"),
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+        .as("syl_old"))
+    val neu = docs.select(col("id"),
+      CharClassRunCount.count(col("text"), ".!?").as("sent_new"),
+      CharClassRunCount.count(lower(col("text")), "aeiouy").as("syl_new"))
+    old.join(neu, "id").collect().foreach { r =>
+      assert(r.getAs[Int]("sent_old") == r.getAs[Int]("sent_new"), r.toString)
+      assert(r.getAs[Int]("syl_old") == r.getAs[Int]("syl_new"), r.toString)
+    }
+  }
+
+  test("piiCounts regexp_count spelling ≡ size(regexp_extract_all) per kind") {
+    val texts = Seq(
+      "mail me at a.b@example.com or c@d.org today",
+      "call 415-555-1234 x2 or +1 (212) 555-9876",
+      "ssn 123-45-6789 and card 4111 1111 1111 1111",
+      "nothing sensitive here", "")
+    val docs = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+    graft.ops.TextAnalysis.piiPatterns.foreach { case (kind, pat, _) =>
+      val pairs = docs.select(
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("old"),
+        regexp_count(col("text"), lit(pat)).cast("integer").as("neu"))
+        .collect()
+      pairs.foreach(r =>
+        assert(r.getAs[Int]("old") == r.getAs[Int]("neu"), s"$kind: $r"))
+    }
+  }
 }
 
 /** Test-only bridge to build expressions from Columns. */
