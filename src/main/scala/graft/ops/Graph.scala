@@ -43,6 +43,34 @@ object Graph {
   def outDegrees(edges: DataFrame, src: String = "src"): DataFrame =
     edges.groupBy(col(src)).agg(count(lit(1)).as("outdeg"))
 
+  /** Max rows for which the O(nodes) state frames (ranks, labels,
+    * frontier, degree table) are BROADCAST into each round's join instead
+    * of shuffled (guide §3.1). 1M rows ≈ 16 MB of (node, value) data —
+    * well under the driver/executor comfort zone — and the gate is a
+    * MEASURED count of the materialized state, not an estimate, so at
+    * 100 TB node counts the ops fall back to the shuffle shape
+    * automatically. Override with `spark.graft.graph.broadcastMaxRows`. */
+  private def broadcastMaxRows(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.graph.broadcastMaxRows")
+      .map(_.toLong).getOrElse(1000000L)
+
+  /** The edge selection persisted exactly ONCE: when the caller already
+    * persisted the input frame (to share it with a seed/source aggregate),
+    * reuse that cache instead of double-caching the same bytes — the
+    * round-9 double persist cost q184 at 32 cores. */
+  private case class EdgeCache(df: DataFrame, owned: Boolean) {
+    def release(): Unit = { if (owned) { df.unpersist(); () }; () }
+  }
+  private def cacheEdges(edges: DataFrame, cols: String*): EdgeCache = {
+    val sel = edges.select(cols.map(col): _*)
+    if (edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      EdgeCache(sel, owned = false)
+    else EdgeCache(
+      sel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      owned = true)
+  }
+
   /** Quantized PageRank. `edges` must have `src`/`dst` columns (directed;
     * pass both directions for an undirected graph). Every node must appear
     * as a src at least once (no dangling mass redistribution — true by
@@ -57,40 +85,45 @@ object Graph {
     require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
     val scale = 1000000000L
     val base = scale * (dampDen - dampNum) / dampDen
-    // the edge list fans out to THREE derivations (outdeg, edges⋈deg,
-    // node set) materialized in the round-1 job — persist it first or the
-    // upstream build (for the bench graphs an orders⋈lineitem join +
-    // distinct) is recomputed once per branch (guide §2.4; measured 6.25 s
-    // → 3.59 s for 3-round PageRank at sf0.1)
-    val e = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = outDegrees(e)
-    // edges ⋈ outdeg is iteration-invariant: compute once, persist, reuse
-    val edgesDeg = e.join(deg, "src")
-      .select(col("src"), col("dst"), col("outdeg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node")).distinct()
-      .unionByName(e.select(col("dst").as("node")).distinct())
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist the edge selection once (reusing a caller cache when there
+    // is one — round-10); everything else is O(nodes) and derives from the
+    // checkpointed degree table: the contract above (every node appears
+    // as a src) makes deg's key set exactly the node set, so the three
+    // separate distinct passes of rounds 8/9 collapse into one aggregate
+    val e = cacheEdges(edges, "src", "dst")
+    val deg = outDegrees(e.df).localCheckpoint()
+    val nNodes = deg.count()
+    val small = nNodes <= broadcastMaxRows(edges.sparkSession)
+    def b(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val nodes = deg.select(col("src").as("node"))
+    // small graphs (measured node count under the broadcast gate): probe
+    // the broadcast degree/rank tables map-side over the edge cache — no
+    // per-round exchange or sort of the edge list at all (guide §3.1/§2.4).
+    // big graphs: the shuffle shape, with edges ⋈ outdeg persisted once.
+    val edgesDeg =
+      if (small) e.df.join(b(deg), "src")
+        .select(col("src"), col("dst"), col("outdeg"))
+      else e.df.join(deg, "src")
+        .select(col("src"), col("dst"), col("outdeg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.select(col("node"), lit(scale).as("r"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       // integral contribution: order-independent under summation
       val contrib = edgesDeg
-        .join(ranks, col("src") === col("node"))
+        .join(b(ranks), col("src") === col("node"))
         .select(col("dst"),
           expr(s"($dampNum * r) div ($dampDen * outdeg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       // roll: checkpoint the new round, free the superseded one's blocks
       ranks = graft.core.Ckpt.roll(nodes
-        .join(contrib, col("node") === col("dst"), "left")
+        .join(b(contrib), col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("s"), lit(0L))).as("r")), ranks)
     }
-    edgesDeg.unpersist()
-    nodes.unpersist()
-    e.unpersist()
+    if (!small) { edgesDeg.unpersist(); () }
+    e.release()
+    graft.core.Ckpt.free(deg)
     ranks.select(col("node"), col("r").as("rank_nano"))
   }
 
@@ -109,32 +142,44 @@ object Graph {
   def shortestPaths(edges: DataFrame, sources: DataFrame,
       maxHops: Int = 10): DataFrame = {
     require(maxHops >= 0 && maxHops <= 100, "maxHops must be in [0, 100]")
-    val e = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = cacheEdges(edges, "src", "dst")
+    val cap = broadcastMaxRows(edges.sparkSession)
     var dist = sources.select(col("node")).distinct()
       .select(col("node"), lit(0).as("dist")).localCheckpoint()
+    // counts drive both the empty-frontier stop (the same one action per
+    // round the isEmpty spelling paid) and the broadcast gate: frontier
+    // and settled set are O(reached nodes) and broadcast into the expand /
+    // anti joins while they fit, so the edge list is never exchanged
+    // (guide §3.1); past the gate the joins fall back to shuffles
+    var nDist = dist.count()
+    var nFrontier = nDist
     var frontier = dist
     var hop = 0
-    var done = frontier.isEmpty
+    var done = nDist == 0
     while (!done && hop < maxHops) {
       hop += 1
-      val next = frontier
-        .join(e, col("node") === col("src"))
+      def b(df: DataFrame, n: Long): DataFrame =
+        if (n <= cap) broadcast(df) else df
+      val next = e.df
+        .join(b(frontier, nFrontier), col("src") === col("node"))
         .select(col("dst").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
+        .join(b(dist, nDist), Seq("node"), "left_anti")
         .select(col("node"), lit(hop).as("dist"))
         .localCheckpoint()
-      done = next.isEmpty
+      val n = next.count()
+      done = n == 0
       if (!done) {
         // roll: old dist and old frontier (same object at hop 1 —
         // Ckpt.free is idempotent) are dead once the union materializes
         val nd = graft.core.Ckpt.roll(dist.unionByName(next), dist, frontier)
         dist = nd
+        nDist += n
+        nFrontier = n
         frontier = next
       } else graft.core.Ckpt.free(next)
     }
     if (frontier ne dist) graft.core.Ckpt.free(frontier)
-    e.unpersist()
+    e.release()
     dist
   }
 
@@ -153,18 +198,25 @@ object Graph {
   def weightedShortestPaths(edges: DataFrame, sources: DataFrame,
       iters: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
-    val e = edges.select(col("src"), col("dst"), col("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = cacheEdges(edges, "src", "dst", "w")
+    val cap = broadcastMaxRows(edges.sparkSession)
     var dist = sources.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    // the settled set is O(reached nodes): broadcast it into each relax
+    // join while its measured count fits (guide §3.1), so the edge list
+    // streams map-side from its cache; the count is one cheap job per
+    // round over the just-checkpointed state
+    var nDist = dist.count()
     for (_ <- 1 to iters) {
+      val b = if (nDist <= cap) broadcast(dist) else dist
       dist = graft.core.Ckpt.roll(
-        e.join(dist, col("src") === col("node"))
+        e.df.join(b, col("src") === col("node"))
           .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
           .unionByName(dist.select(col("node"), col("dist").as("cand")))
           .groupBy(col("node")).agg(min(col("cand")).as("dist")), dist)
+      nDist = dist.count()
     }
-    e.unpersist()
+    e.release()
     dist
   }
 

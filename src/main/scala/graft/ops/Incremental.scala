@@ -98,6 +98,11 @@ object Incremental {
     val tmp = new Path(root, "_compact_tmp")
     val target = new Path(root, "_compact")
     val old = new Path(root, "_compact_old")
+    // empty-store guard (ADVICE round 9): a first-ever writePartials with
+    // an empty frame creates no part= dirs; reading the root would die in
+    // schema inference where the pre-view code no-opped. No dirs → no view.
+    val stamp = storeStamp(fs, root)
+    if (stamp.isEmpty) return
     fs.delete(tmp, true)
     val full = spark.read.parquet(path)
     // target ~512 MB files; the sum excludes the _-prefixed view dirs the
@@ -106,7 +111,39 @@ object Incremental {
     val bytes = fs.getContentSummary(root).getLength
     val nFiles = math.max(1L, bytes / (512L << 20)).toInt
     full.coalesce(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    // freshness watermark, published INSIDE the view by the same atomic
+    // swap (the IVF `_compacted_to` pattern): a crash between a day-dir
+    // write and the swap leaves a view whose stamp no longer matches the
+    // day dirs, and [[rollup]] falls back instead of silently preferring
+    // stale data (ADVICE round 9)
+    val out = fs.create(new Path(tmp, StampFile), true)
+    try out.write(stamp.getBytes("UTF-8")) finally out.close()
     graft.core.FsOps.atomicSwap(fs, tmp, target, old)
+  }
+
+  private val StampFile = "_GRAFT_SOURCE_STAMP"
+
+  /** Cheap identity of the day-dir state a compact view was built from:
+    * partition-dir count, max dir name, and an order-invariant xor of
+    * (name hash, mtime) pairs — ONE non-recursive listStatus of the
+    * store root (~N dir entries), never the recursive file listing the
+    * view exists to avoid. A dynamic partition overwrite rewrites files
+    * inside part= dirs, which updates those dirs' mtimes on the local /
+    * HDFS semantics this store targets. Empty string = no part= dirs. */
+  private def storeStamp(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): String = {
+    val parts =
+      if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(root).filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith("part="))
+    if (parts.isEmpty) ""
+    else {
+      val mx = parts.map(_.getPath.getName).max
+      val sig = parts.foldLeft(0L)((acc, st) =>
+        acc ^ (st.getPath.getName.hashCode.toLong * 1000003L +
+          st.getModificationTime))
+      s"${parts.length}:$mx:$sig"
+    }
   }
 
   /** Roll partials up to a coarser grain (`grainExpr` over the stored
@@ -118,10 +155,25 @@ object Incremental {
   def rollup(spark: SparkSession, path: String, grainExpr: Column,
       keys: Seq[String]): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val compact = new Path(path, "_compact")
+    val root = new Path(path)
+    val compact = new Path(root, "_compact")
     val fs = compact.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // trust the view only when its source stamp matches the CURRENT
+    // day-dir state (one root listStatus — not the recursive listing):
+    // a maintenance crash between day-dir write and swap leaves a stale
+    // view, and preferring it would silently drop the fresher days
+    val fresh = fs.exists(compact) && {
+      val sp = new Path(compact, StampFile)
+      fs.exists(sp) && {
+        val in = fs.open(sp)
+        val recorded =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        recorded == storeStamp(fs, root)
+      }
+    }
     val src =
-      if (fs.exists(compact)) spark.read.parquet(compact.toString)
+      if (fresh) spark.read.parquet(compact.toString)
       else spark.read.parquet(path)
     src
       .groupBy((grainExpr.as("grain") +: keys.map(col)): _*)

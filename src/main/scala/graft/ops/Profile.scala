@@ -131,10 +131,20 @@ object Profile {
     val spark = df.sparkSession
     import org.apache.spark.sql.expressions.Window
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint PINS the range partitioning: `counts` feeds three
+    // branches (local cumsum, per-pid offsets, total) whose correctness
+    // requires every branch to observe the SAME partition ids. Without
+    // it that held only via Spark's exchange reuse — RangePartitioner
+    // samples with an RDD-id-derived seed, so with exchange reuse
+    // disabled (or canonicalization divergence) branches could get
+    // DIFFERENT partitionings and silently wrong percentiles (ADVICE
+    // round 9). The checkpoint materializes once and every branch reads
+    // the same frozen blocks.
     val counts = df.select(v.as("__v")).where(col("__v").isNotNull)
       .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
       .repartitionByRange(nPart, col("__v"))
       .select(col("__v"), col("__c"), spark_partition_id().as("__pid"))
+      .localCheckpoint()
     val wPart = Window.partitionBy(col("__pid")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = counts

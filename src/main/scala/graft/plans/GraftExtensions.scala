@@ -114,6 +114,11 @@ object GraftExtensions {
         require(es.length >= 2,
           "token_set_count(text, word, ...) takes a text arg plus word literals")
         val words = es.tail.map { e =>
+          // foldable gate BEFORE eval: eval(null) on a non-literal (e.g.
+          // a column reference) dies with an internal unbound-attribute
+          // error instead of this function's contract message
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"token_set_count words must be string literals, got $e")
           e.eval(null) match {
             case s: org.apache.spark.unsafe.types.UTF8String => s.toString
             case other => throw new IllegalArgumentException(
@@ -128,6 +133,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         require(es.length == 2,
           "char_class_run_count(text, chars) takes a text arg plus an ASCII class literal")
+        // same foldable gate as token_set_count: a column reference here
+        // must raise the contract error, not an internal eval failure
+        if (!es(1).foldable) throw new IllegalArgumentException(
+          s"char_class_run_count chars must be a string literal, got ${es(1)}")
         val chars = es(1).eval(null) match {
           case s: org.apache.spark.unsafe.types.UTF8String => s.toString
           case other => throw new IllegalArgumentException(

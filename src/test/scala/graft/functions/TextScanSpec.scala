@@ -94,6 +94,23 @@ class TextScanSpec extends SparkSpec {
     assert(r.getInt(0) == 3 && r.getInt(1) == 3)
   }
 
+  test("non-literal word/class args raise the contract error, not an internal one") {
+    graft.plans.GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq(("a b", "aeiou")).toDF("t", "cls")
+    df.createOrReplaceTempView("tsc_fold")
+    // pre-fix, eval(null) on the unbound column died with an internal
+    // unbound-attribute error; the foldable gate must surface the contract
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT char_class_run_count(t, cls) FROM tsc_fold").collect()
+    }
+    assert(e1.getMessage.contains("must be a string literal"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT token_set_count(t, cls) FROM tsc_fold").collect()
+    }
+    assert(e2.getMessage.contains("must be string literals"), e2.getMessage)
+  }
+
   test("langId/bpeTokenCount projections match the pre-swap HOF/regex spellings") {
     // the full operator surface over a corpus slice: new spellings vs the
     // OLD column spellings evaluated side by side on the same frame

@@ -137,4 +137,36 @@ class IncrementalSpec extends SparkSpec {
       Seq("o_custkey"))
     assert(sortedRows(delta) == sortedRows(fNew.join(customer, Seq("o_custkey"))))
   }
+
+  test("first-ever write of an EMPTY partials frame no-ops the compact view") {
+    val path = scratch("inc_empty_first")
+    // round-9 code threw 'Unable to infer schema' here: compactView read
+    // the store root unconditionally after a write that created no files
+    Incremental.writePartials(
+      Incremental.buildPartials(orders.where(lit(false)), dayExpr,
+        Seq("o_orderpriority"), cents), path)
+    val compact = new java.io.File(path, "_compact")
+    assert(!compact.exists())
+  }
+
+  test("rollup falls back to day dirs when the compact view is STALE") {
+    val path = scratch("inc_stale_view")
+    val cut = "1997-06-15"
+    val before = orders.where(col("o_orderdate") < lit(cut).cast("timestamp"))
+    Incremental.writePartials(
+      Incremental.buildPartials(before, dayExpr, Seq("o_orderpriority"), cents),
+      path) // builds + stamps the view for the pre-cut store
+    // simulate a crash AFTER a later day-dir write but BEFORE the view
+    // swap: write the remaining days directly, bypassing compactView
+    val after = orders.where(col("o_orderdate") >= lit(cut).cast("timestamp"))
+    Incremental.buildPartials(after, dayExpr, Seq("o_orderpriority"), cents)
+      .repartition(col("part"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(path)
+    // the stale view is still on disk, but its source stamp no longer
+    // matches the day dirs — rollup must read the day dirs and see the
+    // full history, not the pre-cut snapshot the view froze
+    assert(new java.io.File(path, "_compact").exists())
+    assert(rolledUp(path) == directMonthly(orders))
+  }
 }
