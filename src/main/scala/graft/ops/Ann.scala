@@ -791,10 +791,29 @@ object Ann {
       // shuffle task writes one file into every cid= dir it touches
       // (tasks × cells near-empty files — the writePartials lesson,
       // guide §6); cells are dial-bounded (~target rows), so one file
-      // per cell is right-sized at any corpus
-      .repartition(col("cid"))
+      // per cell is right-sized at any corpus. [[clusterForWrite]] salts
+      // within cid when cores outnumber cells (guide §2.2/§2.5).
+      .transform(clusterForWrite(_, k))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$path/assignments")
+  }
+
+  /** Route rows to write tasks for a `partitionBy("cid")` parquet write.
+    * A bare `repartition(cid)` caps write parallelism at the populated
+    * cell count and turns a hot cell into one straggler task (guide
+    * §2.2); when the session has more cores than cells, salt WITHIN cid
+    * by a deterministic hash of the vector id (guide §2.5 — never
+    * rand(): retried tasks must re-derive the same routing), bounding
+    * files at `salt` per cell dir while spreading a skewed cell over
+    * `salt` tasks. With cells ≥ cores (the 100 TB steady state — cells
+    * are dial-bounded to ~512 rows) the salt is 1 and the layout is
+    * byte-identical to one file per cell. */
+  private[graft] def clusterForWrite(df: DataFrame, cells: Long): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism.toLong
+    val salt = math.max(1L, cores / math.max(1L, cells))
+    if (salt <= 1L) df.repartition(col("cid"))
+    else df.repartition((cells * salt).toInt, col("cid"),
+      pmod(xxhash64(col("vec_id")), lit(salt)))
   }
 
   /** Incremental IVF maintenance: assign a batch of NEW vectors against
@@ -824,7 +843,8 @@ object Ann {
         col("__nrm").as("nrm"), col("__cid").as("cid"))
       .localCheckpoint()
     val n = assigned.count()
-    assigned.repartition(col("cid")) // one appended file per touched cell
+    // ≤ salt appended files per touched cell ([[clusterForWrite]])
+    clusterForWrite(assigned, cents.count())
       .write.mode("append").partitionBy("cid")
       .parquet(s"$path/assignments")
     graft.core.Ckpt.free(assigned) // count + write done; blocks are dead
@@ -990,7 +1010,10 @@ object Ann {
     val n = folded.count()
     val stamp = live.max // deterministic tmp names — no wall clock
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.assignments_staging_$stamp")
-    folded.repartition(col("cid")) // one compacted file per cell
+    // ≤ salt compacted files per cell ([[clusterForWrite]]); the cell
+    // count comes from the K-row centroids file, one tiny read
+    clusterForWrite(folded,
+      spark.read.parquet(s"$path/centroids").count())
       .write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
     val mk = fs.create(new org.apache.hadoop.fs.Path(tmp, "_compacted_to"), true)
     try mk.write(live.max.toString.getBytes("UTF-8")) finally mk.close()

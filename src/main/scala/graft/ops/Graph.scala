@@ -303,39 +303,51 @@ object Graph {
     require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
     val scale = 1000000000L
     val base = scale * (dampDen - dampNum) / dampDen
-    // persist-first for the same reason as [[pageRank]]: deg, edges⋈deg
-    // and the node set all derive from the edge list in one job
-    val e = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = outDegrees(e)
-    val edgesDeg = e.join(deg, "src")
-      .select(col("src"), col("dst"), col("outdeg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist the edge selection once, reusing a caller cache when there
+    // is one (round 10 — the round-9 double persist cost q184 at 32
+    // cores). The seed-flagged node set is O(nodes): checkpoint it once
+    // (it feeds every round's update join AND the rank init) and use its
+    // measured count as the broadcast gate, same as [[pageRank]].
+    val e = cacheEdges(edges, "src", "dst")
+    val deg = outDegrees(e.df).localCheckpoint()
     val seeds = sources.select(col("node")).distinct()
       .select(col("node"), lit(1).as("is_seed"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node")).distinct()
-      .unionByName(e.select(col("dst").as("node")).distinct())
+    val nodes = e.df.select(col("src").as("node"))
+      .unionByName(e.df.select(col("dst").as("node")))
       .distinct()
       .join(seeds, Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
+    val small = nodes.count() <= broadcastMaxRows(edges.sparkSession)
+    def b(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // small graphs: edges ⋈ broadcast(deg) is map-side over the edge
+    // cache — recomputing it per round is cheaper than persisting a
+    // second copy of the edge list; big graphs keep the persisted shape
+    val edgesDeg =
+      if (small) e.df.join(b(deg), "src")
+        .select(col("src"), col("dst"), col("outdeg"))
+      else e.df.join(deg, "src")
+        .select(col("src"), col("dst"), col("outdeg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes
       .select(col("node"), (col("is_seed").cast("long") * scale).as("r"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = edgesDeg
-        .join(ranks.where(col("r") > 0), col("src") === col("node"))
+        .join(b(ranks.where(col("r") > 0)), col("src") === col("node"))
         .select(col("dst"),
           expr(s"($dampNum * r) div ($dampDen * outdeg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = graft.core.Ckpt.roll(nodes
-        .join(contrib, col("node") === col("dst"), "left")
+        .join(b(contrib), col("node") === col("dst"), "left")
         .select(col("node"),
           (col("is_seed").cast("long") * base +
             coalesce(col("s"), lit(0L))).as("r")), ranks)
     }
-    edgesDeg.unpersist(); seeds.unpersist(); nodes.unpersist(); e.unpersist()
+    if (!small) { edgesDeg.unpersist(); () }
+    e.release()
+    graft.core.Ckpt.free(deg)
+    graft.core.Ckpt.free(nodes)
     ranks.where(col("r") > 0).select(col("node"), col("r").as("rank_nano"))
   }
 
@@ -365,17 +377,24 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int = 3,
       includeSelf: Boolean = true): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
-    val e = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node")).distinct()
-      .unionByName(e.select(col("dst").as("node")).distinct())
+    val e = cacheEdges(edges, "src", "dst")
+    // node set in ONE aggregate (union-then-distinct partial-aggregates
+    // map-side; rounds 8/9 paid three distinct passes) — consumed once
+    // for the label init, so no persist of its own
+    var labels = e.df.select(col("src").as("node"))
+      .unionByName(e.df.select(col("dst").as("node")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col("node"), col("node").as("label"))
+      .select(col("node"), col("node").as("label"))
       .localCheckpoint()
+    // broadcast gate (guide §3.1): the label table is O(nodes) — while
+    // its measured count fits, broadcast it into each round's join so the
+    // edge list streams map-side from its cache and each round's only
+    // exchange is the O(nodes) partial-aggregated mode shuffle
+    val small = labels.count() <= broadcastMaxRows(edges.sparkSession)
+    def b(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     for (_ <- 1 to iters) {
-      val neighborVotes = e
-        .join(labels, col("src") === col("node"))
+      val neighborVotes = e.df
+        .join(b(labels), col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
       val votes =
         if (includeSelf) neighborVotes.unionByName(labels) else neighborVotes
@@ -383,7 +402,7 @@ object Graph {
         .groupBy(col("node"))
         .agg(mode(col("label"), deterministic = true).as("label")), labels)
     }
-    e.unpersist(); nodes.unpersist()
+    e.release()
     labels
   }
 
@@ -410,12 +429,17 @@ object Graph {
   def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
     val scale = 1000000L
-    val e = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node")).distinct()
-      .unionByName(e.select(col("dst").as("node")).distinct())
+    val e = cacheEdges(edges, "src", "dst")
+    // node set in ONE aggregate, checkpointed (it feeds the hub init and
+    // the final zero re-attach); its measured count gates broadcasting
+    // the O(live nodes) score frames into each half-round's join so the
+    // edge list streams map-side from its cache (guide §3.1)
+    val nodes = e.df.select(col("src").as("node"))
+      .unionByName(e.df.select(col("dst").as("node")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
+    val small = nodes.count() <= broadcastMaxRows(edges.sparkSession)
+    def b(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // SPARSE rounds (round 9): score frames carry only nodes with a
     // nonzero-sum in-/out-neighborhood; everyone else is an implicit 0.
     // Value-identical to the dense spelling — the dense renorm assigned
@@ -427,7 +451,7 @@ object Graph {
     // result re-attaches the zero rows from `nodes` once.
     def renorm(raw: DataFrame, c: String): DataFrame = {
       val mx = raw.agg(max(col(c)).as("__mx"))
-      raw.crossJoin(mx)
+      raw.crossJoin(broadcast(mx))
         .select(col("node"),
           when(col("__mx").isNull || col("__mx") === 0, lit(0L))
             .otherwise(expr(s"($c * ${scale}L) div __mx"))
@@ -437,22 +461,22 @@ object Graph {
       .localCheckpoint()
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val aRaw = e.join(hub, col("src") === col("node"))
+      val aRaw = e.df.join(b(hub), col("src") === col("node"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
         .select(col("node"), col("a"))
       auth = graft.core.Ckpt.roll(renorm(aRaw, "a"), auth)
-      val hRaw = e.join(auth, col("dst") === col("node"))
+      val hRaw = e.df.join(b(auth), col("dst") === col("node"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
         .select(col("node"), col("h"))
       hub = graft.core.Ckpt.roll(renorm(hRaw, "h"), hub)
     }
     val out = graft.core.Ckpt.roll(nodes
-      .join(hub, Seq("node"), "left")
-      .join(auth, Seq("node"), "left")
+      .join(b(hub), Seq("node"), "left")
+      .join(b(auth), Seq("node"), "left")
       .select(col("node"), coalesce(col("h"), lit(0L)).as("hub_1e6"),
         coalesce(col("a"), lit(0L)).as("auth_1e6")),
-      hub, auth)
-    e.unpersist(); nodes.unpersist()
+      hub, auth, nodes)
+    e.release()
     out
   }
 
@@ -512,32 +536,44 @@ object Graph {
     * [[labelPropagation]] on the same edges). Returns one row:
     * (n_communities, m_edges, modularity). */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    // the label table is O(nodes): broadcast it into both decoration
+    // joins while its measured count fits (guide §3.1 — one cheap count
+    // job over what is usually an already-checkpointed LPA assignment),
+    // so the edge list is never exchanged
+    val lbl = labels.select(col("node"), col("label"))
+    val small = lbl.count() <= broadcastMaxRows(edges.sparkSession)
+    def b(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val el = edges
-      .join(labels.select(col("node").as("src"), col("label").as("__ls")),
+      .join(b(lbl.select(col("node").as("src"), col("label").as("__ls"))),
         Seq("src"))
-      .join(labels.select(col("node").as("dst"), col("label").as("__ld")),
+      .join(b(lbl.select(col("node").as("dst"), col("label").as("__ld"))),
         Seq("dst"))
       .select(col("__ls"), col("__ld"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one pass: 2m (symmetrized edge count) + intra-community edge count
-    val stats = el.agg(count(lit(1)).as("__m2"),
-      sum(when(col("__ls") === col("__ld"), 1L).otherwise(0L)).as("__intra"))
-    // d_c = Σ deg(v) over the community = el rows per src-label
-    val sq = el.groupBy(col("__ls"))
-      .agg(count(lit(1)).as("__dc"))
+    // ONE pass over the decorated edges (rounds ≤9 persisted `el` and ran
+    // two separate aggregates over the cache): per-src-label row count
+    // d_c and intra count partial-aggregate map-side to K rows, then one
+    // tiny fold closes 2m = Σd_c, intra = Σintra_c, Σd_c² — the exact
+    // same integers as the two-pass spelling, so the one float division
+    // is bit-identical
+    val grp = el.groupBy(col("__ls"))
+      .agg(count(lit(1)).as("__dc"),
+        sum(when(col("__ls") === col("__ld"), 1L).otherwise(0L)).as("__ic"))
+    val out = grp
       .agg(count(lit(1)).as("n_communities"),
+        // coalesce: an EMPTY edge list folds to m2 = 0 (the old spelling's
+        // count over zero rows), keeping m_edges 0 — intra/sq stay NULL
+        // exactly as before, so modularity is NULL either way
+        coalesce(sum(col("__dc")), lit(0L)).as("__m2"),
+        sum(col("__ic")).as("__intra"),
         sum(col("__dc") * col("__dc")).as("__sq"))
-    val out = stats.crossJoin(sq)
       .select(col("n_communities"),
         (col("__m2") / 2).cast("long").as("m_edges"),
         round((col("__intra") * col("__m2") - col("__sq")).cast("double") /
           (col("__m2").cast("double") * col("__m2").cast("double")), 6)
           .as("modularity"))
-    // materialize the 1-row result while `el` is still cached (it feeds
-    // both aggregates), then release the cache
-    val r = out.localCheckpoint()
-    el.unpersist()
-    r
+    // materialize the 1-row result before the caller releases its edge
+    // cache (q187 unpersists on return)
+    out.localCheckpoint()
   }
 
   /** Local clustering coefficient per node over a canonical undirected

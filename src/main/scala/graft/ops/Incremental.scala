@@ -162,7 +162,7 @@ object Incremental {
     // day-dir state (one root listStatus — not the recursive listing):
     // a maintenance crash between day-dir write and swap leaves a stale
     // view, and preferring it would silently drop the fresher days
-    val fresh = fs.exists(compact) && {
+    def fresh(): Boolean = fs.exists(compact) && {
       val sp = new Path(compact, StampFile)
       fs.exists(sp) && {
         val in = fs.open(sp)
@@ -172,8 +172,19 @@ object Incremental {
         recorded == storeStamp(fs, root)
       }
     }
+    val useView = fresh() || {
+      // SELF-HEAL a stale or unstamped view (a pre-stamp build, or a
+      // maintenance crash between day-dir write and swap): rebuild it once
+      // — the same day-dir listing one fallback read would pay, but it
+      // repairs the store for every subsequent read instead of paying the
+      // listing forever. Idempotent single-writer swap; on any failure
+      // (e.g. a read-only mount) fall back to the day dirs for this read.
+      fs.exists(root) &&
+        (try { compactView(spark, path); fresh() }
+        catch { case _: Throwable => false })
+    }
     val src =
-      if (fresh) spark.read.parquet(compact.toString)
+      if (useView) spark.read.parquet(compact.toString)
       else spark.read.parquet(path)
     src
       .groupBy((grainExpr.as("grain") +: keys.map(col)): _*)

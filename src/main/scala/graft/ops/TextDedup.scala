@@ -617,13 +617,20 @@ object TextDedup {
     * block key = lost pair), the sorted order still places near-equal
     * keys adjacently.
     *
-    * Pair generation is `lead()` over the sort — ONE window shuffle, NO
-    * self-join, candidates emitted map-side after it (exactly w·n rows).
-    * The window is unpartitioned by necessity (a total order over the
-    * blocking key); at 100 TB, range-partition by the sort key first and
-    * run the window per range with `windowSize`-row overlap between
-    * ranges — the standard streaming-merge refinement; the single-task
-    * ceiling is documented rather than hidden.
+    * Pair generation is sorted-adjacency over the GLOBAL (sortKey, id)
+    * order. The execution shape is gated on a MEASURED row count
+    * (round 10): under `spark.graft.sn.serialMaxRows` (default 2M) the
+    * corpus sorts in ONE window task and pairs come from `lead()` — at
+    * that size the single sort is cheaper than any exchange fan-out; past
+    * the gate the same pairs are computed fully distributed: range-
+    * partition by the sort key, pin the partitioning with a checkpoint
+    * (partition ids feed three branches — the exactPercentiles
+    * discipline), global rank = local row_number + broadcast
+    * per-partition offsets, and each record meets its `windowSize`
+    * successors through one equi-join on the rank — w·n skinny rows, no
+    * single-task ceiling (the rounds-≤9 spelling was serial at ANY size,
+    * guide §2.3/§5). Both shapes emit identical pairs: rank r meets
+    * ranks r+1..r+w when they exist (differentially tested).
     *
     * Returns candidate pairs with the scorer applied (Jaro–Winkler over
     * `textCol` prefixes), filtered to `minSim`. */
@@ -631,24 +638,67 @@ object TextDedup {
       textCol: String, sortKey: Column, windowSize: Int = 3,
       prefixLen: Int = 30, minSim: Double = 0.9): DataFrame = {
     require(windowSize >= 1 && prefixLen >= 1)
+    val spark = df.sparkSession
     val base = df.select(col(idCol).as("doc_a"),
       substring(col(textCol), 1, prefixLen).as("__pfx_a"),
       sortKey.as("__sk"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__sk"), col("doc_a"))
-    val withNext = base.select(
-      col("doc_a"), col("__pfx_a"),
-      array((1 to windowSize).map(i =>
-        struct(lead(col("doc_a"), i).over(w).as("doc_b"),
-          lead(col("__pfx_a"), i).over(w).as("__pfx_b"))): _*).as("__nbrs"))
-    withNext
-      .select(col("doc_a"), col("__pfx_a"),
-        explode(col("__nbrs")).as("__n"))
-      .where(col("__n.doc_b").isNotNull)
-      .select(col("doc_a"), col("__n.doc_b").as("doc_b"),
-        round(graft.functions.JaroWinkler.jaroWinklerCol(
-          col("__pfx_a"), col("__n.__pfx_b")), 6).as("jw_sim"))
-      .where(col("jw_sim") >= minSim)
+    val serialMax = spark.conf.getOption("spark.graft.sn.serialMaxRows")
+      .map(_.toLong).getOrElse(2000000L)
+    // the gate is one count over the projected input — for the common
+    // raw-table caller this is a metadata-cheap scan, and it buys the
+    // right shape on both sides of the knee
+    if (base.count() <= serialMax) {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__sk"), col("doc_a"))
+      base.select(
+          col("doc_a"), col("__pfx_a"),
+          array((1 to windowSize).map(i =>
+            struct(lead(col("doc_a"), i).over(w).as("doc_b"),
+              lead(col("__pfx_a"), i).over(w).as("__pfx_b"))): _*).as("__nbrs"))
+        .select(col("doc_a"), col("__pfx_a"),
+          explode(col("__nbrs")).as("__n"))
+        .where(col("__n.doc_b").isNotNull)
+        .select(col("doc_a"), col("__n.doc_b").as("doc_b"),
+          round(graft.functions.JaroWinkler.jaroWinklerCol(
+            col("__pfx_a"), col("__n.__pfx_b")), 6).as("jw_sim"))
+        .where(col("jw_sim") >= minSim)
+    } else {
+      val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val parts = base
+        .repartitionByRange(nPart, col("__sk"), col("doc_a"))
+        .select(col("doc_a"), col("__pfx_a"), col("__sk"),
+          spark_partition_id().as("__pid"))
+        .localCheckpoint()
+      val wLocal = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__pid")).orderBy(col("__sk"), col("doc_a"))
+      // per-partition offsets: K tiny rows, cumulated with a 1-partition
+      // window over K rows (never over data rows), broadcast back
+      val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offs = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+        .select(col("__pid"),
+          coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off"))
+      val ranked = parts
+        .withColumn("__lrn", row_number().over(wLocal))
+        .join(broadcast(offs), Seq("__pid"))
+        .select(col("doc_a"), col("__pfx_a"),
+          (col("__lrn") + col("__off")).as("__rn"))
+      // successors at ranks __rn+1..__rn+w: explode the probe side w ways
+      // and equi-join on the successor's rank — missing ranks (the global
+      // tail) drop out of the inner join exactly like lead()'s nulls did
+      val succ = ranked.select(col("doc_a").as("doc_b"),
+        col("__pfx_a").as("__pfx_b"), col("__rn").as("__rn_b"))
+      ranked
+        .select(col("doc_a"), col("__pfx_a"),
+          explode(org.apache.spark.sql.functions.sequence(
+            col("__rn") + 1, col("__rn") + windowSize)).as("__rn_b"))
+        .join(succ, Seq("__rn_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(graft.functions.JaroWinkler.jaroWinklerCol(
+            col("__pfx_a"), col("__pfx_b")), 6).as("jw_sim"))
+        .where(col("jw_sim") >= minSim)
+    }
   }
 
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
@@ -692,13 +742,26 @@ object TextDedup {
     * variant when components can be long chains. */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50): DataFrame = {
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // broadcast gate (round 10, guide §3.1): each star round joins the
+    // edge list against its per-node `mins` table — O(touched nodes) ≤
+    // 2·|edges| rows. Post-checkpoint frames have no usable size stats,
+    // so the planner picked sort-merge joins (2 exchanges + 2 sorts per
+    // star, 4 per round) for edge lists of a few hundred rows; the
+    // checksum action already counts the edges every round, so gate an
+    // explicit broadcast of `mins` on that MEASURED count — past the gate
+    // the shuffle shape is unchanged.
+    val bcastMax = pairs.sparkSession.conf
+      .getOption("spark.graft.cc.broadcastMaxEdges")
+      .map(_.toLong).getOrElse(1000000L)
+    var nEdges = 0L
+    def b(df: DataFrame): DataFrame =
+      if (nEdges <= bcastMax) broadcast(df) else df
     // large-star: every u links its LARGER neighbors to m = min(N(u)∪{u})
     def largeStar(e: DataFrame): DataFrame = {
       val und = e.select(col("a").as("u"), col("b").as("v"))
         .unionByName(e.select(col("b").as("u"), col("a").as("v")))
       val mins = und.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-      und.join(mins, Seq("u"))
+      und.join(b(mins), Seq("u"))
         .where(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
         .where(col("a") =!= col("b"))
@@ -710,7 +773,7 @@ object TextDedup {
       val dir = e.select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
-      val joined = dir.join(mins, Seq("u"))
+      val joined = dir.join(b(mins), Seq("u"))
       joined.select(col("v").as("a"), col("m").as("b"))
         .unionByName(joined.select(col("u").as("a"), col("m").as("b")))
         .where(col("a") =!= col("b"))
@@ -728,13 +791,15 @@ object TextDedup {
       .where(col("a") =!= col("b"))
       .distinct().localCheckpoint()
     var sig = checksum(edges)
+    nEdges = sig._1
     var round = 0
-    var converged = edges.isEmpty
+    var converged = nEdges == 0
     while (!converged && round < maxRounds) {
       edges = graft.core.Ckpt.roll(smallStar(largeStar(edges)), edges)
       val s = checksum(edges)
       converged = s == sig
       sig = s
+      nEdges = s._1
       round += 1
     }
     // stars: every member has an edge to the component min

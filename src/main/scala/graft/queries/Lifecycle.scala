@@ -290,15 +290,20 @@ object Lifecycle {
         struct(col("types").as("hrefs")).as("resources"))))).as("data"))
     // per-(user, half) traffic doc: per-calendar-date counts, array sorted
     // ascending so faithful mode's last element is the half's newest date
+    // pus = max(ts_us) over the (user, day) group — foldable through the
+    // per-date grain (max of per-date maxima), so the traffic branch
+    // derives it itself instead of joining back to snapAgg (round 10:
+    // one join + exchange fewer in the render)
     val perDate = d.groupBy(col("user_id"), col("day"),
         to_date(timestamp_micros(col("ts_us"))).as("dt"))
-      .agg(count(lit(1)).as("cnt"), countDistinct(col("event_type")).as("unq"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("event_type")).as("unq"),
+        max(col("ts_us")).as("__pd_pus"))
     val trafDocs = perDate.groupBy(col("user_id"), col("day"))
       .agg(sort_array(collect_list(struct(
           date_format(col("dt"), "yyyy-MM-dd'T'00:00:00").as("timestamp"),
-          col("cnt").as("count"), col("unq").as("uniques")))).as("views"))
-      .join(snapAgg.select(col("user_id"), col("day"), col("pus"),
-        lit(null).cast("long").as("del_us")), Seq("user_id", "day"))
+          col("cnt").as("count"), col("unq").as("uniques")))).as("views"),
+        max(col("__pd_pus")).as("pus"))
+      .withColumn("del_us", lit(null).cast("long"))
       .select(col("day"), to_json(struct(
         meta("views", concat(lit("urn:tv:"), col("user_id")), Seq(
           struct(urnU.as("href")).as("repo"))),
@@ -310,8 +315,20 @@ object Lifecycle {
     // not optimization. One within-run localCheckpoint materializes the
     // union once (it feeds the two per-day staging reads), freed after
     // the day loop.
-    val raw = snapDocs.unionByName(collDocs).unionByName(trafDocs)
-      .localCheckpoint()
+    // -Dgraft.q244.trace=1: per-segment walls to stderr (probe harness
+    // only; a few nanoTime reads, no behavior change)
+    val trace = sys.props.get("graft.q244.trace").contains("1")
+    def seg[T](label: String)(f: => T): T =
+      if (!trace) f else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"""{"q244seg":"$label","sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+        r
+      }
+    val raw = seg("render_ckpt")(
+      snapDocs.unionByName(collDocs).unionByName(trafDocs)
+        .localCheckpoint())
     val base = System.getProperty("java.io.tmpdir") +
       s"/graft_q244_${math.abs(dir.hashCode)}"
     val hfs = new Path(base)
@@ -322,18 +339,36 @@ object Lifecycle {
       Field("value_cents", "value_cents", "long"),
       Field("n_events", "n_events", "long")))
     val collSpec = CollectionSpec("membership", "membership")
-    Seq("2024-01-01", "2024-01-02").foreach { day =>
-      val staged = graft.ingest.Staging.stage(
-        raw.where(col("day") === day).select("data"), day)
-      staged.cache()
-      Pipelines.runSnapshot(spark, staged, s"$base/cur", acctSpec)
-      Pipelines.runCollection(spark, staged, s"$base/cur", collSpec)
-      Pipelines.runTraffic(spark, staged, s"$base/curF", Specs.views,
-        faithful = true)
-      Pipelines.runTraffic(spark, staged, s"$base/curC", Specs.views,
-        faithful = false)
+    // Days stay SERIAL (day 2's merges read day 1's curated output), but
+    // within a day the four executors are independent — distinct output
+    // tables, one shared cached input — so they run as concurrent driver
+    // jobs (guide §2.6): each executor's write/swap tail back-fills the
+    // cores the others' scans freed. The cache materializes ONCE before
+    // the threads start so concurrent first-use can't race-compute it.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try Seq("2024-01-01", "2024-01-02").foreach { day =>
+      val staged = seg(s"stage_$day") {
+        val s = graft.ingest.Staging.stage(
+          raw.where(col("day") === day).select("data"), day)
+        s.cache()
+        s.count()
+        s
+      }
+      seg(s"executors_$day") {
+        val runs = Seq[() => Unit](
+          () => { Pipelines.runSnapshot(spark, staged, s"$base/cur", acctSpec); () },
+          () => { Pipelines.runCollection(spark, staged, s"$base/cur", collSpec); () },
+          () => { Pipelines.runTraffic(spark, staged, s"$base/curF", Specs.views,
+            faithful = true); () },
+          () => { Pipelines.runTraffic(spark, staged, s"$base/curC", Specs.views,
+            faithful = false); () }
+        ).map(f => scala.concurrent.Future(f())(ec))
+        runs.foreach(scala.concurrent.Await.result(_,
+          scala.concurrent.duration.Duration.Inf))
+      }
       staged.unpersist()
-    }
+    } finally pool.shutdown()
     graft.core.Ckpt.free(raw) // both day stages consumed it; blocks are dead
     def uid(c: Column) = substring(c, 10, 30).cast("long")
     val snapF = spark.read.parquet(s"$base/cur/account").select(

@@ -92,6 +92,28 @@ object ScaleProbe {
         s""""max_pop":${s.getLong(2)},"candidate_pairs":${s.getAs[Any](3)}}""")
     }
 
+    // exactPercentiles decade probe (round 10): the round-9 rewrite
+    // replaced the `percentile` builtin (single aggregation buffer,
+    // one-task merge+sort of the distinct set — the module's documented
+    // ~10^8 ceiling) with the distributed range-partitioned exact path;
+    // these rows show the replacement scales linearly through the decades
+    // the builtin could not. Synthetic ALL-DISTINCT input (the builtin's
+    // worst case) from spark.range — corpus-independent.
+    if (want("exact_pct")) {
+      for (n <- Seq(10000000L, 100000000L, 300000000L)) {
+        val df = spark.range(0L, n)
+          .select(((col("id") * 2654435761L) % 1000000007L).as("v"))
+        time(s"exact_pct_${n / 1000000}m") {
+          graft.ops.Profile.exactPercentiles(
+            spark.range(0L, 100000L).select(col("id").as("v")),
+            col("v"), Array(0.5)).count(); ()
+        } {
+          graft.ops.Profile.exactPercentiles(df, col("v"),
+            Array(0.25, 0.5, 0.75, 0.99)).count()
+        }
+      }
+    }
+
     // curation job end-to-end at the ETL grain: quality gate + dedup
     // cascade + per-language token budget + shard export, with langId
     // computed IN the job (the round-9 TokenSetCount path) — one

@@ -127,6 +127,17 @@ class AnnSpec extends SparkSpec {
     val dirs = new java.io.File(s"$path/assignments").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.forall(_.startsWith("cid=")) && dirs.length == 4, dirs.toSeq)
+    // file-count discipline (guide §6/§2.2): each cell dir holds at most
+    // `salt = max(1, cores/cells)` data files — the clusterForWrite bound —
+    // never the tasks × cells explosion of an unclustered write
+    val saltBound = math.max(1L,
+      spark.sparkContext.defaultParallelism.toLong / 4)
+    dirs.foreach { d =>
+      val nFiles = new java.io.File(s"$path/assignments/$d").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(nFiles >= 1 && nFiles <= saltBound,
+        s"$d has $nFiles files, bound $saltBound")
+    }
 
     val queries = corpus.where(col("vec_id") < 10)
     val viaIndex = Ann.queryIvfIndex(spark, path, queries,

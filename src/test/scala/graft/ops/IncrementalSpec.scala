@@ -164,9 +164,13 @@ class IncrementalSpec extends SparkSpec {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("part").parquet(path)
     // the stale view is still on disk, but its source stamp no longer
-    // matches the day dirs — rollup must read the day dirs and see the
-    // full history, not the pre-cut snapshot the view froze
+    // matches the day dirs — rollup must NOT serve the pre-cut snapshot
+    // the view froze: it self-heals (rebuilds the view from the day dirs)
+    // and the result reflects the full history
     assert(new java.io.File(path, "_compact").exists())
+    assert(rolledUp(path) == directMonthly(orders))
+    // and the heal is durable: the rebuilt view's stamp now matches the
+    // day dirs, so the next read is served by the view (same answer)
     assert(rolledUp(path) == directMonthly(orders))
   }
 }

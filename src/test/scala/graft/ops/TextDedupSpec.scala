@@ -344,15 +344,42 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0.905628)))
   }
 
-  test("sortedNeighborhoodPairs generates candidates with zero joins") {
+  test("sortedNeighborhoodPairs above the gate runs distributed and matches the total-order lead() spelling") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val out = TextDedup.sortedNeighborhoodPairs(corpus, "doc_id", "text",
-      sortKey = substring(col("text"), 1, 20))
-    out.collect()
-    val p = out.queryExecution.executedPlan.toString
-    assert(!p.contains("Join"),
-      s"sorted-neighborhood pair generation should be window+explode only:\n$p")
-    assert(p.contains("Window"), s"expected a lead() window:\n$p")
+    val sk = substring(col("text"), 1, 20)
+    // force the distributed shape (the corpus is under the 2M default)
+    spark.conf.set("spark.graft.sn.serialMaxRows", "0")
+    val out =
+      try TextDedup.sortedNeighborhoodPairs(corpus, "doc_id", "text",
+        sortKey = sk)
+      finally spark.conf.unset("spark.graft.sn.serialMaxRows")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2))).toSet
+    // no single-task window over the corpus (the round-≤9 serial stage):
+    // every Window in the executed plan must be partitioned
+    out.queryExecution.executedPlan.foreach {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned (single-task) window survived:\n$w")
+      case _ => ()
+    }
+    // value identity against the reference unpartitioned-lead() spelling
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__sk"), col("doc_a"))
+    val base = corpus.select(col("doc_id").as("doc_a"),
+      substring(col("text"), 1, 30).as("__pfx_a"), sk.as("__sk"))
+    val ref = base.select(col("doc_a"), col("__pfx_a"),
+        array((1 to 3).map(i =>
+          struct(lead(col("doc_a"), i).over(w).as("doc_b"),
+            lead(col("__pfx_a"), i).over(w).as("__pfx_b"))): _*).as("__nbrs"))
+      .select(col("doc_a"), col("__pfx_a"), explode(col("__nbrs")).as("__n"))
+      .where(col("__n.doc_b").isNotNull)
+      .select(col("doc_a"), col("__n.doc_b").as("doc_b"),
+        round(graft.functions.JaroWinkler.jaroWinklerCol(
+          col("__pfx_a"), col("__n.__pfx_b")), 6).as("jw_sim"))
+      .where(col("jw_sim") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == ref, s"distributed SN pairs diverge from lead() reference")
   }
 
   test("lshEvalMetrics: exact dup counted as tp; zero-truth corpus guards") {
