@@ -790,31 +790,29 @@ object Ann {
       // cluster by cell before the partitioned write: without it every
       // shuffle task writes one file into every cid= dir it touches
       // (tasks × cells near-empty files — the writePartials lesson,
-      // guide §6); cells are dial-bounded (~target rows), so one file
-      // per cell is right-sized at any corpus. [[clusterForWrite]] salts
-      // within cid when cores outnumber cells (guide §2.2/§2.5).
-      .transform(clusterForWrite(_, k))
+      // guide §6); [[clusterForWrite]] additionally lets AQE split a
+      // hot cell across tasks by measured size (guide §2.2/§6).
+      .transform(clusterForWrite)
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$path/assignments")
   }
 
   /** Route rows to write tasks for a `partitionBy("cid")` parquet write.
     * A bare `repartition(cid)` caps write parallelism at the populated
-    * cell count and turns a hot cell into one straggler task (guide
-    * §2.2); when the session has more cores than cells, salt WITHIN cid
-    * by a deterministic hash of the vector id (guide §2.5 — never
-    * rand(): retried tasks must re-derive the same routing), bounding
-    * files at `salt` per cell dir while spreading a skewed cell over
-    * `salt` tasks. With cells ≥ cores (the 100 TB steady state — cells
-    * are dial-bounded to ~512 rows) the salt is 1 and the layout is
-    * byte-identical to one file per cell. */
-  private[graft] def clusterForWrite(df: DataFrame, cells: Long): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism.toLong
-    val salt = math.max(1L, cores / math.max(1L, cells))
-    if (salt <= 1L) df.repartition(col("cid"))
-    else df.repartition((cells * salt).toInt, col("cid"),
-      pmod(xxhash64(col("vec_id")), lit(salt)))
-  }
+    * cell count and turns a hot cell into ONE straggler task writing one
+    * oversized file (guide §2.2's skew flag on this site). The REBALANCE
+    * hint keys the exchange on cid but lets AQE act on MEASURED partition
+    * sizes (guide §6: "a REBALANCE hint before the write"): an oversized
+    * cell splits into several tasks/files at the advisory partition size,
+    * small cells coalesce into shared tasks while each still writes one
+    * file per cid dir. At bench/steady-state sizes (cells dial-bounded to
+    * ~512 rows) nothing splits and the layout is byte-identical to the
+    * round-9 one-file-per-cell; a drifted hot cell at 100 TB splits
+    * automatically. No salt column: AQE's split is deterministic given
+    * the map output, and the file count stays ≤ ceil(cell bytes /
+    * advisory size) per dir. */
+  private[graft] def clusterForWrite(df: DataFrame): DataFrame =
+    df.hint("rebalance", col("cid"))
 
   /** Incremental IVF maintenance: assign a batch of NEW vectors against
     * the index's PERSISTED centroids and append them to the `cid=`
@@ -843,8 +841,9 @@ object Ann {
         col("__nrm").as("nrm"), col("__cid").as("cid"))
       .localCheckpoint()
     val n = assigned.count()
-    // ≤ salt appended files per touched cell ([[clusterForWrite]])
-    clusterForWrite(assigned, cents.count())
+    // one appended file per touched cell; hot cells split by AQE
+    // ([[clusterForWrite]])
+    clusterForWrite(assigned)
       .write.mode("append").partitionBy("cid")
       .parquet(s"$path/assignments")
     graft.core.Ckpt.free(assigned) // count + write done; blocks are dead
@@ -1010,10 +1009,9 @@ object Ann {
     val n = folded.count()
     val stamp = live.max // deterministic tmp names — no wall clock
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.assignments_staging_$stamp")
-    // ≤ salt compacted files per cell ([[clusterForWrite]]); the cell
-    // count comes from the K-row centroids file, one tiny read
-    clusterForWrite(folded,
-      spark.read.parquet(s"$path/centroids").count())
+    // one compacted file per cell; hot cells split by AQE
+    // ([[clusterForWrite]])
+    clusterForWrite(folded)
       .write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
     val mk = fs.create(new org.apache.hadoop.fs.Path(tmp, "_compacted_to"), true)
     try mk.write(live.max.toString.getBytes("UTF-8")) finally mk.close()

@@ -116,10 +116,12 @@ object Graph {
           expr(s"($dampNum * r) div ($dampDen * outdeg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       // roll: checkpoint the new round, free the superseded one's blocks
-      ranks = graft.core.Ckpt.roll(nodes
+      val upd = nodes
         .join(b(contrib), col("node") === col("dst"), "left")
         .select(col("node"),
-          (lit(base) + coalesce(col("s"), lit(0L))).as("r")), ranks)
+          (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+      graft.core.PlanTrace.dump("pagerank_round", upd)
+      ranks = graft.core.Ckpt.roll(upd, ranks)
     }
     if (!small) { edgesDeg.unpersist(); () }
     e.release()
@@ -160,12 +162,13 @@ object Graph {
       hop += 1
       def b(df: DataFrame, n: Long): DataFrame =
         if (n <= cap) broadcast(df) else df
-      val next = e.df
+      val nextPlan = e.df
         .join(b(frontier, nFrontier), col("src") === col("node"))
         .select(col("dst").as("node")).distinct()
         .join(b(dist, nDist), Seq("node"), "left_anti")
         .select(col("node"), lit(hop).as("dist"))
-        .localCheckpoint()
+      graft.core.PlanTrace.dump("bfs_hop", nextPlan)
+      val next = nextPlan.localCheckpoint()
       val n = next.count()
       done = n == 0
       if (!done) {
@@ -209,11 +212,12 @@ object Graph {
     var nDist = dist.count()
     for (_ <- 1 to iters) {
       val b = if (nDist <= cap) broadcast(dist) else dist
-      dist = graft.core.Ckpt.roll(
-        e.df.join(b, col("src") === col("node"))
-          .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
-          .unionByName(dist.select(col("node"), col("dist").as("cand")))
-          .groupBy(col("node")).agg(min(col("cand")).as("dist")), dist)
+      val relax = e.df.join(b, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+        .unionByName(dist.select(col("node"), col("dist").as("cand")))
+        .groupBy(col("node")).agg(min(col("cand")).as("dist"))
+      graft.core.PlanTrace.dump("wsp_relax", relax)
+      dist = graft.core.Ckpt.roll(relax, dist)
       nDist = dist.count()
     }
     e.release()
@@ -338,11 +342,13 @@ object Graph {
         .select(col("dst"),
           expr(s"($dampNum * r) div ($dampDen * outdeg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = graft.core.Ckpt.roll(nodes
+      val upd = nodes
         .join(b(contrib), col("node") === col("dst"), "left")
         .select(col("node"),
           (col("is_seed").cast("long") * base +
-            coalesce(col("s"), lit(0L))).as("r")), ranks)
+            coalesce(col("s"), lit(0L))).as("r"))
+      graft.core.PlanTrace.dump("ppr_round", upd)
+      ranks = graft.core.Ckpt.roll(upd, ranks)
     }
     if (!small) { edgesDeg.unpersist(); () }
     e.release()
@@ -398,9 +404,11 @@ object Graph {
         .select(col("dst").as("node"), col("label"))
       val votes =
         if (includeSelf) neighborVotes.unionByName(labels) else neighborVotes
-      labels = graft.core.Ckpt.roll(votes
+      val upd = votes
         .groupBy(col("node"))
-        .agg(mode(col("label"), deterministic = true).as("label")), labels)
+        .agg(mode(col("label"), deterministic = true).as("label"))
+      graft.core.PlanTrace.dump("lpa_round", upd)
+      labels = graft.core.Ckpt.roll(upd, labels)
     }
     e.release()
     labels
@@ -464,7 +472,9 @@ object Graph {
       val aRaw = e.df.join(b(hub), col("src") === col("node"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
         .select(col("node"), col("a"))
-      auth = graft.core.Ckpt.roll(renorm(aRaw, "a"), auth)
+      val aNorm = renorm(aRaw, "a")
+      graft.core.PlanTrace.dump("hits_halfround", aNorm)
+      auth = graft.core.Ckpt.roll(aNorm, auth)
       val hRaw = e.df.join(b(auth), col("dst") === col("node"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
         .select(col("node"), col("h"))

@@ -795,7 +795,9 @@ object TextDedup {
     var round = 0
     var converged = nEdges == 0
     while (!converged && round < maxRounds) {
-      edges = graft.core.Ckpt.roll(smallStar(largeStar(edges)), edges)
+      val upd = smallStar(largeStar(edges))
+      graft.core.PlanTrace.dump("ccstar_round", upd)
+      edges = graft.core.Ckpt.roll(upd, edges)
       val s = checksum(edges)
       converged = s == sig
       sig = s

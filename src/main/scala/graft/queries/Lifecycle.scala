@@ -326,9 +326,9 @@ object Lifecycle {
           f"""{"q244seg":"$label","sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
         r
       }
-    val raw = seg("render_ckpt")(
-      snapDocs.unionByName(collDocs).unionByName(trafDocs)
-        .localCheckpoint())
+    val render = snapDocs.unionByName(collDocs).unionByName(trafDocs)
+    graft.core.PlanTrace.dump("q244_render", render)
+    val raw = seg("render_ckpt")(render.localCheckpoint())
     val base = System.getProperty("java.io.tmpdir") +
       s"/graft_q244_${math.abs(dir.hashCode)}"
     val hfs = new Path(base)

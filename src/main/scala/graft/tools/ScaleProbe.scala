@@ -108,10 +108,31 @@ object ScaleProbe {
             spark.range(0L, 100000L).select(col("id").as("v")),
             col("v"), Array(0.5)).count(); ()
         } {
+          // noop sink (guide §1.4): count() would let the optimizer prune
+          // the percentile computation itself
           graft.ops.Profile.exactPercentiles(df, col("v"),
-            Array(0.25, 0.5, 0.75, 0.99)).count()
+            Array(0.25, 0.5, 0.75, 0.99))
+            .write.format("noop").mode("overwrite").save()
+          1L
         }
       }
+      // the replaced builtin, same inputs: single aggregation buffer, one
+      // task merges+sorts the whole value multiset — the documented
+      // ceiling this family replaced. Gate with exact_pct_builtin (it is
+      // minutes-slow past 10^8).
+      if (want("exact_pct_builtin"))
+        for (n <- Seq(10000000L, 100000000L)) {
+          val df = spark.range(0L, n)
+            .select(((col("id") * 2654435761L) % 1000000007L).as("v"))
+          time(s"exact_pct_builtin_${n / 1000000}m") {
+            spark.range(0L, 100000L).select(col("id").as("v"))
+              .agg(expr("percentile(v, array(0.5))")).count(); ()
+          } {
+            df.agg(expr("percentile(v, array(0.25, 0.5, 0.75, 0.99))"))
+              .write.format("noop").mode("overwrite").save()
+            1L
+          }
+        }
     }
 
     // curation job end-to-end at the ETL grain: quality gate + dedup

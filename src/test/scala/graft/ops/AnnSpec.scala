@@ -127,16 +127,15 @@ class AnnSpec extends SparkSpec {
     val dirs = new java.io.File(s"$path/assignments").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.forall(_.startsWith("cid=")) && dirs.length == 4, dirs.toSeq)
-    // file-count discipline (guide §6/§2.2): each cell dir holds at most
-    // `salt = max(1, cores/cells)` data files — the clusterForWrite bound —
-    // never the tasks × cells explosion of an unclustered write
-    val saltBound = math.max(1L,
-      spark.sparkContext.defaultParallelism.toLong / 4)
+    // file-count discipline (guide §6/§2.2): the rebalance-keyed write
+    // gives each cell dir exactly ONE data file below AQE's advisory
+    // split size (this corpus is far below it) — never the tasks × cells
+    // explosion of an unclustered write; only a genuinely oversized cell
+    // may split into more files
     dirs.foreach { d =>
       val nFiles = new java.io.File(s"$path/assignments/$d").listFiles()
         .count(f => f.isFile && f.getName.endsWith(".parquet"))
-      assert(nFiles >= 1 && nFiles <= saltBound,
-        s"$d has $nFiles files, bound $saltBound")
+      assert(nFiles == 1, s"$d has $nFiles files, expected 1")
     }
 
     val queries = corpus.where(col("vec_id") < 10)
